@@ -1,0 +1,848 @@
+"""TPU-native HNSW: layered-graph ANN as batched, fixed-shape array programs.
+
+Re-design of reference src/hnsw/ (mod.rs, search.rs, operations.rs,
+distance.rs — ~3.4k LoC of pointer-chasing Rust) for the TPU execution
+model. The mapping (SURVEY.md §2.3, §3.4-3.5):
+
+  reference                                   here
+  ---------------------------------------------------------------------
+  HnswNodeInline: 4 levels × {32,16,16,16}    adj0 int32[cap,32] +
+    neighbor NodeIds (mod.rs:425-432)           adj_hi int32[3,cap,16]
+  greedy descent loop (search.rs:259-309)     batched masked while_loop
+  beam search w/ binary heaps + VisitedSet    fixed-width sorted candidate
+    (search.rs:311-350,143-191)                 buffer + expanded-id list,
+                                                merged by masked top-k
+  per-neighbor distance callback              vector gather + VPU batched
+    (mod.rs:1097)                               dot (MXU for build matrices)
+  select_neighbors_heuristic                  vectorized masked scan over
+    (operations.rs:181-233)                     pairwise distance matrix
+  prune_neighbors keep-nearest                row-wise top-k
+    (operations.rs:235)
+  level select floor(-ln(u)/ln(M)), u from    identical, splitmix64 hash
+    row_id (operations.rs:76-83,                of row id
+    database/dml/insert.rs:1219)
+  deleted nodes as stepping stones,           `allowed` mask: traverse all,
+    filtered from results (mod.rs:62-68)        mask results
+
+Graph constants match the reference (mod.rs:125-127): MAX_LEVELS=4, M0=32,
+M=16. Slots are dense int32 ids into the columnar store; -1 is the nil id
+everywhere (adjacency padding, empty buffer entries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turdb_tpu import config as cfgmod
+from turdb_tpu.ops.distance import (
+    Metric,
+    gathered_distances,
+    normalize_rows,
+    prep_norms,
+)
+from turdb_tpu.ops.topk import member_mask, merge_topk, topk_smallest
+
+NIL = jnp.int32(-1)
+INF = jnp.float32(jnp.inf)
+GREEDY_CAP = 128  # descent step cap (reference caps at 1000, mod.rs:1139)
+
+
+@dataclasses.dataclass(frozen=True)
+class HnswConfig:
+    """Static graph geometry — hashable so jitted fns key on it."""
+
+    dim: int
+    m0: int = cfgmod.HNSW_M0
+    m: int = cfgmod.HNSW_M
+    max_levels: int = cfgmod.HNSW_MAX_LEVELS
+    metric: Metric = Metric.L2
+    ef_construction: int = cfgmod.HNSW_DEFAULT_EF_CONSTRUCTION
+    ef_search: int = cfgmod.HNSW_DEFAULT_EF_SEARCH
+
+    @property
+    def ml(self) -> float:
+        return 1.0 / math.log(self.m)
+
+
+class HnswState(NamedTuple):
+    """Device-resident graph — a pytree, so it jits/shards/donates cleanly."""
+
+    vectors: jax.Array   # [cap, d] f32 (unit-normalized when metric=COSINE)
+    norms: jax.Array     # [cap] f32 ‖x‖²
+    adj0: jax.Array      # [cap, M0] int32, NIL-padded
+    adj_hi: jax.Array    # [max_levels-1, cap, M] int32, NIL-padded
+    levels: jax.Array    # [cap] int32, -1 for empty slots
+    entry: jax.Array     # scalar int32 (NIL when empty)
+    max_level: jax.Array  # scalar int32 (-1 when empty)
+
+
+def init_state(cfg: HnswConfig, capacity: int) -> HnswState:
+    return HnswState(
+        vectors=jnp.zeros((capacity, cfg.dim), jnp.float32),
+        norms=jnp.full((capacity,), INF, jnp.float32),
+        adj0=jnp.full((capacity, cfg.m0), NIL, jnp.int32),
+        adj_hi=jnp.full((cfg.max_levels - 1, capacity, cfg.m), NIL, jnp.int32),
+        levels=jnp.full((capacity,), -1, jnp.int32),
+        entry=jnp.asarray(-1, jnp.int32),
+        max_level=jnp.asarray(-1, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# level selection — deterministic from row id
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+def select_levels(row_ids: np.ndarray, cfg: HnswConfig) -> np.ndarray:
+    """floor(-ln(u)·ml) with u derived from a hash of the row id — same
+    deterministic scheme as reference database/dml/insert.rs:1219 +
+    operations.rs:76-83, capped to the graph's level range."""
+    h = _splitmix64(np.asarray(row_ids, np.uint64))
+    u = (h >> np.uint64(11)).astype(np.float64) * (1.0 / (1 << 53))
+    u = np.clip(u, 1e-18, 1.0 - 1e-18)
+    lvl = np.floor(-np.log(u) * cfg.ml).astype(np.int32)
+    return np.minimum(lvl, cfg.max_levels - 1)
+
+
+# ---------------------------------------------------------------------------
+# greedy descent (one level)
+# ---------------------------------------------------------------------------
+
+def _greedy_level(adj, vectors, norms, q, qn, cur_i, cur_d, metric):
+    """Batched best-neighbor walk until no query improves.
+
+    The reference's greedy_search_step loop (search.rs:259-309), with the
+    per-query data-dependent exit replaced by a vectorized while_loop on
+    "any query still moving"; converged queries are masked no-ops.
+    """
+
+    def cond(c):
+        it, _, _, moved = c
+        return jnp.logical_and(it < GREEDY_CAP, jnp.any(moved))
+
+    def body(c):
+        it, cur_i, cur_d, _ = c
+        nbrs = adj[jnp.clip(cur_i, 0)]                       # [B, M]
+        ok = nbrs >= 0
+        safe = jnp.clip(nbrs, 0)
+        nd = gathered_distances(
+            q, vectors[safe], metric, vec_norms=norms[safe], q_norms=qn
+        )
+        nd = jnp.where(ok, nd, INF)
+        j = jnp.argmin(nd, axis=-1)
+        bd = jnp.take_along_axis(nd, j[:, None], axis=-1)[:, 0]
+        bi = jnp.take_along_axis(nbrs, j[:, None], axis=-1)[:, 0]
+        moved = bd < cur_d
+        return (
+            it + 1,
+            jnp.where(moved, bi, cur_i),
+            jnp.where(moved, bd, cur_d),
+            moved,
+        )
+
+    _, cur_i, cur_d, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur_i, cur_d, jnp.ones(cur_i.shape, bool))
+    )
+    return cur_i, cur_d
+
+
+# ---------------------------------------------------------------------------
+# beam search (one level)
+# ---------------------------------------------------------------------------
+
+def _beam_level(
+    adj,
+    vectors,
+    norms,
+    q,
+    qn,
+    seed_i,
+    seed_d,
+    ef: int,
+    iters: int,
+    metric: Metric,
+    active=None,
+    allowed=None,
+    k_res: int | None = None,
+):
+    """Fixed-shape ef-beam search over one adjacency level.
+
+    Replaces the reference's heap-driven beam (search.rs:311-350): the
+    candidate min-heap and result max-heap collapse into ONE sorted buffer
+    of width ef (`cand`), since top-of-results == worst of the buffer; the
+    VisitedSet becomes an append-only list of expanded ids checked by
+    lane-parallel compare (`member_mask`). Each iteration expands the best
+    unexpanded candidate per query; the reference's termination bound
+    (candidate > worst result, search.rs:329-349) becomes the per-query
+    `done` mask, and the loop exits when all queries are done or at the
+    static iteration cap.
+
+    With `allowed` (search_filtered semantics, mod.rs:1176-1273): all nodes
+    are traversed as stepping stones, but only allowed nodes enter the
+    separate result buffer (width k_res).
+    """
+    b = q.shape[0]
+    deg = adj.shape[-1]
+    filtered = allowed is not None
+    if active is None:
+        active = jnp.ones((b,), bool)
+
+    cand_i = jnp.full((b, ef), NIL, jnp.int32).at[:, 0].set(
+        jnp.where(active, seed_i, NIL)
+    )
+    cand_d = jnp.full((b, ef), INF, jnp.float32).at[:, 0].set(
+        jnp.where(active, seed_d, INF)
+    )
+    exp_ids = jnp.full((b, iters), NIL, jnp.int32)
+    if filtered:
+        kr = k_res or ef
+        seed_ok = active & allowed[jnp.clip(seed_i, 0)] & (seed_i >= 0)
+        res_i = jnp.full((b, kr), NIL, jnp.int32).at[:, 0].set(
+            jnp.where(seed_ok, seed_i, NIL)
+        )
+        res_d = jnp.full((b, kr), INF, jnp.float32).at[:, 0].set(
+            jnp.where(seed_ok, seed_d, INF)
+        )
+    else:
+        res_i = jnp.zeros((b, 0), jnp.int32)
+        res_d = jnp.zeros((b, 0), jnp.float32)
+
+    def cond(c):
+        it, _, _, _, _, _, done = c
+        return jnp.logical_and(it < iters, jnp.logical_not(jnp.all(done)))
+
+    def body(c):
+        it, cand_i, cand_d, exp_ids, res_i, res_d, done = c
+        is_exp = member_mask(cand_i, exp_ids)
+        avail = jnp.where(is_exp | (cand_i < 0), INF, cand_d)
+        j = jnp.argmin(avail, axis=-1)
+        sel_d = jnp.take_along_axis(avail, j[:, None], -1)[:, 0]
+        sel_i = jnp.take_along_axis(cand_i, j[:, None], -1)[:, 0]
+        # bound: buffer full and best unexpanded is worse than the worst
+        # buffered distance -> this query is finished
+        worst = jnp.max(cand_d, axis=-1)
+        newly_done = jnp.isinf(sel_d) | (sel_d > worst)
+        done = done | newly_done
+        live = jnp.logical_not(done)
+
+        nbrs = adj[jnp.clip(sel_i, 0)]                       # [B, deg]
+        ok = (nbrs >= 0) & live[:, None]
+        dup = member_mask(nbrs, cand_i) | member_mask(nbrs, exp_ids)
+        ok = ok & jnp.logical_not(dup)
+        safe = jnp.clip(nbrs, 0)
+        nd = gathered_distances(
+            q, vectors[safe], metric, vec_norms=norms[safe], q_norms=qn
+        )
+        nd = jnp.where(ok, nd, INF)
+        nbrs_m = jnp.where(ok, nbrs, NIL)
+
+        cand_d2, cand_i2 = merge_topk(cand_d, cand_i, nd, nbrs_m, ef)
+        exp_ids = exp_ids.at[:, it].set(jnp.where(live, sel_i, NIL))
+
+        if filtered:
+            n_ok = ok & allowed[safe]
+            rd = jnp.where(n_ok, nd, INF)
+            ri = jnp.where(n_ok, nbrs, NIL)
+            res_d2, res_i2 = merge_topk(res_d, res_i, rd, ri, res_d.shape[-1])
+            res_d = jnp.where(live[:, None], res_d2, res_d)
+            res_i = jnp.where(live[:, None], res_i2, res_i)
+
+        keep = live[:, None]
+        return (
+            it + 1,
+            jnp.where(keep, cand_i2, cand_i),
+            jnp.where(keep, cand_d2, cand_d),
+            exp_ids,
+            res_i,
+            res_d,
+            done,
+        )
+
+    init_done = jnp.logical_not(active) | (seed_i < 0)
+    _, cand_i, cand_d, _, res_i, res_d, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cand_i, cand_d, exp_ids, res_i, res_d, init_done)
+    )
+    if filtered:
+        return cand_d, cand_i, res_d, res_i
+    return cand_d, cand_i
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "k", "ef", "iters", "filtered"))
+def hnsw_search_impl(
+    state: HnswState,
+    queries: jax.Array,
+    allowed: jax.Array | None,
+    *,
+    cfg: HnswConfig,
+    k: int,
+    ef: int,
+    iters: int,
+    filtered: bool,
+):
+    """Full k-NN query: greedy descent max_level..1, ef-beam at level 0.
+
+    Mirrors reference mod.rs:1092-1171 search / :1176 search_filtered.
+    Returns ([B,k] dists asc, [B,k] slot ids, NIL-padded).
+    """
+    q = queries.astype(jnp.float32)
+    qn = prep_norms(q)
+    b = q.shape[0]
+
+    entry = state.entry
+    cur_i = jnp.full((b,), entry, jnp.int32)
+    ed = gathered_distances(
+        q,
+        state.vectors[jnp.clip(entry, 0)][None, None, :].repeat(b, 0),
+        cfg.metric,
+        vec_norms=state.norms[jnp.clip(entry, 0)][None, None].repeat(b, 0),
+        q_norms=qn,
+    )[:, 0]
+    cur_d = jnp.where(entry >= 0, ed, INF)
+
+    for lvl in range(cfg.max_levels - 1, 0, -1):
+        cur_i, cur_d = _greedy_level(
+            state.adj_hi[lvl - 1], state.vectors, state.norms, q, qn,
+            cur_i, cur_d, cfg.metric,
+        )
+
+    if filtered:
+        _, _, res_d, res_i = _beam_level(
+            state.adj0, state.vectors, state.norms, q, qn, cur_i, cur_d,
+            ef, iters, cfg.metric, allowed=allowed, k_res=max(k, 16),
+        )
+        return res_d[:, :k], res_i[:, :k]
+    cand_d, cand_i = _beam_level(
+        state.adj0, state.vectors, state.norms, q, qn, cur_i, cur_d,
+        ef, iters, cfg.metric,
+    )
+    return topk_smallest(cand_d, cand_i, k)
+
+
+# ---------------------------------------------------------------------------
+# build: neighbor selection
+# ---------------------------------------------------------------------------
+
+def _select_neighbors_heuristic(cand_i, cand_d, cand_vecs, m_out: int, metric):
+    """Vectorized diversity heuristic (reference operations.rs:181-233).
+
+    cand_* sorted ascending by distance-to-query. A candidate is selected
+    iff it is closer to the query than to every already-selected neighbor;
+    skipped candidates backfill remaining slots in distance order. The
+    reference's sequential loop becomes a masked scan over the candidate
+    axis using the full pairwise distance matrix (one MXU batch matmul).
+    Returns (sel_i [B, m_out], sel_d [B, m_out]) NIL/INF-padded.
+    """
+    b, c = cand_i.shape
+    valid = cand_i >= 0
+    # pairwise distances among candidates: [B, C, C]
+    dots = jnp.einsum(
+        "bcd,bkd->bck", cand_vecs, cand_vecs, preferred_element_type=jnp.float32
+    )
+    if metric is Metric.L2:
+        nrm = jnp.sum(cand_vecs * cand_vecs, axis=-1)
+        pair = jnp.maximum(nrm[:, :, None] + nrm[:, None, :] - 2.0 * dots, 0.0)
+    elif metric is Metric.COSINE:
+        pair = 1.0 - dots
+    else:
+        pair = -dots
+
+    def step(carry, j):
+        sel_mask, min_sel, count = carry
+        # candidate j is diverse if closer to the query than to any selected
+        diverse = cand_d[:, j] < min_sel[:, j]
+        take = valid[:, j] & diverse & (count < m_out)
+        sel_mask = sel_mask.at[:, j].set(take)
+        min_sel = jnp.where(take[:, None], jnp.minimum(min_sel, pair[:, :, j]), min_sel)
+        return (sel_mask, min_sel, count + take.astype(jnp.int32)), None
+
+    init = (
+        jnp.zeros((b, c), bool),
+        jnp.full((b, c), INF, jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    (sel_mask, _, _), _ = jax.lax.scan(step, init, jnp.arange(c))
+
+    # order: selected (asc dist) first, then skipped (asc dist) as backfill
+    key = jnp.where(valid, cand_d, INF) + jnp.where(sel_mask, 0.0, 1e30)
+    order = jnp.argsort(key, axis=-1)[:, :m_out]
+    sel_i = jnp.take_along_axis(cand_i, order, axis=-1)
+    sel_d = jnp.take_along_axis(jnp.where(valid, cand_d, INF), order, axis=-1)
+    sel_i = jnp.where(jnp.isinf(sel_d), NIL, sel_i)
+    return sel_i, sel_d
+
+
+# ---------------------------------------------------------------------------
+# build: one wave of new nodes
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "efc", "iters"))
+def _build_wave_search(
+    state: HnswState,
+    new_vecs: jax.Array,    # [Bi, d]
+    new_slots: jax.Array,   # [Bi] int32
+    new_levels: jax.Array,  # [Bi] int32
+    wave_mask: jax.Array,   # [Bi] bool (False = padding row)
+    *,
+    cfg: HnswConfig,
+    efc: int,
+    iters: int,
+):
+    """Device part of one insert wave: write vectors, then for every level
+    run (masked) greedy descent or candidate beam, select diverse neighbors,
+    and write the new nodes' forward edges.
+
+    Mirrors insert_descent_phase + insert_connection_phase
+    (reference operations.rs:111-171) over a whole batch at once. Reverse
+    edges are returned as an edge list for the host to group (conflicting
+    scatter-appends), then applied by `_reverse_update`.
+
+    Returns (state, fwd_i [levels][Bi, deg], fwd_d [levels][Bi, deg]).
+    """
+    q = new_vecs.astype(jnp.float32)
+    qn = prep_norms(q)
+    bi = q.shape[0]
+
+    # stage vectors first so wave nodes are distance-addressable
+    vectors = state.vectors.at[new_slots].set(q)
+    norms = state.norms.at[new_slots].set(jnp.where(wave_mask, qn, INF))
+    levels = state.levels.at[new_slots].set(jnp.where(wave_mask, new_levels, -1))
+    state = state._replace(vectors=vectors, norms=norms, levels=levels)
+
+    entry = state.entry
+    have_entry = entry >= 0
+    cur_i = jnp.full((bi,), entry, jnp.int32)
+    ed = gathered_distances(
+        q,
+        state.vectors[jnp.clip(entry, 0)][None, None, :].repeat(bi, 0),
+        cfg.metric,
+        vec_norms=state.norms[jnp.clip(entry, 0)][None, None].repeat(bi, 0),
+        q_norms=qn,
+    )[:, 0]
+    cur_d = jnp.where(have_entry, ed, INF)
+
+    fwd_i, fwd_d = [], []
+    for lvl in range(cfg.max_levels - 1, -1, -1):
+        adj = state.adj0 if lvl == 0 else state.adj_hi[lvl - 1]
+        deg = cfg.m0 if lvl == 0 else cfg.m
+        connect_here = wave_mask & (new_levels >= lvl) & have_entry
+        if lvl > 0:
+            # nodes whose target level is below lvl only descend greedily
+            gi, gd = _greedy_level(
+                adj, state.vectors, state.norms, q, qn, cur_i, cur_d, cfg.metric
+            )
+            descend_only = jnp.logical_not(connect_here)
+            cand_d, cand_i = _beam_level(
+                adj, state.vectors, state.norms, q, qn, cur_i, cur_d,
+                efc, iters, cfg.metric, active=connect_here,
+            )
+            cur_i = jnp.where(descend_only, gi, cand_i[:, 0])
+            cur_d = jnp.where(descend_only, gd, cand_d[:, 0])
+        else:
+            cand_d, cand_i = _beam_level(
+                adj, state.vectors, state.norms, q, qn, cur_i, cur_d,
+                efc, iters, cfg.metric, active=connect_here,
+            )
+        # candidates must not include wave-mates or self (the reference
+        # inserts sequentially so this can't happen; our wave is parallel)
+        cand_vecs = state.vectors[jnp.clip(cand_i, 0)]
+        sel_i, sel_d = _select_neighbors_heuristic(
+            jnp.where(cand_i >= 0, cand_i, NIL),
+            jnp.where(cand_i >= 0, cand_d, INF),
+            cand_vecs,
+            deg if lvl == 0 else cfg.m,
+            cfg.metric,
+        )
+        sel_i = jnp.where(connect_here[:, None], sel_i, NIL)
+        sel_d = jnp.where(connect_here[:, None], sel_d, INF)
+        # forward edges: pad selection to the full degree width
+        row = jnp.full((bi, deg), NIL, jnp.int32).at[:, : sel_i.shape[1]].set(sel_i)
+        if lvl == 0:
+            state = state._replace(
+                adj0=state.adj0.at[new_slots].set(
+                    jnp.where(wave_mask[:, None], row, state.adj0[new_slots])
+                )
+            )
+        else:
+            state = state._replace(
+                adj_hi=state.adj_hi.at[lvl - 1, new_slots].set(
+                    jnp.where(wave_mask[:, None], row, state.adj_hi[lvl - 1, new_slots])
+                )
+            )
+        fwd_i.append(sel_i)
+        fwd_d.append(sel_d)
+
+    # entry-point promotion (reference mod.rs:1079-1081)
+    wave_best = jnp.max(jnp.where(wave_mask, new_levels, -1))
+    promote = wave_best > state.max_level
+    best_idx = jnp.argmax(jnp.where(wave_mask, new_levels, -1))
+    new_entry = jnp.where(promote, new_slots[best_idx], state.entry)
+    # empty-graph bootstrap: first wave sets the entry even without promote
+    new_entry = jnp.where(state.entry < 0, new_slots[jnp.argmax(jnp.where(wave_mask, new_levels, -1))], new_entry)
+    new_max = jnp.maximum(state.max_level, wave_best)
+    state = state._replace(
+        entry=new_entry.astype(jnp.int32), max_level=new_max.astype(jnp.int32)
+    )
+    # fwd lists are top-down; reorder to level-ascending for the host
+    fwd_i.reverse()
+    fwd_d.reverse()
+    return state, tuple(fwd_i), tuple(fwd_d)
+
+
+def _prune_rows(state, targets, tmask, appends, adj, cfg):
+    """Gather each target's adjacency row, append new ids, dedup, and
+    re-select `deg` neighbors with the DIVERSITY heuristic.
+
+    The reference prunes overflow with keep-nearest (prune_neighbors,
+    operations.rs:235). That is a recall trap on clustered data: once a
+    cluster densifies, keep-nearest evicts every long-range edge and the
+    graph shatters into islands (measured: 29/64 clusters unreachable).
+    Re-running select_neighbors_heuristic on the merged list — what
+    hnswlib's overflow path does — keeps the bridges. Returns the
+    replacement rows [U, deg]."""
+    deg = adj.shape[-1]
+    old = adj[targets]                               # [U, deg]
+    cand = jnp.concatenate([old, appends], axis=-1)  # [U, deg+R]
+    n = cand.shape[-1]
+    eq = cand[:, :, None] == cand[:, None, :]
+    earlier = jnp.tril(jnp.ones((n, n), bool), k=-1)
+    dup = jnp.any(eq & earlier, axis=-1) | (cand == targets[:, None]) | (cand < 0)
+    tvec = state.vectors[targets]
+    tnorm = state.norms[targets]
+    safe = jnp.clip(cand, 0)
+    d = gathered_distances(
+        tvec, state.vectors[safe], cfg.metric,
+        vec_norms=state.norms[safe], q_norms=tnorm,
+    )
+    d = jnp.where(dup, INF, d)
+    order = jnp.argsort(d, axis=-1)
+    cand_s = jnp.take_along_axis(jnp.where(dup, NIL, cand), order, axis=-1)
+    d_s = jnp.take_along_axis(d, order, axis=-1)
+    vecs_s = state.vectors[jnp.clip(cand_s, 0)]
+    kept, _ = _select_neighbors_heuristic(cand_s, d_s, vecs_s, deg, cfg.metric)
+    return jnp.where(tmask[:, None], kept, old)
+
+
+def _reverse_update_dense(state: HnswState, targets, new_ids, dists, level: int,
+                          cfg: HnswConfig, rcap: int = 16, chunk: int = 2048):
+    """Apply a whole wave's reverse (back) edges in one device pass.
+
+    The reference appends the new node to each chosen neighbor's list under
+    a per-node write lock (mod.rs:1067-1077). Batched, multiple new nodes
+    target the same neighbor — a scatter with conflicts. Resolution, fully
+    on device: lexsort the edge list by (target, distance), segment the
+    sorted run into per-target groups, give each edge its rank within the
+    group, and scatter into a dense [U, rcap] append matrix. Edges ranked
+    past rcap are dropped — by construction they are the *farthest* ones,
+    i.e. the same ones keep-nearest pruning would discard first. Then each
+    touched row is re-pruned by `_prune_rows` in fixed-size chunks.
+
+    targets/new_ids/dists: flat [E] edge list, NIL-padded.
+    """
+    adj = state.adj0 if level == 0 else state.adj_hi[level - 1]
+    cap = state.vectors.shape[0]
+    e = targets.shape[0]
+    scratch = cap - 1
+    valid = targets >= 0
+    t = jnp.where(valid, targets, scratch)
+    d = jnp.where(valid, dists, INF)
+    order = jnp.lexsort((d, t))
+    t_s = t[order]
+    n_s = jnp.where(valid[order], new_ids[order], NIL)
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), t_s[1:] != t_s[:-1]]
+    )
+    grp = jnp.cumsum(first.astype(jnp.int32)) - 1          # [E] group index
+    pos = jnp.arange(e, dtype=jnp.int32)
+    first_pos = jax.ops.segment_min(pos, grp, num_segments=e)
+    rank = pos - first_pos[grp]
+
+    uniq = jnp.full((e,), scratch, jnp.int32).at[grp].set(t_s)
+    umask = jnp.zeros((e,), bool).at[grp].set(t_s != scratch)
+    appends = jnp.full((e, rcap), NIL, jnp.int32)
+    keep = (rank < rcap) & (n_s >= 0)
+    # masked writes are redirected out of bounds and dropped
+    appends = appends.at[
+        jnp.where(keep, grp, e), jnp.where(keep, rank, 0)
+    ].set(n_s, mode="drop")
+
+    nchunks = -(-e // chunk)
+    pad = nchunks * chunk - e
+    if pad:
+        uniq = jnp.concatenate([uniq, jnp.full((pad,), scratch, jnp.int32)])
+        umask = jnp.concatenate([umask, jnp.zeros((pad,), bool)])
+        appends = jnp.concatenate(
+            [appends, jnp.full((pad, rcap), NIL, jnp.int32)]
+        )
+
+    def body(i, adj_acc):
+        sl = i * chunk
+        tg = jax.lax.dynamic_slice_in_dim(uniq, sl, chunk)
+        tm = jax.lax.dynamic_slice_in_dim(umask, sl, chunk)
+        ap = jax.lax.dynamic_slice_in_dim(appends, sl, chunk)
+        rows = _prune_rows(state, tg, tm, ap, adj_acc, cfg)
+        return adj_acc.at[tg].set(jnp.where(tm[:, None], rows, adj_acc[tg]))
+
+    adj = jax.lax.fori_loop(0, nchunks, body, adj)
+    if level == 0:
+        return state._replace(adj0=adj)
+    return state._replace(adj_hi=state.adj_hi.at[level - 1].set(adj))
+
+
+@partial(jax.jit, static_argnames=("cfg", "efc", "iters"))
+def build_wave_impl(
+    state: HnswState,
+    new_vecs: jax.Array,
+    new_slots: jax.Array,
+    new_levels: jax.Array,
+    wave_mask: jax.Array,
+    *,
+    cfg: HnswConfig,
+    efc: int,
+    iters: int,
+) -> HnswState:
+    """One fully-device insert wave: forward search + edges, then dense
+    reverse updates per level. This is the jittable unit the mesh-parallel
+    build shards (SURVEY.md §2.9 "sharded graph build")."""
+    state, fwd_i, fwd_d = _build_wave_search(
+        state, new_vecs, new_slots, new_levels, wave_mask,
+        cfg=cfg, efc=efc, iters=iters,
+    )
+    bi = new_slots.shape[0]
+    for lvl in range(cfg.max_levels):
+        sel = fwd_i[lvl]                       # [Bi, deg_l]
+        deg = sel.shape[1]
+        src = jnp.repeat(new_slots, deg).reshape(bi, deg)
+        src = jnp.where(wave_mask[:, None] & (sel >= 0), src, NIL)
+        state = _reverse_update_dense(
+            state,
+            jnp.where(src >= 0, sel, NIL).reshape(-1),
+            src.reshape(-1),
+            fwd_d[lvl].reshape(-1),
+            lvl,
+            cfg,
+        )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# host-side handle
+# ---------------------------------------------------------------------------
+
+class HnswIndex:
+    """Host orchestration over the functional device graph.
+
+    Counterpart of reference PersistentHnswIndex (mod.rs:767): owns the
+    device state, slot allocation, tombstones, and the wave-batched build
+    loop. Persistence lives in turdb_tpu.storage (separate concern).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric = Metric.L2,
+        m: int = cfgmod.HNSW_M,
+        ef_construction: int = cfgmod.HNSW_DEFAULT_EF_CONSTRUCTION,
+        ef_search: int = cfgmod.HNSW_DEFAULT_EF_SEARCH,
+        capacity: int = 4096,
+        build_batch: int = cfgmod.HNSW_BUILD_BATCH,
+    ):
+        self.cfg = HnswConfig(
+            dim=dim,
+            m0=2 * m,
+            m=m,
+            metric=metric,
+            ef_construction=ef_construction,
+            ef_search=ef_search,
+        )
+        self.capacity = _pow2(max(capacity, 1024))
+        self.state = init_state(self.cfg, self.capacity)
+        self.size = 0
+        self.build_batch = build_batch
+        self._alive = np.zeros(self.capacity, bool)  # tombstone mask (host)
+
+    def __len__(self):
+        return self.size
+
+    # -- build ------------------------------------------------------------
+
+    def add(self, vecs: np.ndarray, row_ids: np.ndarray | None = None) -> np.ndarray:
+        """Insert vectors; returns slot ids. Levels are deterministic from
+        row_ids (defaults to the slot id), as in the reference."""
+        vecs = np.atleast_2d(np.asarray(vecs, np.float32))
+        n = vecs.shape[0]
+        slots = np.arange(self.size, self.size + n, dtype=np.int32)
+        if row_ids is None:
+            row_ids = slots.astype(np.uint64)
+        levels = select_levels(row_ids, self.cfg)
+        self._ensure(self.size + n)
+        if self.cfg.metric is Metric.COSINE:
+            vecs = np.asarray(normalize_rows(jnp.asarray(vecs)))
+
+        # Wave sizes grow 1, 2, 4, ... up to build_batch so every wave
+        # connects into an existing graph at least as large as itself
+        # (the reference inserts strictly sequentially, mod.rs:990; a wave
+        # larger than the current graph would strand its nodes since
+        # wave-mates are invisible to each other during the wave).
+        bb = self.build_batch
+        off = 0
+        while off < n:
+            have = self.size + off
+            w = min(bb, n - off, max(1, have))
+            cut = slice(off, off + w)
+            self._insert_wave(vecs[cut], slots[cut], levels[cut])
+            off += w
+        self._alive[slots] = True
+        self.size += n
+        return slots
+
+    def _insert_wave(self, vecs, slots, levels):
+        nw = vecs.shape[0]
+        # pad every wave to ONE static shape: a single compiled build
+        # program regardless of wave size (XLA compiles are ~30s on TPU;
+        # masked lanes are done-at-entry in the beam while_loop, so the
+        # bootstrap waves of size 1, 2, 4, ... cost almost nothing extra)
+        bi = self.build_batch
+        mask = np.zeros(bi, bool)
+        mask[:nw] = True
+        vpad = np.zeros((bi, self.cfg.dim), np.float32)
+        vpad[:nw] = vecs
+        spad = np.zeros(bi, np.int32)
+        spad[:nw] = slots
+        # padding rows target an unused scratch slot (capacity-1 is kept
+        # free by _ensure's headroom) and are fully masked anyway
+        spad[nw:] = self.capacity - 1
+        lpad = np.zeros(bi, np.int32)
+        lpad[:nw] = levels
+
+        efc = self.cfg.ef_construction
+        iters = efc + efc // 2
+        self.state = build_wave_impl(
+            self.state,
+            jnp.asarray(vpad),
+            jnp.asarray(spad),
+            jnp.asarray(lpad),
+            jnp.asarray(mask),
+            cfg=self.cfg,
+            efc=efc,
+            iters=iters,
+        )
+
+    # -- query ------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        allowed: np.ndarray | None = None,
+    ):
+        """Batched k-NN. `allowed`: bool[size] visibility mask — non-allowed
+        nodes are traversed but excluded from results (reference
+        mod.rs:62-68 doctrine). Tombstoned (deleted) nodes are always
+        excluded. Returns (dists [B,k], slots [B,k]) numpy, NIL-padded."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.size == 0:
+            b = q.shape[0]
+            return (
+                np.full((b, k), np.inf, np.float32),
+                np.full((b, k), -1, np.int32),
+            )
+        if self.cfg.metric is Metric.COSINE:
+            q = np.asarray(normalize_rows(jnp.asarray(q)))
+        ef = ef or max(self.cfg.ef_search, k)
+        ef = max(ef, k)
+        iters = ef + ef // 2
+        mask = None
+        filtered = False
+        if allowed is not None or not self._alive[: self.size].all():
+            m = np.zeros(self.capacity, bool)
+            m[: self.size] = self._alive[: self.size]
+            if allowed is not None:
+                m[: len(allowed)] &= np.asarray(allowed, bool)
+            mask = jnp.asarray(m)
+            filtered = True
+        d, i = hnsw_search_impl(
+            self.state,
+            jnp.asarray(q),
+            mask,
+            cfg=self.cfg,
+            k=k,
+            ef=ef,
+            iters=iters,
+            filtered=filtered,
+        )
+        return np.asarray(d), np.asarray(i)
+
+    def delete(self, slots) -> None:
+        """Tombstone delete — node stays as a stepping stone until vacuum
+        (reference VacuumQueue design, mod.rs:726-765)."""
+        self._alive[np.asarray(slots)] = False
+
+    # -- memory -----------------------------------------------------------
+
+    def _ensure(self, need: int):
+        # +1 headroom: the top slot is the masked-padding scratch target
+        if need + 1 <= self.capacity:
+            return
+        new_cap = _pow2(need + 1)
+        s = self.state
+        pad = new_cap - self.capacity
+        self.state = HnswState(
+            vectors=jnp.concatenate(
+                [s.vectors, jnp.zeros((pad, self.cfg.dim), jnp.float32)]
+            ),
+            norms=jnp.concatenate([s.norms, jnp.full((pad,), INF, jnp.float32)]),
+            adj0=jnp.concatenate(
+                [s.adj0, jnp.full((pad, self.cfg.m0), NIL, jnp.int32)]
+            ),
+            adj_hi=jnp.concatenate(
+                [
+                    s.adj_hi,
+                    jnp.full(
+                        (self.cfg.max_levels - 1, pad, self.cfg.m), NIL, jnp.int32
+                    ),
+                ],
+                axis=1,
+            ),
+            levels=jnp.concatenate([s.levels, jnp.full((pad,), -1, jnp.int32)]),
+            entry=s.entry,
+            max_level=s.max_level,
+        )
+        self._alive = np.concatenate([self._alive, np.zeros(pad, bool)])
+        self.capacity = new_cap
+
+
+def _pow2(n: int) -> int:
+    p = 1024
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pow2_at_least(n: int, floor: int = 32) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p

@@ -1,0 +1,59 @@
+"""Masked top-k primitives (smallest-distance selection).
+
+Replaces the reference's binary heaps (reference src/hnsw/search.rs:82-133
+Candidate/ReverseCandidate BinaryHeap ordering) with fixed-width sorted
+buffers: heaps are pointer-y and data-dependent; on TPU a top-k over a
+padded candidate window is a single fused sort/select the compiler tiles
+onto the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+def topk_smallest(dists: jax.Array, ids: jax.Array, k: int):
+    """Select the k smallest distances (with ids) along the last axis.
+
+    dists: [..., n] f32 (inf = invalid), ids: [..., n] int32.
+    Returns ([..., k] dists, [..., k] ids), ascending.
+    """
+    neg_d, idx = jax.lax.top_k(-dists, k)
+    sel = jnp.take_along_axis(ids, idx, axis=-1)
+    return -neg_d, sel
+
+
+def merge_topk(d_a, i_a, d_b, i_b, k: int):
+    """Merge two top-k buffers into one, keeping the k smallest."""
+    d = jnp.concatenate([d_a, d_b], axis=-1)
+    i = jnp.concatenate([i_a, i_b], axis=-1)
+    return topk_smallest(d, i, k)
+
+
+def mask_duplicates(ids: jax.Array, dists: jax.Array, invalid_id: int = -1):
+    """Within each row, keep the first occurrence of each id; set later
+    duplicates' distances to +inf and ids to `invalid_id`.
+
+    The fixed-shape replacement for the reference's VisitedSet dedup inside
+    one merge window (search.rs:143-191): an O(n²) lane-parallel compare is
+    cheaper than hashing at beam widths (n ≤ a few hundred).
+    """
+    n = ids.shape[-1]
+    eq = ids[..., :, None] == ids[..., None, :]
+    earlier = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)
+    dup = jnp.any(eq & earlier, axis=-1)
+    dup = dup | (ids == invalid_id)
+    return (
+        jnp.where(dup, invalid_id, ids),
+        jnp.where(dup, INF, dists),
+    )
+
+
+def member_mask(ids: jax.Array, table: jax.Array, invalid_id: int = -1):
+    """ids [..., n] vs table [..., m] -> bool [..., n]: True where ids[i]
+    appears in table. invalid ids never match."""
+    hit = jnp.any(ids[..., :, None] == table[..., None, :], axis=-1)
+    return hit & (ids != invalid_id)

@@ -1,0 +1,338 @@
+"""Mesh-sharded HNSW: one logical vector index over a device mesh.
+
+Design (SURVEY.md §2.9, BASELINE.json north star): each db-axis device
+holds an independent HNSW sub-graph over its partition of the vectors —
+the mesh analog of the reference's lock-sharded single-process scale-out.
+Queries are data-parallel over the `data` axis and replicated over the
+`db` axis; every shard runs local batched beam search, then per-shard
+top-k results are merged with an `all_gather` over ICI (the XLA-collective
+equivalent of the reference's single result heap, src/hnsw/search.rs:193).
+
+Graph build runs the same `build_wave_impl` on every shard in parallel
+under shard_map — batched parallel insertion per shard (SURVEY.md §2.9
+"sharded graph build").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from turdb_tpu.config import MESH_AXIS_DATA, MESH_AXIS_DB
+from turdb_tpu.models.hnsw import (
+    HnswConfig,
+    HnswState,
+    build_wave_impl,
+    hnsw_search_impl,
+    init_state,
+    select_levels,
+    _pow2_at_least,
+)
+from turdb_tpu.ops.distance import Metric, normalize_rows
+from turdb_tpu.ops.topk import topk_smallest
+
+
+def _init_stacked(cfg: HnswConfig, n_shards: int, capacity: int) -> HnswState:
+    one = init_state(cfg, capacity)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_shards,) + x.shape), one
+    )
+
+
+class ShardedHnswIndex:
+    """One logical ANN index sharded over the mesh's `db` axis.
+
+    Global ids are (shard, slot) pairs packed as shard * capacity + slot.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        mesh,
+        metric: Metric = Metric.L2,
+        m: int = 16,
+        ef_construction: int = 100,
+        ef_search: int = 64,
+        capacity_per_shard: int = 4096,
+        build_batch: int = 512,
+    ):
+        self.mesh = mesh
+        self.n_shards = mesh.shape[MESH_AXIS_DB]
+        self.n_data = mesh.shape.get(MESH_AXIS_DATA, 1)
+        self.cfg = HnswConfig(
+            dim=dim, m0=2 * m, m=m, metric=metric,
+            ef_construction=ef_construction, ef_search=ef_search,
+        )
+        self.capacity = _pow2_at_least(capacity_per_shard, floor=1024)
+        self.build_batch = build_batch
+        state = _init_stacked(self.cfg, self.n_shards, self.capacity)
+        sharding = NamedSharding(mesh, P(MESH_AXIS_DB))
+        self.state = jax.device_put(state, sharding)
+        self.sizes = np.zeros(self.n_shards, np.int64)
+        self._alive = np.zeros((self.n_shards, self.capacity), bool)
+        self._fn_cache: dict = {}
+
+    def __len__(self):
+        return int(self.sizes.sum())
+
+    # -- id packing -------------------------------------------------------
+
+    def pack_ids(self, shard, slot):
+        return shard.astype(np.int64) * self.capacity + slot
+
+    def unpack_ids(self, gids):
+        gids = np.asarray(gids)
+        return gids // self.capacity, gids % self.capacity
+
+    # -- build ------------------------------------------------------------
+
+    def add(self, vecs: np.ndarray, row_ids: np.ndarray | None = None) -> np.ndarray:
+        """Insert vectors, balancing shard sizes; returns packed global ids."""
+        vecs = np.atleast_2d(np.asarray(vecs, np.float32))
+        n = vecs.shape[0]
+        if row_ids is None:
+            base = int(self.sizes.sum())
+            row_ids = np.arange(base, base + n, dtype=np.uint64)
+        if self.cfg.metric is Metric.COSINE:
+            vecs = np.asarray(normalize_rows(jnp.asarray(vecs)))
+
+        # greedy balance: fill the smallest shards first
+        order = np.argsort(self.sizes, kind="stable")
+        total_after = self.sizes.sum() + n
+        target = -(-total_after // self.n_shards)
+        shard_of = np.empty(n, np.int32)
+        cursor = 0
+        for s in order:
+            room = max(0, int(target - self.sizes[s]))
+            take = min(room, n - cursor)
+            shard_of[cursor : cursor + take] = s
+            cursor += take
+            if cursor == n:
+                break
+        shard_of[cursor:] = order[0]
+
+        gids = np.empty(n, np.int64)
+        pending = {
+            s: np.flatnonzero(shard_of == s) for s in range(self.n_shards)
+        }
+        offsets = {s: 0 for s in pending}
+        out_slots = {s: None for s in pending}
+        for s, idxs in pending.items():
+            k = len(idxs)
+            slots = np.arange(self.sizes[s], self.sizes[s] + k, dtype=np.int32)
+            out_slots[s] = slots
+            gids[idxs] = self.pack_ids(np.full(k, s), slots)
+            self._ensure(int(self.sizes[s]) + k)
+
+        levels = select_levels(np.asarray(row_ids, np.uint64), self.cfg)
+        done = np.zeros(self.n_shards, np.int64)
+        while any(offsets[s] < len(pending[s]) for s in pending):
+            waves = {}
+            wmax = 0
+            for s, idxs in pending.items():
+                rem = len(idxs) - offsets[s]
+                if rem <= 0:
+                    continue
+                have = int(self.sizes[s] + done[s])
+                w = min(self.build_batch, rem, max(1, have))
+                waves[s] = w
+                wmax = max(wmax, w)
+            bi = self.build_batch  # one static wave shape = one compile
+            v = np.zeros((self.n_shards, bi, self.cfg.dim), np.float32)
+            sl = np.full((self.n_shards, bi), self.capacity - 1, np.int32)
+            lv = np.zeros((self.n_shards, bi), np.int32)
+            mk = np.zeros((self.n_shards, bi), bool)
+            for s, w in waves.items():
+                idxs = pending[s][offsets[s] : offsets[s] + w]
+                v[s, :w] = vecs[idxs]
+                sl[s, :w] = out_slots[s][offsets[s] : offsets[s] + w]
+                lv[s, :w] = levels[idxs]
+                mk[s, :w] = True
+                offsets[s] += w
+                done[s] += w
+            self.state = self._build_fn(bi)(
+                self.state,
+                jnp.asarray(v),
+                jnp.asarray(sl),
+                jnp.asarray(lv),
+                jnp.asarray(mk),
+            )
+        for s, idxs in pending.items():
+            self._alive[s, out_slots[s]] = True
+            self.sizes[s] += len(idxs)
+        return gids
+
+    # -- query ------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int, ef: int | None = None,
+               allowed: np.ndarray | None = None):
+        """Batched k-NN over all shards. `allowed`: bool [n_shards, capacity]
+        visibility mask. Returns (dists [B,k], packed gids [B,k])."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if len(self) == 0:
+            return (
+                np.full((q.shape[0], k), np.inf, np.float32),
+                np.full((q.shape[0], k), -1, np.int64),
+            )
+        if self.cfg.metric is Metric.COSINE:
+            q = np.asarray(normalize_rows(jnp.asarray(q)))
+        ef = max(ef or max(self.cfg.ef_search, k), k)
+        iters = ef + ef // 2
+        b0 = q.shape[0]
+        # pad batch to a data-axis multiple
+        bpad = -(-b0 // self.n_data) * self.n_data
+        if bpad != b0:
+            q = np.concatenate([q, np.zeros((bpad - b0, q.shape[1]), np.float32)])
+
+        filtered = allowed is not None or not self._all_alive()
+        mask = None
+        if filtered:
+            m = self._alive.copy()
+            if allowed is not None:
+                m &= np.asarray(allowed, bool)
+            mask = jnp.asarray(m)
+        d, gi = self._search_fn(k, ef, iters, filtered)(
+            self.state, jnp.asarray(q), mask
+        )
+        return np.asarray(d)[:b0], np.asarray(gi, np.int64)[:b0]
+
+    def delete(self, gids) -> None:
+        sh, sl = self.unpack_ids(gids)
+        self._alive[sh, sl] = False
+        for s in np.unique(sh):
+            pass  # tombstones only; vacuum is a future rebuild pass
+
+    def _all_alive(self):
+        for s in range(self.n_shards):
+            if not self._alive[s, : int(self.sizes[s])].all():
+                return False
+        return True
+
+    # -- jitted fns -------------------------------------------------------
+
+    def _build_fn(self, bi: int):
+        key = ("build", bi, self.capacity)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        efc = cfg.ef_construction
+        iters = efc + efc // 2
+
+        def local(state, v, sl, lv, mk):
+            state = jax.tree.map(lambda x: x[0], state)
+            out = build_wave_impl(
+                state, v[0], sl[0], lv[0], mk[0], cfg=cfg, efc=efc, iters=iters
+            )
+            return jax.tree.map(lambda x: x[None], out)
+
+        fn = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(
+                    P(MESH_AXIS_DB), P(MESH_AXIS_DB), P(MESH_AXIS_DB),
+                    P(MESH_AXIS_DB), P(MESH_AXIS_DB),
+                ),
+                out_specs=P(MESH_AXIS_DB),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+        self._fn_cache[key] = fn
+        return fn
+
+    def _search_fn(self, k: int, ef: int, iters: int, filtered: bool):
+        key = ("search", k, ef, iters, filtered, self.capacity)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        cap = self.capacity
+
+        def local(state, q, mask):
+            state = jax.tree.map(lambda x: x[0], state)
+            am = mask[0] if filtered else None
+            d, i = hnsw_search_impl(
+                state, q, am, cfg=cfg, k=k, ef=ef, iters=iters, filtered=filtered
+            )
+            shard = jax.lax.axis_index(MESH_AXIS_DB)
+            # int32 packing: fine up to 2^31 / capacity shards (x64 is off)
+            gi = jnp.where(i >= 0, shard.astype(jnp.int32) * cap + i, -1)
+            ad = jax.lax.all_gather(d, MESH_AXIS_DB)          # [S, Bl, k]
+            ai = jax.lax.all_gather(gi, MESH_AXIS_DB)
+            ad = jnp.moveaxis(ad, 0, 1).reshape(q.shape[0], -1)
+            ai = jnp.moveaxis(ai, 0, 1).reshape(q.shape[0], -1)
+            md, mi = topk_smallest(ad, ai, k)
+            return md, mi
+
+        if filtered:
+            in_specs = (P(MESH_AXIS_DB), P(MESH_AXIS_DATA), P(MESH_AXIS_DB))
+        else:
+            in_specs = (P(MESH_AXIS_DB), P(MESH_AXIS_DATA), P())
+        fn = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=(P(MESH_AXIS_DATA), P(MESH_AXIS_DATA)),
+                check_vma=False,
+            )
+        )
+        self._fn_cache[key] = fn
+        return fn
+
+    # -- memory -----------------------------------------------------------
+
+    def _ensure(self, need: int):
+        if need + 1 <= self.capacity:
+            return
+        new_cap = _pow2_at_least(need + 1, floor=1024)
+        pad = new_cap - self.capacity
+        s = self.state
+        nil32 = jnp.int32(-1)
+        self.state = HnswState(
+            vectors=jnp.concatenate(
+                [s.vectors, jnp.zeros((self.n_shards, pad, self.cfg.dim), jnp.float32)],
+                axis=1,
+            ),
+            norms=jnp.concatenate(
+                [s.norms, jnp.full((self.n_shards, pad), jnp.inf, jnp.float32)], axis=1
+            ),
+            adj0=jnp.concatenate(
+                [s.adj0, jnp.full((self.n_shards, pad, self.cfg.m0), nil32)], axis=1
+            ),
+            adj_hi=jnp.concatenate(
+                [
+                    s.adj_hi,
+                    jnp.full(
+                        (self.n_shards, self.cfg.max_levels - 1, pad, self.cfg.m),
+                        nil32,
+                    ),
+                ],
+                axis=2,
+            ),
+            levels=jnp.concatenate(
+                [s.levels, jnp.full((self.n_shards, pad), nil32)], axis=1
+            ),
+            entry=s.entry,
+            max_level=s.max_level,
+        )
+        sharding = NamedSharding(self.mesh, P(MESH_AXIS_DB))
+        self.state = jax.device_put(self.state, sharding)
+        self._alive = np.concatenate(
+            [self._alive, np.zeros((self.n_shards, pad), bool)], axis=1
+        )
+        old_cap = self.capacity
+        self.capacity = new_cap
+        self._fn_cache.clear()
+        # NOTE: packed gids embed the capacity; callers that stored packed
+        # ids must translate via unpack with the old capacity. The DB layer
+        # stores (shard, slot) pairs, so only standalone users see this.
+        self._gid_rebase = old_cap
+
+    def unpack_ids_with(self, gids, capacity):
+        gids = np.asarray(gids)
+        return gids // capacity, gids % capacity
