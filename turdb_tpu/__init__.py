@@ -14,6 +14,31 @@ Public API mirrors the reference's `Database` surface
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — OPT-IN via TURDB_COMPILE_CACHE=dir.
+
+    Off by default: with the axon TPU backend, cached-executable
+    deserialization was observed to hang the process (>9 min stalls),
+    while cold compiles finish in minutes. On CPU it is safe and useful.
+    """
+    if not _os.environ.get("TURDB_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ["TURDB_COMPILE_CACHE"]
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from turdb_tpu.ops.distance import Metric  # noqa: F401
 
 __all__ = ["Metric", "Database", "connect", "__version__"]

@@ -7,7 +7,7 @@ model. The mapping (SURVEY.md §2.3, §3.4-3.5):
   reference                                   here
   ---------------------------------------------------------------------
   HnswNodeInline: 4 levels × {32,16,16,16}    adj0 int32[cap,32] +
-    neighbor NodeIds (mod.rs:425-432)           adj_hi int32[3,cap,16]
+    neighbor NodeIds (mod.rs:425-432)           3× adj_hi int32[cap,16]
   greedy descent loop (search.rs:259-309)     batched masked while_loop
   beam search w/ binary heaps + VisitedSet    fixed-width sorted candidate
     (search.rs:311-350,143-191)                 buffer + expanded-id list,
@@ -16,8 +16,10 @@ model. The mapping (SURVEY.md §2.3, §3.4-3.5):
     (mod.rs:1097)                               dot (MXU for build matrices)
   select_neighbors_heuristic                  vectorized masked scan over
     (operations.rs:181-233)                     pairwise distance matrix
-  prune_neighbors keep-nearest                row-wise top-k
-    (operations.rs:235)
+  prune_neighbors keep-nearest                diversity re-select (the
+    (operations.rs:235)                         keep-nearest rule shatters
+                                                clustered graphs — see
+                                                _prune_rows)
   level select floor(-ln(u)/ln(M)), u from    identical, splitmix64 hash
     row_id (operations.rs:76-83,                of row id
     database/dml/insert.rs:1219)
@@ -27,6 +29,13 @@ model. The mapping (SURVEY.md §2.3, §3.4-3.5):
 Graph constants match the reference (mod.rs:125-127): MAX_LEVELS=4, M0=32,
 M=16. Slots are dense int32 ids into the columnar store; -1 is the nil id
 everywhere (adjacency padding, empty buffer entries).
+
+Build is orchestrated as SMALL jitted stage programs (vector staging, one
+per-level search+select program shared by all upper levels, forward scatter,
+dense reverse update): XLA compile time grows superlinearly with program
+size and the fused whole-wave program costs minutes through the TPU
+remote-compile path. The fused variant (`build_wave_impl`) remains for
+shard_map'd mesh builds, where it compiles once per mesh config.
 """
 
 from __future__ import annotations
@@ -47,7 +56,12 @@ from turdb_tpu.ops.distance import (
     normalize_rows,
     prep_norms,
 )
-from turdb_tpu.ops.topk import member_mask, merge_topk, topk_smallest
+from turdb_tpu.ops.topk import (
+    mask_duplicates,
+    member_mask,
+    merge_topk,
+    topk_smallest,
+)
 
 NIL = jnp.int32(-1)
 INF = jnp.float32(jnp.inf)
@@ -77,7 +91,7 @@ class HnswState(NamedTuple):
     vectors: jax.Array   # [cap, d] f32 (unit-normalized when metric=COSINE)
     norms: jax.Array     # [cap] f32 ‖x‖²
     adj0: jax.Array      # [cap, M0] int32, NIL-padded
-    adj_hi: jax.Array    # [max_levels-1, cap, M] int32, NIL-padded
+    adj_hi: tuple        # (max_levels-1) × [cap, M] int32, NIL-padded
     levels: jax.Array    # [cap] int32, -1 for empty slots
     entry: jax.Array     # scalar int32 (NIL when empty)
     max_level: jax.Array  # scalar int32 (-1 when empty)
@@ -88,7 +102,10 @@ def init_state(cfg: HnswConfig, capacity: int) -> HnswState:
         vectors=jnp.zeros((capacity, cfg.dim), jnp.float32),
         norms=jnp.full((capacity,), INF, jnp.float32),
         adj0=jnp.full((capacity, cfg.m0), NIL, jnp.int32),
-        adj_hi=jnp.full((cfg.max_levels - 1, capacity, cfg.m), NIL, jnp.int32),
+        adj_hi=tuple(
+            jnp.full((capacity, cfg.m), NIL, jnp.int32)
+            for _ in range(cfg.max_levels - 1)
+        ),
         levels=jnp.full((capacity,), -1, jnp.int32),
         entry=jnp.asarray(-1, jnp.int32),
         max_level=jnp.asarray(-1, jnp.int32),
@@ -181,6 +198,7 @@ def _beam_level(
     active=None,
     allowed=None,
     k_res: int | None = None,
+    expand: int = 4,
 ):
     """Fixed-shape ef-beam search over one adjacency level.
 
@@ -188,11 +206,15 @@ def _beam_level(
     candidate min-heap and result max-heap collapse into ONE sorted buffer
     of width ef (`cand`), since top-of-results == worst of the buffer; the
     VisitedSet becomes an append-only list of expanded ids checked by
-    lane-parallel compare (`member_mask`). Each iteration expands the best
-    unexpanded candidate per query; the reference's termination bound
-    (candidate > worst result, search.rs:329-349) becomes the per-query
-    `done` mask, and the loop exits when all queries are done or at the
-    static iteration cap.
+    lane-parallel compare (`member_mask`).
+
+    Each loop step expands the `expand` best unexpanded candidates per
+    query at once (multi-expansion beam): the sequential chain shrinks by
+    ~expand× — on TPU the loop's *latency* dominates, not its FLOPs — at
+    equal total expansion budget (`iters`). The reference's termination
+    bound (best candidate > worst result, search.rs:329-349) becomes the
+    per-query `done` mask; the loop exits when all queries are done or the
+    expansion budget is spent.
 
     With `allowed` (search_filtered semantics, mod.rs:1176-1273): all nodes
     are traversed as stepping stones, but only allowed nodes enter the
@@ -203,6 +225,8 @@ def _beam_level(
     filtered = allowed is not None
     if active is None:
         active = jnp.ones((b,), bool)
+    loops = -(-iters // expand)
+    exp_cap = loops * expand
 
     cand_i = jnp.full((b, ef), NIL, jnp.int32).at[:, 0].set(
         jnp.where(active, seed_i, NIL)
@@ -210,7 +234,7 @@ def _beam_level(
     cand_d = jnp.full((b, ef), INF, jnp.float32).at[:, 0].set(
         jnp.where(active, seed_d, INF)
     )
-    exp_ids = jnp.full((b, iters), NIL, jnp.int32)
+    exp_ids = jnp.full((b, exp_cap), NIL, jnp.int32)
     if filtered:
         kr = k_res or ef
         seed_ok = active & allowed[jnp.clip(seed_i, 0)] & (seed_i >= 0)
@@ -226,40 +250,56 @@ def _beam_level(
 
     def cond(c):
         it, _, _, _, _, _, done = c
-        return jnp.logical_and(it < iters, jnp.logical_not(jnp.all(done)))
+        return jnp.logical_and(it < loops, jnp.logical_not(jnp.all(done)))
 
     def body(c):
         it, cand_i, cand_d, exp_ids, res_i, res_d, done = c
         is_exp = member_mask(cand_i, exp_ids)
         avail = jnp.where(is_exp | (cand_i < 0), INF, cand_d)
-        j = jnp.argmin(avail, axis=-1)
-        sel_d = jnp.take_along_axis(avail, j[:, None], -1)[:, 0]
-        sel_i = jnp.take_along_axis(cand_i, j[:, None], -1)[:, 0]
-        # bound: buffer full and best unexpanded is worse than the worst
-        # buffered distance -> this query is finished
+        # top-`expand` unexpanded candidates per query
+        sel_d, sel_pos = topk_smallest(
+            avail,
+            jnp.broadcast_to(
+                jnp.arange(ef, dtype=jnp.int32)[None, :], (b, ef)
+            ),
+            expand,
+        )
+        sel_i = jnp.take_along_axis(cand_i, sel_pos, axis=-1)   # [B, E]
+        # bound: query finished when even its best unexpanded candidate is
+        # worse than the worst buffered distance (buffer full ⇒ finite max)
         worst = jnp.max(cand_d, axis=-1)
-        newly_done = jnp.isinf(sel_d) | (sel_d > worst)
+        newly_done = jnp.isinf(sel_d[:, 0]) | (sel_d[:, 0] > worst)
         done = done | newly_done
         live = jnp.logical_not(done)
+        # within the selected set, only expand candidates under the bound
+        exp_ok = live[:, None] & jnp.logical_not(jnp.isinf(sel_d)) & (
+            sel_d <= worst[:, None]
+        )
+        sel_i = jnp.where(exp_ok, sel_i, NIL)
 
-        nbrs = adj[jnp.clip(sel_i, 0)]                       # [B, deg]
-        ok = (nbrs >= 0) & live[:, None]
+        nbrs = adj[jnp.clip(sel_i, 0)].reshape(b, expand * deg)
+        ok = (nbrs >= 0) & jnp.repeat(exp_ok, deg, axis=-1)
         dup = member_mask(nbrs, cand_i) | member_mask(nbrs, exp_ids)
         ok = ok & jnp.logical_not(dup)
-        safe = jnp.clip(nbrs, 0)
+        nbrs_m = jnp.where(ok, nbrs, NIL)
+        # neighbor lists of different expanded candidates can overlap
+        nbrs_m, _ = mask_duplicates(nbrs_m, jnp.zeros_like(nbrs, jnp.float32))
+        ok = ok & (nbrs_m >= 0)
+        safe = jnp.clip(nbrs_m, 0)
         nd = gathered_distances(
             q, vectors[safe], metric, vec_norms=norms[safe], q_norms=qn
         )
         nd = jnp.where(ok, nd, INF)
-        nbrs_m = jnp.where(ok, nbrs, NIL)
 
         cand_d2, cand_i2 = merge_topk(cand_d, cand_i, nd, nbrs_m, ef)
-        exp_ids = exp_ids.at[:, it].set(jnp.where(live, sel_i, NIL))
+        exp_ids = jax.lax.dynamic_update_slice_in_dim(
+            exp_ids, sel_i, it * expand, axis=1
+        )
 
         if filtered:
             n_ok = ok & allowed[safe]
             rd = jnp.where(n_ok, nd, INF)
-            ri = jnp.where(n_ok, nbrs, NIL)
+            ri = jnp.where(n_ok, nbrs_m, NIL)
             res_d2, res_i2 = merge_topk(res_d, res_i, rd, ri, res_d.shape[-1])
             res_d = jnp.where(live[:, None], res_d2, res_d)
             res_i = jnp.where(live[:, None], res_i2, res_i)
@@ -284,11 +324,24 @@ def _beam_level(
     return cand_d, cand_i
 
 
+def _seed_from_entry(vectors, norms, q, qn, entry, metric):
+    b = q.shape[0]
+    cur_i = jnp.full((b,), entry, jnp.int32)
+    ed = gathered_distances(
+        q,
+        vectors[jnp.clip(entry, 0)][None, None, :].repeat(b, 0),
+        metric,
+        vec_norms=norms[jnp.clip(entry, 0)][None, None].repeat(b, 0),
+        q_norms=qn,
+    )[:, 0]
+    return cur_i, jnp.where(entry >= 0, ed, INF)
+
+
 # ---------------------------------------------------------------------------
 # search
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "k", "ef", "iters", "filtered"))
+@partial(jax.jit, static_argnames=("cfg", "k", "ef", "iters", "filtered", "expand"))
 def hnsw_search_impl(
     state: HnswState,
     queries: jax.Array,
@@ -299,6 +352,7 @@ def hnsw_search_impl(
     ef: int,
     iters: int,
     filtered: bool,
+    expand: int = 4,
 ):
     """Full k-NN query: greedy descent max_level..1, ef-beam at level 0.
 
@@ -307,19 +361,9 @@ def hnsw_search_impl(
     """
     q = queries.astype(jnp.float32)
     qn = prep_norms(q)
-    b = q.shape[0]
-
-    entry = state.entry
-    cur_i = jnp.full((b,), entry, jnp.int32)
-    ed = gathered_distances(
-        q,
-        state.vectors[jnp.clip(entry, 0)][None, None, :].repeat(b, 0),
-        cfg.metric,
-        vec_norms=state.norms[jnp.clip(entry, 0)][None, None].repeat(b, 0),
-        q_norms=qn,
-    )[:, 0]
-    cur_d = jnp.where(entry >= 0, ed, INF)
-
+    cur_i, cur_d = _seed_from_entry(
+        state.vectors, state.norms, q, qn, state.entry, cfg.metric
+    )
     for lvl in range(cfg.max_levels - 1, 0, -1):
         cur_i, cur_d = _greedy_level(
             state.adj_hi[lvl - 1], state.vectors, state.norms, q, qn,
@@ -330,11 +374,12 @@ def hnsw_search_impl(
         _, _, res_d, res_i = _beam_level(
             state.adj0, state.vectors, state.norms, q, qn, cur_i, cur_d,
             ef, iters, cfg.metric, allowed=allowed, k_res=max(k, 16),
+            expand=expand,
         )
         return res_d[:, :k], res_i[:, :k]
     cand_d, cand_i = _beam_level(
         state.adj0, state.vectors, state.norms, q, qn, cur_i, cur_d,
-        ef, iters, cfg.metric,
+        ef, iters, cfg.metric, expand=expand,
     )
     return topk_smallest(cand_d, cand_i, k)
 
@@ -393,123 +438,48 @@ def _select_neighbors_heuristic(cand_i, cand_d, cand_vecs, m_out: int, metric):
 
 
 # ---------------------------------------------------------------------------
-# build: one wave of new nodes
+# build: stage cores (shared by the split single-device path and the fused
+# shard_map path)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "efc", "iters"))
-def _build_wave_search(
-    state: HnswState,
-    new_vecs: jax.Array,    # [Bi, d]
-    new_slots: jax.Array,   # [Bi] int32
-    new_levels: jax.Array,  # [Bi] int32
-    wave_mask: jax.Array,   # [Bi] bool (False = padding row)
-    *,
-    cfg: HnswConfig,
-    efc: int,
-    iters: int,
-):
-    """Device part of one insert wave: write vectors, then for every level
-    run (masked) greedy descent or candidate beam, select diverse neighbors,
-    and write the new nodes' forward edges.
-
-    Mirrors insert_descent_phase + insert_connection_phase
-    (reference operations.rs:111-171) over a whole batch at once. Reverse
-    edges are returned as an edge list for the host to group (conflicting
-    scatter-appends), then applied by `_reverse_update`.
-
-    Returns (state, fwd_i [levels][Bi, deg], fwd_d [levels][Bi, deg]).
-    """
-    q = new_vecs.astype(jnp.float32)
+def _stage_vectors_core(vectors, norms, levels, vecs, slots, lvls, mask):
+    q = vecs.astype(jnp.float32)
     qn = prep_norms(q)
-    bi = q.shape[0]
+    vectors = vectors.at[slots].set(q)
+    norms = norms.at[slots].set(jnp.where(mask, qn, INF))
+    levels = levels.at[slots].set(jnp.where(mask, lvls, -1))
+    return vectors, norms, levels, q, qn
 
-    # stage vectors first so wave nodes are distance-addressable
-    vectors = state.vectors.at[new_slots].set(q)
-    norms = state.norms.at[new_slots].set(jnp.where(wave_mask, qn, INF))
-    levels = state.levels.at[new_slots].set(jnp.where(wave_mask, new_levels, -1))
-    state = state._replace(vectors=vectors, norms=norms, levels=levels)
 
-    entry = state.entry
-    have_entry = entry >= 0
-    cur_i = jnp.full((bi,), entry, jnp.int32)
-    ed = gathered_distances(
-        q,
-        state.vectors[jnp.clip(entry, 0)][None, None, :].repeat(bi, 0),
-        cfg.metric,
-        vec_norms=state.norms[jnp.clip(entry, 0)][None, None].repeat(bi, 0),
-        q_norms=qn,
-    )[:, 0]
-    cur_d = jnp.where(have_entry, ed, INF)
-
-    fwd_i, fwd_d = [], []
-    for lvl in range(cfg.max_levels - 1, -1, -1):
-        adj = state.adj0 if lvl == 0 else state.adj_hi[lvl - 1]
-        deg = cfg.m0 if lvl == 0 else cfg.m
-        connect_here = wave_mask & (new_levels >= lvl) & have_entry
-        if lvl > 0:
-            # nodes whose target level is below lvl only descend greedily
-            gi, gd = _greedy_level(
-                adj, state.vectors, state.norms, q, qn, cur_i, cur_d, cfg.metric
-            )
-            descend_only = jnp.logical_not(connect_here)
-            cand_d, cand_i = _beam_level(
-                adj, state.vectors, state.norms, q, qn, cur_i, cur_d,
-                efc, iters, cfg.metric, active=connect_here,
-            )
-            cur_i = jnp.where(descend_only, gi, cand_i[:, 0])
-            cur_d = jnp.where(descend_only, gd, cand_d[:, 0])
-        else:
-            cand_d, cand_i = _beam_level(
-                adj, state.vectors, state.norms, q, qn, cur_i, cur_d,
-                efc, iters, cfg.metric, active=connect_here,
-            )
-        # candidates must not include wave-mates or self (the reference
-        # inserts sequentially so this can't happen; our wave is parallel)
-        cand_vecs = state.vectors[jnp.clip(cand_i, 0)]
-        sel_i, sel_d = _select_neighbors_heuristic(
-            jnp.where(cand_i >= 0, cand_i, NIL),
-            jnp.where(cand_i >= 0, cand_d, INF),
-            cand_vecs,
-            deg if lvl == 0 else cfg.m,
-            cfg.metric,
-        )
-        sel_i = jnp.where(connect_here[:, None], sel_i, NIL)
-        sel_d = jnp.where(connect_here[:, None], sel_d, INF)
-        # forward edges: pad selection to the full degree width
-        row = jnp.full((bi, deg), NIL, jnp.int32).at[:, : sel_i.shape[1]].set(sel_i)
-        if lvl == 0:
-            state = state._replace(
-                adj0=state.adj0.at[new_slots].set(
-                    jnp.where(wave_mask[:, None], row, state.adj0[new_slots])
-                )
-            )
-        else:
-            state = state._replace(
-                adj_hi=state.adj_hi.at[lvl - 1, new_slots].set(
-                    jnp.where(wave_mask[:, None], row, state.adj_hi[lvl - 1, new_slots])
-                )
-            )
-        fwd_i.append(sel_i)
-        fwd_d.append(sel_d)
-
-    # entry-point promotion (reference mod.rs:1079-1081)
-    wave_best = jnp.max(jnp.where(wave_mask, new_levels, -1))
-    promote = wave_best > state.max_level
-    best_idx = jnp.argmax(jnp.where(wave_mask, new_levels, -1))
-    new_entry = jnp.where(promote, new_slots[best_idx], state.entry)
-    # empty-graph bootstrap: first wave sets the entry even without promote
-    new_entry = jnp.where(state.entry < 0, new_slots[jnp.argmax(jnp.where(wave_mask, new_levels, -1))], new_entry)
-    new_max = jnp.maximum(state.max_level, wave_best)
-    state = state._replace(
-        entry=new_entry.astype(jnp.int32), max_level=new_max.astype(jnp.int32)
+def _wave_level_core(
+    adj, vectors, norms, q, qn, cur_i, cur_d, connect,
+    *, metric, efc, iters, deg_out,
+):
+    """One level of the insert wave: greedy descent for nodes passing
+    through, candidate beam + diversity selection for nodes connecting here
+    (reference insert_descent_phase/insert_connection_phase,
+    operations.rs:111-171). Returns (next seeds, selected neighbors)."""
+    gi, gd = _greedy_level(adj, vectors, norms, q, qn, cur_i, cur_d, metric)
+    cand_d, cand_i = _beam_level(
+        adj, vectors, norms, q, qn, cur_i, cur_d, efc, iters, metric,
+        active=connect,
     )
-    # fwd lists are top-down; reorder to level-ascending for the host
-    fwd_i.reverse()
-    fwd_d.reverse()
-    return state, tuple(fwd_i), tuple(fwd_d)
+    cand_vecs = vectors[jnp.clip(cand_i, 0)]
+    sel_i, sel_d = _select_neighbors_heuristic(
+        jnp.where(cand_i >= 0, cand_i, NIL),
+        jnp.where(cand_i >= 0, cand_d, INF),
+        cand_vecs,
+        deg_out,
+        metric,
+    )
+    sel_i = jnp.where(connect[:, None], sel_i, NIL)
+    sel_d = jnp.where(connect[:, None], sel_d, INF)
+    nxt_i = jnp.where(connect, cand_i[:, 0], gi)
+    nxt_d = jnp.where(connect, cand_d[:, 0], gd)
+    return nxt_i, nxt_d, sel_i, sel_d
 
 
-def _prune_rows(state, targets, tmask, appends, adj, cfg):
+def _prune_rows(vectors, norms, targets, tmask, appends, adj, metric):
     """Gather each target's adjacency row, append new ids, dedup, and
     re-select `deg` neighbors with the DIVERSITY heuristic.
 
@@ -527,24 +497,25 @@ def _prune_rows(state, targets, tmask, appends, adj, cfg):
     eq = cand[:, :, None] == cand[:, None, :]
     earlier = jnp.tril(jnp.ones((n, n), bool), k=-1)
     dup = jnp.any(eq & earlier, axis=-1) | (cand == targets[:, None]) | (cand < 0)
-    tvec = state.vectors[targets]
-    tnorm = state.norms[targets]
+    tvec = vectors[targets]
+    tnorm = norms[targets]
     safe = jnp.clip(cand, 0)
     d = gathered_distances(
-        tvec, state.vectors[safe], cfg.metric,
-        vec_norms=state.norms[safe], q_norms=tnorm,
+        tvec, vectors[safe], metric, vec_norms=norms[safe], q_norms=tnorm
     )
     d = jnp.where(dup, INF, d)
     order = jnp.argsort(d, axis=-1)
     cand_s = jnp.take_along_axis(jnp.where(dup, NIL, cand), order, axis=-1)
     d_s = jnp.take_along_axis(d, order, axis=-1)
-    vecs_s = state.vectors[jnp.clip(cand_s, 0)]
-    kept, _ = _select_neighbors_heuristic(cand_s, d_s, vecs_s, deg, cfg.metric)
+    vecs_s = vectors[jnp.clip(cand_s, 0)]
+    kept, _ = _select_neighbors_heuristic(cand_s, d_s, vecs_s, deg, metric)
     return jnp.where(tmask[:, None], kept, old)
 
 
-def _reverse_update_dense(state: HnswState, targets, new_ids, dists, level: int,
-                          cfg: HnswConfig, rcap: int = 16, chunk: int = 2048):
+def _reverse_dense_core(
+    adj, vectors, norms, targets, new_ids, dists, metric,
+    rcap: int = 16, chunk: int = 2048,
+):
     """Apply a whole wave's reverse (back) edges in one device pass.
 
     The reference appends the new node to each chosen neighbor's list under
@@ -554,13 +525,12 @@ def _reverse_update_dense(state: HnswState, targets, new_ids, dists, level: int,
     sorted run into per-target groups, give each edge its rank within the
     group, and scatter into a dense [U, rcap] append matrix. Edges ranked
     past rcap are dropped — by construction they are the *farthest* ones,
-    i.e. the same ones keep-nearest pruning would discard first. Then each
-    touched row is re-pruned by `_prune_rows` in fixed-size chunks.
+    the first to be pruned anyway. Then each touched row is re-selected by
+    `_prune_rows` in fixed-size chunks.
 
     targets/new_ids/dists: flat [E] edge list, NIL-padded.
     """
-    adj = state.adj0 if level == 0 else state.adj_hi[level - 1]
-    cap = state.vectors.shape[0]
+    cap = vectors.shape[0]
     e = targets.shape[0]
     scratch = cap - 1
     valid = targets >= 0
@@ -570,9 +540,7 @@ def _reverse_update_dense(state: HnswState, targets, new_ids, dists, level: int,
     t_s = t[order]
     n_s = jnp.where(valid[order], new_ids[order], NIL)
 
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), t_s[1:] != t_s[:-1]]
-    )
+    first = jnp.concatenate([jnp.ones((1,), bool), t_s[1:] != t_s[:-1]])
     grp = jnp.cumsum(first.astype(jnp.int32)) - 1          # [E] group index
     pos = jnp.arange(e, dtype=jnp.int32)
     first_pos = jax.ops.segment_min(pos, grp, num_segments=e)
@@ -601,14 +569,56 @@ def _reverse_update_dense(state: HnswState, targets, new_ids, dists, level: int,
         tg = jax.lax.dynamic_slice_in_dim(uniq, sl, chunk)
         tm = jax.lax.dynamic_slice_in_dim(umask, sl, chunk)
         ap = jax.lax.dynamic_slice_in_dim(appends, sl, chunk)
-        rows = _prune_rows(state, tg, tm, ap, adj_acc, cfg)
+        rows = _prune_rows(vectors, norms, tg, tm, ap, adj_acc, metric)
         return adj_acc.at[tg].set(jnp.where(tm[:, None], rows, adj_acc[tg]))
 
-    adj = jax.lax.fori_loop(0, nchunks, body, adj)
-    if level == 0:
-        return state._replace(adj0=adj)
-    return state._replace(adj_hi=state.adj_hi.at[level - 1].set(adj))
+    return jax.lax.fori_loop(0, nchunks, body, adj)
 
+
+def _entry_update_core(entry, max_level, slots, lvls, mask):
+    """Entry-point promotion (reference mod.rs:1079-1081) + empty-graph
+    bootstrap."""
+    wave_best = jnp.max(jnp.where(mask, lvls, -1))
+    best_idx = jnp.argmax(jnp.where(mask, lvls, -1))
+    promote = (wave_best > max_level) | (entry < 0)
+    new_entry = jnp.where(promote & jnp.any(mask), slots[best_idx], entry)
+    new_max = jnp.maximum(max_level, wave_best)
+    return new_entry.astype(jnp.int32), new_max.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# build: small jitted stage programs (single-device path)
+# ---------------------------------------------------------------------------
+
+_stage_vectors_jit = jax.jit(_stage_vectors_core, donate_argnums=(0, 1, 2))
+
+_seed_jit = jax.jit(_seed_from_entry, static_argnames=("metric",))
+
+_wave_level_jit = jax.jit(
+    _wave_level_core, static_argnames=("metric", "efc", "iters", "deg_out")
+)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_forward_jit(adj, slots, sel, mask):
+    deg = adj.shape[-1]
+    row = jnp.full((slots.shape[0], deg), NIL, jnp.int32)
+    row = row.at[:, : sel.shape[1]].set(sel)
+    return adj.at[slots].set(jnp.where(mask[:, None], row, adj[slots]))
+
+
+_reverse_level_jit = jax.jit(
+    _reverse_dense_core,
+    donate_argnums=(0,),
+    static_argnames=("metric", "rcap", "chunk"),
+)
+
+_entry_update_jit = jax.jit(_entry_update_core)
+
+
+# ---------------------------------------------------------------------------
+# build: fused whole-wave program (mesh/shard_map path)
+# ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg", "efc", "iters"))
 def build_wave_impl(
@@ -623,27 +633,65 @@ def build_wave_impl(
     iters: int,
 ) -> HnswState:
     """One fully-device insert wave: forward search + edges, then dense
-    reverse updates per level. This is the jittable unit the mesh-parallel
-    build shards (SURVEY.md §2.9 "sharded graph build")."""
-    state, fwd_i, fwd_d = _build_wave_search(
-        state, new_vecs, new_slots, new_levels, wave_mask,
-        cfg=cfg, efc=efc, iters=iters,
+    reverse updates per level. Jittable as a unit so the mesh-parallel
+    build can shard it (SURVEY.md §2.9 "sharded graph build")."""
+    vectors, norms, levels, q, qn = _stage_vectors_core(
+        state.vectors, state.norms, state.levels,
+        new_vecs, new_slots, new_levels, wave_mask,
     )
-    bi = new_slots.shape[0]
-    for lvl in range(cfg.max_levels):
-        sel = fwd_i[lvl]                       # [Bi, deg_l]
-        deg = sel.shape[1]
-        src = jnp.repeat(new_slots, deg).reshape(bi, deg)
-        src = jnp.where(wave_mask[:, None] & (sel >= 0), src, NIL)
-        state = _reverse_update_dense(
-            state,
-            jnp.where(src >= 0, sel, NIL).reshape(-1),
-            src.reshape(-1),
-            fwd_d[lvl].reshape(-1),
-            lvl,
-            cfg,
+    state = state._replace(vectors=vectors, norms=norms, levels=levels)
+    have_entry = state.entry >= 0
+    cur_i, cur_d = _seed_from_entry(
+        state.vectors, state.norms, q, qn, state.entry, cfg.metric
+    )
+
+    fwd = {}
+    for lvl in range(cfg.max_levels - 1, -1, -1):
+        adj = state.adj0 if lvl == 0 else state.adj_hi[lvl - 1]
+        deg = cfg.m0 if lvl == 0 else cfg.m
+        connect = wave_mask & (new_levels >= lvl) & have_entry
+        cur_i, cur_d, sel_i, sel_d = _wave_level_core(
+            adj, state.vectors, state.norms, q, qn, cur_i, cur_d, connect,
+            metric=cfg.metric, efc=efc, iters=iters, deg_out=deg,
         )
-    return state
+        row = jnp.full((new_slots.shape[0], deg), NIL, jnp.int32)
+        row = row.at[:, : sel_i.shape[1]].set(sel_i)
+        new_adj = adj.at[new_slots].set(
+            jnp.where(wave_mask[:, None], row, adj[new_slots])
+        )
+        if lvl == 0:
+            state = state._replace(adj0=new_adj)
+        else:
+            hi = list(state.adj_hi)
+            hi[lvl - 1] = new_adj
+            state = state._replace(adj_hi=tuple(hi))
+        fwd[lvl] = (sel_i, sel_d)
+
+    for lvl in range(cfg.max_levels):
+        sel_i, sel_d = fwd[lvl]
+        deg = sel_i.shape[1]
+        bi = new_slots.shape[0]
+        src = jnp.repeat(new_slots, deg).reshape(bi, deg)
+        src = jnp.where(wave_mask[:, None] & (sel_i >= 0), src, NIL)
+        adj = state.adj0 if lvl == 0 else state.adj_hi[lvl - 1]
+        new_adj = _reverse_dense_core(
+            adj, state.vectors, state.norms,
+            jnp.where(src >= 0, sel_i, NIL).reshape(-1),
+            src.reshape(-1),
+            sel_d.reshape(-1),
+            cfg.metric,
+        )
+        if lvl == 0:
+            state = state._replace(adj0=new_adj)
+        else:
+            hi = list(state.adj_hi)
+            hi[lvl - 1] = new_adj
+            state = state._replace(adj_hi=tuple(hi))
+
+    entry, max_level = _entry_update_core(
+        state.entry, state.max_level, new_slots, new_levels, wave_mask
+    )
+    return state._replace(entry=entry, max_level=max_level)
 
 
 # ---------------------------------------------------------------------------
@@ -656,6 +704,11 @@ class HnswIndex:
     Counterpart of reference PersistentHnswIndex (mod.rs:767): owns the
     device state, slot allocation, tombstones, and the wave-batched build
     loop. Persistence lives in turdb_tpu.storage (separate concern).
+
+    The build runs as a pipeline of small jitted stage programs (see module
+    docstring): the upper-level program is compiled ONCE and reused for all
+    three upper levels, cutting TPU compile time several-fold vs the fused
+    whole-wave program.
     """
 
     def __init__(
@@ -719,35 +772,77 @@ class HnswIndex:
 
     def _insert_wave(self, vecs, slots, levels):
         nw = vecs.shape[0]
-        # pad every wave to ONE static shape: a single compiled build
-        # program regardless of wave size (XLA compiles are ~30s on TPU;
-        # masked lanes are done-at-entry in the beam while_loop, so the
-        # bootstrap waves of size 1, 2, 4, ... cost almost nothing extra)
+        # pad every wave to ONE static shape: a single compiled program set
+        # regardless of wave size (masked lanes are done-at-entry in the
+        # beam while_loop, so bootstrap waves of 1, 2, 4, ... cost little)
         bi = self.build_batch
         mask = np.zeros(bi, bool)
         mask[:nw] = True
         vpad = np.zeros((bi, self.cfg.dim), np.float32)
         vpad[:nw] = vecs
-        spad = np.zeros(bi, np.int32)
+        spad = np.full(bi, self.capacity - 1, np.int32)  # scratch slot
         spad[:nw] = slots
-        # padding rows target an unused scratch slot (capacity-1 is kept
-        # free by _ensure's headroom) and are fully masked anyway
-        spad[nw:] = self.capacity - 1
         lpad = np.zeros(bi, np.int32)
         lpad[:nw] = levels
 
-        efc = self.cfg.ef_construction
+        cfg = self.cfg
+        efc = cfg.ef_construction
         iters = efc + efc // 2
-        self.state = build_wave_impl(
-            self.state,
-            jnp.asarray(vpad),
-            jnp.asarray(spad),
-            jnp.asarray(lpad),
-            jnp.asarray(mask),
-            cfg=self.cfg,
-            efc=efc,
-            iters=iters,
+        st = self.state
+        vecs_j, slots_j = jnp.asarray(vpad), jnp.asarray(spad)
+        lvls_j, mask_j = jnp.asarray(lpad), jnp.asarray(mask)
+
+        vectors, norms, lev, q, qn = _stage_vectors_jit(
+            st.vectors, st.norms, st.levels, vecs_j, slots_j, lvls_j, mask_j
         )
+        st = st._replace(vectors=vectors, norms=norms, levels=lev)
+        have_entry = int(st.entry) >= 0
+        cur_i, cur_d = _seed_jit(
+            st.vectors, st.norms, q, qn, st.entry, metric=cfg.metric
+        )
+
+        fwd = {}
+        for lvl in range(cfg.max_levels - 1, -1, -1):
+            adj = st.adj0 if lvl == 0 else st.adj_hi[lvl - 1]
+            deg = cfg.m0 if lvl == 0 else cfg.m
+            connect = jnp.asarray(mask & (levels_ge := (lpad >= lvl)) & have_entry)
+            cur_i, cur_d, sel_i, sel_d = _wave_level_jit(
+                adj, st.vectors, st.norms, q, qn, cur_i, cur_d, connect,
+                metric=cfg.metric, efc=efc, iters=iters, deg_out=deg,
+            )
+            new_adj = _write_forward_jit(adj, slots_j, sel_i, mask_j)
+            if lvl == 0:
+                st = st._replace(adj0=new_adj)
+            else:
+                hi = list(st.adj_hi)
+                hi[lvl - 1] = new_adj
+                st = st._replace(adj_hi=tuple(hi))
+            fwd[lvl] = (sel_i, sel_d)
+
+        for lvl in range(cfg.max_levels):
+            sel_i, sel_d = fwd[lvl]
+            deg = sel_i.shape[1]
+            src = jnp.repeat(slots_j, deg).reshape(bi, deg)
+            src = jnp.where(mask_j[:, None] & (sel_i >= 0), src, NIL)
+            adj = st.adj0 if lvl == 0 else st.adj_hi[lvl - 1]
+            new_adj = _reverse_level_jit(
+                adj, st.vectors, st.norms,
+                jnp.where(src >= 0, sel_i, NIL).reshape(-1),
+                src.reshape(-1),
+                sel_d.reshape(-1),
+                cfg.metric,
+            )
+            if lvl == 0:
+                st = st._replace(adj0=new_adj)
+            else:
+                hi = list(st.adj_hi)
+                hi[lvl - 1] = new_adj
+                st = st._replace(adj_hi=tuple(hi))
+
+        entry, max_level = _entry_update_jit(
+            st.entry, st.max_level, slots_j, lvls_j, mask_j
+        )
+        self.state = st._replace(entry=entry, max_level=max_level)
 
     # -- query ------------------------------------------------------------
 
@@ -817,14 +912,9 @@ class HnswIndex:
             adj0=jnp.concatenate(
                 [s.adj0, jnp.full((pad, self.cfg.m0), NIL, jnp.int32)]
             ),
-            adj_hi=jnp.concatenate(
-                [
-                    s.adj_hi,
-                    jnp.full(
-                        (self.cfg.max_levels - 1, pad, self.cfg.m), NIL, jnp.int32
-                    ),
-                ],
-                axis=1,
+            adj_hi=tuple(
+                jnp.concatenate([a, jnp.full((pad, self.cfg.m), NIL, jnp.int32)])
+                for a in s.adj_hi
             ),
             levels=jnp.concatenate([s.levels, jnp.full((pad,), -1, jnp.int32)]),
             entry=s.entry,

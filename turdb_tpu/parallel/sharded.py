@@ -304,15 +304,12 @@ class ShardedHnswIndex:
             adj0=jnp.concatenate(
                 [s.adj0, jnp.full((self.n_shards, pad, self.cfg.m0), nil32)], axis=1
             ),
-            adj_hi=jnp.concatenate(
-                [
-                    s.adj_hi,
-                    jnp.full(
-                        (self.n_shards, self.cfg.max_levels - 1, pad, self.cfg.m),
-                        nil32,
-                    ),
-                ],
-                axis=2,
+            adj_hi=tuple(
+                jnp.concatenate(
+                    [a, jnp.full((self.n_shards, pad, self.cfg.m), nil32)],
+                    axis=1,
+                )
+                for a in s.adj_hi
             ),
             levels=jnp.concatenate(
                 [s.levels, jnp.full((self.n_shards, pad), nil32)], axis=1
