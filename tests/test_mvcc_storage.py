@@ -1,0 +1,231 @@
+"""MVCC isolation + storage/WAL durability tests (the reference's
+tests/mvcc_test.rs and tests/wal_durability.rs categories, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from turdb_tpu.mvcc.manager import TransactionManager, TxnConflict
+from turdb_tpu.native.build import crc64, crc64_available_native, _crc64_py
+from turdb_tpu.storage.files import FileManager
+from turdb_tpu.storage.table import ColumnarTable
+from turdb_tpu.storage.wal import FrameType, SyncMode, Wal
+from turdb_tpu.types.column import ColumnDef
+from turdb_tpu.types.datatype import DataType
+
+
+def make_table(name="t"):
+    return ColumnarTable(
+        name,
+        [
+            ColumnDef("id", DataType.BIGINT),
+            ColumnDef("name", DataType.TEXT),
+            ColumnDef("score", DataType.DOUBLE),
+        ],
+    )
+
+
+def visible_rows(t, mgr, txn=None):
+    if txn is not None:
+        idx = t.visible_indices(mgr, txn.read_ts, txn.txn_id)
+    else:
+        idx = t.visible_indices(mgr, mgr.snapshot_ts())
+    # newest visible version per rowid
+    out = {}
+    for i in idx:
+        out[int(t.rowids[i])] = t.row_as_dict(int(i))
+    return out
+
+
+class TestMvcc:
+    def test_snapshot_isolation(self):
+        mgr = TransactionManager()
+        t = make_table()
+        t1 = mgr.begin()
+        t.insert_rows([{"id": 1, "name": "a", "score": 1.0}], t1)
+        mgr.commit(t1)
+
+        reader = mgr.begin()        # snapshot before writer commits
+        writer = mgr.begin()
+        t.insert_rows([{"id": 2, "name": "b", "score": 2.0}], writer)
+        assert len(visible_rows(t, mgr, reader)) == 1   # not yet committed
+        mgr.commit(writer)
+        # reader's snapshot predates the commit: still invisible
+        assert len(visible_rows(t, mgr, reader)) == 1
+        # a fresh snapshot sees it
+        fresh = mgr.begin()
+        assert len(visible_rows(t, mgr, fresh)) == 2
+        mgr.abort(reader)
+        mgr.commit(fresh)
+
+    def test_rollback_insert(self):
+        mgr = TransactionManager()
+        t = make_table()
+        txn = mgr.begin()
+        t.insert_rows([{"id": 1, "name": "x", "score": 0.0}], txn)
+        assert len(visible_rows(t, mgr, txn)) == 1      # own write visible
+        mgr.abort(txn)
+        assert len(visible_rows(t, mgr)) == 0
+
+    def test_delete_and_rollback(self):
+        mgr = TransactionManager()
+        t = make_table()
+        with mgr.begin() as txn:
+            (rid,) = t.insert_rows([{"id": 1, "name": "x", "score": 0.0}], txn)
+        txn = mgr.begin()
+        assert t.delete_row(rid, txn)
+        assert len(visible_rows(t, mgr, txn)) == 0
+        mgr.abort(txn)
+        assert len(visible_rows(t, mgr)) == 1           # delete undone
+
+    def test_update_creates_version(self):
+        mgr = TransactionManager()
+        t = make_table()
+        with mgr.begin() as txn:
+            (rid,) = t.insert_rows([{"id": 1, "name": "x", "score": 1.0}], txn)
+        old_reader = mgr.begin()
+        with mgr.begin() as txn:
+            t.update_row(rid, {"score": 9.0}, txn)
+        # old snapshot still sees the old version
+        assert visible_rows(t, mgr, old_reader)[rid]["score"] == 1.0
+        assert visible_rows(t, mgr)[rid]["score"] == 9.0
+        mgr.abort(old_reader)
+
+    def test_write_conflict(self):
+        mgr = TransactionManager()
+        t = make_table()
+        with mgr.begin() as txn:
+            (rid,) = t.insert_rows([{"id": 1, "name": "x", "score": 0.0}], txn)
+        a = mgr.begin()
+        b = mgr.begin()
+        assert t.update_row(rid, {"score": 1.0}, a)
+        with pytest.raises(TxnConflict):
+            t.update_row(rid, {"score": 2.0}, b)
+        mgr.commit(a)
+        mgr.abort(b)
+
+    def test_savepoints(self):
+        mgr = TransactionManager()
+        t = make_table()
+        txn = mgr.begin()
+        t.insert_rows([{"id": 1, "name": "a", "score": 0.0}], txn)
+        txn.savepoint("sp1")
+        t.insert_rows([{"id": 2, "name": "b", "score": 0.0}], txn)
+        assert len(visible_rows(t, mgr, txn)) == 2
+        txn.rollback_to("sp1")
+        assert len(visible_rows(t, mgr, txn)) == 1
+        mgr.commit(txn)
+        assert len(visible_rows(t, mgr)) == 1
+
+    def test_vacuum(self):
+        mgr = TransactionManager()
+        t = make_table()
+        with mgr.begin() as txn:
+            rids = t.insert_rows(
+                [{"id": i, "name": "x", "score": 0.0} for i in range(10)], txn
+            )
+        with mgr.begin() as txn:
+            for r in rids[:5]:
+                t.delete_row(r, txn)
+        assert t.nversions == 10
+        removed = t.vacuum(mgr)
+        assert removed == 5
+        assert len(visible_rows(t, mgr)) == 5
+
+
+class TestWal:
+    def test_crc64_native_matches_python(self):
+        data = os.urandom(1000)
+        assert crc64(data) == _crc64_py(data)
+        assert crc64_available_native()  # g++ is in the image
+
+    def test_append_flush_replay(self, tmp_path):
+        wal = Wal(str(tmp_path / "wal"), SyncMode.FULL)
+        wal.append(FrameType.BEGIN, b"", txn_id=1)
+        wal.append(FrameType.INSERT, b"payload-1", txn_id=1, table_id=7)
+        wal.append(FrameType.COMMIT, b"", txn_id=1)
+        wal.flush()
+        wal.close()
+
+        wal2 = Wal(str(tmp_path / "wal"))
+        frames = list(wal2.replay())
+        assert [f[1] for f in frames] == [
+            FrameType.BEGIN, FrameType.INSERT, FrameType.COMMIT,
+        ]
+        assert frames[1][4] == b"payload-1"
+        assert frames[1][3] == 7
+        assert wal2.next_lsn == 4
+
+    def test_torn_write_detected(self, tmp_path):
+        wal = Wal(str(tmp_path / "wal"), SyncMode.FULL)
+        wal.append(FrameType.BEGIN, b"", txn_id=1)
+        wal.append(FrameType.INSERT, b"good", txn_id=1)
+        wal.flush()
+        wal.close()
+        # corrupt the last frame's payload
+        seg = os.path.join(str(tmp_path / "wal"), "wal.000001")
+        with open(seg, "r+b") as f:
+            f.seek(-2, os.SEEK_END)
+            f.write(b"!!")
+        wal2 = Wal(str(tmp_path / "wal"))
+        frames = list(wal2.replay())
+        assert len(frames) == 1  # replay stops at the corrupt frame
+
+    def test_truncate(self, tmp_path):
+        wal = Wal(str(tmp_path / "wal"), SyncMode.FULL)
+        for i in range(10):
+            wal.append(FrameType.INSERT, b"x" * 100, txn_id=1)
+        wal.flush()
+        wal.truncate()
+        assert list(wal.replay()) == []
+        assert wal.frame_count == 0
+        wal.close()
+
+
+class TestSnapshots:
+    def test_table_snapshot_roundtrip(self, tmp_path):
+        mgr = TransactionManager()
+        t = ColumnarTable(
+            "things",
+            [
+                ColumnDef("id", DataType.BIGINT),
+                ColumnDef("name", DataType.TEXT),
+                ColumnDef("emb", DataType.VECTOR, vector_dim=4),
+                ColumnDef("meta", DataType.JSONB),
+                ColumnDef("raw", DataType.BLOB),
+            ],
+            table_id=3,
+        )
+        with mgr.begin() as txn:
+            t.insert_rows(
+                [
+                    {
+                        "id": 1,
+                        "name": "héllo",
+                        "emb": np.arange(4, dtype=np.float32),
+                        "meta": {"k": [1, 2]},
+                        "raw": b"\x00\xff",
+                    },
+                    {"id": 2, "name": None, "emb": None, "meta": None, "raw": None},
+                ],
+                txn,
+            )
+        fm = FileManager(str(tmp_path))
+        fm.write_table_snapshot("main", t)
+        t2 = fm.read_table_snapshot("main", "things")
+        assert t2.nversions == 2
+        row = t2.row_as_dict(0)
+        assert row["name"] == "héllo"
+        np.testing.assert_array_equal(row["emb"], np.arange(4, dtype=np.float32))
+        assert row["meta"] == {"k": [1, 2]}
+        assert row["raw"] == b"\x00\xff"
+        assert t2.row_as_dict(1)["name"] is None
+        assert t2.latest == t.latest
+
+    def test_meta_and_catalog(self, tmp_path):
+        fm = FileManager(str(tmp_path))
+        fm.write_meta({"created": 1, "version": 1})
+        assert fm.read_meta()["created"] == 1
+        fm.write_catalog({"tables": [{"name": "t"}]})
+        assert fm.read_catalog()["tables"][0]["name"] == "t"

@@ -1,0 +1,103 @@
+"""Compile-on-first-use loader for the native components.
+
+g++ builds crc64.cpp into a cached shared object; if no compiler is
+available the numpy table-driven fallback serves (≈50x slower, same
+results). Both paths are exercised by tests/test_storage.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LIB = None
+_FALLBACK_TABLE = None
+
+POLY = 0xC96C5795D7870F42
+
+
+def _build_lib() -> str | None:
+    src = os.path.join(_HERE, "crc64.cpp")
+    cache = os.environ.get(
+        "TURDB_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "turdb_native")
+    )
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "libturdb_native.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception:
+        return None
+
+
+def _get_lib():
+    global _LIB
+    if _LIB is None:
+        path = _build_lib()
+        if path is None:
+            _LIB = False
+        else:
+            try:
+                lib = ctypes.CDLL(path)
+                lib.turdb_crc64.restype = ctypes.c_uint64
+                lib.turdb_crc64.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_size_t,
+                    ctypes.c_uint64,
+                ]
+                _LIB = lib
+            except OSError:
+                _LIB = False
+    return _LIB
+
+
+def _fallback_table():
+    global _FALLBACK_TABLE
+    if _FALLBACK_TABLE is None:
+        t = np.zeros(256, np.uint64)
+        for i in range(256):
+            crc = np.uint64(i)
+            for _ in range(8):
+                low = crc & np.uint64(1)
+                crc = crc >> np.uint64(1)
+                if low:
+                    crc ^= np.uint64(POLY)
+            t[i] = crc
+        _FALLBACK_TABLE = t
+    return _FALLBACK_TABLE
+
+
+def _crc64_py(data: bytes, seed: int = 0) -> int:
+    table = _fallback_table()
+    crc = np.uint64(~seed & 0xFFFFFFFFFFFFFFFF)
+    eight = np.uint64(8)
+    mask = np.uint64(0xFF)
+    arr = np.frombuffer(data, np.uint8)
+    for b in arr:
+        crc = (crc >> eight) ^ table[int((crc ^ np.uint64(b)) & mask)]
+    return int(~crc & np.uint64(0xFFFFFFFFFFFFFFFF))
+
+
+def crc64(data: bytes, seed: int = 0) -> int:
+    """CRC64-ECMA over bytes (WAL frame checksums, reference wal.rs:148)."""
+    lib = _get_lib()
+    if lib:
+        return lib.turdb_crc64(bytes(data), len(data), seed)
+    return _crc64_py(bytes(data), seed)
+
+
+def crc64_available_native() -> bool:
+    return bool(_get_lib())

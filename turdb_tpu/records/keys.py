@@ -1,0 +1,135 @@
+"""Order-preserving (memcmp-comparable) key encoding.
+
+Same contract as reference src/encoding/key.rs:17-46: one type-prefix
+byte per value (NULL sorts first, MAX last), sign-split big-endian
+integers, IEEE-754 bit-flip floats, escaped/terminated text — so that
+encoded composite keys compare bytewise in SQL ORDER.
+
+Tag values are ours (not copied); ordering relationships are the contract:
+NULL < BOOL < numerics (one shared tag family so 1 == 1.0 in index order)
+< TEXT < BLOB < UUID < VECTOR < MAX.
+"""
+
+from __future__ import annotations
+
+import struct
+
+TAG_NULL = 0x01
+TAG_FALSE = 0x08
+TAG_TRUE = 0x09
+TAG_NUM = 0x10     # all numerics normalize to f64 bit-flip (index order)
+TAG_INT = 0x11     # exact i64 path (sign-split big-endian)
+TAG_TEXT = 0x20
+TAG_BLOB = 0x30
+TAG_UUID = 0x40
+TAG_MAX = 0xFF
+
+_ESC = 0x00
+_TERM = b"\x00\x00"
+
+
+def _flip_float(v: float) -> int:
+    bits = struct.unpack(">Q", struct.pack(">d", v))[0]
+    if bits & 0x8000000000000000:
+        return (~bits) & 0xFFFFFFFFFFFFFFFF  # negative: flip all
+    return bits | 0x8000000000000000         # positive: flip sign bit
+
+
+def _unflip_float(bits: int) -> float:
+    if bits & 0x8000000000000000:
+        bits &= 0x7FFFFFFFFFFFFFFF
+    else:
+        bits = (~bits) & 0xFFFFFFFFFFFFFFFF
+    return struct.unpack(">d", struct.pack(">Q", bits))[0]
+
+
+def _escape_bytes(b: bytes) -> bytes:
+    # 0x00 -> 0x00 0xFF so the 0x00 0x00 terminator sorts before any
+    # continuation; preserves order and allows embedded NULs
+    return b.replace(b"\x00", b"\x00\xff") + _TERM
+
+
+def _unescape_bytes(buf: bytes, offset: int) -> tuple[bytes, int]:
+    out = bytearray()
+    i = offset
+    while True:
+        b = buf[i]
+        if b == _ESC:
+            nxt = buf[i + 1]
+            if nxt == 0x00:
+                return bytes(out), i + 2
+            out.append(0x00)
+            i += 2
+        else:
+            out.append(b)
+            i += 1
+
+
+def encode_value(v, desc: bool = False) -> bytes:
+    """Encode one value. `desc` inverts all bytes for DESC ordering."""
+    if v is None:
+        out = bytes([TAG_NULL])
+    elif isinstance(v, bool):
+        out = bytes([TAG_TRUE if v else TAG_FALSE])
+    elif isinstance(v, int) and -(2**63) <= v < 2**63 and float(v) != v:
+        # ints not exactly representable as f64 keep the exact path
+        out = bytes([TAG_INT]) + struct.pack(">Q", (v + 2**63))
+    elif isinstance(v, (int, float)):
+        out = bytes([TAG_NUM]) + struct.pack(">Q", _flip_float(float(v)))
+    elif isinstance(v, str):
+        out = bytes([TAG_TEXT]) + _escape_bytes(v.encode("utf-8"))
+    elif isinstance(v, (bytes, bytearray)):
+        out = bytes([TAG_BLOB]) + _escape_bytes(bytes(v))
+    else:
+        raise TypeError(f"unencodable key value: {type(v)}")
+    if desc:
+        out = bytes(255 - b for b in out)
+    return out
+
+
+def decode_value(buf: bytes, offset: int = 0, desc: bool = False):
+    """Returns (value, next_offset)."""
+    if desc:
+        # operate on an inverted copy of the remainder
+        inv = bytes(255 - b for b in buf[offset:])
+        v, n = decode_value(inv, 0, desc=False)
+        return v, offset + n
+    tag = buf[offset]
+    if tag == TAG_NULL:
+        return None, offset + 1
+    if tag == TAG_FALSE:
+        return False, offset + 1
+    if tag == TAG_TRUE:
+        return True, offset + 1
+    if tag == TAG_INT:
+        raw = struct.unpack(">Q", buf[offset + 1 : offset + 9])[0]
+        return raw - 2**63, offset + 9
+    if tag == TAG_NUM:
+        bits = struct.unpack(">Q", buf[offset + 1 : offset + 9])[0]
+        f = _unflip_float(bits)
+        return int(f) if f.is_integer() and abs(f) < 2**53 else f, offset + 9
+    if tag == TAG_TEXT:
+        raw, nxt = _unescape_bytes(buf, offset + 1)
+        return raw.decode("utf-8"), nxt
+    if tag == TAG_BLOB:
+        raw, nxt = _unescape_bytes(buf, offset + 1)
+        return raw, nxt
+    raise ValueError(f"bad key tag 0x{tag:02x}")
+
+
+def encode_key(values, desc_flags=None) -> bytes:
+    """Composite key: concatenation of per-value encodings
+    (reference key.rs composite keys; DESC via byte inversion)."""
+    if desc_flags is None:
+        desc_flags = [False] * len(values)
+    return b"".join(encode_value(v, d) for v, d in zip(values, desc_flags))
+
+
+def decode_key(buf: bytes, n: int, desc_flags=None) -> list:
+    if desc_flags is None:
+        desc_flags = [False] * n
+    out, off = [], 0
+    for i in range(n):
+        v, off = decode_value(buf, off, desc_flags[i])
+        out.append(v)
+    return out

@@ -1,0 +1,253 @@
+"""Columnar table store with MVCC version stamps.
+
+The reference stores rows in B-tree leaf pages with a 17-byte MVCC header
+and undo-page version chains (SURVEY.md §2.5); here every row VERSION is
+an index into typed column arrays carrying (xmin, xmax) stamps — batch
+visibility is one vectorized predicate, scans feed device operators as
+contiguous columns, and "updates" append versions (PostgreSQL-style).
+Aborted transactions need almost no undo: the commit log already makes
+their versions invisible; undo only restores xmax stamps and the
+rowid→latest map (cf. reference undo pages, mvcc/undo_page.rs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from turdb_tpu.mvcc.manager import Transaction, TransactionManager
+from turdb_tpu.types.column import ColumnDef
+from turdb_tpu.types.datatype import StorageClass
+
+_GROW0 = 256
+
+
+class ColumnarTable:
+    def __init__(self, name: str, columns: list[ColumnDef], table_id: int = 0):
+        self.name = name
+        self.table_id = table_id
+        self.columns = list(columns)
+        self.colnames = [c.name for c in columns]
+        self.capacity = _GROW0
+        self.nversions = 0
+        self.cols: dict[str, np.ndarray] = {}
+        self.nulls: dict[str, np.ndarray] = {}
+        for c in columns:
+            self.cols[c.name] = self._alloc(c, self.capacity)
+            self.nulls[c.name] = np.ones(self.capacity, bool)
+        self.xmin = np.zeros(self.capacity, np.int64)
+        self.xmax = np.zeros(self.capacity, np.int64)
+        self.rowids = np.zeros(self.capacity, np.int64)
+        self.latest: dict[int, int] = {}   # rowid -> newest version index
+        self.next_rowid = 1
+        self.auto_increment = 1            # for SERIAL columns
+
+    # -- allocation -------------------------------------------------------
+
+    def _alloc(self, c: ColumnDef, n: int) -> np.ndarray:
+        sc = c.dtype.storage_class
+        if sc is StorageClass.INT:
+            return np.zeros(n, np.int64)
+        if sc is StorageClass.FLOAT:
+            return np.zeros(n, np.float64)
+        if sc is StorageClass.FLOAT32:
+            return np.zeros(n, np.float32)
+        if sc is StorageClass.BOOL:
+            return np.zeros(n, bool)
+        if sc is StorageClass.VECTOR:
+            return np.zeros((n, c.vector_dim or 0), np.float32)
+        return np.empty(n, object)
+
+    def _ensure(self, need: int):
+        if need <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        for c in self.columns:
+            old = self.cols[c.name]
+            grown = self._alloc(c, new_cap)
+            grown[: self.nversions] = old[: self.nversions]
+            self.cols[c.name] = grown
+            nu = np.ones(new_cap, bool)
+            nu[: self.nversions] = self.nulls[c.name][: self.nversions]
+            self.nulls[c.name] = nu
+        for attr in ("xmin", "xmax", "rowids"):
+            old = getattr(self, attr)
+            grown = np.zeros(new_cap, np.int64)
+            grown[: self.nversions] = old[: self.nversions]
+            setattr(self, attr, grown)
+        self.capacity = new_cap
+
+    # -- DML ---------------------------------------------------------------
+
+    def insert_rows(
+        self,
+        rows: list[dict],
+        txn: Transaction,
+        rowids: list[int] | None = None,
+    ) -> list[int]:
+        """Append new row versions. `rows`: list of {col: value}."""
+        n = len(rows)
+        self._ensure(self.nversions + n)
+        base = self.nversions
+        out_ids = []
+        for j, row in enumerate(rows):
+            idx = base + j
+            rid = rowids[j] if rowids else self.next_rowid
+            if rowids is None:
+                self.next_rowid += 1
+            else:
+                self.next_rowid = max(self.next_rowid, rid + 1)
+            for c in self.columns:
+                v = row.get(c.name)
+                if v is None:
+                    self.nulls[c.name][idx] = True
+                else:
+                    self.nulls[c.name][idx] = False
+                    self.cols[c.name][idx] = self._coerce(c, v)
+            self.xmin[idx] = txn.txn_id
+            self.xmax[idx] = 0
+            self.rowids[idx] = rid
+            prev = self.latest.get(rid)
+            self.latest[rid] = idx
+            txn.undo.append((self, "insert", idx, prev))
+            out_ids.append(rid)
+        self.nversions += n
+        return out_ids
+
+    def delete_row(self, rowid: int, txn: Transaction) -> bool:
+        idx = self.latest.get(rowid)
+        if idx is None:
+            return False
+        txn.mgr.lock_row(self.name, rowid, txn)
+        if self.xmax[idx] != 0 and self.xmax[idx] != txn.txn_id:
+            # deleted by a committed txn we can't see yet -> conflict is
+            # raised by lock_row for active holders; a committed stamp
+            # means the row is already gone for us
+            return False
+        prev_xmax = int(self.xmax[idx])
+        self.xmax[idx] = txn.txn_id
+        txn.undo.append((self, "delete", idx, prev_xmax))
+        return True
+
+    def update_row(self, rowid: int, changes: dict, txn: Transaction) -> bool:
+        """MVCC update = stamp old version's xmax + append new version."""
+        idx = self.latest.get(rowid)
+        if idx is None:
+            return False
+        txn.mgr.lock_row(self.name, rowid, txn)
+        new_row = {
+            c.name: (
+                None
+                if self.nulls[c.name][idx]
+                else self._get(c, idx)
+            )
+            for c in self.columns
+        }
+        new_row.update(changes)
+        prev_xmax = int(self.xmax[idx])
+        self.xmax[idx] = txn.txn_id
+        txn.undo.append((self, "delete", idx, prev_xmax))
+        self.insert_rows([new_row], txn, rowids=[rowid])
+        return True
+
+    def _coerce(self, c: ColumnDef, v):
+        sc = c.dtype.storage_class
+        if sc is StorageClass.INT:
+            return int(v)
+        if sc in (StorageClass.FLOAT, StorageClass.FLOAT32):
+            return float(v)
+        if sc is StorageClass.BOOL:
+            return bool(v)
+        if sc is StorageClass.VECTOR:
+            arr = np.asarray(v, np.float32)
+            want = self.cols[c.name].shape[1]
+            if arr.shape != (want,):
+                raise ValueError(
+                    f"vector dim mismatch for {c.name}: got {arr.shape}, want ({want},)"
+                )
+            return arr
+        if sc is StorageClass.TEXT:
+            return v if isinstance(v, str) else str(v)
+        return v
+
+    def _get(self, c: ColumnDef, idx: int):
+        v = self.cols[c.name][idx]
+        if c.dtype.storage_class is StorageClass.VECTOR:
+            return np.array(v)
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    # -- undo (called by TransactionManager.abort / rollback_to) ----------
+
+    def _undo_one(self, kind: str, idx: int, prev, txn: Transaction):
+        if kind == "insert":
+            rid = int(self.rowids[idx])
+            if prev is None:
+                self.latest.pop(rid, None)
+            else:
+                self.latest[rid] = prev
+            # stamp self-deleted: invisible to the still-active txn (own
+            # delete) and to everyone after commit; vacuum reclaims it
+            self.xmax[idx] = txn.txn_id
+        elif kind == "delete":
+            if self.xmax[idx] == txn.txn_id:
+                self.xmax[idx] = prev or 0
+
+    # -- scan --------------------------------------------------------------
+
+    def visible_indices(
+        self, mgr: TransactionManager, read_ts: int, own_txn: int = 0
+    ) -> np.ndarray:
+        """Indices of visible row versions under the snapshot — one
+        vectorized mask over the whole version store."""
+        n = self.nversions
+        if n == 0:
+            return np.empty(0, np.int64)
+        mask = mgr.visible_mask(self.xmin[:n], self.xmax[:n], read_ts, own_txn)
+        return np.flatnonzero(mask)
+
+    def column_batch(self, name: str, indices: np.ndarray):
+        """(values, null_mask) for a column over selected versions."""
+        return self.cols[name][indices], self.nulls[name][indices]
+
+    def row_as_dict(self, idx: int) -> dict:
+        out = {}
+        for c in self.columns:
+            out[c.name] = None if self.nulls[c.name][idx] else self._get(c, idx)
+        return out
+
+    # -- vacuum ------------------------------------------------------------
+
+    def vacuum(self, mgr: TransactionManager) -> int:
+        """Compact dead versions (deleted before the oldest active
+        snapshot, or created by aborted txns). Returns versions removed.
+        The reference's analog is the HNSW vacuum queue + undo watermark GC."""
+        n = self.nversions
+        if n == 0:
+            return 0
+        if mgr.active:
+            # undo entries hold version indices; compaction would shift them
+            return 0
+        horizon = mgr.commit_watermark()
+        from turdb_tpu.mvcc.manager import ABORTED
+
+        cmin = mgr._commit_ts[self.xmin[:n]]
+        cmax = mgr._commit_ts[np.maximum(self.xmax[:n], 0)]
+        dead = (cmin == ABORTED) | ((self.xmax[:n] > 0) & (cmax <= horizon))
+        keep = np.flatnonzero(~dead)
+        removed = n - len(keep)
+        if removed == 0:
+            return 0
+        for c in self.columns:
+            self.cols[c.name][: len(keep)] = self.cols[c.name][keep]
+            self.nulls[c.name][: len(keep)] = self.nulls[c.name][keep]
+        self.xmin[: len(keep)] = self.xmin[keep]
+        self.xmax[: len(keep)] = self.xmax[keep]
+        self.rowids[: len(keep)] = self.rowids[keep]
+        self.nversions = len(keep)
+        self.latest = {}
+        for new_idx in range(len(keep)):
+            self.latest[int(self.rowids[new_idx])] = new_idx
+        return removed

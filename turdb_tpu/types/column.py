@@ -1,0 +1,45 @@
+"""Column definitions (reference src/types/column.rs:39: name, type, and
+per-type metadata — varchar length, vector dim, decimal precision — plus
+constraint flags used by the DDL/constraint layers)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from turdb_tpu.types.datatype import DataType
+
+
+@dataclasses.dataclass
+class ColumnDef:
+    name: str
+    dtype: DataType
+    nullable: bool = True
+    primary_key: bool = False
+    unique: bool = False
+    default: object = None          # AST expression or literal
+    has_default: bool = False
+    check: object = None            # AST expression
+    references: tuple | None = None  # (table, column, on_delete, on_update)
+    # type parameters
+    max_len: int | None = None      # VARCHAR(n) / CHAR(n)
+    vector_dim: int | None = None   # VECTOR(d)
+    precision: int | None = None    # DECIMAL(p, s)
+    scale: int | None = None
+    auto_increment: bool = False    # SERIAL / BIGSERIAL
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["dtype"] = int(self.dtype)
+        # AST nodes aren't JSON-serializable; persist their SQL rendering
+        for k in ("default", "check"):
+            if d[k] is not None and not isinstance(d[k], (int, float, str, bool)):
+                d[k] = str(d[k])
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ColumnDef":
+        d = dict(d)
+        d["dtype"] = DataType(d["dtype"])
+        if d.get("references") is not None:
+            d["references"] = tuple(d["references"])
+        return cls(**d)
