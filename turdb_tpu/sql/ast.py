@@ -1,0 +1,382 @@
+"""SQL AST nodes (reference src/sql/ast.rs:83-299 Statement inventory +
+vector distance operators ast.rs:907-909), as plain dataclasses."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+# ---------------------------------------------------------------------------
+# expressions
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Expr:
+    def __str__(self):
+        return render_expr(self)
+
+
+@dataclass
+class Literal(Expr):
+    value: Any            # None | bool | int | float | str | bytes | list
+
+
+@dataclass
+class ColumnRef(Expr):
+    name: str
+    table: Optional[str] = None
+
+
+@dataclass
+class Param(Expr):
+    index: int            # 1-based ? / $n position
+
+
+@dataclass
+class Star(Expr):
+    table: Optional[str] = None
+
+
+@dataclass
+class BinaryOp(Expr):
+    op: str               # '+','-','*','/','%','=','<>','<','<=','>','>=',
+    #                       'AND','OR','||','<->','<#>','<=>','->','->>','@>','<@'
+    left: Expr = None
+    right: Expr = None
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str               # '-', '+', 'NOT'
+    operand: Expr = None
+
+
+@dataclass
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass
+class Like(Expr):
+    operand: Expr
+    pattern: Expr
+    negated: bool = False
+    case_insensitive: bool = False   # ILIKE
+
+
+@dataclass
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    operand: Expr
+    items: list
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Expr):
+    operand: Expr
+    subquery: "Select"
+    negated: bool = False
+
+
+@dataclass
+class Exists(Expr):
+    subquery: "Select"
+    negated: bool = False
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    subquery: "Select"
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str
+    args: list = field(default_factory=list)
+    distinct: bool = False
+    star: bool = False            # COUNT(*)
+    filter: Optional[Expr] = None  # FILTER (WHERE ...)
+    over: Optional["WindowSpec"] = None
+
+
+@dataclass
+class WindowSpec:
+    partition_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)   # [OrderItem]
+
+
+@dataclass
+class Case(Expr):
+    operand: Optional[Expr] = None
+    whens: list = field(default_factory=list)      # [(cond, result)]
+    else_: Optional[Expr] = None
+
+
+@dataclass
+class Cast(Expr):
+    operand: Expr
+    type_name: str
+    type_params: list = field(default_factory=list)
+
+
+@dataclass
+class ArrayLiteral(Expr):
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class ArrayIndex(Expr):
+    base: Expr
+    index: Expr
+
+
+@dataclass
+class TypedLiteral(Expr):
+    type_name: str        # DATE / TIME / TIMESTAMP / INTERVAL / VECTOR
+    text: str
+
+
+# ---------------------------------------------------------------------------
+# query structure
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    desc: bool = False
+    nulls_last: Optional[bool] = None
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class TableRef:
+    name: str
+    schema: Optional[str] = None
+    alias: Optional[str] = None
+
+
+@dataclass
+class SubqueryRef:
+    subquery: "Select"
+    alias: str
+
+
+@dataclass
+class Join:
+    left: Any             # TableRef | SubqueryRef | Join
+    right: Any
+    kind: str             # INNER/LEFT/RIGHT/FULL/CROSS
+    on: Optional[Expr] = None
+    using: Optional[list] = None
+
+
+@dataclass
+class CTE:
+    name: str
+    query: "Select"
+    columns: Optional[list] = None
+
+
+@dataclass
+class Select:
+    items: list = field(default_factory=list)        # [SelectItem|Star]
+    from_: Any = None                                # TableRef|SubqueryRef|Join|None
+    where: Optional[Expr] = None
+    group_by: list = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: list = field(default_factory=list)     # [OrderItem]
+    limit: Optional[Expr] = None
+    offset: Optional[Expr] = None
+    distinct: bool = False
+    ctes: list = field(default_factory=list)         # [CTE]
+    set_op: Optional[tuple] = None   # ('UNION'|'INTERSECT'|'EXCEPT', all, Select)
+    for_update: bool = False
+
+
+# ---------------------------------------------------------------------------
+# statements
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Insert:
+    table: TableRef
+    columns: Optional[list] = None
+    values: Optional[list] = None        # list of rows (list of Expr)
+    query: Optional[Select] = None       # INSERT ... SELECT
+    on_conflict: Optional[tuple] = None  # (cols|None, 'NOTHING'|[(col, expr)])
+    returning: Optional[list] = None
+
+
+@dataclass
+class Update:
+    table: TableRef
+    assignments: list = field(default_factory=list)  # [(col, Expr)]
+    from_: Any = None
+    where: Optional[Expr] = None
+    returning: Optional[list] = None
+
+
+@dataclass
+class Delete:
+    table: TableRef
+    where: Optional[Expr] = None
+    returning: Optional[list] = None
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    type_name: str
+    type_params: list = field(default_factory=list)
+    not_null: bool = False
+    primary_key: bool = False
+    unique: bool = False
+    default: Optional[Expr] = None
+    check: Optional[Expr] = None
+    references: Optional[tuple] = None   # (table, col, on_delete, on_update)
+
+
+@dataclass
+class TableConstraint:
+    kind: str                             # PRIMARY KEY/UNIQUE/CHECK/FOREIGN KEY
+    columns: list = field(default_factory=list)
+    expr: Optional[Expr] = None
+    ref_table: Optional[str] = None
+    ref_columns: list = field(default_factory=list)
+    on_delete: Optional[str] = None
+    on_update: Optional[str] = None
+    name: Optional[str] = None
+
+
+@dataclass
+class CreateTable:
+    table: TableRef
+    columns: list = field(default_factory=list)       # [ColumnSpec]
+    constraints: list = field(default_factory=list)   # [TableConstraint]
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateIndex:
+    name: str
+    table: TableRef
+    columns: list = field(default_factory=list)       # [(expr, desc)]
+    unique: bool = False
+    using: Optional[str] = None                       # BTREE | HNSW
+    options: dict = field(default_factory=dict)       # WITH (m=16, ...)
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateSchema:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class Drop:
+    kind: str                # TABLE | INDEX | SCHEMA
+    name: str
+    schema: Optional[str] = None
+    if_exists: bool = False
+
+
+@dataclass
+class AlterTable:
+    table: TableRef
+    action: str              # ADD_COLUMN/DROP_COLUMN/RENAME_TABLE/RENAME_COLUMN
+    column: Optional[ColumnSpec] = None
+    name: Optional[str] = None
+    new_name: Optional[str] = None
+
+
+@dataclass
+class Truncate:
+    table: TableRef
+
+
+@dataclass
+class TxnStmt:
+    kind: str                # BEGIN/COMMIT/ROLLBACK/SAVEPOINT/RELEASE/ROLLBACK_TO
+    name: Optional[str] = None
+
+
+@dataclass
+class Explain:
+    stmt: Any
+    analyze: bool = False
+
+
+@dataclass
+class Pragma:
+    name: str
+    value: Any = None
+
+
+@dataclass
+class Vacuum:
+    table: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# rendering (for EXPLAIN/errors; not a full SQL serializer)
+# ---------------------------------------------------------------------------
+
+
+def render_expr(e) -> str:
+    if isinstance(e, Literal):
+        if isinstance(e.value, str):
+            return "'" + e.value.replace("'", "''") + "'"
+        if e.value is None:
+            return "NULL"
+        return str(e.value)
+    if isinstance(e, ColumnRef):
+        return f"{e.table}.{e.name}" if e.table else e.name
+    if isinstance(e, Star):
+        return f"{e.table}.*" if e.table else "*"
+    if isinstance(e, Param):
+        return f"${e.index}"
+    if isinstance(e, BinaryOp):
+        return f"({render_expr(e.left)} {e.op} {render_expr(e.right)})"
+    if isinstance(e, UnaryOp):
+        return f"({e.op} {render_expr(e.operand)})"
+    if isinstance(e, IsNull):
+        return f"({render_expr(e.operand)} IS {'NOT ' if e.negated else ''}NULL)"
+    if isinstance(e, FuncCall):
+        inner = "*" if e.star else ", ".join(render_expr(a) for a in e.args)
+        return f"{e.name}({'DISTINCT ' if e.distinct else ''}{inner})"
+    if isinstance(e, Cast):
+        return f"CAST({render_expr(e.operand)} AS {e.type_name})"
+    if isinstance(e, Case):
+        parts = ["CASE"]
+        if e.operand is not None:
+            parts.append(render_expr(e.operand))
+        for c, r in e.whens:
+            parts.append(f"WHEN {render_expr(c)} THEN {render_expr(r)}")
+        if e.else_ is not None:
+            parts.append(f"ELSE {render_expr(e.else_)}")
+        parts.append("END")
+        return " ".join(parts)
+    if isinstance(e, TypedLiteral):
+        return f"{e.type_name} '{e.text}'"
+    if dataclasses.is_dataclass(e):
+        return type(e).__name__
+    return repr(e)

@@ -1,0 +1,988 @@
+"""Recursive-descent SQL parser with Pratt expression parsing.
+
+Counterpart of reference src/sql/parser.rs (:5-35 recursive descent +
+Pratt, arena AST; vector operators at mid precedence :907-909). Dialect:
+the PostgreSQL-flavored subset in reference README.md:33-760 — DDL with
+constraints and HNSW indexes, full DML with ON CONFLICT/RETURNING,
+joins, CTEs, set ops, subqueries, window functions, vector/JSON
+operators, transactions, EXPLAIN, PRAGMA.
+"""
+
+from __future__ import annotations
+
+from turdb_tpu.sql import ast as A
+from turdb_tpu.sql.lexer import SqlError, T, Token, tokenize
+
+# Pratt binding powers (left bp, right bp implied +1 for left-assoc)
+_BP = {
+    "OR": 10,
+    "AND": 20,
+    # comparison
+    "=": 40, "<>": 40, "<": 40, "<=": 40, ">": 40, ">=": 40,
+    "@>": 40, "<@": 40,
+    "||": 50,
+    "<->": 55, "<#>": 55, "<=>": 55,   # vector distances (parser.rs:907-909)
+    "+": 60, "-": 60,
+    "*": 70, "/": 70, "%": 70,
+    "->": 90, "->>": 90,
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.pos = 0
+        self._param_counter = 0
+
+    # -- token helpers -----------------------------------------------------
+
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.pos + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.peek()
+        if t.type is not T.EOF:
+            self.pos += 1
+        return t
+
+    def error(self, msg: str):
+        t = self.peek()
+        raise SqlError(f"{msg} (got {t.value!r})", t.line, t.col)
+
+    def accept_kw(self, *names) -> bool:
+        if self.peek().is_kw(*names):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, *names):
+        if not self.accept_kw(*names):
+            self.error(f"expected {'/'.join(names)}")
+
+    def accept(self, ttype: T, value: str | None = None) -> bool:
+        t = self.peek()
+        if t.type is ttype and (value is None or t.value == value):
+            self.next()
+            return True
+        return False
+
+    def expect(self, ttype: T, value: str | None = None) -> Token:
+        t = self.peek()
+        if t.type is ttype and (value is None or t.value == value):
+            return self.next()
+        self.error(f"expected {value or ttype.value}")
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.type is T.IDENT:
+            return self.next().value
+        # soft keywords usable as identifiers
+        if t.type is T.KEYWORD and t.value in _SOFT_IDENT:
+            return self.next().value.lower()
+        self.error("expected identifier")
+
+    # -- entry points ------------------------------------------------------
+
+    def parse_statement(self):
+        t = self.peek()
+        if t.type is T.EOF:
+            self.error("empty statement")
+        stmt = self._statement()
+        self.accept(T.SEMI)
+        if self.peek().type is not T.EOF:
+            self.error("unexpected trailing input")
+        return stmt
+
+    def parse_script(self) -> list:
+        out = []
+        while self.peek().type is not T.EOF:
+            out.append(self._statement())
+            while self.accept(T.SEMI):
+                pass
+        return out
+
+    # -- statement dispatch ------------------------------------------------
+
+    def _statement(self):
+        t = self.peek()
+        if t.is_kw("SELECT", "WITH") or t.type is T.LPAREN:
+            return self._select_stmt()
+        if t.is_kw("INSERT"):
+            return self._insert()
+        if t.is_kw("UPDATE"):
+            return self._update()
+        if t.is_kw("DELETE"):
+            return self._delete()
+        if t.is_kw("CREATE"):
+            return self._create()
+        if t.is_kw("DROP"):
+            return self._drop()
+        if t.is_kw("ALTER"):
+            return self._alter()
+        if t.is_kw("TRUNCATE"):
+            self.next()
+            self.accept_kw("TABLE")
+            return A.Truncate(self._table_ref())
+        if t.is_kw("BEGIN", "START"):
+            self.next()
+            self.accept_kw("TRANSACTION", "WORK")
+            return A.TxnStmt("BEGIN")
+        if t.is_kw("COMMIT"):
+            self.next()
+            self.accept_kw("TRANSACTION", "WORK")
+            return A.TxnStmt("COMMIT")
+        if t.is_kw("ROLLBACK"):
+            self.next()
+            self.accept_kw("TRANSACTION", "WORK")
+            if self.accept_kw("TO"):
+                self.accept_kw("SAVEPOINT")
+                return A.TxnStmt("ROLLBACK_TO", self.ident())
+            return A.TxnStmt("ROLLBACK")
+        if t.is_kw("SAVEPOINT"):
+            self.next()
+            return A.TxnStmt("SAVEPOINT", self.ident())
+        if t.is_kw("RELEASE"):
+            self.next()
+            self.accept_kw("SAVEPOINT")
+            return A.TxnStmt("RELEASE", self.ident())
+        if t.is_kw("EXPLAIN"):
+            self.next()
+            analyze = self.accept_kw("ANALYZE")
+            self.accept_kw("VERBOSE")
+            return A.Explain(self._statement(), analyze)
+        if t.is_kw("PRAGMA"):
+            self.next()
+            name = self.ident()
+            value = None
+            if self.accept(T.OP, "="):
+                value = self._pragma_value()
+            elif self.accept(T.LPAREN):
+                value = self._pragma_value()
+                self.expect(T.RPAREN)
+            return A.Pragma(name, value)
+        if t.is_kw("VACUUM"):
+            self.next()
+            name = None
+            if self.peek().type is T.IDENT:
+                name = self.ident()
+            return A.Vacuum(name)
+        self.error("unknown statement")
+
+    def _pragma_value(self):
+        t = self.peek()
+        if t.type is T.NUMBER:
+            self.next()
+            return _num(t.value)
+        if t.type is T.STRING:
+            self.next()
+            return t.value
+        if t.is_kw("TRUE"):
+            self.next()
+            return True
+        if t.is_kw("FALSE"):
+            self.next()
+            return False
+        if t.is_kw("ON"):
+            self.next()
+            return True
+        return self.ident()
+
+    # -- SELECT ------------------------------------------------------------
+
+    def _select_stmt(self) -> A.Select:
+        ctes = []
+        if self.accept_kw("WITH"):
+            self.accept_kw("RECURSIVE")
+            while True:
+                name = self.ident()
+                cols = None
+                if self.accept(T.LPAREN):
+                    cols = [self.ident()]
+                    while self.accept(T.COMMA):
+                        cols.append(self.ident())
+                    self.expect(T.RPAREN)
+                self.expect_kw("AS")
+                self.expect(T.LPAREN)
+                q = self._select_stmt()
+                self.expect(T.RPAREN)
+                ctes.append(A.CTE(name, q, cols))
+                if not self.accept(T.COMMA):
+                    break
+        sel = self._select_core()
+        sel.ctes = ctes
+        # set operations
+        while self.peek().is_kw("UNION", "INTERSECT", "EXCEPT"):
+            op = self.next().value
+            all_ = self.accept_kw("ALL")
+            self.accept_kw("DISTINCT")
+            rhs = self._select_core_or_paren()
+            sel = self._wrap_setop(sel, op, all_, rhs)
+        # trailing ORDER BY/LIMIT bind to the set-op result
+        if self.peek().is_kw("ORDER"):
+            sel.order_by = self._order_by()
+        if self.accept_kw("LIMIT"):
+            if not self.accept_kw("ALL"):
+                sel.limit = self._expr()
+            if self.accept(T.COMMA):  # LIMIT off, n (MySQL-style)
+                sel.offset = sel.limit
+                sel.limit = self._expr()
+        if self.accept_kw("OFFSET"):
+            sel.offset = self._expr()
+        if self.accept_kw("FOR"):
+            self.expect_kw("UPDATE")
+            sel.for_update = True
+        return sel
+
+    def _wrap_setop(self, lhs, op, all_, rhs):
+        # chain onto lhs: (lhs op rhs); nesting left-assoc
+        if lhs.set_op is None and not lhs.order_by and lhs.limit is None:
+            lhs.set_op = (op, all_, rhs)
+            return lhs
+        outer = A.Select(items=[A.SelectItem(A.Star())], from_=A.SubqueryRef(lhs, "_s"))
+        outer.set_op = (op, all_, rhs)
+        return outer
+
+    def _select_core_or_paren(self) -> A.Select:
+        if self.accept(T.LPAREN):
+            s = self._select_stmt()
+            self.expect(T.RPAREN)
+            return s
+        # a set-op arm must not swallow the trailing ORDER BY/LIMIT, which
+        # bind to the whole set-op result (PostgreSQL semantics)
+        return self._select_core(no_tail=True)
+
+    def _select_core(self, no_tail: bool = False) -> A.Select:
+        if self.accept(T.LPAREN):
+            s = self._select_stmt()
+            self.expect(T.RPAREN)
+            return s
+        self.expect_kw("SELECT")
+        sel = A.Select()
+        if self.accept_kw("DISTINCT"):
+            sel.distinct = True
+        else:
+            self.accept_kw("ALL")
+        sel.items = [self._select_item()]
+        while self.accept(T.COMMA):
+            sel.items.append(self._select_item())
+        if self.accept_kw("FROM"):
+            sel.from_ = self._table_expr()
+        if self.accept_kw("WHERE"):
+            sel.where = self._expr()
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            sel.group_by = [self._expr()]
+            while self.accept(T.COMMA):
+                sel.group_by.append(self._expr())
+        if self.accept_kw("HAVING"):
+            sel.having = self._expr()
+        if no_tail:
+            return sel
+        if self.peek().is_kw("ORDER"):
+            sel.order_by = self._order_by()
+        if self.accept_kw("LIMIT"):
+            if not self.accept_kw("ALL"):
+                sel.limit = self._expr()
+            if self.accept(T.COMMA):
+                sel.offset = sel.limit
+                sel.limit = self._expr()
+        if self.accept_kw("OFFSET"):
+            sel.offset = self._expr()
+        return sel
+
+    def _order_by(self):
+        self.expect_kw("ORDER")
+        self.expect_kw("BY")
+        items = [self._order_item()]
+        while self.accept(T.COMMA):
+            items.append(self._order_item())
+        return items
+
+    def _order_item(self) -> A.OrderItem:
+        e = self._expr()
+        desc = False
+        if self.accept_kw("DESC"):
+            desc = True
+        else:
+            self.accept_kw("ASC")
+        nulls_last = None
+        if self.accept_kw("NULLS"):
+            if self.accept_kw("LAST"):
+                nulls_last = True
+            else:
+                self.expect_kw("FIRST")
+                nulls_last = False
+        return A.OrderItem(e, desc, nulls_last)
+
+    def _select_item(self) -> A.SelectItem:
+        t = self.peek()
+        if t.type is T.OP and t.value == "*":
+            self.next()
+            return A.SelectItem(A.Star())
+        # table.*
+        if (
+            t.type in (T.IDENT,)
+            and self.peek(1).type is T.DOT
+            and self.peek(2).type is T.OP
+            and self.peek(2).value == "*"
+        ):
+            self.next(); self.next(); self.next()
+            return A.SelectItem(A.Star(table=t.value))
+        e = self._expr()
+        alias = None
+        if self.accept_kw("AS"):
+            alias = self.ident()
+        elif self.peek().type is T.IDENT:
+            alias = self.ident()
+        return A.SelectItem(e, alias)
+
+    # -- FROM / joins ------------------------------------------------------
+
+    def _table_expr(self):
+        left = self._table_factor()
+        while True:
+            t = self.peek()
+            natural = False
+            if t.is_kw("NATURAL"):
+                natural = True
+                self.next()
+                t = self.peek()
+            if t.is_kw("JOIN", "INNER"):
+                self.accept_kw("INNER")
+                self.expect_kw("JOIN")
+                kind = "INNER"
+            elif t.is_kw("LEFT"):
+                self.next()
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+                kind = "LEFT"
+            elif t.is_kw("RIGHT"):
+                self.next()
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+                kind = "RIGHT"
+            elif t.is_kw("FULL"):
+                self.next()
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+                kind = "FULL"
+            elif t.is_kw("CROSS"):
+                self.next()
+                self.expect_kw("JOIN")
+                kind = "CROSS"
+            elif t.type is T.COMMA:
+                self.next()
+                right = self._table_factor()
+                left = A.Join(left, right, "CROSS")
+                continue
+            else:
+                return left
+            right = self._table_factor()
+            on = None
+            using = None
+            if not natural and kind != "CROSS":
+                if self.accept_kw("ON"):
+                    on = self._expr()
+                elif self.accept_kw("USING"):
+                    self.expect(T.LPAREN)
+                    using = [self.ident()]
+                    while self.accept(T.COMMA):
+                        using.append(self.ident())
+                    self.expect(T.RPAREN)
+            left = A.Join(left, right, kind, on, using)
+
+    def _table_factor(self):
+        if self.accept(T.LPAREN):
+            if self.peek().is_kw("SELECT", "WITH"):
+                sub = self._select_stmt()
+                self.expect(T.RPAREN)
+                self.accept_kw("AS")
+                alias = self.ident()
+                return A.SubqueryRef(sub, alias)
+            inner = self._table_expr()
+            self.expect(T.RPAREN)
+            return inner
+        return self._table_ref(allow_alias=True)
+
+    def _table_ref(self, allow_alias: bool = False) -> A.TableRef:
+        name = self.ident()
+        schema = None
+        if self.accept(T.DOT):
+            schema, name = name, self.ident()
+        alias = None
+        if allow_alias:
+            if self.accept_kw("AS"):
+                alias = self.ident()
+            elif self.peek().type is T.IDENT:
+                alias = self.ident()
+        return A.TableRef(name, schema, alias)
+
+    # -- INSERT / UPDATE / DELETE -----------------------------------------
+
+    def _insert(self) -> A.Insert:
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        table = self._table_ref()
+        cols = None
+        if self.peek().type is T.LPAREN:
+            self.next()
+            cols = [self.ident()]
+            while self.accept(T.COMMA):
+                cols.append(self.ident())
+            self.expect(T.RPAREN)
+        values = None
+        query = None
+        if self.accept_kw("VALUES"):
+            values = [self._value_row()]
+            while self.accept(T.COMMA):
+                values.append(self._value_row())
+        elif self.peek().is_kw("SELECT", "WITH"):
+            query = self._select_stmt()
+        else:
+            self.error("expected VALUES or SELECT")
+        on_conflict = None
+        if self.accept_kw("ON"):
+            self.expect_kw("CONFLICT")
+            conflict_cols = None
+            if self.accept(T.LPAREN):
+                conflict_cols = [self.ident()]
+                while self.accept(T.COMMA):
+                    conflict_cols.append(self.ident())
+                self.expect(T.RPAREN)
+            self.expect_kw("DO")
+            if self.accept_kw("NOTHING"):
+                on_conflict = (conflict_cols, "NOTHING")
+            else:
+                self.expect_kw("UPDATE")
+                self.expect_kw("SET")
+                sets = [self._assignment()]
+                while self.accept(T.COMMA):
+                    sets.append(self._assignment())
+                on_conflict = (conflict_cols, sets)
+        returning = self._returning()
+        return A.Insert(table, cols, values, query, on_conflict, returning)
+
+    def _value_row(self):
+        self.expect(T.LPAREN)
+        row = [self._expr()]
+        while self.accept(T.COMMA):
+            row.append(self._expr())
+        self.expect(T.RPAREN)
+        return row
+
+    def _assignment(self):
+        col = self.ident()
+        self.expect(T.OP, "=")
+        return (col, self._expr())
+
+    def _returning(self):
+        if not self.accept_kw("RETURNING"):
+            return None
+        items = [self._select_item()]
+        while self.accept(T.COMMA):
+            items.append(self._select_item())
+        return items
+
+    def _update(self) -> A.Update:
+        self.expect_kw("UPDATE")
+        table = self._table_ref(allow_alias=True)
+        self.expect_kw("SET")
+        sets = [self._assignment()]
+        while self.accept(T.COMMA):
+            sets.append(self._assignment())
+        from_ = None
+        if self.accept_kw("FROM"):
+            from_ = self._table_expr()
+        where = self._expr() if self.accept_kw("WHERE") else None
+        returning = self._returning()
+        return A.Update(table, sets, from_, where, returning)
+
+    def _delete(self) -> A.Delete:
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        table = self._table_ref(allow_alias=True)
+        where = self._expr() if self.accept_kw("WHERE") else None
+        returning = self._returning()
+        return A.Delete(table, where, returning)
+
+    # -- DDL ---------------------------------------------------------------
+
+    def _create(self):
+        self.expect_kw("CREATE")
+        if self.accept_kw("SCHEMA"):
+            ine = self._if_not_exists()
+            return A.CreateSchema(self.ident(), ine)
+        unique = self.accept_kw("UNIQUE")
+        if self.accept_kw("INDEX"):
+            ine = self._if_not_exists()
+            name = self.ident()
+            self.expect_kw("ON")
+            table = self._table_ref()
+            using = None
+            if self.accept_kw("USING"):
+                using = self.ident().upper()
+            self.expect(T.LPAREN)
+            cols = [self._index_col()]
+            while self.accept(T.COMMA):
+                cols.append(self._index_col())
+            self.expect(T.RPAREN)
+            if using is None and self.accept_kw("USING"):
+                using = self.ident().upper()
+            options = {}
+            if self.accept_kw("WITH"):
+                self.expect(T.LPAREN)
+                while True:
+                    k = self.ident()
+                    self.expect(T.OP, "=")
+                    v = self._pragma_value()
+                    options[k] = v
+                    if not self.accept(T.COMMA):
+                        break
+                self.expect(T.RPAREN)
+            return A.CreateIndex(name, table, cols, unique, using, options, ine)
+        if unique:
+            self.error("expected INDEX after UNIQUE")
+        self.expect_kw("TABLE")
+        ine = self._if_not_exists()
+        table = self._table_ref()
+        self.expect(T.LPAREN)
+        columns, constraints = [], []
+        while True:
+            if self.peek().is_kw("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT"):
+                constraints.append(self._table_constraint())
+            else:
+                columns.append(self._column_spec())
+            if not self.accept(T.COMMA):
+                break
+        self.expect(T.RPAREN)
+        return A.CreateTable(table, columns, constraints, ine)
+
+    def _if_not_exists(self) -> bool:
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            return True
+        return False
+
+    def _index_col(self):
+        e = self._expr()
+        desc = bool(self.accept_kw("DESC"))
+        if not desc:
+            self.accept_kw("ASC")
+        return (e, desc)
+
+    def _type_name(self):
+        t = self.peek()
+        if t.type is T.KEYWORD and t.value in (
+            "DATE", "TIME", "TIMESTAMP", "INTERVAL", "VECTOR",
+        ):
+            self.next()
+            name = t.value
+        else:
+            name = self.ident().upper()
+        if name == "DOUBLE" and self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "PRECISION":
+            self.next()
+        if name == "CHARACTER" and self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "VARYING":
+            self.next()
+            name = "VARCHAR"
+        params = []
+        if self.accept(T.LPAREN):
+            while True:
+                params.append(_num(self.expect(T.NUMBER).value))
+                if not self.accept(T.COMMA):
+                    break
+            self.expect(T.RPAREN)
+        # TEXT[] style arrays
+        if self.accept(T.LBRACKET):
+            self.expect(T.RBRACKET)
+            params = [name] + params
+            name = "ARRAY"
+        return name, params
+
+    def _column_spec(self) -> A.ColumnSpec:
+        name = self.ident()
+        type_name, params = self._type_name()
+        spec = A.ColumnSpec(name, type_name, params)
+        while True:
+            if self.accept_kw("NOT"):
+                self.expect_kw("NULL")
+                spec.not_null = True
+            elif self.accept_kw("NULL"):
+                pass
+            elif self.accept_kw("PRIMARY"):
+                self.expect_kw("KEY")
+                spec.primary_key = True
+                spec.not_null = True
+            elif self.accept_kw("UNIQUE"):
+                spec.unique = True
+            elif self.accept_kw("DEFAULT"):
+                spec.default = self._expr(_BP["OR"] + 1)
+            elif self.accept_kw("CHECK"):
+                self.expect(T.LPAREN)
+                spec.check = self._expr()
+                self.expect(T.RPAREN)
+            elif self.accept_kw("REFERENCES"):
+                rt = self.ident()
+                rc = None
+                if self.accept(T.LPAREN):
+                    rc = self.ident()
+                    self.expect(T.RPAREN)
+                od, ou = self._fk_actions()
+                spec.references = (rt, rc, od, ou)
+            elif self.accept_kw("COLLATE"):
+                self.ident()
+            else:
+                break
+        return spec
+
+    def _fk_actions(self):
+        on_delete = on_update = None
+        while self.accept_kw("ON"):
+            which = self.next().value  # DELETE or UPDATE keyword token
+            action = self._fk_action()
+            if which == "DELETE":
+                on_delete = action
+            else:
+                on_update = action
+        return on_delete, on_update
+
+    def _fk_action(self) -> str:
+        if self.accept_kw("CASCADE"):
+            return "CASCADE"
+        if self.accept_kw("RESTRICT"):
+            return "RESTRICT"
+        if self.accept_kw("SET"):
+            if self.accept_kw("NULL"):
+                return "SET NULL"
+            self.expect_kw("DEFAULT")
+            return "SET DEFAULT"
+        if self.peek().type is T.IDENT and self.peek().value.upper() == "NO":
+            self.next()
+            self.expect_kw("ACTION")
+            return "NO ACTION"
+        self.error("expected FK action")
+
+    def _table_constraint(self) -> A.TableConstraint:
+        name = None
+        if self.accept_kw("CONSTRAINT"):
+            name = self.ident()
+        if self.accept_kw("PRIMARY"):
+            self.expect_kw("KEY")
+            cols = self._paren_idents()
+            return A.TableConstraint("PRIMARY KEY", cols, name=name)
+        if self.accept_kw("UNIQUE"):
+            cols = self._paren_idents()
+            return A.TableConstraint("UNIQUE", cols, name=name)
+        if self.accept_kw("CHECK"):
+            self.expect(T.LPAREN)
+            e = self._expr()
+            self.expect(T.RPAREN)
+            return A.TableConstraint("CHECK", expr=e, name=name)
+        if self.accept_kw("FOREIGN"):
+            self.expect_kw("KEY")
+            cols = self._paren_idents()
+            self.expect_kw("REFERENCES")
+            rt = self.ident()
+            rcols = self._paren_idents() if self.peek().type is T.LPAREN else []
+            od, ou = self._fk_actions()
+            return A.TableConstraint(
+                "FOREIGN KEY", cols, ref_table=rt, ref_columns=rcols,
+                on_delete=od, on_update=ou, name=name,
+            )
+        self.error("expected table constraint")
+
+    def _paren_idents(self) -> list:
+        self.expect(T.LPAREN)
+        out = [self.ident()]
+        while self.accept(T.COMMA):
+            out.append(self.ident())
+        self.expect(T.RPAREN)
+        return out
+
+    def _drop(self) -> A.Drop:
+        self.expect_kw("DROP")
+        if self.accept_kw("TABLE"):
+            kind = "TABLE"
+        elif self.accept_kw("INDEX"):
+            kind = "INDEX"
+        elif self.accept_kw("SCHEMA"):
+            kind = "SCHEMA"
+        else:
+            self.error("expected TABLE/INDEX/SCHEMA")
+        if_exists = False
+        if self.accept_kw("IF"):
+            self.expect_kw("EXISTS")
+            if_exists = True
+        name = self.ident()
+        schema = None
+        if self.accept(T.DOT):
+            schema, name = name, self.ident()
+        self.accept_kw("CASCADE")
+        return A.Drop(kind, name, schema, if_exists)
+
+    def _alter(self) -> A.AlterTable:
+        self.expect_kw("ALTER")
+        self.expect_kw("TABLE")
+        table = self._table_ref()
+        if self.accept_kw("ADD"):
+            self.accept_kw("COLUMN")
+            return A.AlterTable(table, "ADD_COLUMN", column=self._column_spec())
+        if self.accept_kw("DROP"):
+            self.accept_kw("COLUMN")
+            return A.AlterTable(table, "DROP_COLUMN", name=self.ident())
+        if self.accept_kw("RENAME"):
+            if self.accept_kw("TO"):
+                return A.AlterTable(table, "RENAME_TABLE", new_name=self.ident())
+            self.expect_kw("COLUMN")
+            old = self.ident()
+            self.expect_kw("TO")
+            return A.AlterTable(
+                table, "RENAME_COLUMN", name=old, new_name=self.ident()
+            )
+        self.error("expected ADD/DROP/RENAME")
+
+    # -- expressions (Pratt) ----------------------------------------------
+
+    def _expr(self, min_bp: int = 0) -> A.Expr:
+        lhs = self._prefix()
+        while True:
+            t = self.peek()
+            # postfix/special operators
+            if t.is_kw("IS"):
+                if _BP["="] < min_bp:
+                    break
+                self.next()
+                neg = self.accept_kw("NOT")
+                if self.accept_kw("NULL"):
+                    lhs = A.IsNull(lhs, neg)
+                elif self.accept_kw("TRUE"):
+                    cmp = A.BinaryOp("=", lhs, A.Literal(True))
+                    lhs = A.UnaryOp("NOT", cmp) if neg else cmp
+                elif self.accept_kw("FALSE"):
+                    cmp = A.BinaryOp("=", lhs, A.Literal(False))
+                    lhs = A.UnaryOp("NOT", cmp) if neg else cmp
+                else:
+                    self.error("expected NULL/TRUE/FALSE after IS")
+                continue
+            negated = False
+            if t.is_kw("NOT") and self.peek(1).is_kw("LIKE", "ILIKE", "IN", "BETWEEN"):
+                if _BP["="] < min_bp:
+                    break
+                self.next()
+                negated = True
+                t = self.peek()
+            if t.is_kw("LIKE", "ILIKE"):
+                if _BP["="] < min_bp:
+                    break
+                ci = t.value == "ILIKE"
+                self.next()
+                pat = self._expr(_BP["="] + 1)
+                if self.accept_kw("ESCAPE"):
+                    self._expr(_BP["="] + 1)
+                lhs = A.Like(lhs, pat, negated, ci)
+                continue
+            if t.is_kw("IN"):
+                if _BP["="] < min_bp:
+                    break
+                self.next()
+                self.expect(T.LPAREN)
+                if self.peek().is_kw("SELECT", "WITH"):
+                    sub = self._select_stmt()
+                    self.expect(T.RPAREN)
+                    lhs = A.InSubquery(lhs, sub, negated)
+                else:
+                    items = [self._expr()]
+                    while self.accept(T.COMMA):
+                        items.append(self._expr())
+                    self.expect(T.RPAREN)
+                    lhs = A.InList(lhs, items, negated)
+                continue
+            if t.is_kw("BETWEEN"):
+                if _BP["="] < min_bp:
+                    break
+                self.next()
+                lo = self._expr(_BP["AND"] + 1)
+                self.expect_kw("AND")
+                hi = self._expr(_BP["AND"] + 1)
+                lhs = A.Between(lhs, lo, hi, negated)
+                continue
+            if t.type is T.OP and t.value == "::":
+                self.next()
+                tn, tp = self._type_name()
+                lhs = A.Cast(lhs, tn, tp)
+                continue
+            if t.type is T.LBRACKET:
+                self.next()
+                idx = self._expr()
+                self.expect(T.RBRACKET)
+                lhs = A.ArrayIndex(lhs, idx)
+                continue
+
+            op = None
+            if t.type is T.OP and t.value in _BP:
+                op = t.value
+            elif t.is_kw("AND", "OR"):
+                op = t.value
+            if op is None:
+                break
+            bp = _BP[op]
+            if bp < min_bp:
+                break
+            self.next()
+            rhs = self._expr(bp + 1)
+            lhs = A.BinaryOp(op, lhs, rhs)
+        return lhs
+
+    def _prefix(self) -> A.Expr:
+        t = self.next()
+        if t.type is T.NUMBER:
+            return A.Literal(_num(t.value))
+        if t.type is T.STRING:
+            return A.Literal(t.value)
+        if t.type is T.PARAM:
+            if t.value == "?":
+                self._param_counter += 1
+                return A.Param(self._param_counter)
+            return A.Param(int(t.value[1:]))
+        if t.is_kw("NULL"):
+            return A.Literal(None)
+        if t.is_kw("TRUE"):
+            return A.Literal(True)
+        if t.is_kw("FALSE"):
+            return A.Literal(False)
+        if t.is_kw("NOT"):
+            return A.UnaryOp("NOT", self._expr(_BP["AND"] + 1))
+        if t.type is T.OP and t.value in ("-", "+"):
+            operand = self._expr(_BP["*"] + 10)
+            if t.value == "-" and isinstance(operand, A.Literal) and isinstance(
+                operand.value, (int, float)
+            ):
+                return A.Literal(-operand.value)
+            return A.UnaryOp(t.value, operand)
+        if t.is_kw("CASE"):
+            return self._case()
+        if t.is_kw("CAST"):
+            self.expect(T.LPAREN)
+            e = self._expr()
+            self.expect_kw("AS")
+            tn, tp = self._type_name()
+            self.expect(T.RPAREN)
+            return A.Cast(e, tn, tp)
+        if t.is_kw("EXISTS"):
+            self.expect(T.LPAREN)
+            sub = self._select_stmt()
+            self.expect(T.RPAREN)
+            return A.Exists(sub)
+        if t.is_kw("ARRAY"):
+            self.expect(T.LBRACKET)
+            items = []
+            if self.peek().type is not T.RBRACKET:
+                items = [self._expr()]
+                while self.accept(T.COMMA):
+                    items.append(self._expr())
+            self.expect(T.RBRACKET)
+            return A.ArrayLiteral(items)
+        if t.is_kw("INTERVAL", "DATE", "TIME", "TIMESTAMP", "VECTOR") and \
+                self.peek().type is T.STRING:
+            return A.TypedLiteral(t.value, self.next().value)
+        if t.type is T.LPAREN:
+            if self.peek().is_kw("SELECT", "WITH"):
+                sub = self._select_stmt()
+                self.expect(T.RPAREN)
+                return A.ScalarSubquery(sub)
+            e = self._expr()
+            self.expect(T.RPAREN)
+            return e
+        if t.type is T.IDENT or (t.type is T.KEYWORD and t.value in _SOFT_IDENT):
+            name = t.value
+            # function call
+            if self.peek().type is T.LPAREN:
+                return self._func_call(name)
+            # qualified column
+            if self.peek().type is T.DOT:
+                self.next()
+                nxt = self.peek()
+                if nxt.type is T.OP and nxt.value == "*":
+                    self.next()
+                    return A.Star(table=name)
+                col = self.ident()
+                return A.ColumnRef(col, table=name)
+            return A.ColumnRef(name)
+        self.pos -= 1
+        self.error("unexpected token in expression")
+
+    def _case(self) -> A.Case:
+        case = A.Case()
+        if not self.peek().is_kw("WHEN"):
+            case.operand = self._expr()
+        whens = []
+        while self.accept_kw("WHEN"):
+            cond = self._expr()
+            self.expect_kw("THEN")
+            whens.append((cond, self._expr()))
+        case.whens = whens
+        if self.accept_kw("ELSE"):
+            case.else_ = self._expr()
+        self.expect_kw("END")
+        return case
+
+    def _func_call(self, name: str) -> A.Expr:
+        self.expect(T.LPAREN)
+        fc = A.FuncCall(name.lower())
+        if self.peek().type is T.OP and self.peek().value == "*":
+            self.next()
+            fc.star = True
+        elif self.peek().type is not T.RPAREN:
+            if self.accept_kw("DISTINCT"):
+                fc.distinct = True
+            fc.args = [self._expr()]
+            while self.accept(T.COMMA):
+                fc.args.append(self._expr())
+        self.expect(T.RPAREN)
+        if self.accept_kw("FILTER"):
+            self.expect(T.LPAREN)
+            self.expect_kw("WHERE")
+            fc.filter = self._expr()
+            self.expect(T.RPAREN)
+        if self.accept_kw("OVER"):
+            self.expect(T.LPAREN)
+            spec = A.WindowSpec()
+            if self.accept_kw("PARTITION"):
+                self.expect_kw("BY")
+                spec.partition_by = [self._expr()]
+                while self.accept(T.COMMA):
+                    spec.partition_by.append(self._expr())
+            if self.peek().is_kw("ORDER"):
+                spec.order_by = self._order_by()
+            self.expect(T.RPAREN)
+            fc.over = spec
+        return fc
+
+
+# keywords that may double as identifiers/function names
+_SOFT_IDENT = {
+    "DATE", "TIME", "TIMESTAMP", "INTERVAL", "VECTOR", "FIRST", "LAST",
+    "KEY", "ACTION", "SCHEMA", "WORK", "FILTER", "ANY", "SOME", "DO",
+}
+
+# DELETE/UPDATE appear inside ON DELETE / ON UPDATE fk actions
+_SOFT_IDENT |= {"DELETE", "UPDATE"}
+
+
+def _num(text: str):
+    if text.lower().startswith("0x"):
+        return int(text, 16)
+    if "." in text or "e" in text.lower():
+        return float(text)
+    return int(text)
+
+
+def parse_sql(sql: str):
+    """Parse a single statement."""
+    return Parser(sql).parse_statement()
+
+
+def parse_script(sql: str) -> list:
+    return Parser(sql).parse_script()
