@@ -1,0 +1,474 @@
+"""End-to-end SQL integration tests (the reference's
+tests/integration_sql.rs + regression_smoke_test.rs category): DDL, DML,
+queries, joins, aggregates, subqueries, transactions, constraints,
+durability — all through the public Database API."""
+
+import numpy as np
+import pytest
+
+from turdb_tpu.database.api import (
+    ConstraintViolation,
+    Database,
+    DatabaseError,
+)
+
+
+@pytest.fixture()
+def db(tmp_path):
+    d = Database.create(str(tmp_path / "db"))
+    yield d
+    d.close()
+
+
+def seed(db):
+    db.execute(
+        "CREATE TABLE users (id BIGINT PRIMARY KEY, name TEXT NOT NULL, "
+        "age INT, city TEXT)"
+    )
+    db.execute(
+        "INSERT INTO users VALUES "
+        "(1, 'alice', 30, 'berlin'), (2, 'bob', 25, 'paris'), "
+        "(3, 'carol', 35, 'berlin'), (4, 'dave', NULL, 'tokyo')"
+    )
+
+
+class TestBasics:
+    def test_create_insert_select(self, db):
+        seed(db)
+        rows = db.query("SELECT name FROM users WHERE age > 26 ORDER BY name")
+        assert rows == [("alice",), ("carol",)]
+
+    def test_select_expressions(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT name, age * 2 + 1 FROM users WHERE city = 'berlin' ORDER BY id"
+        )
+        assert rows == [("alice", 61), ("carol", 71)]
+
+    def test_null_semantics(self, db):
+        seed(db)
+        assert db.query("SELECT name FROM users WHERE age > 0 AND city = 'tokyo'") == []
+        rows = db.query("SELECT name FROM users WHERE age IS NULL")
+        assert rows == [("dave",)]
+        rows = db.query("SELECT COALESCE(age, -1) FROM users WHERE id = 4")
+        assert rows == [(-1,)]
+
+    def test_order_limit_offset(self, db):
+        seed(db)
+        rows = db.query("SELECT id FROM users ORDER BY age DESC NULLS LAST LIMIT 2")
+        assert rows == [(3,), (1,)]
+        rows = db.query("SELECT id FROM users ORDER BY id LIMIT 2 OFFSET 1")
+        assert rows == [(2,), (3,)]
+
+    def test_distinct(self, db):
+        seed(db)
+        rows = db.query("SELECT DISTINCT city FROM users ORDER BY city")
+        assert rows == [("berlin",), ("paris",), ("tokyo",)]
+
+    def test_params(self, db):
+        seed(db)
+        rows = db.query("SELECT name FROM users WHERE age = ?", [25])
+        assert rows == [("bob",)]
+        db.execute("INSERT INTO users VALUES (?, ?, ?, ?)", [9, "zed", 1, "x"])
+        assert db.query("SELECT name FROM users WHERE id = 9") == [("zed",)]
+
+    def test_case_when(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT name, CASE WHEN age >= 30 THEN 'senior' ELSE 'junior' END "
+            "FROM users WHERE age IS NOT NULL ORDER BY id"
+        )
+        assert rows[0] == ("alice", "senior") and rows[1] == ("bob", "junior")
+
+    def test_functions(self, db):
+        rows = db.query("SELECT UPPER('abc'), LENGTH('hello'), ABS(-4), ROUND(2.7)")
+        assert rows == [("ABC", 5, 4, 3.0)]
+        assert db.query("SELECT SUBSTR('hello world', 7)") == [("world",)]
+        assert db.query("SELECT 7 % 3, 7 / 2, 7.0 / 2") == [(1, 3, 3.5)]
+
+    def test_like(self, db):
+        seed(db)
+        rows = db.query("SELECT name FROM users WHERE name LIKE '%a%' ORDER BY name")
+        assert rows == [("alice",), ("carol",), ("dave",)]
+        rows = db.query("SELECT name FROM users WHERE name ILIKE 'ALICE'")
+        assert rows == [("alice",)]
+
+
+class TestAggregates:
+    def test_group_by(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT city, COUNT(*), AVG(age) FROM users GROUP BY city ORDER BY city"
+        )
+        assert rows[0] == ("berlin", 2, 32.5)
+        assert rows[1] == ("paris", 1, 25.0)
+        assert rows[2][0] == "tokyo" and rows[2][1] == 1 and rows[2][2] is None
+
+    def test_having(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT city FROM users GROUP BY city HAVING COUNT(*) > 1"
+        )
+        assert rows == [("berlin",)]
+
+    def test_global_aggregates(self, db):
+        seed(db)
+        rows = db.query("SELECT COUNT(*), MIN(age), MAX(age), SUM(age) FROM users")
+        assert rows == [(4, 25, 35, 90)]
+
+    def test_count_distinct(self, db):
+        seed(db)
+        assert db.query("SELECT COUNT(DISTINCT city) FROM users") == [(3,)]
+
+    def test_string_agg(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT string_agg(name, '|') FROM users WHERE city = 'berlin'"
+        )
+        assert rows == [("alice|carol",)]
+
+
+class TestJoins:
+    def setup_join(self, db):
+        seed(db)
+        db.execute("CREATE TABLE orders (oid INT PRIMARY KEY, uid BIGINT, amt DOUBLE)")
+        db.execute(
+            "INSERT INTO orders VALUES (1, 1, 10.0), (2, 1, 20.0), (3, 2, 5.0), "
+            "(4, 99, 1.0)"
+        )
+
+    def test_inner_join(self, db):
+        self.setup_join(db)
+        rows = db.query(
+            "SELECT u.name, o.amt FROM users u JOIN orders o ON u.id = o.uid "
+            "ORDER BY o.oid"
+        )
+        assert rows == [("alice", 10.0), ("alice", 20.0), ("bob", 5.0)]
+
+    def test_left_join(self, db):
+        self.setup_join(db)
+        rows = db.query(
+            "SELECT u.name, o.oid FROM users u LEFT JOIN orders o ON u.id = o.uid "
+            "WHERE o.oid IS NULL ORDER BY u.id"
+        )
+        assert rows == [("carol", None), ("dave", None)]
+
+    def test_agg_join(self, db):
+        self.setup_join(db)
+        rows = db.query(
+            "SELECT u.name, SUM(o.amt) AS total FROM users u "
+            "JOIN orders o ON u.id = o.uid GROUP BY u.name ORDER BY total DESC"
+        )
+        assert rows == [("alice", 30.0), ("bob", 5.0)]
+
+    def test_cross_join(self, db):
+        self.setup_join(db)
+        assert db.query("SELECT COUNT(*) FROM users, orders") == [(16,)]
+
+
+class TestSubqueries:
+    def test_in_subquery(self, db):
+        seed(db)
+        db.execute("CREATE TABLE vip (uid BIGINT)")
+        db.execute("INSERT INTO vip VALUES (1), (3)")
+        rows = db.query(
+            "SELECT name FROM users WHERE id IN (SELECT uid FROM vip) ORDER BY id"
+        )
+        assert rows == [("alice",), ("carol",)]
+
+    def test_scalar_subquery(self, db):
+        seed(db)
+        rows = db.query("SELECT (SELECT MAX(age) FROM users)")
+        assert rows == [(35,)]
+
+    def test_exists_correlated(self, db):
+        seed(db)
+        db.execute("CREATE TABLE pets (owner BIGINT, pname TEXT)")
+        db.execute("INSERT INTO pets VALUES (1, 'rex'), (3, 'tom')")
+        rows = db.query(
+            "SELECT name FROM users u WHERE EXISTS "
+            "(SELECT 1 FROM pets p WHERE p.owner = u.id) ORDER BY name"
+        )
+        assert rows == [("alice",), ("carol",)]
+
+    def test_from_subquery(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT t.c FROM (SELECT city AS c, COUNT(*) AS n FROM users "
+            "GROUP BY city) AS t WHERE t.n > 1"
+        )
+        assert rows == [("berlin",)]
+
+    def test_cte(self, db):
+        seed(db)
+        rows = db.query(
+            "WITH b AS (SELECT * FROM users WHERE city = 'berlin') "
+            "SELECT COUNT(*) FROM b"
+        )
+        assert rows == [(2,)]
+
+    def test_union(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT name FROM users WHERE id = 1 UNION ALL "
+            "SELECT name FROM users WHERE id = 2 ORDER BY name"
+        )
+        assert rows == [("alice",), ("bob",)]
+        rows = db.query(
+            "SELECT city FROM users UNION SELECT city FROM users ORDER BY city"
+        )
+        assert len(rows) == 3
+
+
+class TestDml:
+    def test_update(self, db):
+        seed(db)
+        res = db.execute("UPDATE users SET age = age + 1 WHERE city = 'berlin'")
+        assert res.rows_affected == 2
+        assert db.query("SELECT age FROM users WHERE id = 1") == [(31,)]
+
+    def test_update_returning(self, db):
+        seed(db)
+        res = db.execute(
+            "UPDATE users SET age = 99 WHERE id = 2 RETURNING name, age"
+        )
+        assert res.rows == [("bob", 99)]
+
+    def test_delete(self, db):
+        seed(db)
+        res = db.execute("DELETE FROM users WHERE age < 30")
+        assert res.rows_affected == 1
+        assert db.query("SELECT COUNT(*) FROM users") == [(3,)]
+
+    def test_insert_returning(self, db):
+        seed(db)
+        res = db.execute(
+            "INSERT INTO users VALUES (5, 'eve', 20, 'rome') RETURNING id, name"
+        )
+        assert res.rows == [(5, "eve")]
+
+    def test_insert_select(self, db):
+        seed(db)
+        db.execute("CREATE TABLE old_users (id BIGINT, name TEXT)")
+        db.execute(
+            "INSERT INTO old_users SELECT id, name FROM users WHERE age >= 30"
+        )
+        assert db.query("SELECT COUNT(*) FROM old_users") == [(2,)]
+
+    def test_on_conflict_nothing(self, db):
+        seed(db)
+        res = db.execute(
+            "INSERT INTO users VALUES (1, 'dup', 1, 'x') ON CONFLICT (id) DO NOTHING"
+        )
+        assert res.rows_affected == 0
+        assert db.query("SELECT name FROM users WHERE id = 1") == [("alice",)]
+
+    def test_on_conflict_update(self, db):
+        seed(db)
+        db.execute(
+            "INSERT INTO users VALUES (1, 'alice2', 31, 'berlin') "
+            "ON CONFLICT (id) DO UPDATE SET name = excluded.name, age = excluded.age"
+        )
+        assert db.query("SELECT name, age FROM users WHERE id = 1") == [
+            ("alice2", 31)
+        ]
+
+    def test_truncate(self, db):
+        seed(db)
+        db.execute("TRUNCATE TABLE users")
+        assert db.query("SELECT COUNT(*) FROM users") == [(0,)]
+
+    def test_serial(self, db):
+        db.execute("CREATE TABLE logs (id SERIAL PRIMARY KEY, msg TEXT)")
+        db.execute("INSERT INTO logs (msg) VALUES ('a'), ('b')")
+        assert db.query("SELECT id, msg FROM logs ORDER BY id") == [
+            (1, "a"), (2, "b"),
+        ]
+
+
+class TestConstraints:
+    def test_not_null(self, db):
+        seed(db)
+        with pytest.raises(ConstraintViolation):
+            db.execute("INSERT INTO users (id, name) VALUES (10, NULL)")
+
+    def test_pk_unique(self, db):
+        seed(db)
+        with pytest.raises(ConstraintViolation):
+            db.execute("INSERT INTO users VALUES (1, 'dup', 1, 'x')")
+
+    def test_check(self, db):
+        db.execute("CREATE TABLE c (x INT CHECK (x > 0))")
+        db.execute("INSERT INTO c VALUES (5)")
+        with pytest.raises(ConstraintViolation):
+            db.execute("INSERT INTO c VALUES (-1)")
+
+    def test_default(self, db):
+        db.execute("CREATE TABLE d (id INT, status TEXT DEFAULT 'new')")
+        db.execute("INSERT INTO d (id) VALUES (1)")
+        assert db.query("SELECT status FROM d") == [("new",)]
+
+    def test_fk_insert(self, db):
+        seed(db)
+        db.execute(
+            "CREATE TABLE posts (pid INT PRIMARY KEY, author BIGINT "
+            "REFERENCES users(id))"
+        )
+        db.execute("INSERT INTO posts VALUES (1, 1)")
+        with pytest.raises(ConstraintViolation):
+            db.execute("INSERT INTO posts VALUES (2, 777)")
+
+    def test_fk_delete_restrict(self, db):
+        seed(db)
+        db.execute(
+            "CREATE TABLE posts (pid INT PRIMARY KEY, author BIGINT "
+            "REFERENCES users(id))"
+        )
+        db.execute("INSERT INTO posts VALUES (1, 1)")
+        with pytest.raises(ConstraintViolation):
+            db.execute("DELETE FROM users WHERE id = 1")
+
+    def test_fk_delete_cascade(self, db):
+        seed(db)
+        db.execute(
+            "CREATE TABLE posts (pid INT PRIMARY KEY, author BIGINT "
+            "REFERENCES users(id) ON DELETE CASCADE)"
+        )
+        db.execute("INSERT INTO posts VALUES (1, 1), (2, 1), (3, 2)")
+        db.execute("DELETE FROM users WHERE id = 1")
+        assert db.query("SELECT COUNT(*) FROM posts") == [(1,)]
+
+    def test_unique_constraint(self, db):
+        db.execute("CREATE TABLE u (a INT, b INT, UNIQUE (a, b))")
+        db.execute("INSERT INTO u VALUES (1, 2)")
+        db.execute("INSERT INTO u VALUES (1, 3)")
+        with pytest.raises(ConstraintViolation):
+            db.execute("INSERT INTO u VALUES (1, 2)")
+
+
+class TestTransactions:
+    def test_commit(self, db):
+        seed(db)
+        db.execute("BEGIN")
+        db.execute("INSERT INTO users VALUES (10, 'x', 1, 'y')")
+        db.execute("COMMIT")
+        assert db.query("SELECT COUNT(*) FROM users") == [(5,)]
+
+    def test_rollback(self, db):
+        seed(db)
+        db.execute("BEGIN")
+        db.execute("INSERT INTO users VALUES (10, 'x', 1, 'y')")
+        db.execute("ROLLBACK")
+        assert db.query("SELECT COUNT(*) FROM users") == [(4,)]
+
+    def test_txn_sees_own_writes(self, db):
+        seed(db)
+        db.execute("BEGIN")
+        db.execute("UPDATE users SET age = 100 WHERE id = 1")
+        assert db.query("SELECT age FROM users WHERE id = 1") == [(100,)]
+        db.execute("ROLLBACK")
+        assert db.query("SELECT age FROM users WHERE id = 1") == [(30,)]
+
+    def test_savepoint(self, db):
+        seed(db)
+        db.execute("BEGIN")
+        db.execute("INSERT INTO users VALUES (20, 'sp1', 1, 'a')")
+        db.execute("SAVEPOINT s1")
+        db.execute("INSERT INTO users VALUES (21, 'sp2', 1, 'a')")
+        db.execute("ROLLBACK TO SAVEPOINT s1")
+        db.execute("COMMIT")
+        names = {r[0] for r in db.query("SELECT name FROM users")}
+        assert "sp1" in names and "sp2" not in names
+
+
+class TestDurability:
+    def test_reopen_after_close(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = Database.create(p)
+        seed(db)
+        db.close()
+        db2 = Database.open(p)
+        assert db2.query("SELECT COUNT(*) FROM users") == [(4,)]
+        assert db2.query("SELECT name FROM users WHERE id = 3") == [("carol",)]
+        db2.close()
+
+    def test_crash_recovery_wal_replay(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = Database.create(p)
+        seed(db)
+        db.wal.flush()
+        # simulate crash: no checkpoint/close
+        db2 = Database.open(p)
+        assert db2.query("SELECT COUNT(*) FROM users") == [(4,)]
+        db2.execute("INSERT INTO users VALUES (5, 'eve', 1, 'x')")
+        db2.close()
+        db3 = Database.open(p)
+        assert db3.query("SELECT COUNT(*) FROM users") == [(5,)]
+        db3.close()
+
+    def test_uncommitted_not_replayed(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = Database.create(p)
+        seed(db)
+        db.execute("BEGIN")
+        db.execute("INSERT INTO users VALUES (99, 'ghost', 1, 'x')")
+        db.wal.flush()  # crash before COMMIT
+        db2 = Database.open(p)
+        assert db2.query("SELECT COUNT(*) FROM users") == [(4,)]
+        db2.close()
+
+    def test_ddl_replay(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = Database.create(p)
+        db.execute("CREATE TABLE t (a INT)")
+        db.execute("INSERT INTO t VALUES (1), (2)")
+        db.wal.flush()
+        db2 = Database.open(p)
+        assert db2.query("SELECT COUNT(*) FROM t") == [(2,)]
+        db2.close()
+
+
+class TestMeta:
+    def test_system_tables(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT name FROM turdb_catalog.tables WHERE schema = 'main'"
+        )
+        assert ("users",) in rows
+        rows = db.query(
+            "SELECT name FROM turdb_catalog.columns WHERE \"table\" = 'users' "
+            "ORDER BY position"
+        )
+        assert rows[0] == ("id",)
+
+    def test_pragmas(self, db):
+        assert db.execute("PRAGMA wal").rows == [(True,)]
+        db.execute("PRAGMA wal_autoflush = false")
+        assert db.wal_autoflush is False
+        assert db.execute("PRAGMA database_mode").rows == [("ReadWrite",)]
+
+    def test_explain(self, db):
+        seed(db)
+        cols, rows = db.query_with_columns(
+            "EXPLAIN SELECT name FROM users WHERE age > 1 ORDER BY name LIMIT 2"
+        )
+        text = "\n".join(r[0] for r in rows)
+        assert "SeqScan" in text and "Limit" in text and "Sort" in text
+
+    def test_alter_table(self, db):
+        seed(db)
+        db.execute("ALTER TABLE users ADD COLUMN score DOUBLE DEFAULT 1.5")
+        assert db.query("SELECT score FROM users WHERE id = 1") == [(1.5,)]
+        db.execute("ALTER TABLE users RENAME COLUMN score TO pts")
+        assert db.query("SELECT pts FROM users WHERE id = 1") == [(1.5,)]
+        db.execute("ALTER TABLE users DROP COLUMN pts")
+        with pytest.raises(Exception):
+            db.query("SELECT pts FROM users")
+
+    def test_window_function(self, db):
+        seed(db)
+        rows = db.query(
+            "SELECT name, ROW_NUMBER() OVER (PARTITION BY city ORDER BY id) "
+            "FROM users ORDER BY id"
+        )
+        assert rows == [("alice", 1), ("bob", 1), ("carol", 2), ("dave", 1)]

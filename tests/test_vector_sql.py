@@ -1,0 +1,183 @@
+"""Vector search through SQL: the reference's hnsw_integration.rs SQL
+tests (:164-277) + the ANN fast path the reference designed but never
+wired (SURVEY.md §2.3) — with recall checked against the exact brute
+force path."""
+
+import numpy as np
+import pytest
+
+from turdb_tpu.database.api import Database
+
+RNG = np.random.default_rng(77)
+
+
+def vec_lit(v):
+    return "'[" + ",".join(f"{x:.6f}" for x in v) + "]'"
+
+
+@pytest.fixture()
+def db(tmp_path):
+    d = Database.create(str(tmp_path / "db"))
+    yield d
+    d.close()
+
+
+def seed_vectors(db, n=500, dim=16):
+    db.execute(f"CREATE TABLE items (id BIGINT PRIMARY KEY, emb VECTOR({dim}), tag TEXT)")
+    vecs = RNG.standard_normal((n, dim)).astype(np.float32)
+    for i in range(n):
+        tag = "even" if i % 2 == 0 else "odd"
+        db.execute(
+            f"INSERT INTO items VALUES ({i}, {vec_lit(vecs[i])}, '{tag}')"
+        )
+    return vecs
+
+
+class TestBruteForce:
+    def test_knn_order_by(self, db):
+        vecs = seed_vectors(db, n=200)
+        q = vecs[7]
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 5"
+        )
+        assert rows[0] == (7,)
+        # verify against numpy
+        d = ((vecs - q) ** 2).sum(1)
+        expect = list(np.argsort(d)[:5])
+        assert [r[0] for r in rows] == expect
+
+    def test_distance_in_select(self, db):
+        vecs = seed_vectors(db, n=50)
+        rows = db.query(
+            f"SELECT id, emb <-> {vec_lit(vecs[3])} AS d FROM items "
+            "ORDER BY d LIMIT 3"
+        )
+        assert rows[0][0] == 3 and rows[0][1] == pytest.approx(0.0, abs=1e-3)
+
+    def test_ip_and_cosine_ops(self, db):
+        vecs = seed_vectors(db, n=50)
+        q = vecs[5]
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <#> {vec_lit(q)} LIMIT 1"
+        )
+        expect = int(np.argmax(vecs @ q))
+        assert rows[0][0] == expect
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <=> {vec_lit(q)} LIMIT 1"
+        )
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        expect = int(np.argmax(vn @ (q / np.linalg.norm(q))))
+        assert rows[0][0] == expect
+
+    def test_vector_dims(self, db):
+        seed_vectors(db, n=5, dim=16)
+        assert db.query("SELECT vector_dims(emb) FROM items LIMIT 1") == [(16,)]
+
+
+class TestHnswPath:
+    def test_index_used_and_recall(self, db):
+        vecs = seed_vectors(db, n=500)
+        # exact results before index
+        q = RNG.standard_normal(16).astype(np.float32)
+        exact = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 10"
+        )
+        db.execute(
+            "CREATE INDEX idx_emb ON items USING HNSW (emb) "
+            "WITH (m = 16, ef_construction = 64)"
+        )
+        plan = "\n".join(
+            r[0] for r in db.query(
+                f"EXPLAIN SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 10"
+            )
+        )
+        assert "AnnIndexScan" in plan
+        approx = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 10"
+        )
+        recall = len(set(r[0] for r in exact) & set(r[0] for r in approx)) / 10
+        assert recall >= 0.9, f"ANN recall {recall}"
+
+    def test_ann_respects_filter(self, db):
+        vecs = seed_vectors(db, n=300)
+        db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")
+        q = vecs[10]
+        rows = db.query(
+            f"SELECT id, tag FROM items WHERE tag = 'odd' "
+            f"ORDER BY emb <-> {vec_lit(q)} LIMIT 5"
+        )
+        assert len(rows) == 5
+        assert all(r[1] == "odd" for r in rows)
+        assert all(r[0] % 2 == 1 for r in rows)
+
+    def test_ann_respects_delete(self, db):
+        vecs = seed_vectors(db, n=200)
+        db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")
+        q = vecs[42]
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 1"
+        )
+        assert rows[0][0] == 42
+        db.execute("DELETE FROM items WHERE id = 42")
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 1"
+        )
+        assert rows[0][0] != 42
+
+    def test_ann_respects_txn_isolation(self, db):
+        vecs = seed_vectors(db, n=100)
+        db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")
+        q = vecs[3]
+        db.execute("BEGIN")
+        db.execute("DELETE FROM items WHERE id = 3")
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 1"
+        )
+        assert rows[0][0] != 3  # own delete visible
+        db.execute("ROLLBACK")
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 1"
+        )
+        assert rows[0][0] == 3
+
+    def test_pragma_ann_off(self, db):
+        seed_vectors(db, n=100)
+        db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")
+        db.execute("PRAGMA ann = off")
+        q = RNG.standard_normal(16).astype(np.float32)
+        plan = "\n".join(
+            r[0] for r in db.query(
+                f"EXPLAIN SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 5"
+            )
+        )
+        assert "AnnIndexScan" not in plan
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 5"
+        )
+        assert len(rows) == 5
+
+    def test_hnsw_survives_reopen(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = Database.create(p)
+        vecs = seed_vectors(db, n=150)
+        db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")
+        db.close()
+        db2 = Database.open(p)
+        q = vecs[17]
+        rows = db2.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(q)} LIMIT 1"
+        )
+        assert rows[0][0] == 17
+        info = db2.catalog["main"]["items"]
+        assert "idx_emb" in info.hnsw
+        db2.close()
+
+    def test_update_vector_reindexes(self, db):
+        vecs = seed_vectors(db, n=100)
+        db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")
+        far = vecs[50] + 100.0
+        db.execute(f"UPDATE items SET emb = {vec_lit(far)} WHERE id = 7")
+        rows = db.query(
+            f"SELECT id FROM items ORDER BY emb <-> {vec_lit(far)} LIMIT 1"
+        )
+        assert rows[0][0] == 7

@@ -1,0 +1,751 @@
+"""The Database: open/create, SQL pipeline, transactions, durability.
+
+Counterpart of reference src/database/database.rs (SharedDatabase/Database,
+:95-143) + dml/ + ddl.rs + transaction.rs + recovery.rs + pragma.rs
+(SURVEY.md §2.7), on the columnar engine:
+
+    execute(sql)  -> parse -> dispatch (DDL / DML / txn / pragma)
+    query(sql)    -> parse -> QueryEngine columnar pipeline -> rows
+
+Durability: logical WAL (storage/wal.py) written during DML with the
+writing txn's id; COMMIT/ABORT frames decide replay; checkpoint writes
+columnar snapshots + catalog then truncates the WAL (reference
+checkpoint-then-truncate, database.rs:158-184). If the WAL is larger than
+the recovery memory pool, the database opens in ReadOnlyDegraded mode and
+`PRAGMA recover_wal` performs recovery later (reference database.rs:245-270,
+recovery.rs:8-25).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from turdb_tpu.database.indexes import HnswTableIndex, SortedKeyIndex
+from turdb_tpu.memory.budget import MemoryBudget
+from turdb_tpu.mvcc.manager import Transaction, TransactionManager, TxnConflict
+from turdb_tpu.ops.distance import Metric
+from turdb_tpu.records.jsonb import jsonb_decode, jsonb_encode
+from turdb_tpu.records.record import RecordSchema, pack_record, unpack_record
+from turdb_tpu.sql import ast as A
+from turdb_tpu.sql.engine import ROWID, QueryEngine
+from turdb_tpu.sql.expr import Batch, Col, EvalContext, eval_expr, _py
+from turdb_tpu.sql.lexer import SqlError
+from turdb_tpu.sql.parser import Parser
+from turdb_tpu.storage.files import FileManager
+from turdb_tpu.storage.table import ColumnarTable
+from turdb_tpu.storage.wal import FrameType, SyncMode, Wal
+from turdb_tpu.types.column import ColumnDef
+from turdb_tpu.types.datatype import DataType, StorageClass
+
+
+class DatabaseError(Exception):
+    pass
+
+
+class ConstraintViolation(DatabaseError):
+    pass
+
+
+class ReadOnlyError(DatabaseError):
+    pass
+
+
+@dataclasses.dataclass
+class ExecuteResult:
+    """Reference ExecuteResult (database/mod.rs:138)."""
+
+    rows_affected: int = 0
+    last_rowid: int | None = None
+    rows: list | None = None          # RETURNING / SELECT rows
+    columns: list | None = None
+
+
+@dataclasses.dataclass
+class IndexDef:
+    name: str
+    table: str
+    schema: str
+    columns: list          # [(ColumnRef-or-expr, desc)]
+    unique: bool = False
+    using: str = "BTREE"   # BTREE | HNSW
+    options: dict = dataclasses.field(default_factory=dict)
+
+
+class TableInfo:
+    def __init__(self, schema: str, table: ColumnarTable):
+        self.schema = schema
+        self.table = table
+        self.btree: dict[str, SortedKeyIndex] = {}
+        self.btree_cols: dict[str, list[str]] = {}
+        self.hnsw: dict[str, HnswTableIndex] = {}
+        self.index_defs: dict[str, IndexDef] = {}
+        self.checks: list = []          # table-level CHECK exprs
+        self.fks: list = []             # (cols, ref_table, ref_cols, on_delete, on_update)
+
+    @property
+    def columns(self) -> list[ColumnDef]:
+        return self.table.columns
+
+    def record_schema(self) -> RecordSchema:
+        return RecordSchema([c.dtype for c in self.columns])
+
+
+class Database:
+    # ------------------------------------------------------------------
+    # lifecycle (reference database.rs:213-397 open/create/recovery)
+    # ------------------------------------------------------------------
+
+    def __init__(self, path: str, create: bool = False):
+        self.path = path
+        self.fm = FileManager(path)
+        self.mgr = TransactionManager()
+        self.engine = QueryEngine(self)
+        self.catalog: dict[str, dict[str, TableInfo]] = {"main": {}}
+        self._txn: Transaction | None = None
+        self._next_table_id = 1
+        self.mode = "rw"
+        self.budget = MemoryBudget.auto_detect()
+        # config (PRAGMAs; reference pragma.rs)
+        self.wal_enabled = True
+        self.wal_autoflush = True
+        self.sync_mode = SyncMode.NORMAL
+        self.ann_enabled = True
+        self.ann_overfetch = 4
+        self._replaying = False
+
+        exists = os.path.exists(self.fm.meta_path())
+        if not exists and not create:
+            raise DatabaseError(f"database not found at {path}")
+        os.makedirs(path, exist_ok=True)
+        if not exists:
+            self.fm.write_meta({"version": 1, "next_table_id": 1})
+        self.wal = Wal(self.fm.wal_dir(), self.sync_mode)
+        if exists:
+            self._open_existing()
+
+    @classmethod
+    def create(cls, path: str) -> "Database":
+        return cls(path, create=True)
+
+    @classmethod
+    def open(cls, path: str) -> "Database":
+        return cls(path, create=False)
+
+    def _open_existing(self):
+        meta = self.fm.read_meta()
+        self._next_table_id = int(meta.get("next_table_id", 1))
+        if os.path.exists(self.fm.catalog_path()):
+            self._load_catalog()
+        # recovery gate (reference recovery.rs:90 estimate + degraded mode)
+        wal_bytes = self.wal.size_bytes
+        if wal_bytes > self.budget.pool("recovery"):
+            self.mode = "ro_degraded"
+            return
+        self._replay_wal()
+        self._rebuild_indexes()
+
+    def close(self):
+        """Checkpoint + close (reference lifecycle.rs)."""
+        if self._txn is not None:
+            self.mgr.abort(self._txn)
+            self._txn = None
+        if self.mode == "rw":
+            self.checkpoint()
+        self.wal.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # ------------------------------------------------------------------
+    # catalog persistence (reference schema/persistence.rs:116)
+    # ------------------------------------------------------------------
+
+    def _catalog_doc(self) -> dict:
+        doc = {"schemas": []}
+        for schema, tables in self.catalog.items():
+            ts = []
+            for name, info in tables.items():
+                ts.append(
+                    {
+                        "name": name,
+                        "table_id": info.table.table_id,
+                        "columns": [c.to_dict() for c in info.columns],
+                        "checks": [str(e) for e in info.checks],
+                        "fks": [list(map(_jsonable_fk, fk)) for fk in info.fks],
+                        "indexes": [
+                            {
+                                "name": d.name,
+                                "unique": d.unique,
+                                "using": d.using,
+                                "options": d.options,
+                                "columns": [
+                                    [A.render_expr(e), desc] for e, desc in d.columns
+                                ],
+                            }
+                            for d in info.index_defs.values()
+                        ],
+                    }
+                )
+            doc["schemas"].append({"name": schema, "tables": ts})
+        return doc
+
+    def _load_catalog(self):
+        doc = self.fm.read_catalog()
+        for sc in doc.get("schemas", []):
+            schema = sc["name"]
+            self.catalog.setdefault(schema, {})
+            for td in sc["tables"]:
+                try:
+                    t = self.fm.read_table_snapshot(schema, td["name"])
+                except FileNotFoundError:
+                    cols = [ColumnDef.from_dict(d) for d in td["columns"]]
+                    t = ColumnarTable(td["name"], cols, table_id=td["table_id"])
+                info = TableInfo(schema, t)
+                for e in td.get("checks", []):
+                    info.checks.append(_parse_expr(e))
+                for fk in td.get("fks", []):
+                    info.fks.append(tuple(fk))
+                for idx in td.get("indexes", []):
+                    cols = [(_parse_expr(c), bool(d)) for c, d in idx["columns"]]
+                    idef = IndexDef(
+                        idx["name"], td["name"], schema, cols,
+                        idx["unique"], idx["using"], idx.get("options", {}),
+                    )
+                    info.index_defs[idx["name"]] = idef
+                    self._instantiate_index(info, idef)
+                self.catalog[schema][td["name"]] = info
+
+    def checkpoint(self):
+        """Snapshot all tables + catalog, then truncate the WAL
+        (reference database.rs:158-184)."""
+        if self.mode != "rw":
+            raise ReadOnlyError("database is read-only (degraded)")
+        if self.mgr.active:
+            return ExecuteResult(0)  # active txns: skip (checkpoint later)
+        self.wal.flush()
+        for schema, tables in self.catalog.items():
+            for info in tables.values():
+                t = info.table
+                # compact dead versions, then normalize surviving stamps to
+                # the committed-bootstrap form (txn 0): snapshot stamps must
+                # not reference this process's transient txn ids
+                t.vacuum(self.mgr)
+                n = t.nversions
+                t.xmin[:n] = 0
+                t.xmax[:n] = 0
+                self.fm.write_table_snapshot(schema, t)
+        self.fm.write_catalog(self._catalog_doc())
+        self.fm.write_meta(
+            {"version": 1, "next_table_id": self._next_table_id}
+        )
+        self.wal.truncate()
+        return ExecuteResult(0)
+
+    # ------------------------------------------------------------------
+    # recovery (reference recovery.rs single-pass replay)
+    # ------------------------------------------------------------------
+
+    def _replay_wal(self):
+        pending: dict[int, list] = {}
+        order: list[int] = []
+        for lsn, ftype, txn_id, table_id, payload in self.wal.replay():
+            if ftype is FrameType.BEGIN:
+                pending[txn_id] = []
+            elif ftype in (FrameType.INSERT, FrameType.DELETE, FrameType.UPDATE,
+                           FrameType.DDL):
+                pending.setdefault(txn_id, []).append((ftype, table_id, payload))
+            elif ftype is FrameType.COMMIT:
+                ops = pending.pop(txn_id, [])
+                self._apply_replay(ops)
+            elif ftype is FrameType.ABORT:
+                pending.pop(txn_id, None)
+        # uncommitted leftovers are dropped (crash before commit)
+
+    def _apply_replay(self, ops):
+        self._replaying = True
+        try:
+            txn = self.mgr.begin()
+            for ftype, table_id, payload in ops:
+                if ftype is FrameType.DDL:
+                    doc = jsonb_decode(payload)
+                    self._execute_stmt(_parse_stmt(doc["sql"]), [], txn)
+                    continue
+                info = self._table_by_id(table_id)
+                if info is None:
+                    continue
+                if ftype is FrameType.INSERT or ftype is FrameType.UPDATE:
+                    rowid = int.from_bytes(payload[:8], "little")
+                    rec = payload[8:]
+                    values = unpack_record(info.record_schema(), rec)
+                    row = {c.name: v for c, v in zip(info.columns, values)}
+                    if ftype is FrameType.INSERT:
+                        info.table.insert_rows([row], txn, rowids=[rowid])
+                    else:
+                        if not info.table.update_row(rowid, row, txn):
+                            info.table.insert_rows([row], txn, rowids=[rowid])
+                elif ftype is FrameType.DELETE:
+                    rowid = int.from_bytes(payload[:8], "little")
+                    info.table.delete_row(rowid, txn)
+            self.mgr.commit(txn)
+        finally:
+            self._replaying = False
+
+    def _rebuild_indexes(self):
+        for schema, tables in self.catalog.items():
+            for info in tables.values():
+                self._reindex(info)
+
+    def _reindex(self, info: TableInfo):
+        for name, idx in info.btree.items():
+            idx._run, idx._delta, idx._deleted = [], [], set()
+        read_ts = self.mgr.snapshot_ts()
+        vis = info.table.visible_indices(self.mgr, read_ts)
+        for name, idx in info.btree.items():
+            cols = info.btree_cols[name]
+            for i in vis:
+                rowid = int(info.table.rowids[i])
+                key = idx.make_key(
+                    [_cell(info.table, c, int(i)) for c in cols]
+                )
+                idx.insert(key, rowid)
+        for name, h in info.hnsw.items():
+            col = h.column
+            for i in vis:
+                rowid = int(info.table.rowids[i])
+                if not info.table.nulls[col][i]:
+                    h.insert(rowid, info.table.cols[col][int(i)], defer=True)
+            h.flush_pending()
+
+    def _table_by_id(self, table_id: int) -> TableInfo | None:
+        for tables in self.catalog.values():
+            for info in tables.values():
+                if info.table.table_id == table_id:
+                    return info
+        return None
+
+    # ------------------------------------------------------------------
+    # public API (reference database.rs execute/query/prepare)
+    # ------------------------------------------------------------------
+
+    def execute(self, sql: str, params=None) -> ExecuteResult:
+        stmt = _parse_stmt(sql)
+        return self._dispatch(stmt, list(params or []), sql)
+
+    def query(self, sql: str, params=None) -> list[tuple]:
+        return self.query_with_columns(sql, params)[1]
+
+    def query_with_columns(self, sql: str, params=None):
+        stmt = _parse_stmt(sql)
+        if isinstance(stmt, A.Explain):
+            return self._explain(stmt, list(params or []))
+        if not isinstance(stmt, A.Select):
+            res = self._dispatch(stmt, list(params or []), sql)
+            return (res.columns or [], res.rows or [])
+        ctx = self._ctx(list(params or []))
+        batch = self.engine.run_select(stmt, ctx)
+        if stmt.for_update and self._txn is not None:
+            self._lock_batch_rows(batch)
+        return _batch_to_rows(batch)
+
+    def prepare(self, sql: str) -> "PreparedStatement":
+        return PreparedStatement(self, sql)
+
+    # ------------------------------------------------------------------
+    # dispatch
+    # ------------------------------------------------------------------
+
+    def _dispatch(self, stmt, params, sql: str) -> ExecuteResult:
+        if isinstance(stmt, A.Select):
+            cols, rows = self.query_with_columns(sql, params)
+            return ExecuteResult(rows_affected=0, rows=rows, columns=cols)
+        if isinstance(stmt, A.TxnStmt):
+            return self._txn_stmt(stmt)
+        if isinstance(stmt, A.Pragma):
+            return self._pragma(stmt)
+        if isinstance(stmt, A.Explain):
+            cols, rows = self._explain(stmt, params)
+            return ExecuteResult(rows=rows, columns=cols)
+        if isinstance(stmt, A.Vacuum):
+            n = 0
+            for tables in self.catalog.values():
+                for info in tables.values():
+                    if stmt.table and info.table.name != stmt.table:
+                        continue
+                    n += info.table.vacuum(self.mgr)
+                    self._reindex(info)
+            return ExecuteResult(rows_affected=n)
+        self._check_writable()
+        txn, own = self._begin_write()
+        try:
+            res = self._execute_stmt(stmt, params, txn, sql)
+            if own:
+                self._commit(txn)
+            return res
+        except Exception:
+            if own:
+                self.mgr.abort(txn)
+            raise
+
+    def _execute_stmt(self, stmt, params, txn, sql: str | None = None) -> ExecuteResult:
+        from turdb_tpu.database import ddl, dml
+
+        if isinstance(stmt, A.Insert):
+            return dml.execute_insert(self, stmt, params, txn)
+        if isinstance(stmt, A.Update):
+            return dml.execute_update(self, stmt, params, txn)
+        if isinstance(stmt, A.Delete):
+            return dml.execute_delete(self, stmt, params, txn)
+        if isinstance(stmt, A.Truncate):
+            return dml.execute_truncate(self, stmt, txn)
+        if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
+                             A.Drop, A.AlterTable)):
+            res = ddl.execute_ddl(self, stmt, txn)
+            if sql is not None:
+                self._log_ddl(sql, txn)
+            return res
+        if isinstance(stmt, A.Select):
+            ctx = self._ctx(params, txn)
+            batch = self.engine.run_select(stmt, ctx)
+            cols, rows = _batch_to_rows(batch)
+            return ExecuteResult(rows=rows, columns=cols)
+        raise DatabaseError(f"cannot execute {type(stmt).__name__}")
+
+    # ------------------------------------------------------------------
+    # transactions (reference database/transaction.rs)
+    # ------------------------------------------------------------------
+
+    def _txn_stmt(self, stmt: A.TxnStmt) -> ExecuteResult:
+        k = stmt.kind
+        if k == "BEGIN":
+            if self._txn is not None:
+                raise DatabaseError("transaction already in progress")
+            self._check_writable()
+            self._txn = self.mgr.begin()
+            if self.wal_enabled:
+                self.wal.append(FrameType.BEGIN, txn_id=self._txn.txn_id)
+            return ExecuteResult(0)
+        if k == "COMMIT":
+            if self._txn is None:
+                raise DatabaseError("no transaction in progress")
+            self._commit(self._txn)
+            self._txn = None
+            return ExecuteResult(0)
+        if k == "ROLLBACK":
+            if self._txn is None:
+                raise DatabaseError("no transaction in progress")
+            if self.wal_enabled:
+                self.wal.append(FrameType.ABORT, txn_id=self._txn.txn_id)
+                self._flush_wal()
+            self.mgr.abort(self._txn)
+            self._txn = None
+            return ExecuteResult(0)
+        if k == "SAVEPOINT":
+            self._require_txn().savepoint(stmt.name)
+            return ExecuteResult(0)
+        if k == "RELEASE":
+            self._require_txn().release_savepoint(stmt.name)
+            return ExecuteResult(0)
+        if k == "ROLLBACK_TO":
+            self._require_txn().rollback_to(stmt.name)
+            return ExecuteResult(0)
+        raise DatabaseError(f"bad txn statement {k}")
+
+    def _require_txn(self) -> Transaction:
+        if self._txn is None:
+            raise DatabaseError("no transaction in progress")
+        return self._txn
+
+    def _begin_write(self):
+        if self._txn is not None:
+            return self._txn, False
+        txn = self.mgr.begin()
+        if self.wal_enabled and not self._replaying:
+            self.wal.append(FrameType.BEGIN, txn_id=txn.txn_id)
+        return txn, True
+
+    def _commit(self, txn: Transaction):
+        if self.wal_enabled and not self._replaying:
+            self.wal.append(FrameType.COMMIT, txn_id=txn.txn_id)
+            self._flush_wal()
+        self.mgr.commit(txn)
+        # WAL size-based auto checkpoint (reference constants.rs:182)
+        from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
+
+        if self.wal_enabled and self.wal.frame_count >= WAL_CHECKPOINT_FRAMES:
+            self.checkpoint()
+
+    def _flush_wal(self):
+        if self.wal_autoflush:
+            self.wal.flush()
+
+    def _check_writable(self):
+        if self.mode != "rw":
+            raise ReadOnlyError(
+                "database is in read-only degraded mode; run PRAGMA recover_wal"
+            )
+
+    # ------------------------------------------------------------------
+    # WAL logging helpers (called by dml.py)
+    # ------------------------------------------------------------------
+
+    def _log_insert(self, info: TableInfo, rowid: int, row: dict, txn):
+        if not self.wal_enabled or self._replaying:
+            return
+        rec = pack_record(
+            info.record_schema(), [row.get(c.name) for c in info.columns]
+        )
+        self.wal.append(
+            FrameType.INSERT,
+            rowid.to_bytes(8, "little") + rec,
+            txn_id=txn.txn_id,
+            table_id=info.table.table_id,
+        )
+
+    def _log_update(self, info: TableInfo, rowid: int, row: dict, txn):
+        if not self.wal_enabled or self._replaying:
+            return
+        rec = pack_record(
+            info.record_schema(), [row.get(c.name) for c in info.columns]
+        )
+        self.wal.append(
+            FrameType.UPDATE,
+            rowid.to_bytes(8, "little") + rec,
+            txn_id=txn.txn_id,
+            table_id=info.table.table_id,
+        )
+
+    def _log_delete(self, info: TableInfo, rowid: int, txn):
+        if not self.wal_enabled or self._replaying:
+            return
+        self.wal.append(
+            FrameType.DELETE,
+            rowid.to_bytes(8, "little"),
+            txn_id=txn.txn_id,
+            table_id=info.table.table_id,
+        )
+
+    def _log_ddl(self, sql: str, txn):
+        if not self.wal_enabled or self._replaying:
+            return
+        self.wal.append(
+            FrameType.DDL, jsonb_encode({"sql": sql}), txn_id=txn.txn_id
+        )
+
+    # ------------------------------------------------------------------
+    # catalog resolution
+    # ------------------------------------------------------------------
+
+    def resolve_table(self, ref: A.TableRef) -> TableInfo:
+        schema = ref.schema or "main"
+        tables = self.catalog.get(schema)
+        if tables is None or ref.name not in tables:
+            raise SqlError(f"no such table: {schema}.{ref.name}")
+        return tables[ref.name]
+
+    # ------------------------------------------------------------------
+    # scan source for the engine
+    # ------------------------------------------------------------------
+
+    def _ctx(self, params, txn: Transaction | None = None) -> EvalContext:
+        ctx = EvalContext(params, self.engine._subquery_fn)
+        t = txn or self._txn
+        if t is not None:
+            ctx.read_ts = t.read_ts
+            ctx.own_txn = t.txn_id
+        else:
+            ctx.read_ts = self.mgr.snapshot_ts()
+            ctx.own_txn = 0
+        return ctx
+
+    def _scan_batch(self, ref: A.TableRef, ctx) -> Batch:
+        schema = ref.schema or "main"
+        if schema == "turdb_catalog":
+            from turdb_tpu.database.meta import system_table_batch
+
+            return system_table_batch(self, ref)
+        info = self.resolve_table(ref)
+        read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
+        own = getattr(ctx, "own_txn", 0)
+        vis = info.table.visible_indices(self.mgr, read_ts, own)
+        q = ref.alias or ref.name
+        b = Batch(len(vis))
+        for c in info.columns:
+            vals, nulls = info.table.column_batch(c.name, vis)
+            b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
+        b.add(q, ROWID, Col(info.table.rowids[vis].copy()))
+        return b
+
+    # ------------------------------------------------------------------
+    # ANN fast path hook (wired by QueryEngine._try_ann_path)
+    # ------------------------------------------------------------------
+
+    def _ann_search(self, sel: A.Select, colref: A.ColumnRef, qvec, op, k, ctx):
+        if not self.ann_enabled:
+            return None
+        ref = sel.from_
+        try:
+            info = self.resolve_table(ref)
+        except SqlError:
+            return None
+        metric = {"<->": Metric.L2, "<#>": Metric.IP, "<=>": Metric.COSINE}[op]
+        hidx = None
+        for h in info.hnsw.values():
+            if h.column == colref.name and h.metric is metric:
+                hidx = h
+                break
+        if hidx is None:
+            return None
+        read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
+        own = getattr(ctx, "own_txn", 0)
+        vis = info.table.visible_indices(self.mgr, read_ts, own)
+        visible_rowids = set(int(r) for r in info.table.rowids[vis])
+        fetch = min(max(k * self.ann_overfetch, k + 8), max(len(visible_rowids), 1))
+        d, rowids = hidx.search(
+            qvec, k=fetch, ef=max(64, 2 * fetch), allowed_rowids=visible_rowids
+        )
+        rowids = [r for r in rowids if r >= 0]
+        # map rowids -> visible version indices
+        by_rowid = {int(info.table.rowids[i]): int(i) for i in vis}
+        idx = np.asarray([by_rowid[r] for r in rowids if r in by_rowid], np.int64)
+        q = ref.alias or ref.name
+        b = Batch(len(idx))
+        for c in info.columns:
+            vals, nulls = info.table.column_batch(c.name, idx)
+            b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
+        b.add(q, ROWID, Col(info.table.rowids[idx].copy()))
+        if sel.where is not None:
+            c = eval_expr(sel.where, b, ctx)
+            keep = np.flatnonzero(c.values.astype(bool) & ~c.nulls)
+            if len(keep) < min(k, len(visible_rowids)):
+                return None  # not enough after filtering: exact fallback
+            b = b.take(keep)
+        return b
+
+    def _lock_batch_rows(self, batch: Batch):
+        for (q, nm), c in zip(batch.names, batch.cols):
+            if nm == ROWID:
+                for r in c.values:
+                    # table name unknown at this level; FOR UPDATE locks via
+                    # qualifier when it names a real table
+                    for tables in self.catalog.values():
+                        if q in tables:
+                            self.mgr.lock_row(q, int(r), self._txn)
+                break
+
+    # ------------------------------------------------------------------
+    # PRAGMA / EXPLAIN (reference pragma.rs, config.rs)
+    # ------------------------------------------------------------------
+
+    def _pragma(self, p: A.Pragma) -> ExecuteResult:
+        from turdb_tpu.database.meta import execute_pragma
+
+        return execute_pragma(self, p)
+
+    def _explain(self, e: A.Explain, params):
+        from turdb_tpu.database.meta import explain_plan
+
+        lines = explain_plan(self, e.stmt)
+        return (["plan"], [(ln,) for ln in lines])
+
+    # ------------------------------------------------------------------
+    # index instantiation
+    # ------------------------------------------------------------------
+
+    def _instantiate_index(self, info: TableInfo, idef: IndexDef):
+        if idef.using == "HNSW":
+            colname = idef.columns[0][0].name
+            cd = next(c for c in info.columns if c.name == colname)
+            metric = Metric.from_name(str(idef.options.get("metric", "l2")))
+            h = HnswTableIndex(
+                idef.name, colname, dim=cd.vector_dim or 0, metric=metric,
+                m=int(idef.options.get("m", 16)),
+                ef_construction=int(idef.options.get("ef_construction", 100)),
+                ef_search=int(idef.options.get("ef_search", 64)),
+            )
+            info.hnsw[idef.name] = h
+        else:
+            cols = [c.name for c, _ in idef.columns]
+            info.btree[idef.name] = SortedKeyIndex(idef.name, cols, idef.unique)
+            info.btree_cols[idef.name] = cols
+
+
+class PreparedStatement:
+    """Prepared statement with a cached parse (reference prepared.rs:158).
+    The plan cache here is the parsed AST + resolved table info; columnar
+    execution re-binds params per call."""
+
+    def __init__(self, db: Database, sql: str):
+        self.db = db
+        self.sql = sql
+        self.stmt = _parse_stmt(sql)
+
+    def execute(self, params=None) -> ExecuteResult:
+        return self.db._dispatch(self.stmt, list(params or []), self.sql)
+
+    def query(self, params=None) -> list[tuple]:
+        if isinstance(self.stmt, A.Select):
+            ctx = self.db._ctx(list(params or []))
+            return _batch_to_rows(self.db.engine.run_select(self.stmt, ctx))[1]
+        return self.execute(params).rows or []
+
+
+def connect(path: str) -> Database:
+    """Open, creating if missing (convenience)."""
+    try:
+        return Database.open(path)
+    except DatabaseError:
+        return Database.create(path)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+_PARSE_CACHE: dict[str, object] = {}
+
+
+def _parse_stmt(sql: str):
+    stmt = _PARSE_CACHE.get(sql)
+    if stmt is None:
+        stmt = Parser(sql).parse_statement()
+        if len(_PARSE_CACHE) > 512:
+            _PARSE_CACHE.clear()
+        _PARSE_CACHE[sql] = stmt
+    return stmt
+
+
+def _parse_expr(text: str):
+    p = Parser(text)
+    return p._expr()
+
+
+def _jsonable_fk(x):
+    return list(x) if isinstance(x, (list, tuple)) else x
+
+
+def _cell(table: ColumnarTable, colname: str, idx: int):
+    if table.nulls[colname][idx]:
+        return None
+    v = table.cols[colname][idx]
+    return _py(v)
+
+
+def _batch_to_rows(batch: Batch):
+    cols = [nm for (q, nm) in batch.names if nm != ROWID]
+    keep = [i for i, (q, nm) in enumerate(batch.names) if nm != ROWID]
+    rows = []
+    for i in range(batch.n):
+        row = []
+        for j in keep:
+            c = batch.cols[j]
+            row.append(None if c.nulls[i] else _py(c.values[i]))
+        rows.append(tuple(row))
+    return cols, rows

@@ -1,0 +1,276 @@
+"""DDL execution: CREATE/DROP/ALTER TABLE, INDEX (incl. USING HNSW),
+SCHEMA (reference src/database/ddl.rs)."""
+
+from __future__ import annotations
+
+from turdb_tpu.sql import ast as A
+from turdb_tpu.sql.lexer import SqlError
+from turdb_tpu.storage.table import ColumnarTable
+from turdb_tpu.types.column import ColumnDef
+from turdb_tpu.types.datatype import DataType
+
+
+def execute_ddl(db, stmt, txn):
+    from turdb_tpu.database.api import (
+        DatabaseError,
+        ExecuteResult,
+        IndexDef,
+        TableInfo,
+    )
+
+    if isinstance(stmt, A.CreateSchema):
+        if stmt.name in db.catalog:
+            if stmt.if_not_exists:
+                return ExecuteResult(0)
+            raise DatabaseError(f"schema {stmt.name} already exists")
+        db.catalog[stmt.name] = {}
+        return ExecuteResult(0)
+
+    if isinstance(stmt, A.CreateTable):
+        schema = stmt.table.schema or "main"
+        if schema not in db.catalog:
+            raise SqlError(f"no such schema: {schema}")
+        if stmt.table.name in db.catalog[schema]:
+            if stmt.if_not_exists:
+                return ExecuteResult(0)
+            raise DatabaseError(f"table {stmt.table.name} already exists")
+        cols = [_column_from_spec(sp) for sp in stmt.columns]
+        if not cols:
+            raise SqlError("table needs at least one column")
+        table = ColumnarTable(stmt.table.name, cols, table_id=db._next_table_id)
+        db._next_table_id += 1
+        info = TableInfo(schema, table)
+        # table-level constraints
+        pk_cols = [c.name for c in cols if c.primary_key]
+        for tc in stmt.constraints:
+            if tc.kind == "PRIMARY KEY":
+                pk_cols = tc.columns
+                for cn in tc.columns:
+                    _col(cols, cn).nullable = False
+            elif tc.kind == "UNIQUE":
+                _auto_index(db, info, tc.columns, unique=True)
+            elif tc.kind == "CHECK":
+                info.checks.append(tc.expr)
+            elif tc.kind == "FOREIGN KEY":
+                info.fks.append(
+                    (tc.columns, tc.ref_table, tc.ref_columns or [],
+                     tc.on_delete, tc.on_update)
+                )
+        if pk_cols:
+            for cn in pk_cols:
+                _col(cols, cn).nullable = False
+            _auto_index(db, info, pk_cols, unique=True, pk=True)
+        for c in cols:
+            if c.unique and not c.primary_key:
+                _auto_index(db, info, [c.name], unique=True)
+            if c.references is not None:
+                info.fks.append(
+                    ([c.name], c.references[0],
+                     [c.references[1]] if c.references[1] else [],
+                     c.references[2], c.references[3])
+                )
+        db.catalog[schema][stmt.table.name] = info
+        return ExecuteResult(0)
+
+    if isinstance(stmt, A.CreateIndex):
+        info = db.resolve_table(stmt.table)
+        if stmt.name in info.index_defs:
+            if stmt.if_not_exists:
+                return ExecuteResult(0)
+            raise DatabaseError(f"index {stmt.name} already exists")
+        using = (stmt.using or "BTREE").upper()
+        for e, _ in stmt.columns:
+            if isinstance(e, A.ColumnRef):
+                if not any(c.name == e.name for c in info.columns):
+                    raise SqlError(f"no such column: {e.name}")
+        if using == "HNSW":
+            col = stmt.columns[0][0]
+            if not isinstance(col, A.ColumnRef):
+                raise SqlError("HNSW index requires a plain vector column")
+            cd = next(c for c in info.columns if c.name == col.name)
+            if cd.dtype is not DataType.VECTOR:
+                raise SqlError("HNSW index requires a VECTOR column")
+        idef = IndexDef(
+            stmt.name, info.table.name, info.schema,
+            list(stmt.columns), stmt.unique, using, dict(stmt.options),
+        )
+        info.index_defs[stmt.name] = idef
+        db._instantiate_index(info, idef)
+        _backfill_index(db, info, idef)
+        return ExecuteResult(0)
+
+    if isinstance(stmt, A.Drop):
+        if stmt.kind == "SCHEMA":
+            if stmt.name not in db.catalog:
+                if stmt.if_exists:
+                    return ExecuteResult(0)
+                raise DatabaseError(f"no such schema: {stmt.name}")
+            if stmt.name == "main":
+                raise DatabaseError("cannot drop schema main")
+            del db.catalog[stmt.name]
+            return ExecuteResult(0)
+        if stmt.kind == "TABLE":
+            schema = stmt.schema or "main"
+            tables = db.catalog.get(schema, {})
+            if stmt.name not in tables:
+                if stmt.if_exists:
+                    return ExecuteResult(0)
+                raise DatabaseError(f"no such table: {stmt.name}")
+            del tables[stmt.name]
+            db.fm.drop_table_files(schema, stmt.name)
+            return ExecuteResult(0)
+        if stmt.kind == "INDEX":
+            for tables in db.catalog.values():
+                for info in tables.values():
+                    if stmt.name in info.index_defs:
+                        info.index_defs.pop(stmt.name)
+                        info.btree.pop(stmt.name, None)
+                        info.btree_cols.pop(stmt.name, None)
+                        info.hnsw.pop(stmt.name, None)
+                        return ExecuteResult(0)
+            if stmt.if_exists:
+                return ExecuteResult(0)
+            raise DatabaseError(f"no such index: {stmt.name}")
+
+    if isinstance(stmt, A.AlterTable):
+        info = db.resolve_table(stmt.table)
+        t = info.table
+        if stmt.action == "ADD_COLUMN":
+            cd = _column_from_spec(stmt.column)
+            if any(c.name == cd.name for c in info.columns):
+                raise DatabaseError(f"column {cd.name} already exists")
+            t.columns.append(cd)
+            t.colnames.append(cd.name)
+            t.cols[cd.name] = t._alloc(cd, t.capacity)
+            import numpy as np
+
+            t.nulls[cd.name] = np.ones(t.capacity, bool)
+            # existing rows: NULL or evaluated default
+            if cd.has_default and cd.default is not None:
+                from turdb_tpu.database.dml import eval_default
+
+                dv = eval_default(db, cd)
+                if dv is not None:
+                    for i in range(t.nversions):
+                        t.nulls[cd.name][i] = False
+                        t.cols[cd.name][i] = t._coerce(cd, dv)
+            return ExecuteResult(0)
+        if stmt.action == "DROP_COLUMN":
+            if not any(c.name == stmt.name for c in info.columns):
+                raise DatabaseError(f"no such column: {stmt.name}")
+            for idx_name, cols in list(info.btree_cols.items()):
+                if stmt.name in cols:
+                    raise DatabaseError(
+                        f"column {stmt.name} is indexed by {idx_name}; drop it first"
+                    )
+            for h in info.hnsw.values():
+                if h.column == stmt.name:
+                    raise DatabaseError(
+                        f"column {stmt.name} has an HNSW index; drop it first"
+                    )
+            t.columns = [c for c in t.columns if c.name != stmt.name]
+            t.colnames = [n for n in t.colnames if n != stmt.name]
+            t.cols.pop(stmt.name, None)
+            t.nulls.pop(stmt.name, None)
+            return ExecuteResult(0)
+        if stmt.action == "RENAME_TABLE":
+            tables = db.catalog[info.schema]
+            if stmt.new_name in tables:
+                raise DatabaseError(f"table {stmt.new_name} already exists")
+            tables[stmt.new_name] = tables.pop(t.name)
+            t.name = stmt.new_name
+            return ExecuteResult(0)
+        if stmt.action == "RENAME_COLUMN":
+            if not any(c.name == stmt.name for c in info.columns):
+                raise DatabaseError(f"no such column: {stmt.name}")
+            for c in t.columns:
+                if c.name == stmt.name:
+                    c.name = stmt.new_name
+            t.colnames = [stmt.new_name if n == stmt.name else n for n in t.colnames]
+            t.cols[stmt.new_name] = t.cols.pop(stmt.name)
+            t.nulls[stmt.new_name] = t.nulls.pop(stmt.name)
+            for name, cols in info.btree_cols.items():
+                info.btree_cols[name] = [
+                    stmt.new_name if cn == stmt.name else cn for cn in cols
+                ]
+            for h in info.hnsw.values():
+                if h.column == stmt.name:
+                    h.column = stmt.new_name
+            return ExecuteResult(0)
+
+    raise DatabaseError(f"unsupported DDL {type(stmt).__name__}")
+
+
+def _column_from_spec(sp: A.ColumnSpec) -> ColumnDef:
+    dt = DataType.from_sql(sp.type_name)
+    cd = ColumnDef(
+        name=sp.name,
+        dtype=dt,
+        nullable=not (sp.not_null or sp.primary_key),
+        primary_key=sp.primary_key,
+        unique=sp.unique,
+        default=sp.default,
+        has_default=sp.default is not None,
+        check=sp.check,
+        references=sp.references,
+    )
+    if dt in (DataType.VARCHAR, DataType.CHAR) and sp.type_params:
+        cd.max_len = int(sp.type_params[0])
+    if dt is DataType.VECTOR:
+        if not sp.type_params:
+            raise SqlError("VECTOR requires a dimension: VECTOR(d)")
+        cd.vector_dim = int(sp.type_params[0])
+    if dt is DataType.DECIMAL and sp.type_params:
+        cd.precision = int(sp.type_params[0])
+        if len(sp.type_params) > 1:
+            cd.scale = int(sp.type_params[1])
+    if dt in (DataType.SERIAL, DataType.BIGSERIAL):
+        cd.auto_increment = True
+        cd.dtype = DataType.BIGINT if dt is DataType.BIGSERIAL else DataType.INT
+    return cd
+
+
+def _col(cols, name) -> ColumnDef:
+    for c in cols:
+        if c.name == name:
+            return c
+    raise SqlError(f"no such column: {name}")
+
+
+def _auto_index(db, info, colnames, unique=False, pk=False):
+    from turdb_tpu.database.api import IndexDef
+
+    base = "pk" if pk else "uq"
+    name = f"__{base}_{info.table.name}_{'_'.join(colnames)}"
+    if name in info.index_defs:
+        return
+    idef = IndexDef(
+        name, info.table.name, info.schema,
+        [(A.ColumnRef(c), False) for c in colnames], unique=unique,
+    )
+    info.index_defs[name] = idef
+    db._instantiate_index(info, idef)
+
+
+def _backfill_index(db, info, idef):
+    """Populate a newly created index from existing visible rows."""
+    read_ts = db.mgr.snapshot_ts()
+    vis = info.table.visible_indices(db.mgr, read_ts)
+    if idef.using == "HNSW":
+        h = info.hnsw[idef.name]
+        for i in vis:
+            if not info.table.nulls[h.column][i]:
+                h.insert(
+                    int(info.table.rowids[i]),
+                    info.table.cols[h.column][int(i)],
+                    defer=True,
+                )
+        h.flush_pending()
+    else:
+        idx = info.btree[idef.name]
+        cols = info.btree_cols[idef.name]
+        from turdb_tpu.database.api import _cell
+
+        for i in vis:
+            key = idx.make_key([_cell(info.table, c, int(i)) for c in cols])
+            idx.insert(key, int(info.table.rowids[i]))

@@ -1,0 +1,537 @@
+"""DML execution: INSERT/UPDATE/DELETE/TRUNCATE with the constraint
+pipeline, index maintenance and RETURNING.
+
+Mirrors reference src/database/dml/ (insert.rs:1-30 pipeline order:
+DEFAULT → NOT NULL → CHECK → UNIQUE/PK probe → FK → write → secondary
+indexes → HNSW maintenance → txn write entries; update.rs incl.
+UPDATE..FROM; delete.rs FK checks + RETURNING), adapted to columnar
+storage: the "record build + B-tree insert" steps become a column append
+with MVCC stamps (storage/table.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from turdb_tpu.sql import ast as A
+from turdb_tpu.sql.engine import ROWID
+from turdb_tpu.sql.expr import Batch, Col, EvalContext, eval_expr, _py
+from turdb_tpu.sql.lexer import SqlError
+from turdb_tpu.types.datatype import DataType, StorageClass
+
+
+def _cv(db):
+    from turdb_tpu.database.api import ConstraintViolation
+
+    return ConstraintViolation
+
+
+# ---------------------------------------------------------------------------
+# INSERT
+# ---------------------------------------------------------------------------
+
+
+def execute_insert(db, stmt: A.Insert, params, txn):
+    from turdb_tpu.database.api import ExecuteResult
+
+    info = db.resolve_table(stmt.table)
+    ctx = db._ctx(params, txn)
+    colnames = [c.name for c in info.columns]
+
+    if stmt.columns is not None:
+        for cn in stmt.columns:
+            if cn not in colnames:
+                raise SqlError(f"no such column: {cn}")
+        target_cols = stmt.columns
+    else:
+        target_cols = colnames
+
+    rows: list[dict] = []
+    if stmt.values is not None:
+        one = Batch(1)
+        for vrow in stmt.values:
+            if len(vrow) != len(target_cols):
+                raise SqlError(
+                    f"INSERT has {len(vrow)} values for {len(target_cols)} columns"
+                )
+            row = {}
+            for cn, e in zip(target_cols, vrow):
+                c = eval_expr(e, one, ctx)
+                row[cn] = None if c.nulls[0] else _py(c.values[0])
+            rows.append(row)
+    else:
+        sub = db.engine.run_select(stmt.query, ctx)
+        if len([1 for _, nm in sub.names if nm != ROWID]) != len(target_cols):
+            raise SqlError("INSERT SELECT column count mismatch")
+        keep = [i for i, (_, nm) in enumerate(sub.names) if nm != ROWID]
+        for i in range(sub.n):
+            row = {}
+            for cn, j in zip(target_cols, keep):
+                c = sub.cols[j]
+                row[cn] = None if c.nulls[i] else _py(c.values[i])
+            rows.append(row)
+
+    inserted = 0
+    conflicted_updates = 0
+    out_rowids = []
+    for row in rows:
+        prepared = _prepare_row(db, info, row, ctx)
+        conflict_rowid = _find_conflict(db, info, prepared, ctx)
+        if conflict_rowid is not None:
+            if stmt.on_conflict is None:
+                raise _cv(db)(
+                    f"UNIQUE constraint violated on {info.table.name}"
+                )
+            cols, action = stmt.on_conflict
+            if action == "NOTHING":
+                continue
+            # DO UPDATE: assignments see the existing row + `excluded`
+            _apply_conflict_update(db, info, conflict_rowid, action, prepared, ctx, txn)
+            conflicted_updates += 1
+            out_rowids.append(conflict_rowid)
+            continue
+        _check_fks(db, info, prepared, ctx)
+        (rowid,) = info.table.insert_rows([prepared], txn)
+        db._log_insert(info, rowid, prepared, txn)
+        _index_insert(db, info, rowid, prepared)
+        out_rowids.append(rowid)
+        inserted += 1
+
+    res = ExecuteResult(
+        rows_affected=inserted + conflicted_updates,
+        last_rowid=out_rowids[-1] if out_rowids else None,
+    )
+    if stmt.returning:
+        res.columns, res.rows = _returning(db, info, out_rowids, stmt.returning, ctx)
+    return res
+
+
+def eval_default(db, cd):
+    if cd.default is None:
+        return None
+    e = cd.default
+    if isinstance(e, str):
+        from turdb_tpu.database.api import _parse_expr
+
+        e = _parse_expr(e)
+    c = eval_expr(e, Batch(1), EvalContext([], db.engine._subquery_fn))
+    return None if c.nulls[0] else _py(c.values[0])
+
+
+def _prepare_row(db, info, row: dict, ctx) -> dict:
+    """DEFAULT fill + auto-increment + NOT NULL + typed coercion + CHECK
+    (the reference's ConstraintValidator pipeline, constraints/mod.rs:104)."""
+    out = dict(row)
+    for cd in info.columns:
+        v = out.get(cd.name)
+        if v is None:
+            if cd.auto_increment:
+                out[cd.name] = info.table.auto_increment
+                info.table.auto_increment += 1
+                continue
+            if cd.has_default:
+                out[cd.name] = eval_default(db, cd)
+                continue
+    for cd in info.columns:
+        v = out.get(cd.name)
+        if v is None and not cd.nullable:
+            raise _cv(db)(
+                f"NOT NULL constraint violated: {info.table.name}.{cd.name}"
+            )
+        if v is not None and cd.max_len is not None and len(str(v)) > cd.max_len:
+            raise _cv(db)(
+                f"value too long for {cd.name} (max {cd.max_len})"
+            )
+        if v is not None and cd.dtype is DataType.VECTOR:
+            arr = np.asarray(
+                v if not isinstance(v, str) else _parse_vec(v), np.float32
+            )
+            if cd.vector_dim and arr.shape != (cd.vector_dim,):
+                raise _cv(db)(
+                    f"vector dimension mismatch for {cd.name}: "
+                    f"got {arr.shape[0] if arr.ndim else 0}, want {cd.vector_dim}"
+                )
+            out[cd.name] = arr
+        # column CHECK
+        if cd.check is not None:
+            if not _check_passes(db, info, cd.check, out, ctx):
+                raise _cv(db)(
+                    f"CHECK constraint violated on {info.table.name}.{cd.name}"
+                )
+    for chk in info.checks:
+        if not _check_passes(db, info, chk, out, ctx):
+            raise _cv(db)(f"CHECK constraint violated on {info.table.name}")
+    return out
+
+
+def _parse_vec(s):
+    from turdb_tpu.sql.expr import parse_vector_text
+
+    return parse_vector_text(s)
+
+
+def _check_passes(db, info, expr, row: dict, ctx) -> bool:
+    if isinstance(expr, str):
+        from turdb_tpu.database.api import _parse_expr
+
+        expr = _parse_expr(expr)
+    b = Batch(1)
+    for cd in info.columns:
+        b.add(info.table.name, cd.name, Col.const(row.get(cd.name), 1))
+    c = eval_expr(expr, b, ctx)
+    # NULL check result passes (SQL semantics)
+    return bool(c.nulls[0] or c.values[0])
+
+
+def _find_conflict(db, info, row: dict, ctx):
+    """Probe unique indexes; returns conflicting (visible) rowid or None
+    (reference unique probe, dml/insert.rs:602)."""
+    read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
+    own = getattr(ctx, "own_txn", 0)
+    for name, idx in info.btree.items():
+        if not idx.unique:
+            continue
+        cols = info.btree_cols[name]
+        vals = [row.get(c) for c in cols]
+        if any(v is None for v in vals):
+            continue  # NULLs never conflict
+        key = idx.make_key([_norm_key(v) for v in vals])
+        for rid in idx.find(key):
+            vidx = info.table.latest.get(rid)
+            if vidx is None:
+                continue
+            vis = db.mgr.visible_mask(
+                info.table.xmin[vidx : vidx + 1],
+                info.table.xmax[vidx : vidx + 1],
+                read_ts,
+                own,
+            )
+            if vis[0]:
+                return rid
+    return None
+
+
+def _norm_key(v):
+    if isinstance(v, np.ndarray):
+        return v.tobytes()
+    return _py(v)
+
+
+def _check_fks(db, info, row: dict, ctx):
+    """Child-side FK existence probe (reference constraint pipeline)."""
+    for cols, ref_table, ref_cols, _od, _ou in info.fks:
+        vals = [row.get(c) for c in cols]
+        if any(v is None for v in vals):
+            continue
+        parent = _resolve_parent(db, info, ref_table)
+        if parent is None:
+            raise SqlError(f"no such table: {ref_table}")
+        pcols = ref_cols or _pk_cols(parent)
+        if not pcols:
+            raise SqlError(f"referenced table {ref_table} has no primary key")
+        if not _parent_has(db, parent, pcols, vals, ctx):
+            raise _cv(db)(
+                f"FOREIGN KEY constraint violated: {info.table.name}"
+                f"({','.join(cols)}) -> {ref_table}"
+            )
+
+
+def _resolve_parent(db, info, ref_table):
+    return db.catalog.get(info.schema, {}).get(ref_table) or db.catalog["main"].get(
+        ref_table
+    )
+
+
+def _pk_cols(info):
+    for name, d in info.index_defs.items():
+        if name.startswith("__pk_"):
+            return info.btree_cols[name]
+    return []
+
+
+def _parent_has(db, parent, pcols, vals, ctx) -> bool:
+    read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
+    own = getattr(ctx, "own_txn", 0)
+    # indexed probe when pcols matches a unique index
+    for name, idx in parent.btree.items():
+        if parent.btree_cols[name] == list(pcols):
+            key = idx.make_key([_norm_key(v) for v in vals])
+            for rid in idx.find(key):
+                vidx = parent.table.latest.get(rid)
+                if vidx is not None and db.mgr.visible_mask(
+                    parent.table.xmin[vidx : vidx + 1],
+                    parent.table.xmax[vidx : vidx + 1],
+                    read_ts, own,
+                )[0]:
+                    return True
+            return False
+    # fallback scan
+    vis = parent.table.visible_indices(db.mgr, read_ts, own)
+    for i in vis:
+        if all(
+            not parent.table.nulls[c][i]
+            and _py(parent.table.cols[c][int(i)]) == _py(v)
+            for c, v in zip(pcols, vals)
+        ):
+            return True
+    return False
+
+
+def _index_insert(db, info, rowid: int, row: dict, txn=None):
+    for name, idx in info.btree.items():
+        cols = info.btree_cols[name]
+        key = idx.make_key([_norm_key(row.get(c)) for c in cols])
+        idx.insert(key, rowid)
+    for h in info.hnsw.values():
+        v = row.get(h.column)
+        if v is not None:
+            h.insert(rowid, np.asarray(v, np.float32), defer=True, txn=txn)
+
+
+def _index_delete(db, info, rowid: int, row: dict):
+    """B-tree entries are removed eagerly (probes re-verify visibility
+    anyway); the HNSW graph is APPEND-ONLY — deleted rowids are excluded
+    by the visibility mask every ANN search passes, so a rollback needs no
+    graph surgery and vacuum reclaims stale vectors later."""
+    for name, idx in info.btree.items():
+        cols = info.btree_cols[name]
+        key = idx.make_key([_norm_key(row.get(c)) for c in cols])
+        idx.delete(key, rowid)
+
+
+def _apply_conflict_update(db, info, rowid, assignments, excluded_row, ctx, txn):
+    vidx = info.table.latest[rowid]
+    b = Batch(1)
+    for cd in info.columns:
+        cur = (
+            None
+            if info.table.nulls[cd.name][vidx]
+            else info.table._get(cd, vidx)
+        )
+        b.add(info.table.name, cd.name, Col.const(cur, 1))
+        b.add("excluded", cd.name, Col.const(excluded_row.get(cd.name), 1))
+    changes = {}
+    for cn, e in assignments:
+        c = eval_expr(e, b, ctx)
+        changes[cn] = None if c.nulls[0] else _py(c.values[0])
+    _do_update_row(db, info, rowid, changes, ctx, txn)
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+# ---------------------------------------------------------------------------
+
+
+def execute_update(db, stmt: A.Update, params, txn):
+    from turdb_tpu.database.api import ExecuteResult
+
+    info = db.resolve_table(stmt.table)
+    ctx = db._ctx(params, txn)
+    src = db._scan_batch(stmt.table, ctx)
+    if stmt.from_ is not None:
+        right = db.engine._from(stmt.from_, ctx)
+        from turdb_tpu.sql.engine import _cross_join
+
+        src = _cross_join(src, right, None, ctx)
+    if stmt.where is not None:
+        c = eval_expr(stmt.where, src, ctx)
+        src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
+
+    q = stmt.table.alias or stmt.table.name
+    rid_col = src.resolve(ROWID, q)
+    # evaluate assignments against matched rows
+    n = src.n
+    per_row_changes: dict[int, dict] = {}
+    assign_cols = {}
+    for cn, e in stmt.assignments:
+        if not any(c.name == cn for c in info.columns):
+            raise SqlError(f"no such column: {cn}")
+        assign_cols[cn] = eval_expr(e, src, ctx)
+    affected = []
+    seen = set()
+    for i in range(n):
+        rowid = int(rid_col.values[i])
+        if rowid in seen:
+            continue  # UPDATE..FROM with multiple matches: first wins
+        seen.add(rowid)
+        changes = {}
+        for cn, c in assign_cols.items():
+            changes[cn] = None if c.nulls[i] else _py(c.values[i])
+        _do_update_row(db, info, rowid, changes, ctx, txn)
+        affected.append(rowid)
+
+    res = ExecuteResult(rows_affected=len(affected))
+    if stmt.returning:
+        res.columns, res.rows = _returning(db, info, affected, stmt.returning, ctx)
+    return res
+
+
+def _do_update_row(db, info, rowid: int, changes: dict, ctx, txn):
+    vidx = info.table.latest[rowid]
+    old_row = info.table.row_as_dict(vidx)
+    new_row = dict(old_row)
+    new_row.update(changes)
+    new_row = _prepare_row(db, info, new_row, ctx)
+    # unique probe excluding self
+    conflict = _find_conflict(db, info, new_row, ctx)
+    if conflict is not None and conflict != rowid:
+        raise _cv(db)(f"UNIQUE constraint violated on {info.table.name}")
+    _check_fks(db, info, new_row, ctx)
+    if not info.table.update_row(rowid, new_row, txn):
+        return
+    db._log_update(info, rowid, new_row, txn)
+    _index_delete(db, info, rowid, old_row)
+    _index_insert(db, info, rowid, new_row, txn=txn)
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+# ---------------------------------------------------------------------------
+
+
+def execute_delete(db, stmt: A.Delete, params, txn):
+    from turdb_tpu.database.api import ExecuteResult
+
+    info = db.resolve_table(stmt.table)
+    ctx = db._ctx(params, txn)
+    src = db._scan_batch(stmt.table, ctx)
+    if stmt.where is not None:
+        c = eval_expr(stmt.where, src, ctx)
+        src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
+    q = stmt.table.alias or stmt.table.name
+    rid_col = src.resolve(ROWID, q)
+
+    # RETURNING data must be captured before deletion
+    ret = None
+    rowids = [int(r) for r in rid_col.values]
+    if stmt.returning:
+        ret = _returning(db, info, rowids, stmt.returning, ctx)
+
+    count = 0
+    for rowid in rowids:
+        vidx = info.table.latest.get(rowid)
+        if vidx is None:
+            continue
+        row = info.table.row_as_dict(vidx)
+        _enforce_child_fks(db, info, row, ctx, txn)
+        if info.table.delete_row(rowid, txn):
+            db._log_delete(info, rowid, txn)
+            _index_delete(db, info, rowid, row)
+            count += 1
+    res = ExecuteResult(rows_affected=count)
+    if ret is not None:
+        res.columns, res.rows = ret
+    return res
+
+
+def _enforce_child_fks(db, parent_info, parent_row: dict, ctx, txn):
+    """Parent-side FK enforcement: RESTRICT / CASCADE / SET NULL
+    (reference constraints cascade tests, tests/constraints_cascade.rs)."""
+    pname = parent_info.table.name
+    for tables in db.catalog.values():
+        for child in tables.values():
+            for cols, ref_table, ref_cols, on_delete, _ou in child.fks:
+                if ref_table != pname:
+                    continue
+                pcols = ref_cols or _pk_cols(parent_info)
+                if not pcols:
+                    continue
+                pvals = [parent_row.get(c) for c in pcols]
+                if any(v is None for v in pvals):
+                    continue
+                read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
+                own = getattr(ctx, "own_txn", 0)
+                vis = child.table.visible_indices(db.mgr, read_ts, own)
+                matches = [
+                    int(child.table.rowids[i])
+                    for i in vis
+                    if all(
+                        not child.table.nulls[c][i]
+                        and _py(child.table.cols[c][int(i)]) == _py(v)
+                        for c, v in zip(cols, pvals)
+                    )
+                ]
+                if not matches:
+                    continue
+                action = (on_delete or "RESTRICT").upper()
+                if action == "CASCADE":
+                    for rid in matches:
+                        vidx = child.table.latest.get(rid)
+                        if vidx is None:
+                            continue
+                        crow = child.table.row_as_dict(vidx)
+                        _enforce_child_fks(db, child, crow, ctx, txn)
+                        if child.table.delete_row(rid, txn):
+                            db._log_delete(child, rid, txn)
+                            _index_delete(db, child, rid, crow)
+                elif action == "SET NULL":
+                    for rid in matches:
+                        _do_update_row(
+                            db, child, rid, {c: None for c in cols}, ctx, txn
+                        )
+                else:  # RESTRICT / NO ACTION
+                    raise _cv(db)(
+                        f"FOREIGN KEY constraint: rows in {child.table.name} "
+                        f"reference {pname}"
+                    )
+
+
+# ---------------------------------------------------------------------------
+# TRUNCATE / RETURNING
+# ---------------------------------------------------------------------------
+
+
+def execute_truncate(db, stmt: A.Truncate, txn):
+    from turdb_tpu.database.api import ExecuteResult
+
+    info = db.resolve_table(stmt.table)
+    ctx = db._ctx([], txn)
+    read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
+    vis = info.table.visible_indices(db.mgr, read_ts, getattr(ctx, "own_txn", 0))
+    count = 0
+    for i in vis:
+        rowid = int(info.table.rowids[i])
+        row = info.table.row_as_dict(int(i))
+        if info.table.delete_row(rowid, txn):
+            db._log_delete(info, rowid, txn)
+            _index_delete(db, info, rowid, row)
+            count += 1
+    return ExecuteResult(rows_affected=count)
+
+
+def _returning(db, info, rowids, items, ctx):
+    b = Batch(len(rowids))
+    cols_data = {c.name: ([], []) for c in info.columns}
+    for rowid in rowids:
+        vidx = info.table.latest.get(rowid)
+        for c in info.columns:
+            vals, nulls = cols_data[c.name]
+            if vidx is None:
+                vals.append(None)
+                nulls.append(True)
+            else:
+                isnull = bool(info.table.nulls[c.name][vidx])
+                vals.append(None if isnull else info.table._get(c, vidx))
+                nulls.append(isnull)
+    for c in info.columns:
+        vals, nulls = cols_data[c.name]
+        arr = np.empty(len(vals), object)
+        for i, v in enumerate(vals):
+            arr[i] = v
+        from turdb_tpu.sql.expr import _densify
+
+        b.add(info.table.name, c.name, _densify(Col(arr, np.asarray(nulls, bool))))
+    out_cols, out_rows = [], []
+    ob = Batch(b.n)
+    for it in items:
+        if isinstance(it.expr, A.Star):
+            for (q, nm), c in zip(b.names, b.cols):
+                ob.add(None, nm, c)
+            continue
+        c = eval_expr(it.expr, b, ctx)
+        from turdb_tpu.sql.engine import _output_name
+
+        ob.add(None, it.alias or _output_name(it.expr), c)
+    from turdb_tpu.database.api import _batch_to_rows
+
+    return _batch_to_rows(ob)

@@ -1,0 +1,280 @@
+"""System tables + PRAGMAs + EXPLAIN (reference schema/system_tables.rs:40-46,
+pragma.rs:5-28, database/config.rs)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from turdb_tpu.sql import ast as A
+from turdb_tpu.sql.engine import ROWID
+from turdb_tpu.sql.expr import Batch, Col
+from turdb_tpu.sql.lexer import SqlError
+from turdb_tpu.storage.wal import SyncMode
+
+
+def system_table_batch(db, ref: A.TableRef) -> Batch:
+    """Virtual tables under schema turdb_catalog (SQL-queryable
+    observability, reference system_tables.rs:58-110)."""
+    q = ref.alias or ref.name
+    name = ref.name
+
+    def build(cols: list[str], rows: list[tuple]) -> Batch:
+        b = Batch(len(rows))
+        for j, cn in enumerate(cols):
+            arr = np.empty(len(rows), object)
+            nulls = np.zeros(len(rows), bool)
+            for i, r in enumerate(rows):
+                if r[j] is None:
+                    nulls[i] = True
+                else:
+                    arr[i] = r[j]
+            from turdb_tpu.sql.expr import _densify
+
+            b.add(q, cn, _densify(Col(arr, nulls)))
+        b.add(q, ROWID, Col(np.arange(1, len(rows) + 1, dtype=np.int64)))
+        return b
+
+    if name == "memory_stats":
+        return build(["pool", "budget_bytes", "used_bytes"], db.budget.stats())
+    if name == "wal_stats":
+        return build(
+            ["frame_count", "size_bytes", "segment_count", "sync_mode",
+             "autoflush", "enabled"],
+            [(
+                db.wal.frame_count,
+                db.wal.size_bytes,
+                len(db.wal._segments()),
+                db.sync_mode.value,
+                db.wal_autoflush,
+                db.wal_enabled,
+            )],
+        )
+    if name == "tables":
+        rows = []
+        for schema, tables in db.catalog.items():
+            for tname, info in tables.items():
+                read_ts = db.mgr.snapshot_ts()
+                nrows = len(info.table.visible_indices(db.mgr, read_ts))
+                rows.append(
+                    (schema, tname, info.table.table_id, nrows,
+                     info.table.nversions)
+                )
+        return build(
+            ["schema", "name", "table_id", "row_count", "version_count"], rows
+        )
+    if name == "columns":
+        rows = []
+        for schema, tables in db.catalog.items():
+            for tname, info in tables.items():
+                for pos, c in enumerate(info.columns):
+                    rows.append(
+                        (schema, tname, c.name, c.dtype.name, pos,
+                         c.nullable, c.primary_key)
+                    )
+        return build(
+            ["schema", "table", "name", "type", "position", "nullable",
+             "primary_key"],
+            rows,
+        )
+    if name == "indexes":
+        rows = []
+        for schema, tables in db.catalog.items():
+            for tname, info in tables.items():
+                for iname, d in info.index_defs.items():
+                    size = (
+                        len(info.hnsw[iname].index)
+                        if iname in info.hnsw
+                        else len(info.btree.get(iname, []))
+                    )
+                    rows.append(
+                        (schema, tname, iname, d.using, d.unique, size)
+                    )
+        return build(
+            ["schema", "table", "name", "using", "is_unique", "entries"], rows
+        )
+    if name == "transactions":
+        rows = [
+            (t.txn_id, t.read_ts, len(t.write_set))
+            for t in db.mgr.active.values()
+        ]
+        return build(["txn_id", "read_ts", "write_set_size"], rows)
+    raise SqlError(f"no such system table: turdb_catalog.{name}")
+
+
+def execute_pragma(db, p: A.Pragma):
+    """PRAGMAs (reference pragma.rs: wal, wal_autoflush, synchronous,
+    checkpoint, memory_stats, database_mode, recover_wal + ANN knobs)."""
+    from turdb_tpu.database.api import ExecuteResult
+
+    name = p.name.lower()
+    v = p.value
+
+    def show(value):
+        return ExecuteResult(rows=[(value,)], columns=[name])
+
+    if name == "wal":
+        if v is None:
+            return show(db.wal_enabled)
+        db.wal_enabled = _as_bool(v)
+        return show(db.wal_enabled)
+    if name == "wal_autoflush":
+        if v is None:
+            return show(db.wal_autoflush)
+        db.wal_autoflush = _as_bool(v)
+        return show(db.wal_autoflush)
+    if name == "synchronous":
+        if v is None:
+            return show(db.sync_mode.value)
+        db.sync_mode = SyncMode(str(v).lower())
+        db.wal.sync_mode = db.sync_mode
+        return show(db.sync_mode.value)
+    if name in ("checkpoint", "wal_checkpoint"):
+        db.checkpoint()
+        return show("ok")
+    if name == "wal_frame_count":
+        return show(db.wal.frame_count)
+    if name == "wal_size":
+        return show(db.wal.size_bytes)
+    if name == "memory_stats":
+        return ExecuteResult(
+            rows=db.budget.stats(),
+            columns=["pool", "budget_bytes", "used_bytes"],
+        )
+    if name == "database_mode":
+        return show("ReadWrite" if db.mode == "rw" else "ReadOnlyDegraded")
+    if name == "recover_wal":
+        if db.mode == "rw":
+            return show("ok")
+        db.mode = "rw"
+        db._replay_wal()
+        db._rebuild_indexes()
+        return show("recovered")
+    if name == "ann":
+        if v is None:
+            return show(db.ann_enabled)
+        db.ann_enabled = _as_bool(v)
+        return show(db.ann_enabled)
+    if name == "ann_overfetch":
+        if v is None:
+            return show(db.ann_overfetch)
+        db.ann_overfetch = int(v)
+        return show(db.ann_overfetch)
+    if name == "vacuum":
+        n = 0
+        for tables in db.catalog.values():
+            for info in tables.values():
+                n += info.table.vacuum(db.mgr)
+        return show(n)
+    raise SqlError(f"unknown pragma: {p.name}")
+
+
+def _as_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return bool(v)
+    return str(v).lower() in ("on", "true", "1", "yes")
+
+
+def explain_plan(db, stmt) -> list[str]:
+    """Textual plan tree (reference EXPLAIN, database/config.rs)."""
+    lines: list[str] = []
+
+    def emit(depth, text):
+        lines.append("  " * depth + text)
+
+    def from_node(node, depth):
+        if node is None:
+            emit(depth, "Dual (1 row)")
+        elif isinstance(node, A.TableRef):
+            emit(depth, f"SeqScan {node.schema or 'main'}.{node.name}"
+                 + (f" AS {node.alias}" if node.alias else ""))
+        elif isinstance(node, A.SubqueryRef):
+            emit(depth, f"Subquery AS {node.alias}")
+            select(node.subquery, depth + 1)
+        elif isinstance(node, A.Join):
+            kind = node.kind
+            algo = "HashJoin" if node.on is not None or node.using else "CrossJoin"
+            emit(depth, f"{algo} ({kind})"
+                 + (f" ON {A.render_expr(node.on)}" if node.on else ""))
+            from_node(node.left, depth + 1)
+            from_node(node.right, depth + 1)
+
+    def select(sel: A.Select, depth):
+        if sel.limit is not None and sel.order_by:
+            ob = sel.order_by[0].expr
+            if (
+                isinstance(ob, A.BinaryOp)
+                and ob.op in ("<->", "<#>", "<=>")
+                and isinstance(sel.from_, A.TableRef)
+                and db.ann_enabled
+            ):
+                try:
+                    info = db.resolve_table(sel.from_)
+                    col = ob.left if isinstance(ob.left, A.ColumnRef) else ob.right
+                    if isinstance(col, A.ColumnRef) and any(
+                        h.column == col.name for h in info.hnsw.values()
+                    ):
+                        emit(depth, f"AnnIndexScan {sel.from_.name} "
+                             f"({A.render_expr(ob)}) [hnsw, overfetch x{db.ann_overfetch}]")
+                        depth += 1
+                except SqlError:
+                    pass
+        if sel.limit is not None:
+            emit(depth, f"Limit {A.render_expr(sel.limit)}"
+                 + (f" OFFSET {A.render_expr(sel.offset)}" if sel.offset else ""))
+            depth += 1
+        if sel.order_by:
+            keys = ", ".join(
+                A.render_expr(o.expr) + (" DESC" if o.desc else "")
+                for o in sel.order_by
+            )
+            emit(depth, f"Sort [{keys}]")
+            depth += 1
+        if sel.distinct:
+            emit(depth, "Distinct")
+            depth += 1
+        if sel.group_by or sel.having is not None or any(
+            isinstance(it, A.SelectItem) and _has_agg(it.expr) for it in sel.items
+        ):
+            keys = ", ".join(A.render_expr(g) for g in sel.group_by)
+            emit(depth, f"HashAggregate [{keys}]"
+                 + (f" HAVING {A.render_expr(sel.having)}" if sel.having else ""))
+            depth += 1
+        emit(depth, "Project [" + ", ".join(
+            "*" if isinstance(it.expr, A.Star) else A.render_expr(it.expr)
+            for it in sel.items
+        ) + "]")
+        depth += 1
+        if sel.where is not None:
+            emit(depth, f"Filter {A.render_expr(sel.where)}")
+            depth += 1
+        from_node(sel.from_, depth)
+        if sel.set_op:
+            op, all_, rhs = sel.set_op
+            emit(depth - 1, f"{op}{' ALL' if all_ else ''}")
+            select(rhs, depth)
+
+    def _has_agg(e):
+        from turdb_tpu.sql.engine import _contains_aggregate
+
+        return _contains_aggregate(e)
+
+    if isinstance(stmt, A.Select):
+        select(stmt, 0)
+    elif isinstance(stmt, A.Insert):
+        emit(0, f"Insert {stmt.table.name}"
+             + (f" ({len(stmt.values)} rows)" if stmt.values else " (from query)"))
+        if stmt.query:
+            select(stmt.query, 1)
+    elif isinstance(stmt, A.Update):
+        emit(0, f"Update {stmt.table.name}")
+        if stmt.where is not None:
+            emit(1, f"Filter {A.render_expr(stmt.where)}")
+    elif isinstance(stmt, A.Delete):
+        emit(0, f"Delete {stmt.table.name}")
+        if stmt.where is not None:
+            emit(1, f"Filter {A.render_expr(stmt.where)}")
+    else:
+        emit(0, type(stmt).__name__)
+    return lines

@@ -1,0 +1,972 @@
+"""Query planning + columnar execution.
+
+Counterpart of reference src/sql/planner + optimizer + executor (SURVEY.md
+§2.6), collapsed into a batch-columnar pipeline: FROM (scans/joins) →
+WHERE → GROUP/HAVING → window → SELECT list → DISTINCT → ORDER/LIMIT,
+each stage a whole-column transform (the reference's Volcano per-row
+`next()` loop survives only as this stage ordering — SURVEY.md §7).
+
+Includes the ANN fast path the reference designed but never wired
+(docs/plans/2026-01-08-hnsw-integration-design.md; planner has zero HNSW
+references, SURVEY.md §2.3): `ORDER BY vec_col <-> const LIMIT k` over a
+table with an HNSW index becomes an index search with MVCC-visibility
+masking and over-fetch, falling back to the exact scan otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from turdb_tpu.sql import ast as A
+from turdb_tpu.sql.expr import (
+    Batch,
+    Col,
+    EvalContext,
+    _densify,
+    _py,
+    eval_expr,
+    parse_vector_text,
+)
+from turdb_tpu.sql.functions import AGGREGATES, WINDOW_FUNCS
+from turdb_tpu.sql.lexer import SqlError
+
+ROWID = "#rowid"
+MAX_NESTED_LOOP = 10_000_000
+
+
+class QueryEngine:
+    """Executes Select ASTs against a Database (catalog + tables + txn)."""
+
+    def __init__(self, db):
+        self.db = db
+
+    # ------------------------------------------------------------------
+    # entry
+    # ------------------------------------------------------------------
+
+    def run_select(self, sel: A.Select, ctx: EvalContext) -> Batch:
+        ctes = dict(ctx.__dict__.get("ctes", {}) or {})
+        for cte in sel.ctes:
+            b = self.run_select(cte.query, self._child_ctx(ctx, ctes))
+            if cte.columns:
+                if len(cte.columns) != len(b.names):
+                    raise SqlError("CTE column count mismatch")
+                b.names = [(cte.name, c) for c in cte.columns]
+            else:
+                b.names = [(cte.name, nm) for (_, nm) in b.names]
+            ctes[cte.name] = b
+        ctx = self._child_ctx(ctx, ctes)
+
+        out = self._select_core(sel, ctx)
+
+        if sel.set_op is not None:
+            op, all_, rhs = sel.set_op
+            right = self.run_select(rhs, ctx)
+            out = _apply_setop(out, right, op, all_)
+
+        if sel.order_by:
+            out = self._order(out, sel.order_by, ctx, sel)
+        out = self._limit(out, sel, ctx)
+        return out
+
+    def _child_ctx(self, ctx: EvalContext, ctes) -> EvalContext:
+        c = EvalContext(ctx.params, self._subquery_fn, outer=ctx.outer)
+        c.ctes = ctes
+        # propagate the MVCC snapshot (read_ts/own_txn ride on the context)
+        for attr in ("read_ts", "own_txn"):
+            if hasattr(ctx, attr):
+                setattr(c, attr, getattr(ctx, attr))
+        return c
+
+    def _subquery_fn(self, sub: A.Select, sub_ctx: EvalContext) -> Batch:
+        return self.run_select(sub, sub_ctx)
+
+    # ------------------------------------------------------------------
+    # core (FROM..SELECT list)
+    # ------------------------------------------------------------------
+
+    def _select_core(self, sel: A.Select, ctx: EvalContext) -> Batch:
+        # ANN fast path before generic FROM/WHERE
+        ann = self._try_ann_path(sel, ctx)
+        if ann is not None:
+            src = ann
+        else:
+            src = self._from(sel.from_, ctx)
+            if sel.where is not None:
+                c = eval_expr(sel.where, src, ctx)
+                keep = np.flatnonzero(c.values.astype(bool) & ~c.nulls)
+                src = src.take(keep)
+
+        has_agg = any(
+            _contains_aggregate(it.expr)
+            for it in sel.items
+            if isinstance(it, A.SelectItem)
+        ) or (sel.having is not None) or bool(sel.group_by)
+
+        if has_agg:
+            out = self._aggregate(sel, src, ctx)
+        else:
+            out = self._project(sel, src, ctx)
+            if not sel.distinct:
+                # row-aligned source lets ORDER BY reference unprojected
+                # columns (SELECT name FROM t ORDER BY id)
+                out._source = src  # type: ignore[attr-defined]
+
+        if sel.distinct:
+            out = _distinct(out)
+        return out
+
+    # ------------------------------------------------------------------
+    # FROM clause
+    # ------------------------------------------------------------------
+
+    def _from(self, node, ctx: EvalContext) -> Batch:
+        if node is None:
+            # SELECT without FROM: one synthetic row (reference Dual source)
+            return Batch(1)
+        if isinstance(node, A.TableRef):
+            ctes = getattr(ctx, "ctes", {})
+            if node.schema is None and node.name in ctes:
+                b = ctes[node.name]
+                q = node.alias or node.name
+                out = Batch(b.n)
+                for (_, nm), c in zip(b.names, b.cols):
+                    out.add(q, nm, c)
+                return out
+            return self.db._scan_batch(node, ctx)
+        if isinstance(node, A.SubqueryRef):
+            b = self.run_select(node.subquery, ctx)
+            out = Batch(b.n)
+            for (_, nm), c in zip(b.names, b.cols):
+                out.add(node.alias, nm, c)
+            return out
+        if isinstance(node, A.Join):
+            return self._join(node, ctx)
+        raise SqlError(f"bad FROM node {type(node).__name__}")
+
+    def _join(self, j: A.Join, ctx: EvalContext) -> Batch:
+        left = self._from(j.left, ctx)
+        right = self._from(j.right, ctx)
+        cond = j.on
+        if j.using:
+            for name in j.using:
+                eq = A.BinaryOp(
+                    "=",
+                    _qualified_ref(left, name),
+                    _qualified_ref(right, name),
+                )
+                cond = eq if cond is None else A.BinaryOp("AND", cond, eq)
+        if j.kind == "CROSS" or cond is None:
+            return _cross_join(left, right, None, ctx)
+
+        equis, residual = _split_equi(cond, left, right)
+        if equis:
+            return _hash_join(left, right, equis, residual, j.kind, ctx)
+        if j.kind == "INNER":
+            return _cross_join(left, right, cond, ctx)
+        return _nl_outer_join(left, right, cond, j.kind, ctx)
+
+    # ------------------------------------------------------------------
+    # ANN fast path
+    # ------------------------------------------------------------------
+
+    def _try_ann_path(self, sel: A.Select, ctx: EvalContext):
+        """ORDER BY <vector-col> <-> <const> LIMIT k over one HNSW-indexed
+        table → graph search + visibility/predicate mask + over-fetch."""
+        if (
+            not sel.order_by
+            or len(sel.order_by) != 1
+            or sel.order_by[0].desc
+            or sel.limit is None
+            or sel.group_by
+            or sel.having is not None
+            or not isinstance(sel.from_, A.TableRef)
+        ):
+            return None
+        ob = sel.order_by[0].expr
+        if not (isinstance(ob, A.BinaryOp) and ob.op in ("<->", "<#>", "<=>")):
+            return None
+        col, const = ob.left, ob.right
+        if not isinstance(col, A.ColumnRef):
+            col, const = ob.right, ob.left
+        if not isinstance(col, A.ColumnRef):
+            return None
+        if _contains_column(const):
+            return None
+        hook = getattr(self.db, "_ann_search", None)
+        if hook is None:
+            return None
+        try:
+            k = int(_eval_scalar(sel.limit, ctx))
+            off = int(_eval_scalar(sel.offset, ctx)) if sel.offset else 0
+        except (TypeError, ValueError):
+            return None
+        qcol = Col.const(None, 1)
+        qv = eval_expr(const, Batch(1), ctx)
+        vec = qv.values[0] if qv.values.ndim == 1 else qv.values[0]
+        if isinstance(vec, str):
+            vec = parse_vector_text(vec)
+        if vec is None:
+            return None
+        return hook(sel, col, np.asarray(vec, np.float32), ob.op, k + off, ctx)
+
+    # ------------------------------------------------------------------
+    # projection
+    # ------------------------------------------------------------------
+
+    def _project(self, sel: A.Select, src: Batch, ctx: EvalContext) -> Batch:
+        # window functions evaluate against the filtered source
+        out = Batch(src.n)
+        for it in sel.items:
+            expr = it.expr
+            if isinstance(expr, A.Star):
+                for (q, nm), c in zip(src.names, src.cols):
+                    if nm.startswith("#"):
+                        continue
+                    if expr.table is not None and q != expr.table:
+                        continue
+                    out.add(q, nm, c)
+                continue
+            if _contains_window(expr):
+                col = self._eval_window(expr, src, ctx)
+            else:
+                col = eval_expr(expr, src, ctx)
+            out.add(None, it.alias or _output_name(expr), col)
+        # keep hidden rowid for FOR UPDATE / DML RETURNING chains
+        for (q, nm), c in zip(src.names, src.cols):
+            if nm == ROWID and all(n != ROWID for _, n in out.names):
+                out.add(q, nm, c)
+        return out
+
+    def _eval_window(self, expr, src: Batch, ctx: EvalContext) -> Col:
+        if isinstance(expr, A.FuncCall) and expr.over is not None:
+            return _window_call(self, expr, src, ctx)
+        raise SqlError("window function must be a top-level select item")
+
+    # ------------------------------------------------------------------
+    # aggregation
+    # ------------------------------------------------------------------
+
+    def _aggregate(self, sel: A.Select, src: Batch, ctx: EvalContext) -> Batch:
+        keys = [eval_expr(g, src, ctx) for g in sel.group_by]
+        n = src.n
+        if keys:
+            group_map: dict = {}
+            group_of = np.zeros(n, np.int64)
+            for i in range(n):
+                kt = tuple(
+                    None if k.nulls[i] else _py(k.values[i]) for k in keys
+                )
+                kt = tuple(
+                    tuple(x) if isinstance(x, (list, np.ndarray)) else x for x in kt
+                )
+                g = group_map.setdefault(kt, len(group_map))
+                group_of[i] = g
+            ngroups = len(group_map)
+        else:
+            group_of = np.zeros(n, np.int64)
+            ngroups = 1 if True else 0
+
+        # collect aggregate calls across SELECT/HAVING/ORDER BY
+        agg_nodes: list[A.FuncCall] = []
+
+        def collect(e):
+            if isinstance(e, A.FuncCall) and e.name in AGGREGATES and e.over is None:
+                agg_nodes.append(e)
+                return
+            for ch in _children(e):
+                collect(ch)
+
+        for it in sel.items:
+            if isinstance(it, A.SelectItem):
+                collect(it.expr)
+        if sel.having is not None:
+            collect(sel.having)
+        for ob in sel.order_by:
+            collect(ob.expr)
+
+        # evaluate each aggregate per group
+        agg_cols: dict[str, Col] = {}
+        for node in agg_nodes:
+            key = A.render_expr(node) + (":d" if node.distinct else "")
+            if key in agg_cols:
+                continue
+            agg_cols[key] = _eval_aggregate(node, src, ctx, group_of, ngroups)
+
+        # group-key columns (one row per group)
+        rep = np.zeros(ngroups, np.int64)
+        seen = set()
+        for i in range(n):
+            g = int(group_of[i])
+            if g not in seen:
+                rep[g] = i
+                seen.add(g)
+        post = Batch(ngroups)
+        if n == 0 and ngroups == 1:
+            # global aggregate over empty input: key columns are all-NULL
+            for gexpr, kcol in zip(sel.group_by, keys):
+                post.add(None, A.render_expr(gexpr), Col.const(None, 1))
+            for (q, nm), c in zip(src.names, src.cols):
+                post.add(q, nm, Col.const(None, 1))
+        else:
+            for gexpr, kcol in zip(sel.group_by, keys):
+                post.add(
+                    None, A.render_expr(gexpr),
+                    Col(kcol.values[rep], kcol.nulls[rep]),
+                )
+            # also group-key source columns referenced by name
+            for (q, nm), c in zip(src.names, src.cols):
+                post.add(q, nm, Col(c.values[rep], c.nulls[rep]))
+        for key, col in agg_cols.items():
+            post.add(None, key, col)
+
+        if sel.having is not None:
+            hv = _eval_postagg(sel.having, post, ctx, sel.group_by)
+            keep = np.flatnonzero(hv.values.astype(bool) & ~hv.nulls)
+            post = post.take(keep)
+
+        out = Batch(post.n)
+        for it in sel.items:
+            expr = it.expr
+            if isinstance(expr, A.Star):
+                raise SqlError("SELECT * with GROUP BY is not supported")
+            col = _eval_postagg(expr, post, ctx, sel.group_by)
+            out.add(None, it.alias or _output_name(expr), col)
+        # stash post-agg batch for ORDER BY over aggregate exprs
+        out._postagg = post  # type: ignore[attr-defined]
+        out._group_by = sel.group_by  # type: ignore[attr-defined]
+        return out
+
+    # ------------------------------------------------------------------
+    # ORDER BY / LIMIT
+    # ------------------------------------------------------------------
+
+    def _order(self, out: Batch, order_by, ctx: EvalContext, sel) -> Batch:
+        keys = []
+        for ob in order_by:
+            e = ob.expr
+            col = None
+            # positional: ORDER BY 2
+            if isinstance(e, A.Literal) and isinstance(e.value, int):
+                pos = e.value - 1
+                if not (0 <= pos < len(out.cols)):
+                    raise SqlError(f"ORDER BY position {e.value} out of range")
+                col = out.cols[pos]
+            # output alias / name
+            if col is None and isinstance(e, A.ColumnRef) and e.table is None:
+                for (q, nm), c in zip(out.names, out.cols):
+                    if nm == e.name:
+                        col = c
+                        break
+            if col is None:
+                post = getattr(out, "_postagg", None)
+                if post is not None:
+                    col = _eval_postagg(e, post, ctx, getattr(out, "_group_by", []))
+                else:
+                    try:
+                        col = eval_expr(e, out, ctx)
+                    except SqlError:
+                        src = getattr(out, "_source", None)
+                        if src is None:
+                            raise SqlError(
+                                "cannot resolve ORDER BY expression "
+                                f"{A.render_expr(e)}"
+                            )
+                        col = eval_expr(e, src, ctx)
+            keys.append((col, ob.desc, ob.nulls_last))
+        idx = _sort_indices(keys, out.n)
+        res = out.take(idx)
+        return res
+
+    def _limit(self, out: Batch, sel: A.Select, ctx: EvalContext) -> Batch:
+        off = int(_eval_scalar(sel.offset, ctx)) if sel.offset is not None else 0
+        if sel.limit is not None:
+            k = int(_eval_scalar(sel.limit, ctx))
+            return out.take(np.arange(off, min(off + k, out.n)))
+        if off:
+            return out.take(np.arange(off, out.n))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _eval_scalar(expr, ctx: EvalContext):
+    if expr is None:
+        return None
+    c = eval_expr(expr, Batch(1), ctx)
+    return None if c.nulls[0] else _py(c.values[0])
+
+
+def _children(e):
+    import dataclasses
+
+    if not dataclasses.is_dataclass(e):
+        return
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, A.Expr):
+            yield v
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                if isinstance(x, A.Expr):
+                    yield x
+                elif isinstance(x, tuple):
+                    for y in x:
+                        if isinstance(y, A.Expr):
+                            yield y
+
+
+def _contains_aggregate(e) -> bool:
+    if isinstance(e, A.FuncCall) and e.name in AGGREGATES and e.over is None:
+        return True
+    return any(_contains_aggregate(c) for c in _children(e))
+
+
+def _contains_window(e) -> bool:
+    if isinstance(e, A.FuncCall) and e.over is not None:
+        return True
+    return any(_contains_window(c) for c in _children(e))
+
+
+def _contains_column(e) -> bool:
+    if isinstance(e, (A.ColumnRef, A.Star)):
+        return True
+    return any(_contains_column(c) for c in _children(e))
+
+
+def _output_name(e) -> str:
+    if isinstance(e, A.ColumnRef):
+        return e.name
+    if isinstance(e, A.FuncCall):
+        return e.name
+    if isinstance(e, A.Cast):
+        return _output_name(e.operand)
+    return A.render_expr(e)
+
+
+def _qualified_ref(batch: Batch, name: str) -> A.ColumnRef:
+    for q, nm in batch.names:
+        if nm == name:
+            return A.ColumnRef(name, table=q)
+    raise SqlError(f"USING column {name} not found")
+
+
+def _sort_indices(keys, n: int) -> np.ndarray:
+    """Stable multi-key sort. NULLS LAST default for ASC, FIRST for DESC
+    (PostgreSQL)."""
+    idx = np.arange(n)
+    for col, desc, nulls_last in reversed(keys):
+        v = col.values
+        nl = nulls_last if nulls_last is not None else not desc
+        if v.dtype == object or v.ndim > 1:
+            keyed = []
+            for i in idx:
+                if col.nulls[i]:
+                    keyed.append((1 if nl else -1, ""))
+                else:
+                    x = v[i]
+                    keyed.append((0, tuple(x) if isinstance(x, (list, np.ndarray)) else x))
+            order = sorted(
+                range(len(idx)),
+                key=lambda j: keyed[j],
+                reverse=desc,
+            )
+            # desc reverse flips null placement; compensate
+            if desc:
+                nulls_first = [j for j in order if keyed[j][0] != 0]
+                rest = [j for j in order if keyed[j][0] == 0]
+                order = (rest + nulls_first) if nl else (nulls_first + rest)
+            idx = idx[np.asarray(order, np.int64)]
+        else:
+            vv = v[idx].astype(np.float64 if v.dtype.kind == "f" else v.dtype)
+            nn = col.nulls[idx]
+            if desc:
+                sortv = np.where(nn, -np.inf if nl else np.inf, vv)
+                order = np.argsort(-sortv, kind="stable")
+            else:
+                sortv = np.where(nn, np.inf if nl else -np.inf, vv)
+                order = np.argsort(sortv, kind="stable")
+            idx = idx[order]
+    return idx
+
+
+def _visible_cols(b: Batch):
+    return [c for (q, nm), c in zip(b.names, b.cols) if not nm.startswith("#")]
+
+
+def _strip_hidden(b: Batch) -> Batch:
+    keep = [i for i, (q, nm) in enumerate(b.names) if not nm.startswith("#")]
+    if len(keep) == len(b.cols):
+        return b
+    return b.slice_cols(keep)
+
+
+def _distinct(b: Batch) -> Batch:
+    seen = set()
+    keep = []
+    cols = _visible_cols(b)
+    for i in range(b.n):
+        key = tuple(
+            None
+            if c.nulls[i]
+            else (
+                tuple(c.values[i])
+                if isinstance(c.values[i], (list, np.ndarray))
+                else _py(c.values[i])
+            )
+            for c in cols
+        )
+        if key not in seen:
+            seen.add(key)
+            keep.append(i)
+    return b.take(np.asarray(keep, np.int64))
+
+
+def _apply_setop(left: Batch, right: Batch, op: str, all_: bool) -> Batch:
+    left, right = _strip_hidden(left), _strip_hidden(right)
+    if len(left.cols) != len(right.cols):
+        raise SqlError(f"{op} operands must have the same number of columns")
+    if op == "UNION":
+        out = left.concat(right)
+        return out if all_ else _distinct(out)
+
+    def rowkeys(b):
+        out = []
+        for i in range(b.n):
+            out.append(
+                tuple(
+                    None
+                    if c.nulls[i]
+                    else (
+                        tuple(c.values[i])
+                        if isinstance(c.values[i], (list, np.ndarray))
+                        else _py(c.values[i])
+                    )
+                    for c in b.cols
+                )
+            )
+        return out
+
+    lk, rk = rowkeys(left), rowkeys(right)
+    rset = set(rk)
+    if op == "INTERSECT":
+        keep = [i for i, k in enumerate(lk) if k in rset]
+    else:  # EXCEPT
+        keep = [i for i, k in enumerate(lk) if k not in rset]
+    out = left.take(np.asarray(keep, np.int64))
+    return out if all_ else _distinct(out)
+
+
+# -- joins -------------------------------------------------------------------
+
+
+def _resolvable(e, batch: Batch) -> bool:
+    """True if every column in e resolves within `batch`."""
+    if isinstance(e, A.ColumnRef):
+        try:
+            batch.resolve(e.name, e.table)
+            return True
+        except SqlError:
+            return False
+    if isinstance(e, A.Star):
+        return False
+    kids = list(_children(e))
+    return all(_resolvable(c, batch) for c in kids) if kids else True
+
+
+def _split_equi(cond, left: Batch, right: Batch):
+    """Split an ON condition into hash-joinable equi pairs + residual."""
+    conjuncts = []
+
+    def flat(e):
+        if isinstance(e, A.BinaryOp) and e.op == "AND":
+            flat(e.left)
+            flat(e.right)
+        else:
+            conjuncts.append(e)
+
+    flat(cond)
+    equis, residual = [], []
+    for c in conjuncts:
+        if isinstance(c, A.BinaryOp) and c.op == "=":
+            a, b = c.left, c.right
+            if _resolvable(a, left) and _resolvable(b, right) and \
+                    _contains_column(a) and _contains_column(b):
+                equis.append((a, b))
+                continue
+            if _resolvable(b, left) and _resolvable(a, right) and \
+                    _contains_column(a) and _contains_column(b):
+                equis.append((b, a))
+                continue
+        residual.append(c)
+    res = None
+    for c in residual:
+        res = c if res is None else A.BinaryOp("AND", res, c)
+    return equis, res
+
+
+def _merge_batches(left: Batch, right: Batch, li, ri, lnull=None, rnull=None):
+    out = Batch(len(li))
+    for (q, nm), c in zip(left.names, left.cols):
+        vals = c.values[np.maximum(li, 0)]
+        nulls = c.nulls[np.maximum(li, 0)] | (li < 0)
+        out.add(q, nm, Col(vals, nulls))
+    for (q, nm), c in zip(right.names, right.cols):
+        vals = c.values[np.maximum(ri, 0)]
+        nulls = c.nulls[np.maximum(ri, 0)] | (ri < 0)
+        out.add(q, nm, Col(vals, nulls))
+    return out
+
+
+def _hash_join(left, right, equis, residual, kind, ctx):
+    """Hash join (reference GraceHashJoinExecutor, executor.rs:1140 — the
+    in-memory case; budget spilling is handled by batch slicing upstream)."""
+    lkeys = [eval_expr(a, left, ctx) for a, _ in equis]
+    rkeys = [eval_expr(b, right, ctx) for _, b in equis]
+
+    table: dict = {}
+    for i in range(right.n):
+        if any(k.nulls[i] for k in rkeys):
+            continue
+        kt = tuple(_hashable(k.values[i]) for k in rkeys)
+        table.setdefault(kt, []).append(i)
+
+    li, ri = [], []
+    lmatched = np.zeros(left.n, bool)
+    rmatched = np.zeros(right.n, bool)
+    for i in range(left.n):
+        if any(k.nulls[i] for k in lkeys):
+            continue
+        kt = tuple(_hashable(k.values[i]) for k in lkeys)
+        for j in table.get(kt, ()):
+            li.append(i)
+            ri.append(j)
+    li = np.asarray(li, np.int64)
+    ri = np.asarray(ri, np.int64)
+    out = _merge_batches(left, right, li, ri)
+    if residual is not None and out.n:
+        c = eval_expr(residual, out, ctx)
+        keep = c.values.astype(bool) & ~c.nulls
+        li, ri = li[keep], ri[keep]
+        out = out.take(np.flatnonzero(keep))
+    lmatched[li] = True
+    rmatched[ri] = True
+
+    if kind in ("LEFT", "FULL"):
+        extra = np.flatnonzero(~lmatched)
+        if len(extra):
+            out = out.concat(
+                _merge_batches(left, right, extra, np.full(len(extra), -1))
+            )
+    if kind in ("RIGHT", "FULL"):
+        extra = np.flatnonzero(~rmatched)
+        if len(extra):
+            out = out.concat(
+                _merge_batches(left, right, np.full(len(extra), -1), extra)
+            )
+    return out
+
+
+def _hashable(v):
+    v = _py(v)
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(v)
+    return v
+
+
+def _cross_join(left, right, cond, ctx):
+    if left.n * right.n > MAX_NESTED_LOOP:
+        raise SqlError("join too large for nested-loop execution")
+    li = np.repeat(np.arange(left.n), right.n)
+    ri = np.tile(np.arange(right.n), left.n)
+    out = _merge_batches(left, right, li, ri)
+    if cond is not None and out.n:
+        c = eval_expr(cond, out, ctx)
+        out = out.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
+    return out
+
+
+def _nl_outer_join(left, right, cond, kind, ctx):
+    if left.n * right.n > MAX_NESTED_LOOP:
+        raise SqlError("join too large for nested-loop execution")
+    li = np.repeat(np.arange(left.n), right.n)
+    ri = np.tile(np.arange(right.n), left.n)
+    pairs = _merge_batches(left, right, li, ri)
+    c = eval_expr(cond, pairs, ctx)
+    keep = c.values.astype(bool) & ~c.nulls
+    li_k, ri_k = li[keep], ri[keep]
+    out = pairs.take(np.flatnonzero(keep))
+    lmatched = np.zeros(left.n, bool)
+    rmatched = np.zeros(right.n, bool)
+    lmatched[li_k] = True
+    rmatched[ri_k] = True
+    if kind in ("LEFT", "FULL"):
+        extra = np.flatnonzero(~lmatched)
+        if len(extra):
+            out = out.concat(_merge_batches(left, right, extra, np.full(len(extra), -1)))
+    if kind in ("RIGHT", "FULL"):
+        extra = np.flatnonzero(~rmatched)
+        if len(extra):
+            out = out.concat(_merge_batches(left, right, np.full(len(extra), -1), extra))
+    return out
+
+
+# -- aggregates --------------------------------------------------------------
+
+
+def _eval_aggregate(node: A.FuncCall, src: Batch, ctx, group_of, ngroups) -> Col:
+    name = node.name
+    n = src.n
+    mask = np.ones(n, bool)
+    if node.filter is not None:
+        c = eval_expr(node.filter, src, ctx)
+        mask = c.values.astype(bool) & ~c.nulls
+
+    if node.star:
+        arg = None
+    else:
+        if not node.args:
+            raise SqlError(f"{name}() needs an argument")
+        arg = eval_expr(node.args[0], src, ctx)
+
+    out_v = np.empty(ngroups, object)
+    out_n = np.zeros(ngroups, bool)
+    groups: list[list[int]] = [[] for _ in range(ngroups)]
+    for i in range(n):
+        if mask[i]:
+            groups[int(group_of[i])].append(i)
+
+    for g, idxs in enumerate(groups):
+        if arg is None:
+            out_v[g] = len(idxs)
+            continue
+        vals = [
+            _py(arg.values[i]) for i in idxs if not arg.nulls[i]
+        ]
+        if node.distinct:
+            seen = set()
+            ded = []
+            for v in vals:
+                h = tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                if h not in seen:
+                    seen.add(h)
+                    ded.append(v)
+            vals = ded
+        if name == "count":
+            out_v[g] = len(vals)
+        elif name in ("sum", "total"):
+            if not vals:
+                if name == "total":
+                    out_v[g] = 0.0
+                else:
+                    out_n[g] = True
+            else:
+                s = sum(vals)
+                out_v[g] = s
+        elif name == "avg":
+            if not vals:
+                out_n[g] = True
+            else:
+                out_v[g] = sum(float(v) for v in vals) / len(vals)
+        elif name == "min":
+            if not vals:
+                out_n[g] = True
+            else:
+                out_v[g] = min(vals)
+        elif name == "max":
+            if not vals:
+                out_n[g] = True
+            else:
+                out_v[g] = max(vals)
+        elif name in ("stddev", "stddev_samp", "variance", "var_samp"):
+            if len(vals) < 2:
+                out_n[g] = True
+            else:
+                a = np.asarray([float(v) for v in vals])
+                var = a.var(ddof=1)
+                out_v[g] = float(np.sqrt(var)) if name.startswith("stddev") else float(var)
+        elif name in ("string_agg", "group_concat"):
+            sep = ","
+            if len(node.args) > 1:
+                sc = eval_expr(node.args[1], src, ctx)
+                sep = str(sc.values[0]) if not sc.nulls[0] else ","
+            if not vals:
+                out_n[g] = True
+            else:
+                out_v[g] = sep.join(str(v) for v in vals)
+        elif name == "array_agg":
+            out_v[g] = list(vals)
+        elif name == "bool_and":
+            if not vals:
+                out_n[g] = True
+            else:
+                out_v[g] = all(bool(v) for v in vals)
+        elif name == "bool_or":
+            if not vals:
+                out_n[g] = True
+            else:
+                out_v[g] = any(bool(v) for v in vals)
+        else:
+            raise SqlError(f"unknown aggregate {name}")
+    return _densify(Col(out_v, out_n))
+
+
+def _eval_postagg(e, post: Batch, ctx, group_by) -> Col:
+    """Evaluate a post-aggregation expression: aggregate calls and
+    group-key expressions resolve to columns of the post-agg batch."""
+    if isinstance(e, A.FuncCall) and e.name in AGGREGATES and e.over is None:
+        key = A.render_expr(e) + (":d" if e.distinct else "")
+        for (q, nm), c in zip(post.names, post.cols):
+            if nm == key:
+                return c
+        raise SqlError(f"aggregate {key} not computed")
+    rendered = A.render_expr(e)
+    for g in group_by:
+        if A.render_expr(g) == rendered:
+            for (q, nm), c in zip(post.names, post.cols):
+                if nm == rendered:
+                    return c
+    if isinstance(e, A.ColumnRef):
+        return post.resolve(e.name, e.table)
+    if _contains_aggregate(e):
+        # rebuild node by node
+        import dataclasses
+
+        def rebuild(x):
+            if isinstance(x, A.FuncCall) and x.name in AGGREGATES and x.over is None:
+                return ("col", A.render_expr(x) + (":d" if x.distinct else ""))
+            return None
+
+        return _eval_mixed(e, post, ctx, group_by)
+    return eval_expr(e, post, ctx)
+
+
+def _eval_mixed(e, post: Batch, ctx, group_by) -> Col:
+    """Expression mixing aggregates and scalars: recursively substitute."""
+    if isinstance(e, A.FuncCall) and e.name in AGGREGATES and e.over is None:
+        return _eval_postagg(e, post, ctx, group_by)
+    if isinstance(e, A.BinaryOp):
+        import copy
+
+        a = _eval_mixed(e.left, post, ctx, group_by)
+        b = _eval_mixed(e.right, post, ctx, group_by)
+        from turdb_tpu.sql.expr import (
+            _binary_numeric,
+            _compare,
+            _kleene_and,
+            _kleene_or,
+        )
+
+        if e.op in ("+", "-", "*", "/", "%"):
+            return _binary_numeric(e.op, a, b)
+        if e.op in ("=", "<>", "<", "<=", ">", ">="):
+            return _compare(e.op, a, b)
+        if e.op == "AND":
+            return _kleene_and(a, b)
+        if e.op == "OR":
+            return _kleene_or(a, b)
+        raise SqlError(f"unsupported post-aggregate operator {e.op}")
+    if isinstance(e, A.UnaryOp):
+        v = _eval_mixed(e.operand, post, ctx, group_by)
+        if e.op == "NOT":
+            return Col(~v.values.astype(bool), v.nulls)
+        if e.op == "-":
+            from turdb_tpu.sql.expr import _numeric
+
+            return Col(-_numeric(v), v.nulls)
+        return v
+    return eval_expr(e, post, ctx)
+
+
+# -- window functions --------------------------------------------------------
+
+
+def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
+    n = src.n
+    spec = fc.over
+    # partitions
+    if spec.partition_by:
+        pk = [eval_expr(e, src, ctx) for e in spec.partition_by]
+        parts: dict = {}
+        for i in range(n):
+            kt = tuple(
+                None if k.nulls[i] else _hashable(k.values[i]) for k in pk
+            )
+            parts.setdefault(kt, []).append(i)
+        partitions = list(parts.values())
+    else:
+        partitions = [list(range(n))]
+
+    out = np.zeros(n, np.int64)
+    out_f = None
+    for rows in partitions:
+        rows = np.asarray(rows, np.int64)
+        if spec.order_by:
+            keys = [
+                (eval_expr(ob.expr, src.take(rows), ctx), ob.desc, ob.nulls_last)
+                for ob in spec.order_by
+            ]
+            order = _sort_indices(keys, len(rows))
+            ordered = rows[order]
+        else:
+            ordered = rows
+        name = fc.name
+        if name == "row_number":
+            for r, i in enumerate(ordered, 1):
+                out[i] = r
+        elif name in ("rank", "dense_rank"):
+            sub = src.take(ordered)
+            keyvals = [
+                tuple(
+                    None
+                    if eval_expr(ob.expr, sub, ctx).nulls[j]
+                    else _hashable(eval_expr(ob.expr, sub, ctx).values[j])
+                    for ob in spec.order_by
+                )
+                for j in range(len(ordered))
+            ]
+            rank = 0
+            dense = 0
+            prev = object()
+            for j, i in enumerate(ordered):
+                if keyvals[j] != prev:
+                    dense += 1
+                    rank = j + 1
+                    prev = keyvals[j]
+                out[i] = rank if name == "rank" else dense
+        elif name in ("lag", "lead"):
+            arg = eval_expr(fc.args[0], src, ctx)
+            off = 1
+            if len(fc.args) > 1:
+                off = int(_eval_scalar(fc.args[1], ctx))
+            if out_f is None:
+                out_f = np.empty(n, object)
+                out_fn = np.ones(n, bool)
+            shift = -off if name == "lag" else off
+            for j, i in enumerate(ordered):
+                j2 = j + shift
+                if 0 <= j2 < len(ordered):
+                    i2 = ordered[j2]
+                    if not arg.nulls[i2]:
+                        out_f[i] = _py(arg.values[i2])
+                        out_fn[i] = False
+        elif name in AGGREGATES:
+            # aggregate-over-window: whole-partition value
+            garr = np.zeros(n, np.int64)
+            gcol = _eval_aggregate(
+                fc, src.take(rows), ctx, np.zeros(len(rows), np.int64), 1
+            )
+            if out_f is None:
+                out_f = np.empty(n, object)
+                out_fn = np.ones(n, bool)
+            for i in rows:
+                out_f[i] = _py(gcol.values[0])
+                out_fn[i] = bool(gcol.nulls[0])
+        else:
+            raise SqlError(f"unknown window function {name}")
+    if out_f is not None:
+        return _densify(Col(out_f, out_fn))
+    return Col(out)

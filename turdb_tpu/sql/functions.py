@@ -1,0 +1,604 @@
+"""Scalar SQL builtins.
+
+Counterpart of reference src/sql/functions/ (~90 builtins: string.rs:50,
+numeric.rs:50, datetime.rs:51, system.rs:33; inventory README.md:382-476).
+Each function operates on whole columns (Col) with NULL propagation.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+import uuid as _uuid
+
+import numpy as np
+
+from turdb_tpu.sql import ast as A
+from turdb_tpu.sql.expr import (
+    Batch,
+    Col,
+    EvalContext,
+    _densify,
+    _numeric,
+    _py,
+    _text,
+    eval_expr,
+    parse_vector_text,
+)
+from turdb_tpu.sql.lexer import SqlError
+
+AGGREGATES = {
+    "count", "sum", "avg", "min", "max", "stddev", "stddev_samp", "variance",
+    "var_samp", "string_agg", "group_concat", "array_agg", "bool_and",
+    "bool_or", "total",
+}
+
+WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "ntile", "lag", "lead"}
+
+
+def parse_temporal(type_name: str, text: str):
+    """Normalize a temporal literal to canonical ISO text (DATE/TIME/
+    TIMESTAMP) or microseconds (INTERVAL). Reference parsing/literal.rs."""
+    tn = type_name.upper()
+    t = text.strip()
+    if tn == "DATE":
+        return _dt.date.fromisoformat(t).isoformat()
+    if tn == "TIME":
+        return _dt.time.fromisoformat(t).isoformat()
+    if tn in ("TIMESTAMP", "TIMESTAMPTZ", "DATETIME"):
+        return _dt.datetime.fromisoformat(t.replace("T", " ").replace("Z", "")).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        ).rstrip("0").rstrip(".")
+    if tn == "INTERVAL":
+        return _parse_interval(t)
+    raise SqlError(f"bad temporal type {type_name}")
+
+
+_INTERVAL_UNITS = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1000, "milliseconds": 1000,
+    "second": 10**6, "seconds": 10**6, "sec": 10**6, "secs": 10**6,
+    "minute": 60 * 10**6, "minutes": 60 * 10**6, "min": 60 * 10**6,
+    "hour": 3600 * 10**6, "hours": 3600 * 10**6,
+    "day": 86400 * 10**6, "days": 86400 * 10**6,
+    "week": 7 * 86400 * 10**6, "weeks": 7 * 86400 * 10**6,
+    "month": 30 * 86400 * 10**6, "months": 30 * 86400 * 10**6,
+    "year": 365 * 86400 * 10**6, "years": 365 * 86400 * 10**6,
+}
+
+
+def _parse_interval(t: str) -> int:
+    total = 0
+    parts = t.lower().split()
+    i = 0
+    while i < len(parts):
+        try:
+            qty = float(parts[i])
+        except ValueError:
+            raise SqlError(f"bad interval: {t!r}")
+        if i + 1 >= len(parts):
+            raise SqlError(f"bad interval: {t!r}")
+        unit = parts[i + 1]
+        if unit not in _INTERVAL_UNITS:
+            raise SqlError(f"bad interval unit: {unit}")
+        total += int(qty * _INTERVAL_UNITS[unit])
+        i += 2
+    return total
+
+
+def _parse_dt(v) -> _dt.datetime:
+    s = str(v).strip()
+    try:
+        if len(s) == 10:
+            return _dt.datetime.fromisoformat(s)
+        return _dt.datetime.fromisoformat(s.replace("T", " "))
+    except ValueError:
+        raise SqlError(f"bad timestamp: {s!r}")
+
+
+def _map(fn, *cols: Col, out_dtype=object) -> Col:
+    n = len(cols[0])
+    nulls = np.zeros(n, bool)
+    for c in cols:
+        nulls |= c.nulls
+    out = np.empty(n, object)
+    for i in range(n):
+        if nulls[i]:
+            continue
+        try:
+            out[i] = fn(*[_py(c.values[i]) for c in cols])
+        except (ValueError, TypeError, ZeroDivisionError):
+            nulls[i] = True
+    c = Col(out, nulls)
+    return _densify(c) if out_dtype is not object else c
+
+
+def _mapnum(fn, *cols: Col) -> Col:
+    n = len(cols[0])
+    nulls = np.zeros(n, bool)
+    for c in cols:
+        nulls |= c.nulls
+    args = [_numeric(c) for c in cols]
+    with np.errstate(all="ignore"):
+        out = fn(*args)
+    bad = ~np.isfinite(out)
+    return Col(np.where(bad, 0.0, out), nulls | bad)
+
+
+def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
+    name = e.name
+    n = batch.n
+    if name in AGGREGATES or name in WINDOW_FUNCS:
+        raise SqlError(
+            f"{name}() must appear in an aggregate/window position"
+        )
+    args = [eval_expr(a, batch, ctx) for a in e.args]
+
+    def want(k_min, k_max=None):
+        k_max = k_max if k_max is not None else k_min
+        if not (k_min <= len(args) <= k_max):
+            raise SqlError(f"{name}() expects {k_min}..{k_max} args")
+
+    # ---- system / generic -------------------------------------------------
+    if name == "coalesce":
+        out = Col.const(None, n)
+        vals = np.empty(n, object)
+        nulls = np.ones(n, bool)
+        for c in args:
+            fill = nulls & ~c.nulls
+            for i in np.flatnonzero(fill):
+                vals[i] = _py(c.values[i])
+            nulls &= ~fill
+        return _densify(Col(vals, nulls))
+    if name == "nullif":
+        want(2)
+        a, b = args
+        from turdb_tpu.sql.expr import _compare
+
+        eq = _compare("=", a, b)
+        nulls = a.nulls | (eq.values.astype(bool) & ~eq.nulls)
+        return Col(a.values.copy(), nulls)
+    if name in ("greatest", "least"):
+        vals = np.empty(n, object)
+        nulls = np.ones(n, bool)
+        for c in args:
+            for i in range(n):
+                if c.nulls[i]:
+                    continue
+                v = _py(c.values[i])
+                if nulls[i]:
+                    vals[i], nulls[i] = v, False
+                elif (v > vals[i]) == (name == "greatest") and v != vals[i]:
+                    vals[i] = v
+        return _densify(Col(vals, nulls))
+    if name in ("ifnull",):
+        want(2)
+        a, b = args
+        vals = np.where(a.nulls, b.values, a.values)
+        return _densify(Col(vals.astype(object), a.nulls & b.nulls))
+    if name in ("iif", "if"):
+        want(3)
+        c, a, b = args
+        cond = c.values.astype(bool) & ~c.nulls
+        vals = np.where(cond, a.values, b.values)
+        nulls = np.where(cond, a.nulls, b.nulls)
+        return _densify(Col(vals.astype(object), nulls))
+    if name == "typeof":
+        want(1)
+
+        def _ty(v):
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "integer"
+            if isinstance(v, float):
+                return "double"
+            if isinstance(v, str):
+                return "text"
+            if isinstance(v, bytes):
+                return "blob"
+            if isinstance(v, np.ndarray):
+                return "vector"
+            if isinstance(v, (list, dict)):
+                return "jsonb"
+            return "unknown"
+
+        out = np.empty(n, object)
+        for i in range(n):
+            out[i] = "null" if args[0].nulls[i] else _ty(_py(args[0].values[i]))
+        return Col(out)
+    if name == "version":
+        from turdb_tpu import __version__
+
+        return Col.const(f"turdb-tpu {__version__}", n)
+    if name == "gen_random_uuid":
+        out = np.empty(n, object)
+        for i in range(n):
+            out[i] = str(_uuid.uuid4())
+        return Col(out)
+    if name == "random":
+        return Col(np.random.random(n))
+
+    # ---- string -----------------------------------------------------------
+    if name in ("length", "char_length", "character_length"):
+        want(1)
+        return _map(lambda s: len(s) if isinstance(s, str) else len(str(s)), args[0])
+    if name == "octet_length":
+        want(1)
+        return _map(
+            lambda s: len(s.encode()) if isinstance(s, str) else len(s), args[0]
+        )
+    if name == "lower":
+        want(1)
+        return _map(lambda s: str(s).lower(), args[0])
+    if name == "upper":
+        want(1)
+        return _map(lambda s: str(s).upper(), args[0])
+    if name == "initcap":
+        want(1)
+        return _map(lambda s: str(s).title(), args[0])
+    if name in ("substr", "substring"):
+        want(2, 3)
+        if len(args) == 2:
+            return _map(lambda s, a: str(s)[max(int(a) - 1, 0):], args[0], args[1])
+        return _map(
+            lambda s, a, ln: str(s)[max(int(a) - 1, 0): max(int(a) - 1, 0) + int(ln)],
+            args[0], args[1], args[2],
+        )
+    if name == "trim":
+        want(1, 2)
+        if len(args) == 1:
+            return _map(lambda s: str(s).strip(), args[0])
+        return _map(lambda s, ch: str(s).strip(str(ch)), args[0], args[1])
+    if name == "ltrim":
+        want(1, 2)
+        if len(args) == 1:
+            return _map(lambda s: str(s).lstrip(), args[0])
+        return _map(lambda s, ch: str(s).lstrip(str(ch)), args[0], args[1])
+    if name == "rtrim":
+        want(1, 2)
+        if len(args) == 1:
+            return _map(lambda s: str(s).rstrip(), args[0])
+        return _map(lambda s, ch: str(s).rstrip(str(ch)), args[0], args[1])
+    if name == "replace":
+        want(3)
+        return _map(
+            lambda s, a, b: str(s).replace(str(a), str(b)), args[0], args[1], args[2]
+        )
+    if name == "concat":
+        out = np.empty(n, object)
+        for i in range(n):
+            out[i] = "".join(
+                "" if c.nulls[i] else _text(c.values[i]) for c in args
+            )
+        return Col(out)
+    if name == "concat_ws":
+        want(1, 99)
+        out = np.empty(n, object)
+        nulls = args[0].nulls.copy()
+        for i in range(n):
+            if nulls[i]:
+                continue
+            sep = str(args[0].values[i])
+            out[i] = sep.join(
+                _text(c.values[i]) for c in args[1:] if not c.nulls[i]
+            )
+        return Col(out, nulls)
+    if name == "left":
+        want(2)
+        return _map(lambda s, k: str(s)[: int(k)], args[0], args[1])
+    if name == "right":
+        want(2)
+        return _map(lambda s, k: str(s)[-int(k):] if int(k) else "", args[0], args[1])
+    if name == "repeat":
+        want(2)
+        return _map(lambda s, k: str(s) * int(k), args[0], args[1])
+    if name == "reverse":
+        want(1)
+        return _map(lambda s: str(s)[::-1], args[0])
+    if name == "lpad":
+        want(2, 3)
+        pad = args[2] if len(args) == 3 else Col.const(" ", n)
+        return _map(
+            lambda s, k, p: str(s).rjust(int(k), str(p)[0])[: int(k)],
+            args[0], args[1], pad,
+        )
+    if name == "rpad":
+        want(2, 3)
+        pad = args[2] if len(args) == 3 else Col.const(" ", n)
+        return _map(
+            lambda s, k, p: str(s).ljust(int(k), str(p)[0])[: int(k)],
+            args[0], args[1], pad,
+        )
+    if name in ("strpos", "position", "instr"):
+        want(2)
+        return _map(lambda s, sub: str(s).find(str(sub)) + 1, args[0], args[1])
+    if name == "split_part":
+        want(3)
+
+        def _sp(s, d, k):
+            parts = str(s).split(str(d))
+            k = int(k)
+            return parts[k - 1] if 1 <= k <= len(parts) else ""
+
+        return _map(_sp, args[0], args[1], args[2])
+    if name == "starts_with":
+        want(2)
+        return _map(lambda s, p: str(s).startswith(str(p)), args[0], args[1])
+    if name == "md5":
+        want(1)
+        return _map(
+            lambda s: hashlib.md5(
+                s if isinstance(s, bytes) else str(s).encode()
+            ).hexdigest(),
+            args[0],
+        )
+    if name == "ascii":
+        want(1)
+        return _map(lambda s: ord(str(s)[0]) if str(s) else 0, args[0])
+    if name == "chr":
+        want(1)
+        return _map(lambda k: chr(int(k)), args[0])
+    if name == "to_hex":
+        want(1)
+        return _map(lambda k: format(int(k), "x"), args[0])
+    if name == "quote_ident":
+        want(1)
+        return _map(lambda s: '"' + str(s).replace('"', '""') + '"', args[0])
+    if name == "format":
+        want(1, 99)
+
+        def _fmt(f, *rest):
+            out, ai = [], 0
+            i = 0
+            f = str(f)
+            while i < len(f):
+                if f[i] == "%" and i + 1 < len(f):
+                    c = f[i + 1]
+                    if c == "s":
+                        out.append(_text(rest[ai]))
+                        ai += 1
+                    elif c == "%":
+                        out.append("%")
+                    else:
+                        out.append(f[i : i + 2])
+                    i += 2
+                else:
+                    out.append(f[i])
+                    i += 1
+            return "".join(out)
+
+        return _map(_fmt, *args)
+
+    # ---- numeric ----------------------------------------------------------
+    if name == "abs":
+        want(1)
+        v = args[0]
+        out = np.abs(_numeric(v))
+        if v.values.dtype.kind == "i":
+            out = out.astype(np.int64)
+        return Col(out, v.nulls)
+    if name in ("ceil", "ceiling"):
+        want(1)
+        return _mapnum(lambda x: np.ceil(x), args[0])
+    if name == "floor":
+        want(1)
+        return _mapnum(lambda x: np.floor(x), args[0])
+    if name == "round":
+        want(1, 2)
+        if len(args) == 1:
+            return _mapnum(lambda x: np.round(x), args[0])
+        return _mapnum(
+            lambda x, d: np.round(x, 0) if d is None else np.array(
+                [np.round(xx, int(dd)) for xx, dd in zip(np.atleast_1d(x), np.atleast_1d(d))]
+            ),
+            args[0], args[1],
+        )
+    if name == "trunc":
+        want(1, 2)
+        return _mapnum(lambda x: np.trunc(x), args[0])
+    if name == "sqrt":
+        want(1)
+        return _mapnum(np.sqrt, args[0])
+    if name == "cbrt":
+        want(1)
+        return _mapnum(np.cbrt, args[0])
+    if name == "exp":
+        want(1)
+        return _mapnum(np.exp, args[0])
+    if name == "ln":
+        want(1)
+        return _mapnum(np.log, args[0])
+    if name == "log":
+        want(1, 2)
+        if len(args) == 1:
+            return _mapnum(np.log10, args[0])
+        return _mapnum(lambda b, x: np.log(x) / np.log(b), args[0], args[1])
+    if name == "log10":
+        want(1)
+        return _mapnum(np.log10, args[0])
+    if name == "log2":
+        want(1)
+        return _mapnum(np.log2, args[0])
+    if name in ("power", "pow"):
+        want(2)
+        return _mapnum(np.power, args[0], args[1])
+    if name == "mod":
+        want(2)
+        from turdb_tpu.sql.expr import _binary_numeric
+
+        return _binary_numeric("%", args[0], args[1])
+    if name == "sign":
+        want(1)
+        return _mapnum(np.sign, args[0])
+    if name == "pi":
+        return Col.const(math.pi, n)
+    if name == "degrees":
+        want(1)
+        return _mapnum(np.degrees, args[0])
+    if name == "radians":
+        want(1)
+        return _mapnum(np.radians, args[0])
+    if name in ("sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh"):
+        want(1)
+        return _mapnum(getattr(np, name), args[0])
+    if name == "atan2":
+        want(2)
+        return _mapnum(np.arctan2, args[0], args[1])
+    if name == "gcd":
+        want(2)
+        return _map(lambda a, b: math.gcd(int(a), int(b)), args[0], args[1])
+    if name == "width_bucket":
+        want(4)
+        return _map(
+            lambda x, lo, hi, k: max(
+                0, min(int(k) + 1, 1 + int((float(x) - lo) / ((hi - lo) / int(k))))
+            ),
+            *args,
+        )
+
+    # ---- datetime ---------------------------------------------------------
+    if name in ("now", "current_timestamp"):
+        return Col.const(
+            _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f"), n
+        )
+    if name == "current_date":
+        return Col.const(_dt.date.today().isoformat(), n)
+    if name == "current_time":
+        return Col.const(_dt.datetime.now().time().isoformat(), n)
+    if name in ("extract", "date_part"):
+        want(2)
+
+        def _part(field, v):
+            d = _parse_dt(v)
+            f = str(field).lower()
+            if f == "year":
+                return d.year
+            if f == "month":
+                return d.month
+            if f == "day":
+                return d.day
+            if f == "hour":
+                return d.hour
+            if f == "minute":
+                return d.minute
+            if f == "second":
+                return d.second + d.microsecond / 1e6
+            if f == "dow":
+                return (d.weekday() + 1) % 7
+            if f == "doy":
+                return d.timetuple().tm_yday
+            if f == "epoch":
+                return d.timestamp()
+            if f == "week":
+                return d.isocalendar()[1]
+            if f == "quarter":
+                return (d.month - 1) // 3 + 1
+            raise SqlError(f"bad extract field {field}")
+
+        return _map(_part, args[0], args[1])
+    if name == "date_trunc":
+        want(2)
+
+        def _trunc(field, v):
+            d = _parse_dt(v)
+            f = str(field).lower()
+            if f == "year":
+                d = d.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+            elif f == "month":
+                d = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+            elif f == "day":
+                d = d.replace(hour=0, minute=0, second=0, microsecond=0)
+            elif f == "hour":
+                d = d.replace(minute=0, second=0, microsecond=0)
+            elif f == "minute":
+                d = d.replace(second=0, microsecond=0)
+            elif f == "second":
+                d = d.replace(microsecond=0)
+            else:
+                raise SqlError(f"bad date_trunc field {field}")
+            return d.strftime("%Y-%m-%d %H:%M:%S")
+
+        return _map(_trunc, args[0], args[1])
+    if name == "date_add":
+        want(2)
+
+        def _dadd(v, micros):
+            d = _parse_dt(v) + _dt.timedelta(microseconds=int(micros))
+            return d.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
+
+        return _map(_dadd, args[0], args[1])
+    if name == "date_sub":
+        want(2)
+
+        def _dsub(v, micros):
+            d = _parse_dt(v) - _dt.timedelta(microseconds=int(micros))
+            return d.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
+
+        return _map(_dsub, args[0], args[1])
+    if name == "age":
+        want(2)
+        return _map(
+            lambda a, b: int(
+                (_parse_dt(a) - _parse_dt(b)).total_seconds() * 1e6
+            ),
+            args[0], args[1],
+        )
+    if name == "to_timestamp":
+        want(1)
+        return _map(
+            lambda s: _dt.datetime.fromtimestamp(float(s)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            args[0],
+        )
+    if name == "strftime":
+        want(2)
+        return _map(lambda f, v: _parse_dt(v).strftime(str(f)), args[0], args[1])
+
+    # ---- vector -----------------------------------------------------------
+    if name == "vector_dims":
+        want(1)
+        v = args[0]
+        if v.values.ndim == 2:
+            return Col(np.full(n, v.values.shape[1], np.int64), v.nulls)
+        return _map(
+            lambda x: len(parse_vector_text(x) if isinstance(x, str) else x), v
+        )
+    if name in ("vector_norm", "l2_norm"):
+        want(1)
+        from turdb_tpu.sql.expr import _as_vector
+
+        vv = _as_vector(args[0], n)
+        return Col(np.linalg.norm(vv, axis=-1).astype(np.float64), args[0].nulls)
+
+    # ---- json -------------------------------------------------------------
+    if name in ("json_typeof", "jsonb_typeof"):
+        want(1)
+
+        def _jt(v):
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, (int, float)):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, list):
+                return "array"
+            if isinstance(v, dict):
+                return "object"
+            return "null"
+
+        return _map(_jt, args[0])
+    if name in ("json_array_length", "jsonb_array_length"):
+        want(1)
+        return _map(lambda v: len(v) if isinstance(v, list) else 0, args[0])
+    if name in ("array_length", "cardinality"):
+        want(1, 2)
+        return _map(
+            lambda v: len(v) if isinstance(v, (list, tuple, np.ndarray)) else None,
+            args[0],
+        )
+
+    raise SqlError(f"unknown function: {name}()")

@@ -896,7 +896,7 @@ class Parser:
             self.expect(T.RPAREN)
             return e
         if t.type is T.IDENT or (t.type is T.KEYWORD and t.value in _SOFT_IDENT):
-            name = t.value
+            name = t.value.lower() if t.type is T.KEYWORD else t.value
             # function call
             if self.peek().type is T.LPAREN:
                 return self._func_call(name)

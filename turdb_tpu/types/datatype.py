@@ -106,10 +106,13 @@ _STORAGE = {
     DataType.CHAR: StorageClass.TEXT,
     DataType.TEXT: StorageClass.TEXT,
     DataType.BLOB: StorageClass.BYTES,
-    DataType.DATE: StorageClass.INT,        # days since epoch
-    DataType.TIME: StorageClass.INT,        # microseconds since midnight
-    DataType.TIMESTAMP: StorageClass.INT,   # microseconds since epoch
-    DataType.TIMESTAMPTZ: StorageClass.INT,
+    # temporal types store canonical ISO-8601 text: lexicographic order ==
+    # chronological order, so comparisons and index keys work unchanged;
+    # date arithmetic parses on demand (sql/functions.py)
+    DataType.DATE: StorageClass.TEXT,
+    DataType.TIME: StorageClass.TEXT,
+    DataType.TIMESTAMP: StorageClass.TEXT,
+    DataType.TIMESTAMPTZ: StorageClass.TEXT,
     DataType.INTERVAL: StorageClass.INT,    # microseconds
     DataType.UUID: StorageClass.BYTES,      # 16 bytes
     DataType.JSON: StorageClass.TEXT,
