@@ -219,6 +219,16 @@ class Database:
                         idx["unique"], idx["using"], idx.get("options", {}),
                     )
                     info.index_defs[idx["name"]] = idef
+                    if idef.using == "HNSW":
+                        from turdb_tpu.storage.hnsw_io import load_hnsw
+
+                        loaded = load_hnsw(
+                            self.fm.hnsw_path(schema, td["name"], idef.name)
+                        )
+                        if loaded is not None:
+                            info.hnsw[idef.name] = loaded
+                            info._hnsw_loaded = True
+                            continue
                     self._instantiate_index(info, idef)
                 self.catalog[schema][td["name"]] = info
 
@@ -241,6 +251,10 @@ class Database:
                 t.xmin[:n] = 0
                 t.xmax[:n] = 0
                 self.fm.write_table_snapshot(schema, t)
+                from turdb_tpu.storage.hnsw_io import save_hnsw
+
+                for iname, h in info.hnsw.items():
+                    save_hnsw(self.fm.hnsw_path(schema, t.name, iname), h)
         self.fm.write_catalog(self._catalog_doc())
         self.fm.write_meta(
             {"version": 1, "next_table_id": self._next_table_id}
@@ -253,8 +267,8 @@ class Database:
     # ------------------------------------------------------------------
 
     def _replay_wal(self):
+        self._replay_touched: set = set()
         pending: dict[int, list] = {}
-        order: list[int] = []
         for lsn, ftype, txn_id, table_id, payload in self.wal.replay():
             if ftype is FrameType.BEGIN:
                 pending[txn_id] = []
@@ -293,6 +307,9 @@ class Database:
                 elif ftype is FrameType.DELETE:
                     rowid = int.from_bytes(payload[:8], "little")
                     info.table.delete_row(rowid, txn)
+                if ftype in (FrameType.INSERT, FrameType.UPDATE, FrameType.DELETE):
+                    rowid = int.from_bytes(payload[:8], "little")
+                    self._replay_touched.add((table_id, rowid))
             self.mgr.commit(txn)
         finally:
             self._replaying = False
@@ -315,12 +332,24 @@ class Database:
                     [_cell(info.table, c, int(i)) for c in cols]
                 )
                 idx.insert(key, rowid)
+        touched = getattr(self, "_replay_touched", set())
+        snapshot_loaded = getattr(info, "_hnsw_loaded", False)
         for name, h in info.hnsw.items():
             col = h.column
             for i in vis:
                 rowid = int(info.table.rowids[i])
-                if not info.table.nulls[col][i]:
-                    h.insert(rowid, info.table.cols[col][int(i)], defer=True)
+                if info.table.nulls[col][i]:
+                    continue
+                if snapshot_loaded:
+                    # incremental: only WAL-touched or unseen rows re-insert
+                    # (reference rebuilds row_id_map on open, mod.rs:767-859;
+                    # here the map is persisted with the graph)
+                    if (
+                        rowid in h.rowid_to_slot
+                        and (info.table.table_id, rowid) not in touched
+                    ):
+                        continue
+                h.insert(rowid, info.table.cols[col][int(i)], defer=True)
             h.flush_pending()
 
     def _table_by_id(self, table_id: int) -> TableInfo | None:
@@ -335,21 +364,29 @@ class Database:
     # ------------------------------------------------------------------
 
     def execute(self, sql: str, params=None) -> ExecuteResult:
-        stmt = _parse_stmt(sql)
-        return self._dispatch(stmt, list(params or []), sql)
+        from turdb_tpu.utils.timing import timed
+
+        with timed("parse"):
+            stmt = _parse_stmt(sql)
+        with timed("execute"):
+            return self._dispatch(stmt, list(params or []), sql)
 
     def query(self, sql: str, params=None) -> list[tuple]:
         return self.query_with_columns(sql, params)[1]
 
     def query_with_columns(self, sql: str, params=None):
-        stmt = _parse_stmt(sql)
+        from turdb_tpu.utils.timing import timed
+
+        with timed("parse"):
+            stmt = _parse_stmt(sql)
         if isinstance(stmt, A.Explain):
             return self._explain(stmt, list(params or []))
         if not isinstance(stmt, A.Select):
             res = self._dispatch(stmt, list(params or []), sql)
             return (res.columns or [], res.rows or [])
         ctx = self._ctx(list(params or []))
-        batch = self.engine.run_select(stmt, ctx)
+        with timed("query"):
+            batch = self.engine.run_select(stmt, ctx)
         if stmt.for_update and self._txn is not None:
             self._lock_batch_rows(batch)
         return _batch_to_rows(batch)

@@ -159,6 +159,18 @@ def execute_pragma(db, p: A.Pragma):
             return show(db.ann_overfetch)
         db.ann_overfetch = int(v)
         return show(db.ann_overfetch)
+    if name == "timing_stats":
+        from turdb_tpu.utils.timing import timing_stats
+
+        return ExecuteResult(
+            rows=timing_stats(),
+            columns=["phase", "total_ms", "count", "avg_us"],
+        )
+    if name == "timing_reset":
+        from turdb_tpu.utils.timing import reset
+
+        reset()
+        return show("ok")
     if name == "vacuum":
         n = 0
         for tables in db.catalog.values():

@@ -1,0 +1,121 @@
+"""HNSW index snapshot files (.hnsw).
+
+Counterpart of reference src/hnsw/storage.rs (magic'd 128-byte header with
+graph parameters + entry point + counts, :21-44,100-119) — but where the
+reference persists slotted node pages, the TPU graph IS dense arrays, so
+a snapshot is a straight dump of the adjacency/vector/level arrays plus
+the rowid↔slot map. Checkpointing device state with the WAL boundary is
+exactly the "durability of device state" hard part from SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from turdb_tpu.config import FILE_HEADER_SIZE, FORMAT_VERSION, MAGIC_HNSW
+from turdb_tpu.records.jsonb import jsonb_decode, jsonb_encode
+from turdb_tpu.storage.files import CorruptFile, _read_buf, _write_buf
+
+
+def save_hnsw(path: str, tindex) -> None:
+    """Persist a database.indexes.HnswTableIndex."""
+    tindex.flush_pending()
+    idx = tindex.index
+    s = idx.state
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    meta = {
+        "name": tindex.name,
+        "column": tindex.column,
+        "metric": idx.cfg.metric.value,
+        "dim": idx.cfg.dim,
+        "m": idx.cfg.m,
+        "m0": idx.cfg.m0,
+        "max_levels": idx.cfg.max_levels,
+        "ef_construction": idx.cfg.ef_construction,
+        "ef_search": idx.cfg.ef_search,
+        "size": idx.size,
+        "capacity": idx.capacity,
+        "entry": int(s.entry),
+        "max_level": int(s.max_level),
+        "rowid_to_slot": [
+            [int(r), int(sl)] for r, sl in tindex.rowid_to_slot.items()
+        ],
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        hdr = bytearray(FILE_HEADER_SIZE)
+        hdr[:16] = MAGIC_HNSW
+        struct.pack_into("<I", hdr, 16, FORMAT_VERSION)
+        fh.write(bytes(hdr))
+        blob = jsonb_encode(meta)
+        _write_buf(fh, blob)
+        n = idx.size
+        _write_buf(fh, np.asarray(s.vectors)[:n].tobytes())
+        _write_buf(fh, np.asarray(s.adj0)[:n].tobytes())
+        for a in s.adj_hi:
+            _write_buf(fh, np.asarray(a)[:n].tobytes())
+        _write_buf(fh, np.asarray(s.levels)[:n].tobytes())
+        _write_buf(fh, idx._alive[:n].tobytes())
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def load_hnsw(path: str):
+    """Load into a fresh HnswTableIndex; returns it or None if absent."""
+    if not os.path.exists(path):
+        return None
+    import jax.numpy as jnp
+
+    from turdb_tpu.database.indexes import HnswTableIndex
+    from turdb_tpu.models.hnsw import init_state
+    from turdb_tpu.ops.distance import Metric, prep_norms
+
+    with open(path, "rb") as fh:
+        hdr = fh.read(FILE_HEADER_SIZE)
+        if len(hdr) != FILE_HEADER_SIZE or hdr[:16] != MAGIC_HNSW:
+            raise CorruptFile("bad hnsw magic")
+        meta = jsonb_decode(_read_buf(fh))
+        n = int(meta["size"])
+        dim = int(meta["dim"])
+        tindex = HnswTableIndex(
+            meta["name"], meta["column"], dim=dim,
+            metric=Metric(meta["metric"]), m=int(meta["m"]),
+            ef_construction=int(meta["ef_construction"]),
+            ef_search=int(meta["ef_search"]),
+        )
+        idx = tindex.index
+        idx._ensure(max(n + 1, 1))
+        cfg = idx.cfg
+        vectors = np.frombuffer(_read_buf(fh), np.float32).reshape(n, dim)
+        adj0 = np.frombuffer(_read_buf(fh), np.int32).reshape(n, cfg.m0)
+        adj_hi = [
+            np.frombuffer(_read_buf(fh), np.int32).reshape(n, cfg.m)
+            for _ in range(cfg.max_levels - 1)
+        ]
+        levels = np.frombuffer(_read_buf(fh), np.int32)[:n]
+        alive = np.frombuffer(_read_buf(fh), bool)[:n]
+
+    s = idx.state
+    jv = jnp.asarray(vectors)
+    sl = jnp.arange(n)
+    idx.state = s._replace(
+        vectors=s.vectors.at[sl].set(jv),
+        norms=s.norms.at[sl].set(prep_norms(jv)),
+        adj0=s.adj0.at[sl].set(jnp.asarray(adj0)),
+        adj_hi=tuple(
+            a.at[sl].set(jnp.asarray(h)) for a, h in zip(s.adj_hi, adj_hi)
+        ),
+        levels=s.levels.at[sl].set(jnp.asarray(levels)),
+        entry=jnp.asarray(meta["entry"], jnp.int32),
+        max_level=jnp.asarray(meta["max_level"], jnp.int32),
+    )
+    idx.size = n
+    idx._alive[:n] = alive
+    for r, slot in meta["rowid_to_slot"]:
+        tindex.rowid_to_slot[int(r)] = int(slot)
+        tindex.slot_to_rowid[int(slot)] = int(r)
+    return tindex
