@@ -1,0 +1,136 @@
+"""TOAST chunking, parser robustness fuzz, perf-as-test throughput gates
+(reference categories: toast.rs tests, fuzz targets, and the
+single_insert/update/delete_benchmark.rs timing-assertion tests)."""
+
+import random
+import string
+import time
+
+import numpy as np
+import pytest
+
+from turdb_tpu.storage.toast import (
+    ToastStore,
+    is_pointer,
+    maybe_detoast,
+    maybe_toast,
+)
+
+random.seed(7)
+
+
+class TestToast:
+    def test_small_values_inline(self):
+        st = ToastStore()
+        v = b"x" * 100
+        assert maybe_toast(st, v) == v
+
+    def test_large_value_roundtrip(self):
+        st = ToastStore()
+        v = bytes(random.randbytes(10_000))
+        p = maybe_toast(st, v)
+        assert is_pointer(p) and len(p) == 17
+        assert maybe_detoast(st, p) == v
+        # chunk count: ceil(10000/4000) = 3
+        assert len(st.chunks[1]) == 3
+
+    def test_delete(self):
+        st = ToastStore()
+        p = st.toast(b"y" * 5000)
+        st.delete(p)
+        with pytest.raises(KeyError):
+            st.detoast(p)
+
+
+class TestParserFuzz:
+    def test_random_garbage_never_crashes(self):
+        """Any input must raise SqlError (with position), never another
+        exception type — the reference enforces this via fuzz targets."""
+        from turdb_tpu.sql.lexer import SqlError
+        from turdb_tpu.sql.parser import parse_sql
+
+        alphabet = string.printable
+        for _ in range(500):
+            sql = "".join(
+                random.choice(alphabet) for _ in range(random.randint(1, 60))
+            )
+            try:
+                parse_sql(sql)
+            except SqlError:
+                pass
+
+    def test_mutated_valid_sql(self):
+        from turdb_tpu.sql.lexer import SqlError
+        from turdb_tpu.sql.parser import parse_sql
+
+        base = (
+            "SELECT a, COUNT(*) FROM t JOIN u ON t.id = u.id "
+            "WHERE x BETWEEN 1 AND 5 GROUP BY a ORDER BY 2 DESC LIMIT 3"
+        )
+        for _ in range(300):
+            chars = list(base)
+            for _ in range(random.randint(1, 5)):
+                i = random.randrange(len(chars))
+                op = random.random()
+                if op < 0.4:
+                    chars[i] = random.choice(string.printable)
+                elif op < 0.7:
+                    del chars[i]
+                else:
+                    chars.insert(i, random.choice("()',;"))
+            try:
+                parse_sql("".join(chars))
+            except SqlError:
+                pass
+
+
+class TestPerfGates:
+    """Loose throughput floors (CPU venv): catch order-of-magnitude
+    regressions, not absolute performance (that's bench.py on TPU)."""
+
+    def test_insert_throughput(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "db"))
+        db.execute("CREATE TABLE t (id BIGINT PRIMARY KEY, v DOUBLE)")
+        stmt = db.prepare("INSERT INTO t VALUES (?, ?)")
+        n = 2000
+        t0 = time.perf_counter()
+        for i in range(n):
+            stmt.execute([i, float(i)])
+        dt = time.perf_counter() - t0
+        rate = n / dt
+        assert rate > 500, f"insert rate {rate:.0f}/s"
+        db.close()
+
+    def test_scan_throughput(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "db"))
+        db.execute("CREATE TABLE t (id BIGINT, v DOUBLE)")
+        db.execute("PRAGMA wal_autoflush = false")
+        for base in range(0, 20000, 1000):
+            vals = ", ".join(f"({i}, {i}.5)" for i in range(base, base + 1000))
+            db.execute(f"INSERT INTO t VALUES {vals}")
+        t0 = time.perf_counter()
+        rows = db.query("SELECT COUNT(*), SUM(v) FROM t WHERE id % 2 = 0")
+        dt = time.perf_counter() - t0
+        assert rows[0][0] == 10000
+        # vectorized scan of 20k rows must be well under a second
+        assert dt < 1.0, f"scan took {dt:.2f}s"
+        db.close()
+
+    def test_flat_knn_throughput(self):
+        from turdb_tpu.models.flat import FlatIndex
+
+        rng = np.random.default_rng(0)
+        idx = FlatIndex(dim=64)
+        idx.add(rng.standard_normal((20000, 64)).astype(np.float32))
+        q = rng.standard_normal((64, 64)).astype(np.float32)
+        idx.search(q, k=10)  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            idx.search(q, k=10)
+        dt = (time.perf_counter() - t0) / 5
+        qps = 64 / dt
+        assert qps > 300, f"flat knn {qps:.0f} qps"

@@ -254,7 +254,8 @@ class Database:
                 from turdb_tpu.storage.hnsw_io import save_hnsw
 
                 for iname, h in info.hnsw.items():
-                    save_hnsw(self.fm.hnsw_path(schema, t.name, iname), h)
+                    if getattr(h, "using", "HNSW") == "HNSW":
+                        save_hnsw(self.fm.hnsw_path(schema, t.name, iname), h)
         self.fm.write_catalog(self._catalog_doc())
         self.fm.write_meta(
             {"version": 1, "next_table_id": self._next_table_id}
@@ -696,6 +697,22 @@ class Database:
     # ------------------------------------------------------------------
 
     def _instantiate_index(self, info: TableInfo, idef: IndexDef):
+        if idef.using == "IVF":
+            from turdb_tpu.database.indexes import IvfTableIndex
+
+            colname = idef.columns[0][0].name
+            cd = next(c for c in info.columns if c.name == colname)
+            metric = Metric.from_name(str(idef.options.get("metric", "l2")))
+            nc = idef.options.get("clusters")
+            iv = IvfTableIndex(
+                idef.name, colname, dim=cd.vector_dim or 0, metric=metric,
+                n_clusters=int(nc) if nc else None,
+                nprobe=int(idef.options.get("nprobe", 8)),
+                sq8=bool(idef.options.get("sq8", False)),
+                rerank=int(idef.options.get("rerank", 0)),
+            )
+            info.hnsw[idef.name] = iv
+            return
         if idef.using == "HNSW":
             colname = idef.columns[0][0].name
             cd = next(c for c in info.columns if c.name == colname)

@@ -83,13 +83,13 @@ def execute_ddl(db, stmt, txn):
             if isinstance(e, A.ColumnRef):
                 if not any(c.name == e.name for c in info.columns):
                     raise SqlError(f"no such column: {e.name}")
-        if using == "HNSW":
+        if using in ("HNSW", "IVF"):
             col = stmt.columns[0][0]
             if not isinstance(col, A.ColumnRef):
-                raise SqlError("HNSW index requires a plain vector column")
+                raise SqlError(f"{using} index requires a plain vector column")
             cd = next(c for c in info.columns if c.name == col.name)
             if cd.dtype is not DataType.VECTOR:
-                raise SqlError("HNSW index requires a VECTOR column")
+                raise SqlError(f"{using} index requires a VECTOR column")
         idef = IndexDef(
             stmt.name, info.table.name, info.schema,
             list(stmt.columns), stmt.unique, using, dict(stmt.options),
@@ -256,7 +256,7 @@ def _backfill_index(db, info, idef):
     """Populate a newly created index from existing visible rows."""
     read_ts = db.mgr.snapshot_ts()
     vis = info.table.visible_indices(db.mgr, read_ts)
-    if idef.using == "HNSW":
+    if idef.using in ("HNSW", "IVF"):
         h = info.hnsw[idef.name]
         for i in vis:
             if not info.table.nulls[h.column][i]:

@@ -21,6 +21,7 @@ import bisect
 import numpy as np
 
 from turdb_tpu.models.hnsw import HnswIndex
+from turdb_tpu.models.ivf import IvfIndex
 from turdb_tpu.ops.distance import Metric
 from turdb_tpu.records.keys import encode_key
 
@@ -88,6 +89,84 @@ class SortedKeyIndex:
 
 
 _METRIC_BY_OP = {"<->": Metric.L2, "<#>": Metric.IP, "<=>": Metric.COSINE}
+
+
+class IvfTableIndex:
+    """IVF-Flat index over one VECTOR column — same maintenance surface as
+    HnswTableIndex (append-only; MVCC via the allowed mask) but backed by
+    the clustered block-contiguous engine (models/ivf.py), which is the
+    TPU throughput path."""
+
+    using = "IVF"
+
+    def __init__(self, name: str, column: str, dim: int,
+                 metric: Metric = Metric.L2, n_clusters: int | None = None,
+                 nprobe: int = 8, sq8: bool = False, rerank: int = 0):
+        self.name = name
+        self.column = column
+        self.metric = metric
+        self.index = IvfIndex(
+            dim=dim, metric=metric, n_clusters=n_clusters,
+            nprobe=nprobe, sq8=sq8, rerank=rerank,
+        )
+        self.rowid_to_slot: dict[int, int] = {}
+        self.slot_to_rowid: dict[int, int] = {}
+        self._pending_vecs: list = []
+        self._pending_rowids: list = []
+
+    def insert(self, rowid: int, vec: np.ndarray, defer: bool = False,
+               txn=None):
+        old = self.rowid_to_slot.get(rowid)
+        if txn is not None and old is not None:
+            txn.undo.append((self, "hnsw_remap", rowid, old))
+        self._pending_vecs.append(np.asarray(vec, np.float32))
+        self._pending_rowids.append(rowid)
+        if not defer:
+            self.flush_pending()
+
+    def flush_pending(self):
+        if not self._pending_vecs:
+            return
+        vecs = np.stack(self._pending_vecs)
+        rids = list(self._pending_rowids)
+        self._pending_vecs = []
+        self._pending_rowids = []
+        slots = self.index.add(vecs)
+        for r, s in zip(rids, slots):
+            self.rowid_to_slot[r] = int(s)
+            self.slot_to_rowid[int(s)] = r
+
+    _undo_one = None  # assigned below (shared with HnswTableIndex)
+
+    def delete(self, rowid: int):
+        slot = self.rowid_to_slot.pop(rowid, None)
+        if slot is not None:
+            self.index.delete([slot])
+            self.slot_to_rowid.pop(slot, None)
+
+    def search(self, query: np.ndarray, k: int, ef: int | None = None,
+               allowed_rowids: set | None = None):
+        """(dists, rowids); `ef` maps to nprobe scaling for API parity."""
+        self.flush_pending()
+        allowed = None
+        if allowed_rowids is not None:
+            allowed = np.zeros(max(self.index.size, 1), bool)
+            for r in allowed_rowids:
+                s = self.rowid_to_slot.get(r)
+                if s is not None and s < len(allowed):
+                    allowed[s] = True
+        nprobe = None
+        if ef is not None:
+            nprobe = max(self.index.nprobe, ef // 8)
+        d, slots = self.index.search(
+            np.asarray(query, np.float32)[None], k=k, nprobe=nprobe,
+            allowed=allowed,
+        )
+        rowids = [
+            self.slot_to_rowid.get(int(s), -1) if s >= 0 else -1
+            for s in slots[0]
+        ]
+        return d[0], rowids
 
 
 class HnswTableIndex:
@@ -181,3 +260,7 @@ class HnswTableIndex:
             for s in slots[0]
         ]
         return d[0], rowids
+
+
+# IVF shares the remap-undo protocol with HNSW (append-only doctrine)
+IvfTableIndex._undo_one = HnswTableIndex._undo_one

@@ -852,12 +852,14 @@ class HnswIndex:
         k: int,
         ef: int | None = None,
         allowed: np.ndarray | None = None,
+        out: str = "np",
     ):
         """Batched k-NN. `allowed`: bool[size] visibility mask — non-allowed
         nodes are traversed but excluded from results (reference
         mod.rs:62-68 doctrine). Tombstoned (deleted) nodes are always
         excluded. Returns (dists [B,k], slots [B,k]) numpy, NIL-padded."""
-        q = np.atleast_2d(np.asarray(queries, np.float32))
+        is_dev = isinstance(queries, jax.Array)
+        q = queries if is_dev else np.atleast_2d(np.asarray(queries, np.float32))
         if self.size == 0:
             b = q.shape[0]
             return (
@@ -865,7 +867,7 @@ class HnswIndex:
                 np.full((b, k), -1, np.int32),
             )
         if self.cfg.metric is Metric.COSINE:
-            q = np.asarray(normalize_rows(jnp.asarray(q)))
+            q = normalize_rows(jnp.asarray(q))
         ef = ef or max(self.cfg.ef_search, k)
         ef = max(ef, k)
         iters = ef + ef // 2
@@ -888,6 +890,8 @@ class HnswIndex:
             iters=iters,
             filtered=filtered,
         )
+        if out == "jax":
+            return d, i
         return np.asarray(d), np.asarray(i)
 
     def delete(self, slots) -> None:

@@ -1,0 +1,504 @@
+"""TPU-native IVF-Flat vector index: clustered, block-contiguous ANN.
+
+Why this exists (measured on TPU v5e, see bench notes): graph ANN is
+pointer-chasing — scattered 512B row gathers run LATENCY-bound at
+~20-55M rows/s (~5% of HBM bandwidth) no matter how they are issued
+(XLA gather, Pallas per-row DMA). Clustered search replaces them with
+CONTIGUOUS 64KB+ block reads (~105 GB/s measured, 20x) feeding MXU
+distance matmuls. This is the SURVEY.md §7 design stance applied to its
+logical end: the reference's HNSW remains (models/hnsw.py) for parity
+and incremental workloads; IVF is the throughput engine.
+
+Layout:
+    centroids   [C, d] f32
+    members     [C, L] int32 slot ids, -1 padded   (packed, padded clusters)
+    pvecs       [C, L, d] f32 packed vector copies
+    pnorms      [C, L] f32 (+inf padding)
+    alive       [C, L] bool (tombstones)
+    codes/mins/scales (optional SQ8: 4x less probe bandwidth, f32 rerank)
+
+Search: one [B,d]x[d,C] centroid matmul -> top-nprobe -> block gather
+[B,P,L,d] -> fused distance + masked top-k (+ optional exact rerank).
+Build: device k-means (Lloyd's = matmuls + segment sums) + host-side
+balanced packing into fixed-width clusters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turdb_tpu.ops.distance import Metric, normalize_rows, prep_norms
+from turdb_tpu.ops.quantize import sq8_encode
+from turdb_tpu.ops.topk import topk_smallest
+
+NIL = jnp.int32(-1)
+INF = jnp.float32(jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class IvfConfig:
+    dim: int
+    n_clusters: int
+    cluster_cap: int
+    metric: Metric = Metric.L2
+    nprobe: int = 8
+    sq8: bool = False
+    rerank: int = 0          # exact-rerank candidate count (0 = off)
+
+
+class IvfState(NamedTuple):
+    centroids: jax.Array   # [C, d]
+    cnorms: jax.Array      # [C]
+    members: jax.Array     # [C, L] int32
+    pvecs: jax.Array       # [C, L, d] f32 (zeros when sq8-only)
+    pnorms: jax.Array      # [C, L]
+    alive: jax.Array       # [C, L] bool
+    codes: jax.Array       # [C, L, d] u8 (zeros when not sq8)
+    mins: jax.Array        # [C, L]
+    scales: jax.Array      # [C, L]
+
+
+# ---------------------------------------------------------------------------
+# k-means (device Lloyd's iterations)
+# ---------------------------------------------------------------------------
+
+_KM_CHUNK = 4096  # assignment tile: [chunk, C] distance block stays <~512MB
+
+
+def _assign_chunk(cents, cn, xc, xnc):
+    d = xnc[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
+        xc, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return jnp.argmin(d, axis=1)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _kmeans(x: jax.Array, centroids: jax.Array, iters: int):
+    """Lloyd's with CHUNKED assignment: the full [N, C] distance matrix
+    doesn't fit at scale (1M x 16k = 62GB), so assignment streams x in
+    tiles — each tile is one MXU matmul — and the update accumulates
+    per-tile segment sums. x must be padded to a _KM_CHUNK multiple with
+    +inf-norm rows (they assign to cluster argmin of garbage but carry
+    zero weight via the valid mask)."""
+    n = x.shape[0]
+    assert n % _KM_CHUNK == 0
+    xn = prep_norms(x)
+    valid = jnp.isfinite(xn)
+    xs = x.reshape(n // _KM_CHUNK, _KM_CHUNK, x.shape[1])
+    xns = xn.reshape(n // _KM_CHUNK, _KM_CHUNK)
+    vs = valid.reshape(n // _KM_CHUNK, _KM_CHUNK)
+    c = centroids.shape[0]
+
+    def step(cents, _):
+        cn = prep_norms(cents)
+
+        def tile(carry, inp):
+            sums, counts = carry
+            xc, xnc, vc = inp
+            a = _assign_chunk(cents, cn, xc, xnc)
+            w = vc.astype(jnp.float32)
+            counts = counts + jax.ops.segment_sum(w, a, num_segments=c)
+            sums = sums + jax.ops.segment_sum(
+                xc * w[:, None], a, num_segments=c
+            )
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            tile,
+            (jnp.zeros((c, x.shape[1]), jnp.float32), jnp.zeros((c,), jnp.float32)),
+            (xs, xns, vs),
+        )
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        new = jnp.where((counts > 0)[:, None], new, cents)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    return centroids
+
+
+@jax.jit
+def _assign_all(x: jax.Array, centroids: jax.Array):
+    n = x.shape[0]
+    assert n % _KM_CHUNK == 0
+    cn = prep_norms(centroids)
+    xs = x.reshape(n // _KM_CHUNK, _KM_CHUNK, x.shape[1])
+    xns = prep_norms(x).reshape(n // _KM_CHUNK, _KM_CHUNK)
+    out = jax.lax.map(
+        lambda inp: _assign_chunk(centroids, cn, inp[0], inp[1]), (xs, xns)
+    )
+    return out.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "k", "nprobe"))
+def ivf_search_impl(
+    state: IvfState,
+    queries: jax.Array,     # [B, d]
+    allowed,                # [C, L] bool or None (visibility mask)
+    *,
+    cfg: IvfConfig,
+    k: int,
+    nprobe: int,
+):
+    """Fused probe: centroid matmul -> top-P clusters -> contiguous block
+    gather -> distance matmul -> masked top-k (-> optional exact rerank).
+    Returns ([B,k] dists asc, [B,k] slot ids)."""
+    q = queries.astype(jnp.float32)
+    b = q.shape[0]
+    qn = prep_norms(q)
+    d2c = qn[:, None] + state.cnorms[None, :] - 2.0 * jax.lax.dot_general(
+        q, state.centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _, top = jax.lax.top_k(-d2c, nprobe)            # [B, P]
+
+    mem = state.members[top]                        # [B, P, L]
+    live = (mem >= 0) & state.alive[top]
+    if allowed is not None:
+        live = live & allowed[top]
+
+    if cfg.sq8:
+        codes = state.codes[top]                    # [B, P, L, d] u8
+        u = codes.astype(jnp.float32)
+        mins = state.mins[top]
+        scales = state.scales[top]
+        dots_u = jnp.einsum(
+            "bd,bpld->bpl", q, u, preferred_element_type=jnp.float32
+        )
+        q_sum = jnp.sum(q, axis=-1)
+        u_sum = jnp.sum(u, axis=-1)
+        u_sq = jnp.sum(u * u, axis=-1)
+        dim = q.shape[1]
+        xn = dim * mins**2 + 2.0 * mins * scales * u_sum + scales**2 * u_sq
+        q_dot_x = mins * q_sum[:, None, None] + scales * dots_u
+        dist = qn[:, None, None] - 2.0 * q_dot_x + xn
+    else:
+        blocks = state.pvecs[top]                   # [B, P, L, d]
+        dots = jnp.einsum(
+            "bd,bpld->bpl", q, blocks, preferred_element_type=jnp.float32
+        )
+        if cfg.metric is Metric.L2:
+            dist = qn[:, None, None] + state.pnorms[top] - 2.0 * dots
+        elif cfg.metric is Metric.COSINE:
+            dist = 1.0 - dots
+        else:
+            dist = -dots
+
+    pl_ = nprobe * state.members.shape[1]
+    dist = jnp.where(live, dist, INF).reshape(b, pl_)
+    ids = mem.reshape(b, pl_)
+
+    if cfg.rerank and cfg.sq8:
+        # exact rerank: ONE ordering drives both the candidate ids and the
+        # packed positions (a tie-inconsistent second sort would mismatch)
+        r = min(cfg.rerank, pl_)
+        neg, pos = jax.lax.top_k(-dist, r)            # [B, r] positions
+        cd = -neg
+        ci = jnp.take_along_axis(ids, pos, axis=-1)
+        lcap = state.members.shape[1]
+        cl = jnp.take_along_axis(
+            jnp.repeat(top[:, :, None], lcap, 2).reshape(b, pl_), pos, axis=-1
+        )
+        ln = jnp.take_along_axis(
+            jnp.broadcast_to(
+                jnp.arange(pl_, dtype=jnp.int32)[None, :] % lcap, (b, pl_)
+            ),
+            pos, axis=-1,
+        )
+        flat_pos = cl * lcap + ln
+        flat = state.pvecs.reshape(-1, cfg.dim)
+        fnorm = state.pnorms.reshape(-1)
+        vecs = flat[flat_pos]                         # [B, r, d] small gather
+        dots = jnp.einsum("bd,brd->br", q, vecs, preferred_element_type=jnp.float32)
+        exact = qn[:, None] + fnorm[flat_pos] - 2.0 * dots
+        exact = jnp.where(jnp.isinf(cd), INF, exact)
+        return topk_smallest(exact, ci, k)
+    return topk_smallest(dist, ids, k)
+
+
+# ---------------------------------------------------------------------------
+# host-side handle
+# ---------------------------------------------------------------------------
+
+class IvfIndex:
+    """Host orchestration: k-means training, balanced packing, incremental
+    appends, tombstones. Slot ids are dense insertion indices (same
+    contract as HnswIndex)."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric = Metric.L2,
+        n_clusters: int | None = None,
+        cluster_cap: int | None = None,
+        nprobe: int = 8,
+        sq8: bool = False,
+        rerank: int = 0,
+    ):
+        self.dim = dim
+        self.metric = metric
+        self._n_clusters = n_clusters
+        self._cluster_cap = cluster_cap
+        self.nprobe = nprobe
+        self.sq8 = sq8
+        self.rerank = rerank
+        self.cfg: IvfConfig | None = None
+        self.state: IvfState | None = None
+        self.size = 0
+        self._vectors_host: list[np.ndarray] = []   # staged until train
+        self._alive_host = np.zeros(0, bool)
+        self._slot_pos: dict[int, tuple[int, int]] = {}  # slot -> (c, lane)
+        self._occupancy: np.ndarray | None = None
+
+    def __len__(self):
+        return self.size
+
+    # -- build -------------------------------------------------------------
+
+    def add(self, vecs: np.ndarray, row_ids=None) -> np.ndarray:
+        vecs = np.atleast_2d(np.asarray(vecs, np.float32))
+        if self.metric is Metric.COSINE:
+            vecs = np.asarray(normalize_rows(jnp.asarray(vecs)))
+        n = vecs.shape[0]
+        slots = np.arange(self.size, self.size + n)
+        alive = np.ones(n, bool)
+        self._alive_host = np.concatenate([self._alive_host, alive])
+        if self.state is None:
+            self._vectors_host.append(vecs)
+            self.size += n
+            if self.size >= 4 * max(64, int(np.sqrt(self.size))):
+                self.train()
+        else:
+            self._append(vecs, slots)
+            self.size += n
+        return slots
+
+    def train(self, iters: int = 12):
+        """K-means + packed layout build over all staged vectors."""
+        x = (
+            np.concatenate(self._vectors_host)
+            if self._vectors_host
+            else np.zeros((0, self.dim), np.float32)
+        )
+        n = x.shape[0]
+        if n == 0:
+            return
+        # sizing: ~64 vectors/cluster keeps probe blocks small (the probe
+        # cost is nprobe * cluster_cap rows); imbalance spills to the
+        # next-nearest cluster rather than inflating the cap
+        c = self._n_clusters or max(8, n // 64)
+        c = min(c, max(8, n // 4))
+        rng = np.random.default_rng(0)
+        seed_idx = rng.choice(n, size=c, replace=False)
+        # train on a sample (faiss-style), then assign everything chunked
+        n_train = min(n, max(c * 32, 100_000))
+        tr_idx = (
+            rng.choice(n, size=n_train, replace=False) if n_train < n
+            else np.arange(n)
+        )
+        xt = _pad_rows(x[tr_idx], _KM_CHUNK)
+        cents = _kmeans(jnp.asarray(xt), jnp.asarray(x[seed_idx]), iters=iters)
+        xp = _pad_rows(x, _KM_CHUNK)
+        assign = np.asarray(_assign_all(jnp.asarray(xp), cents))[:n]
+        counts = np.bincount(assign, minlength=c)
+        cap = self._cluster_cap or _pow2_at_least(
+            max(int(2.0 * n / c), 16), floor=8
+        )
+        # balanced packing: overflow rows spill to the nearest cluster with
+        # free lanes (host fixup; rare with cap >= 2.5x mean)
+        members = np.full((c, cap), -1, np.int64)
+        occupancy = np.zeros(c, np.int64)
+        spill = []
+        for i in range(n):
+            a = assign[i]
+            if occupancy[a] < cap:
+                members[a, occupancy[a]] = i
+                occupancy[a] += 1
+            else:
+                spill.append(i)
+        if spill:
+            cents_np = np.asarray(cents)
+            for i in spill:
+                d = ((cents_np - x[i]) ** 2).sum(1)
+                for a in np.argsort(d):
+                    if occupancy[a] < cap:
+                        members[a, occupancy[a]] = i
+                        occupancy[a] += 1
+                        break
+                else:
+                    raise RuntimeError("IVF packing overflow; raise cluster_cap")
+        self._occupancy = occupancy
+        self.cfg = IvfConfig(
+            dim=self.dim, n_clusters=c, cluster_cap=cap, metric=self.metric,
+            nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
+        )
+        self._slot_pos = {}
+        pvecs = np.zeros((c, cap, self.dim), np.float32)
+        pnorms = np.full((c, cap), np.inf, np.float32)
+        alive = np.zeros((c, cap), bool)
+        for ci in range(c):
+            for ln in range(int(occupancy[ci])):
+                slot = int(members[ci, ln])
+                self._slot_pos[slot] = (ci, ln)
+                pvecs[ci, ln] = x[slot]
+                pnorms[ci, ln] = float((x[slot] ** 2).sum())
+                alive[ci, ln] = self._alive_host[slot]
+        jp = jnp.asarray(pvecs)
+        if self.sq8:
+            codes, mins, scales = sq8_encode(jp.reshape(-1, self.dim))
+            codes = codes.reshape(c, cap, self.dim)
+            mins = mins.reshape(c, cap)
+            scales = scales.reshape(c, cap)
+        else:
+            codes = jnp.zeros((c, cap, self.dim), jnp.uint8)
+            mins = jnp.zeros((c, cap), jnp.float32)
+            scales = jnp.zeros((c, cap), jnp.float32)
+        self.state = IvfState(
+            centroids=jnp.asarray(cents),
+            cnorms=prep_norms(jnp.asarray(cents)),
+            members=jnp.asarray(members.astype(np.int32)),
+            pvecs=jp,
+            pnorms=jnp.asarray(pnorms),
+            alive=jnp.asarray(alive),
+            codes=codes,
+            mins=mins,
+            scales=scales,
+        )
+        self._vectors_host = []
+
+    def _append(self, vecs: np.ndarray, slots: np.ndarray):
+        """Incremental append: route each vector to its nearest cluster
+        with a free lane (device assignment, host scatter bookkeeping)."""
+        st = self.state
+        cfg = self.cfg
+        d2c = np.asarray(
+            prep_norms(jnp.asarray(vecs))[:, None]
+            + st.cnorms[None, :]
+            - 2.0 * jnp.asarray(vecs) @ st.centroids.T
+        )
+        order = np.argsort(d2c, axis=1)
+        cs, lanes = [], []
+        for j in range(len(vecs)):
+            placed = False
+            for a in order[j]:
+                if self._occupancy[a] < cfg.cluster_cap:
+                    cs.append(int(a))
+                    lanes.append(int(self._occupancy[a]))
+                    self._occupancy[a] += 1
+                    placed = True
+                    break
+            if not placed:
+                # all clusters full: retrain with everything
+                self._retrain_with(vecs[j:], slots[j:])
+                return
+        cs = np.asarray(cs)
+        lanes = np.asarray(lanes)
+        jv = jnp.asarray(vecs)
+        st = st._replace(
+            members=st.members.at[cs, lanes].set(slots.astype(np.int32)),
+            pvecs=st.pvecs.at[cs, lanes].set(jv),
+            pnorms=st.pnorms.at[cs, lanes].set(prep_norms(jv)),
+            alive=st.alive.at[cs, lanes].set(True),
+        )
+        if cfg.sq8:
+            codes, mins, scales = sq8_encode(jv)
+            st = st._replace(
+                codes=st.codes.at[cs, lanes].set(codes),
+                mins=st.mins.at[cs, lanes].set(mins),
+                scales=st.scales.at[cs, lanes].set(scales),
+            )
+        self.state = st
+        for slot, ci, ln in zip(slots, cs, lanes):
+            self._slot_pos[int(slot)] = (int(ci), int(ln))
+
+    def _retrain_with(self, extra_vecs, extra_slots):
+        # collect all live vectors + extras, retrain from scratch
+        flat = np.asarray(self.state.pvecs).reshape(-1, self.dim)
+        mem = np.asarray(self.state.members).reshape(-1)
+        xs = np.zeros((self.size, self.dim), np.float32)
+        for pos, slot in enumerate(mem):
+            if slot >= 0:
+                xs[slot] = flat[pos]
+        for v, s in zip(extra_vecs, extra_slots):
+            xs[s] = v
+        self._vectors_host = [xs]
+        self.state = None
+        self.train()
+
+    # -- query -------------------------------------------------------------
+
+    def search(self, queries, k: int, nprobe: int | None = None, allowed=None,
+               out: str = "np"):
+        """allowed: bool[size] slot-visibility mask. Returns (dists, slots).
+
+        `queries` may be a device (jax) array — recommended for serving
+        loops: host->device staging dominates otherwise. `out="jax"` keeps
+        results on device for pipelining."""
+        is_dev = isinstance(queries, jax.Array)
+        q = queries if is_dev else jnp.asarray(
+            np.atleast_2d(np.asarray(queries, np.float32))
+        )
+        if self.state is None:
+            self.train()
+        if self.state is None or self.size == 0:
+            return (
+                np.full((q.shape[0], k), np.inf, np.float32),
+                np.full((q.shape[0], k), -1, np.int32),
+            )
+        if self.metric is Metric.COSINE:
+            q = normalize_rows(q)
+        p = min(nprobe or self.nprobe, self.cfg.n_clusters)
+        amask = None
+        if allowed is not None:
+            allowed = np.asarray(allowed, bool)
+            am = np.zeros(
+                (self.cfg.n_clusters, self.cfg.cluster_cap), bool
+            )
+            for slot, (ci, ln) in self._slot_pos.items():
+                if slot < len(allowed) and allowed[slot]:
+                    am[ci, ln] = True
+            amask = jnp.asarray(am)
+        d, ids = ivf_search_impl(
+            self.state, q, amask, cfg=self.cfg, k=k, nprobe=p
+        )
+        if out == "jax":
+            return d, ids
+        return np.asarray(d), np.asarray(ids)
+
+    def delete(self, slots):
+        for s in np.atleast_1d(np.asarray(slots)):
+            s = int(s)
+            if s < len(self._alive_host):
+                self._alive_host[s] = False
+            pos = self._slot_pos.get(s)
+            if pos is not None and self.state is not None:
+                ci, ln = pos
+                self.state = self.state._replace(
+                    alive=self.state.alive.at[ci, ln].set(False)
+                )
+
+
+def _pad_rows(x: np.ndarray, mult: int) -> np.ndarray:
+    """Pad rows to a multiple of `mult` with +inf rows (zero-weight in
+    k-means; see _kmeans valid mask)."""
+    n = x.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.full((pad, x.shape[1]), np.inf, np.float32)])
+
+
+def _pow2_at_least(n: int, floor: int = 8) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p

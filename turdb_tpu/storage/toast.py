@@ -1,0 +1,76 @@
+"""TOAST: out-of-line storage for oversized values.
+
+Counterpart of reference src/storage/toast.rs (:70-80: threshold 1000B,
+4000B chunks, tagged pointer) + src/database/toast.rs (chunks in hidden
+tables). In the columnar engine, oversized TEXT/BLOB values live happily
+in object arrays, so TOAST applies at the SERIALIZATION boundary: WAL row
+images and snapshot buffers swap values above the threshold for pointers
+into a chunk store, keeping frames small and checksums cheap.
+
+Pointer format (17 bytes, 0xFE marker first — same shape as the
+reference's ToastPointer): marker u8 | toast_id u64 | total_len u32 |
+n_chunks u32.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from turdb_tpu.config import TOAST_CHUNK_SIZE, TOAST_THRESHOLD
+
+MARKER = 0xFE
+POINTER_LEN = 17
+
+
+class ToastStore:
+    """Chunk store: toast_id -> ordered chunks. The Database hosts one per
+    table (the hidden `_toast` table analog); snapshots persist it via the
+    object-column path."""
+
+    def __init__(self):
+        self.chunks: dict[int, list[bytes]] = {}
+        self.next_id = 1
+
+    def toast(self, value: bytes) -> bytes:
+        """Store an oversized value; returns the 17-byte pointer."""
+        tid = self.next_id
+        self.next_id += 1
+        parts = [
+            value[i : i + TOAST_CHUNK_SIZE]
+            for i in range(0, len(value), TOAST_CHUNK_SIZE)
+        ]
+        self.chunks[tid] = parts
+        return struct.pack("<BQII", MARKER, tid, len(value), len(parts))
+
+    def detoast(self, pointer: bytes) -> bytes:
+        marker, tid, total, n = struct.unpack("<BQII", pointer)
+        if marker != MARKER:
+            raise ValueError("not a toast pointer")
+        parts = self.chunks.get(tid)
+        if parts is None or len(parts) != n:
+            raise KeyError(f"missing toast chunks for id {tid}")
+        out = b"".join(parts)
+        if len(out) != total:
+            raise ValueError("toast length mismatch")
+        return out
+
+    def delete(self, pointer: bytes):
+        _, tid, _, _ = struct.unpack("<BQII", pointer)
+        self.chunks.pop(tid, None)
+
+
+def is_pointer(raw: bytes) -> bool:
+    return len(raw) == POINTER_LEN and raw[0] == MARKER
+
+
+def maybe_toast(store: ToastStore, value: bytes) -> bytes:
+    """Swap values above the threshold for pointers (no-op below it)."""
+    if len(value) > TOAST_THRESHOLD:
+        return store.toast(value)
+    return value
+
+
+def maybe_detoast(store: ToastStore, raw: bytes) -> bytes:
+    if is_pointer(raw):
+        return store.detoast(raw)
+    return raw
