@@ -72,8 +72,11 @@ _KM_CHUNK = 4096  # assignment tile: [chunk, C] distance block stays <~512MB
 
 
 def _assign_chunk(cents, cn, xc, xnc):
+    # bf16 operands, f32 accumulate: assignment tolerates the rounding and
+    # the MXU runs ~3x faster than the f32 path
     d = xnc[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
-        xc, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xc.astype(jnp.bfloat16), cents.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
     return jnp.argmin(d, axis=1)
 
@@ -90,6 +93,11 @@ def _kmeans(x: jax.Array, centroids: jax.Array, iters: int):
     assert n % _KM_CHUNK == 0
     xn = prep_norms(x)
     valid = jnp.isfinite(xn)
+    # zero the padding rows: an inf row times weight 0 is NaN and one NaN
+    # poisons its centroid, collapsing every later assignment to argmin's
+    # NaN-propagation cluster
+    x = jnp.where(valid[:, None], x, 0.0)
+    xn = jnp.where(valid, xn, jnp.inf)
     xs = x.reshape(n // _KM_CHUNK, _KM_CHUNK, x.shape[1])
     xns = xn.reshape(n // _KM_CHUNK, _KM_CHUNK)
     vs = valid.reshape(n // _KM_CHUNK, _KM_CHUNK)
@@ -123,10 +131,13 @@ def _kmeans(x: jax.Array, centroids: jax.Array, iters: int):
 
 
 @jax.jit
-def _assign_all(x: jax.Array, centroids: jax.Array):
+def _assign_all(x: jax.Array, centroids: jax.Array, cn: jax.Array | None = None):
+    """Chunked nearest-centroid assignment. `cn` overrides the centroid
+    norms — callers pass +inf entries to exclude (full) clusters."""
     n = x.shape[0]
     assert n % _KM_CHUNK == 0
-    cn = prep_norms(centroids)
+    if cn is None:
+        cn = prep_norms(centroids)
     xs = x.reshape(n // _KM_CHUNK, _KM_CHUNK, x.shape[1])
     xns = prep_norms(x).reshape(n // _KM_CHUNK, _KM_CHUNK)
     out = jax.lax.map(
@@ -256,7 +267,9 @@ class IvfIndex:
         self.size = 0
         self._vectors_host: list[np.ndarray] = []   # staged until train
         self._alive_host = np.zeros(0, bool)
-        self._slot_pos: dict[int, tuple[int, int]] = {}  # slot -> (c, lane)
+        # slot -> (cluster, lane) as flat int arrays (vectorized lookups)
+        self._slot_cluster = np.zeros(0, np.int32)
+        self._slot_lane = np.zeros(0, np.int32)
         self._occupancy: np.ndarray | None = None
 
     def __len__(self):
@@ -282,7 +295,7 @@ class IvfIndex:
             self.size += n
         return slots
 
-    def train(self, iters: int = 12):
+    def train(self, iters: int = 8):
         """K-means + packed layout build over all staged vectors."""
         x = (
             np.concatenate(self._vectors_host)
@@ -300,7 +313,7 @@ class IvfIndex:
         rng = np.random.default_rng(0)
         seed_idx = rng.choice(n, size=c, replace=False)
         # train on a sample (faiss-style), then assign everything chunked
-        n_train = min(n, max(c * 32, 100_000))
+        n_train = min(n, max(c * 16, 100_000), 262_144)
         tr_idx = (
             rng.choice(n, size=n_train, replace=False) if n_train < n
             else np.arange(n)
@@ -313,45 +326,46 @@ class IvfIndex:
         cap = self._cluster_cap or _pow2_at_least(
             max(int(2.0 * n / c), 16), floor=8
         )
-        # balanced packing: overflow rows spill to the nearest cluster with
-        # free lanes (host fixup; rare with cap >= 2.5x mean)
+        # balanced packing, fully vectorized: stable-sort by cluster, lane =
+        # rank within the cluster run; lanes past the cap spill to the
+        # nearest cluster with free lanes (rare with cap >= 2x mean)
         members = np.full((c, cap), -1, np.int64)
         occupancy = np.zeros(c, np.int64)
-        spill = []
-        for i in range(n):
-            a = assign[i]
-            if occupancy[a] < cap:
-                members[a, occupancy[a]] = i
-                occupancy[a] += 1
-            else:
-                spill.append(i)
-        if spill:
-            cents_np = np.asarray(cents)
-            for i in spill:
-                d = ((cents_np - x[i]) ** 2).sum(1)
-                for a in np.argsort(d):
-                    if occupancy[a] < cap:
-                        members[a, occupancy[a]] = i
-                        occupancy[a] += 1
-                        break
-                else:
-                    raise RuntimeError("IVF packing overflow; raise cluster_cap")
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        first = np.zeros(n, bool)
+        first[0] = True
+        first[1:] = sa[1:] != sa[:-1]
+        run_start = np.flatnonzero(first)
+        start_of = np.zeros(c, np.int64)
+        start_of[sa[run_start]] = run_start
+        lane = np.arange(n) - start_of[sa]
+        ok = lane < cap
+        members[sa[ok], lane[ok]] = order[ok]
+        occupancy = np.minimum(np.bincount(assign, minlength=c), cap)
+        spill = order[~ok]
+        if len(spill):
+            self._place_spill(
+                np.asarray(spill), x, np.asarray(cents), members, occupancy, cap
+            )
         self._occupancy = occupancy
         self.cfg = IvfConfig(
             dim=self.dim, n_clusters=c, cluster_cap=cap, metric=self.metric,
             nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
         )
-        self._slot_pos = {}
+        # slot -> (cluster, lane) as flat arrays (vectorized mask builds)
+        self._slot_cluster = np.full(n, -1, np.int32)
+        self._slot_lane = np.full(n, -1, np.int32)
+        mc, ml = np.nonzero(members >= 0)
+        mslots = members[mc, ml]
+        self._slot_cluster[mslots] = mc
+        self._slot_lane[mslots] = ml
         pvecs = np.zeros((c, cap, self.dim), np.float32)
         pnorms = np.full((c, cap), np.inf, np.float32)
         alive = np.zeros((c, cap), bool)
-        for ci in range(c):
-            for ln in range(int(occupancy[ci])):
-                slot = int(members[ci, ln])
-                self._slot_pos[slot] = (ci, ln)
-                pvecs[ci, ln] = x[slot]
-                pnorms[ci, ln] = float((x[slot] ** 2).sum())
-                alive[ci, ln] = self._alive_host[slot]
+        pvecs[mc, ml] = x[mslots]
+        pnorms[mc, ml] = (x[mslots] ** 2).sum(1)
+        alive[mc, ml] = self._alive_host[mslots]
         jp = jnp.asarray(pvecs)
         if self.sq8:
             codes, mins, scales = sq8_encode(jp.reshape(-1, self.dim))
@@ -374,6 +388,46 @@ class IvfIndex:
             scales=scales,
         )
         self._vectors_host = []
+
+    @staticmethod
+    def _place_spill(spill, x, cents_np, members, occupancy, cap):
+        """Capacity-respecting spill placement, vectorized in waves: each
+        wave computes spill→centroid distances (full clusters masked out),
+        sorts rows into their argmin cluster by distance, and accepts only
+        as many as each cluster has free lanes; leftovers retry against the
+        updated occupancy. Rounds are logarithmic in practice."""
+        remaining = spill
+        c = len(occupancy)
+        cents_dev = jnp.asarray(cents_np)
+        base_cn = (cents_np**2).sum(1)
+        for _round in range(64):
+            if len(remaining) == 0:
+                return
+            free = cap - occupancy
+            if free.sum() < len(remaining):
+                raise RuntimeError("IVF packing overflow; raise cluster_cap")
+            # nearest FREE cluster, computed on device in chunks (a host
+            # [S, C] matrix would be tens of GB at 1M scale)
+            cn = np.where(free > 0, base_cn, np.inf).astype(np.float32)
+            xs_pad = _pad_rows(x[remaining], _KM_CHUNK)
+            pick = np.asarray(
+                _assign_all(jnp.asarray(xs_pad), cents_dev, jnp.asarray(cn))
+            )[: len(remaining)]
+            o = np.argsort(pick, kind="stable")
+            sp, pk = remaining[o], pick[o]
+            firsts = np.zeros(len(o), bool)
+            firsts[0] = True
+            firsts[1:] = pk[1:] != pk[:-1]
+            starts = np.flatnonzero(firsts)
+            start_of = np.zeros(c, np.int64)
+            start_of[pk[starts]] = starts
+            rank = np.arange(len(o)) - start_of[pk]
+            accept = rank < free[pk]
+            lanes = occupancy[pk[accept]] + rank[accept]
+            members[pk[accept], lanes] = sp[accept]
+            np.add.at(occupancy, pk[accept], 1)
+            remaining = sp[~accept]
+        raise RuntimeError("IVF spill placement did not converge")
 
     def _append(self, vecs: np.ndarray, slots: np.ndarray):
         """Incremental append: route each vector to its nearest cluster
@@ -417,8 +471,17 @@ class IvfIndex:
                 scales=st.scales.at[cs, lanes].set(scales),
             )
         self.state = st
-        for slot, ci, ln in zip(slots, cs, lanes):
-            self._slot_pos[int(slot)] = (int(ci), int(ln))
+        need = int(slots.max()) + 1
+        if need > len(self._slot_cluster):
+            grow = need - len(self._slot_cluster)
+            self._slot_cluster = np.concatenate(
+                [self._slot_cluster, np.full(grow, -1, np.int32)]
+            )
+            self._slot_lane = np.concatenate(
+                [self._slot_lane, np.full(grow, -1, np.int32)]
+            )
+        self._slot_cluster[slots] = cs
+        self._slot_lane[slots] = lanes
 
     def _retrain_with(self, extra_vecs, extra_slots):
         # collect all live vectors + extras, retrain from scratch
@@ -460,12 +523,10 @@ class IvfIndex:
         amask = None
         if allowed is not None:
             allowed = np.asarray(allowed, bool)
-            am = np.zeros(
-                (self.cfg.n_clusters, self.cfg.cluster_cap), bool
-            )
-            for slot, (ci, ln) in self._slot_pos.items():
-                if slot < len(allowed) and allowed[slot]:
-                    am[ci, ln] = True
+            am = np.zeros((self.cfg.n_clusters, self.cfg.cluster_cap), bool)
+            m = min(len(allowed), len(self._slot_cluster))
+            sel = np.flatnonzero(allowed[:m] & (self._slot_cluster[:m] >= 0))
+            am[self._slot_cluster[sel], self._slot_lane[sel]] = True
             amask = jnp.asarray(am)
         d, ids = ivf_search_impl(
             self.state, q, amask, cfg=self.cfg, k=k, nprobe=p
@@ -475,16 +536,19 @@ class IvfIndex:
         return np.asarray(d), np.asarray(ids)
 
     def delete(self, slots):
-        for s in np.atleast_1d(np.asarray(slots)):
-            s = int(s)
-            if s < len(self._alive_host):
-                self._alive_host[s] = False
-            pos = self._slot_pos.get(s)
-            if pos is not None and self.state is not None:
-                ci, ln = pos
-                self.state = self.state._replace(
-                    alive=self.state.alive.at[ci, ln].set(False)
-                )
+        slots = np.atleast_1d(np.asarray(slots)).astype(np.int64)
+        in_range = slots[slots < len(self._alive_host)]
+        self._alive_host[in_range] = False
+        if self.state is None:
+            return
+        m = in_range[in_range < len(self._slot_cluster)]
+        m = m[self._slot_cluster[m] >= 0]
+        if len(m):
+            self.state = self.state._replace(
+                alive=self.state.alive.at[
+                    self._slot_cluster[m], self._slot_lane[m]
+                ].set(False)
+            )
 
 
 def _pad_rows(x: np.ndarray, mult: int) -> np.ndarray:
