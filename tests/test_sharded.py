@@ -66,3 +66,20 @@ def test_sharded_delete(data):
     _, gi2 = idx.search(q, k=1)
     for j in range(3):
         assert gi2[j, 0] not in gids[:3]
+
+
+def test_sharded_ivf(data):
+    from turdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    x, q, true_ids = data
+    mesh = make_mesh(n_db=4, n_data=2)
+    idx = ShardedIvfIndex(dim=32, mesh=mesh, nprobe=16)
+    gids = idx.add(x)
+    idx.train()
+    assert len(idx) == 3000
+    d, gi = idx.search(q, k=10)
+    lut = {g: i for i, g in enumerate(gids)}
+    pred = np.array([[lut.get(g, -1) for g in row] for row in gi])
+    r = recall_at_k(pred, true_ids)
+    assert r >= 0.9, f"sharded ivf recall {r:.3f}"
+    assert (d[:, 0] <= d[:, -1]).all()

@@ -12,3 +12,4 @@ collectives over ICI.
 
 from turdb_tpu.parallel.mesh import make_mesh  # noqa: F401
 from turdb_tpu.parallel.sharded import ShardedHnswIndex  # noqa: F401
+from turdb_tpu.parallel.sharded_ivf import ShardedIvfIndex  # noqa: F401
