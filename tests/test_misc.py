@@ -134,3 +134,46 @@ class TestPerfGates:
         dt = (time.perf_counter() - t0) / 5
         qps = 64 / dt
         assert qps > 300, f"flat knn {qps:.0f} qps"
+
+
+class TestBulkInsert:
+    def test_insert_batch_api(self, tmp_path):
+        from turdb_tpu.database.api import ConstraintViolation, Database
+
+        db = Database.create(str(tmp_path / "db"))
+        db.execute("CREATE TABLE t (id BIGINT PRIMARY KEY, v DOUBLE)")
+        res = db.insert_batch("t", [{"id": i, "v": i * 0.5} for i in range(500)])
+        assert res.rows_affected == 500
+        assert db.query("SELECT COUNT(*), SUM(v) FROM t") == [(500, sum(i*0.5 for i in range(500)))]
+        import pytest as _pt
+
+        with _pt.raises(ConstraintViolation):
+            db.insert_batch("t", [{"id": 1, "v": 0.0}])
+        db.close()
+
+    def test_bulk_insert_rate(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "db"))
+        db.execute("CREATE TABLE t (id BIGINT PRIMARY KEY, name TEXT, v DOUBLE)")
+        rows = [{"id": i, "name": f"n{i}", "v": float(i)} for i in range(20000)]
+        t0 = time.perf_counter()
+        db.bulk_insert("t", rows)
+        rate = 20000 / (time.perf_counter() - t0)
+        # reference design target: >100K rows/s (src/lib.rs:66)
+        assert rate > 5000, f"bulk rate {rate:,.0f}/s"
+        assert db.query("SELECT COUNT(*) FROM t") == [(20000,)]
+        db.close()
+
+    def test_bulk_survives_reopen(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        p = str(tmp_path / "db")
+        db = Database.create(p)
+        db.execute("CREATE TABLE t (a INT)")
+        db.bulk_insert("t", [{"a": i} for i in range(100)])
+        db.wal.flush()
+        db2 = Database.open(p)  # crash-recovery path
+        assert db2.query("SELECT COUNT(*) FROM t") == [(100,)]
+        db2.close()
+        db.close()

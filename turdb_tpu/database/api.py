@@ -395,6 +395,44 @@ class Database:
     def prepare(self, sql: str) -> "PreparedStatement":
         return PreparedStatement(self, sql)
 
+    def insert_batch(self, table: str, rows: list[dict],
+                     schema: str = "main") -> ExecuteResult:
+        """Programmatic multi-row insert without SQL parsing (reference
+        batch.rs insert_batch). Full constraint pipeline applies."""
+        from turdb_tpu.database import dml
+
+        self._check_writable()
+        txn, own = self._begin_write()
+        try:
+            stmt = A.Insert(
+                table=A.TableRef(table, schema if schema != "main" else None),
+                columns=None,
+                values=None,
+            )
+            info = self.resolve_table(stmt.table)
+            res = dml.bulk_insert_rows(self, info, rows, txn)
+            if own:
+                self._commit(txn)
+            return res
+        except Exception:
+            if own:
+                self.mgr.abort(txn)
+            raise
+
+    def bulk_insert(self, table: str, rows: list[dict],
+                    schema: str = "main") -> ExecuteResult:
+        """Bulk loader: defers per-row WAL flushing and HNSW graph work to
+        the end of the batch (reference fast_load.rs FastLoader, 4-6x)."""
+        prev = self.wal_autoflush
+        self.wal_autoflush = False
+        try:
+            res = self.insert_batch(table, rows, schema)
+        finally:
+            self.wal_autoflush = prev
+            if prev:
+                self.wal.flush()
+        return res
+
     # ------------------------------------------------------------------
     # dispatch
     # ------------------------------------------------------------------
@@ -621,6 +659,77 @@ class Database:
         return b
 
     # ------------------------------------------------------------------
+    # index point-lookup hook (wired by QueryEngine._select_core)
+    # ------------------------------------------------------------------
+
+    def _try_index_scan(self, ref: A.TableRef, where, ctx) -> Batch | None:
+        """Equality conjuncts covering a B-tree index -> probe instead of
+        full scan (reference optimizer/index_selection.rs:38). Returns a
+        batch of candidate visible versions, or None."""
+        if (ref.schema or "main") == "turdb_catalog":
+            return None
+        try:
+            info = self.resolve_table(ref)
+        except SqlError:
+            return None
+        # collect col = const conjuncts
+        eqs: dict[str, object] = {}
+        def walk(e):
+            if isinstance(e, A.BinaryOp) and e.op == "AND":
+                walk(e.left)
+                walk(e.right)
+            elif isinstance(e, A.BinaryOp) and e.op == "=":
+                a, b = e.left, e.right
+                if not isinstance(a, A.ColumnRef):
+                    a, b = b, a
+                if isinstance(a, A.ColumnRef) and isinstance(
+                    b, (A.Literal, A.Param)
+                ):
+                    q = ref.alias or ref.name
+                    if a.table in (None, q):
+                        v = (
+                            b.value
+                            if isinstance(b, A.Literal)
+                            else (
+                                ctx.params[b.index - 1]
+                                if b.index <= len(ctx.params)
+                                else None
+                            )
+                        )
+                        if v is not None:
+                            eqs[a.name] = v
+        walk(where)
+        if not eqs:
+            return None
+        for name, idx in info.btree.items():
+            cols = info.btree_cols[name]
+            if all(c in eqs for c in cols):
+                key = idx.make_key([_norm_probe(eqs[c]) for c in cols])
+                rowids = idx.find(key)
+                read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
+                own = getattr(ctx, "own_txn", 0)
+                vidx = []
+                for rid in rowids:
+                    i = info.table.latest.get(rid)
+                    if i is None:
+                        continue
+                    if self.mgr.visible_mask(
+                        info.table.xmin[i : i + 1],
+                        info.table.xmax[i : i + 1],
+                        read_ts, own,
+                    )[0]:
+                        vidx.append(i)
+                q = ref.alias or ref.name
+                arr = np.asarray(vidx, np.int64)
+                b = Batch(len(arr))
+                for c in info.columns:
+                    vals, nulls = info.table.column_batch(c.name, arr)
+                    b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
+                b.add(q, ROWID, Col(info.table.rowids[arr].copy()))
+                return b
+        return None
+
+    # ------------------------------------------------------------------
     # ANN fast path hook (wired by QueryEngine._try_ann_path)
     # ------------------------------------------------------------------
 
@@ -783,6 +892,12 @@ def _parse_expr(text: str):
 
 def _jsonable_fk(x):
     return list(x) if isinstance(x, (list, tuple)) else x
+
+
+def _norm_probe(v):
+    if isinstance(v, np.ndarray):
+        return v.tobytes()
+    return _py(v)
 
 
 def _cell(table: ColumnarTable, colname: str, idx: int):

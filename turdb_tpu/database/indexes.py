@@ -58,7 +58,9 @@ class SortedKeyIndex:
         self._delta = []
 
     def find(self, key: bytes) -> list[int]:
-        """All rowids with exactly this key."""
+        """All rowids with exactly this key (deduplicated: the same
+        (key, rowid) can live in both the run and the delta after a
+        delete + re-insert cycle)."""
         out = []
         lo = bisect.bisect_left(self._run, (key, -(2**62)))
         while lo < len(self._run) and self._run[lo][0] == key:
@@ -69,7 +71,7 @@ class SortedKeyIndex:
         for k, r in self._delta:
             if k == key and (k, r) not in self._deleted:
                 out.append(r)
-        return out
+        return list(dict.fromkeys(out))
 
     def range(self, lo_key: bytes | None, hi_key: bytes | None,
               lo_inc=True, hi_inc=True) -> list[int]:

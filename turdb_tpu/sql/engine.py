@@ -91,11 +91,39 @@ class QueryEngine:
         if ann is not None:
             src = ann
         else:
-            src = self._from(sel.from_, ctx)
-            if sel.where is not None:
+            src = None
+            if sel.where is not None and isinstance(sel.from_, A.TableRef):
+                # index point lookup: eq conjuncts covering a B-tree index
+                # (reference index_selection.rs:38 / scan bounds)
+                hook = getattr(self.db, "_try_index_scan", None)
+                if hook is not None:
+                    src = hook(sel.from_, sel.where, ctx)
+            if src is None and isinstance(sel.from_, A.Join) and sel.where:
+                # predicate pushdown: single-side conjuncts filter before
+                # the join (reference optimizer/rules predicate pushdown)
+                ctx.pushdown = _split_conjuncts(sel.where)
+                src = self._from(sel.from_, ctx)
+                remaining = [c for c in ctx.pushdown if c is not None]
+                ctx.pushdown = None
+                pred = None
+                for c in remaining:
+                    pred = c if pred is None else A.BinaryOp("AND", pred, c)
+                if pred is not None:
+                    cc = eval_expr(pred, src, ctx)
+                    src = src.take(
+                        np.flatnonzero(cc.values.astype(bool) & ~cc.nulls)
+                    )
+            elif src is None:
+                src = self._from(sel.from_, ctx)
+                if sel.where is not None:
+                    c = eval_expr(sel.where, src, ctx)
+                    keep = np.flatnonzero(c.values.astype(bool) & ~c.nulls)
+                    src = src.take(keep)
+            else:
+                # index scan found: evaluate the full predicate on the small
+                # candidate batch (covers non-indexed conjuncts)
                 c = eval_expr(sel.where, src, ctx)
-                keep = np.flatnonzero(c.values.astype(bool) & ~c.nulls)
-                src = src.take(keep)
+                src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
 
         has_agg = any(
             _contains_aggregate(it.expr)
@@ -147,6 +175,27 @@ class QueryEngine:
     def _join(self, j: A.Join, ctx: EvalContext) -> Batch:
         left = self._from(j.left, ctx)
         right = self._from(j.right, ctx)
+        # consume pushed-down single-side predicates (outer-join safe:
+        # only the non-null-padded side accepts pushdown)
+        push = getattr(ctx, "pushdown", None)
+        if push:
+            can_left = j.kind in ("INNER", "CROSS", "LEFT")
+            can_right = j.kind in ("INNER", "CROSS", "RIGHT")
+            for idx, c in enumerate(push):
+                if c is None:
+                    continue
+                if can_left and _resolvable(c, left) and _contains_column(c):
+                    cc = eval_expr(c, left, ctx)
+                    left = left.take(
+                        np.flatnonzero(cc.values.astype(bool) & ~cc.nulls)
+                    )
+                    push[idx] = None
+                elif can_right and _resolvable(c, right) and _contains_column(c):
+                    cc = eval_expr(c, right, ctx)
+                    right = right.take(
+                        np.flatnonzero(cc.values.astype(bool) & ~cc.nulls)
+                    )
+                    push[idx] = None
         cond = j.on
         if j.using:
             for name in j.using:
@@ -417,6 +466,20 @@ def _children(e):
                     for y in x:
                         if isinstance(y, A.Expr):
                             yield y
+
+
+def _split_conjuncts(e) -> list:
+    out = []
+
+    def flat(x):
+        if isinstance(x, A.BinaryOp) and x.op == "AND":
+            flat(x.left)
+            flat(x.right)
+        else:
+            out.append(x)
+
+    flat(e)
+    return out
 
 
 def _contains_aggregate(e) -> bool:
