@@ -177,3 +177,40 @@ class TestBulkInsert:
         assert db2.query("SELECT COUNT(*) FROM t") == [(100,)]
         db2.close()
         db.close()
+
+
+class TestSpill:
+    def test_spilled_batch_roundtrip(self, tmp_path):
+        import numpy as np
+        from turdb_tpu.sql.expr import Batch, Col
+        from turdb_tpu.sql.spill import SpilledBatch
+
+        b = Batch(3)
+        b.add("t", "a", Col(np.asarray([1, 2, 3], np.int64)))
+        arr = np.empty(3, object)
+        arr[:] = ["x", None, "z"]
+        b.add("t", "s", Col(arr, np.asarray([False, True, False])))
+        sp = SpilledBatch(b, str(tmp_path))
+        b2 = sp.load()
+        assert b2.n == 3 and b2.cols[0].values.tolist() == [1, 2, 3]
+        assert b2.cols[1].values[2] == "z" and b2.cols[1].nulls[1]
+        sp.close()
+
+    def test_grace_join_under_tiny_budget(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "db"))
+        db.execute("CREATE TABLE a (id INT, v INT)")
+        db.execute("CREATE TABLE b (id INT, w INT)")
+        db.execute("PRAGMA wal_autoflush = false")
+        rows_a = ", ".join(f"({i}, {i*2})" for i in range(2000))
+        rows_b = ", ".join(f"({i}, {i*3})" for i in range(2000))
+        db.execute(f"INSERT INTO a VALUES {rows_a}")
+        db.execute(f"INSERT INTO b VALUES {rows_b}")
+        # shrink the query pool so the grace path partitions
+        db.budget.total = 40_000
+        rows = db.query(
+            "SELECT COUNT(*), SUM(a.v + b.w) FROM a JOIN b ON a.id = b.id"
+        )
+        assert rows == [(2000, sum(i * 5 for i in range(2000)))]
+        db.close()

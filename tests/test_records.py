@@ -159,3 +159,46 @@ def test_jsonb_contains():
     assert jsonb_contains(outer, {"c": {"d": 4}})
     assert not jsonb_contains(outer, {"a": 2})
     assert not jsonb_contains(outer, {"b": [9]})
+
+
+class TestArrayFormat:
+    def test_int_array(self):
+        from turdb_tpu.records.arrays import ArrayView, array_encode
+
+        buf = array_encode([1, None, 3, -9])
+        v = ArrayView(buf)
+        assert len(v) == 4
+        assert v[0] == 1 and v[1] is None and v[3] == -9
+        assert v.to_list() == [1, None, 3, -9]
+
+    def test_text_array(self):
+        from turdb_tpu.records.arrays import ArrayView, array_encode
+
+        buf = array_encode(["a", "", None, "héllo"])
+        v = ArrayView(buf)
+        assert v.to_list() == ["a", "", None, "héllo"]
+
+    def test_float_bool_blob(self):
+        from turdb_tpu.records.arrays import ArrayView, array_encode
+
+        assert ArrayView(array_encode([1.5, None])).to_list() == [1.5, None]
+        assert ArrayView(array_encode([True, False, None])).to_list() == [
+            True, False, None,
+        ]
+        assert ArrayView(array_encode([b"\x00\x01", None])).to_list() == [
+            b"\x00\x01", None,
+        ]
+
+    def test_o1_access_fuzz(self):
+        import random as _r
+
+        from turdb_tpu.records.arrays import ArrayView, array_encode
+
+        _r.seed(3)
+        for _ in range(100):
+            vals = [
+                None if _r.random() < 0.2 else _r.randint(-(2**40), 2**40)
+                for _ in range(_r.randint(0, 30))
+            ]
+            v = ArrayView(array_encode(vals))
+            assert v.to_list() == vals

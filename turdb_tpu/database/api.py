@@ -638,6 +638,7 @@ class Database:
         else:
             ctx.read_ts = self.mgr.snapshot_ts()
             ctx.own_txn = 0
+        ctx.query_budget = self.budget.pool("query")
         return ctx
 
     def _scan_batch(self, ref: A.TableRef, ctx) -> Batch:

@@ -73,7 +73,7 @@ class QueryEngine:
         c = EvalContext(ctx.params, self._subquery_fn, outer=ctx.outer)
         c.ctes = ctes
         # propagate the MVCC snapshot (read_ts/own_txn ride on the context)
-        for attr in ("read_ts", "own_txn"):
+        for attr in ("read_ts", "own_txn", "query_budget"):
             if hasattr(ctx, attr):
                 setattr(c, attr, getattr(ctx, attr))
         return c
@@ -685,8 +685,37 @@ def _merge_batches(left: Batch, right: Batch, li, ri, lnull=None, rnull=None):
 
 
 def _hash_join(left, right, equis, residual, kind, ctx):
-    """Hash join (reference GraceHashJoinExecutor, executor.rs:1140 — the
-    in-memory case; budget spilling is handled by batch slicing upstream)."""
+    """Hash join; above the query memory budget it becomes a GRACE hash
+    join: both sides partition by key hash (spillable to temp files) and
+    partition pairs join one at a time (reference GraceHashJoinExecutor,
+    executor.rs:1140 + partition_spiller.rs:116)."""
+    from turdb_tpu.sql.spill import estimate_batch_bytes, partition_batch
+
+    budget = getattr(ctx, "query_budget", None)
+    est = estimate_batch_bytes(left) + estimate_batch_bytes(right)
+    if kind == "INNER" and budget and est > budget and left.n > 64 and right.n > 64:
+        nparts = max(2, int(est // budget) + 1)
+        lkeys = [eval_expr(a, left, ctx) for a, _ in equis]
+        rkeys = [eval_expr(b, right, ctx) for _, b in equis]
+        lparts = partition_batch(left, lkeys, nparts)
+        rparts = partition_batch(right, rkeys, nparts)
+        out = None
+        for lp, rp in zip(lparts, rparts):
+            if lp.n == 0 or rp.n == 0:
+                continue
+            sub = _hash_join_mem(lp, rp, equis, residual, "INNER", ctx)
+            out = sub if out is None else out.concat(sub)
+        if out is None:
+            out = _hash_join_mem(
+                left.take(np.zeros(0, np.int64)),
+                right.take(np.zeros(0, np.int64)),
+                equis, residual, "INNER", ctx,
+            )
+        return out
+    return _hash_join_mem(left, right, equis, residual, kind, ctx)
+
+
+def _hash_join_mem(left, right, equis, residual, kind, ctx):
     lkeys = [eval_expr(a, left, ctx) for a, _ in equis]
     rkeys = [eval_expr(b, right, ctx) for _, b in equis]
 
