@@ -22,7 +22,7 @@ import numpy as np
 N = int(os.environ.get("TURDB_BENCH_N", 100_000))
 DIM = int(os.environ.get("TURDB_BENCH_DIM", 128))
 K = 10
-N_QUERIES = int(os.environ.get("TURDB_BENCH_Q", 4096))
+N_QUERIES = int(os.environ.get("TURDB_BENCH_Q", 16384))
 RECALL_GATE = 0.95
 BASELINE_QPS = 50_000.0  # BASELINE.json: >=50k QPS/chip at recall@10>=0.95
 SKIP_HNSW = os.environ.get("TURDB_BENCH_SKIP_HNSW") == "1"
@@ -47,10 +47,12 @@ def recall_of(ids, truth):
     )
 
 
-def qps_of(search_fn, queries, batch=1024, reps=4, device=True):
-    """Throughput with device-resident query batches (standard ANN-bench
-    methodology; in this environment host->device staging runs through a
-    relay at ~10MB/s and would measure the tunnel, not the engine)."""
+def qps_of(search_fn, queries, batch=1024, reps=1, device=True):
+    """Throughput with device-resident, STRICTLY UNIQUE query batches
+    (the relay dedupes repeated identical executions, so repeating inputs
+    inflates numbers), pipeline kept full (one sync at the end). Host->
+    device staging here runs through a ~10MB/s relay and would measure
+    the tunnel, not the engine."""
     import jax
     import jax.numpy as jnp
 
@@ -63,8 +65,6 @@ def qps_of(search_fn, queries, batch=1024, reps=4, device=True):
     else:
         batches = [queries[b * batch : (b + 1) * batch] for b in range(nb)]
     search_fn(batches[0])  # warm/compile
-    # throughput: keep the device pipeline full (submit all batches, sync
-    # once at the end) — per-call sync would measure the host roundtrip
     t0 = time.perf_counter()
     outs = []
     for _ in range(reps):
@@ -171,7 +171,7 @@ def main():
                 d, i = idx.search(q, k=K, ef=ef, out="jax")
                 return i
 
-            qps = qps_of(runh, queries, reps=2)
+            qps = qps_of(runh, queries)
             log(f"  hnsw: QPS={qps:,.0f} @ ef={ef} recall={r:.4f}")
             results.append(("hnsw", qps, r, N / build_s))
 

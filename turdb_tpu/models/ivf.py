@@ -178,20 +178,28 @@ def ivf_search_impl(
         live = live & allowed[top]
 
     if cfg.sq8:
-        codes = state.codes[top]                    # [B, P, L, d] u8
-        u = codes.astype(jnp.float32)
-        mins = state.mins[top]
-        scales = state.scales[top]
-        dots_u = jnp.einsum(
-            "bd,bpld->bpl", q, u, preferred_element_type=jnp.float32
+        # int8 MXU path: codes are CENTERED (c = u - 128, int8) and the
+        # query is symmetric-quantized per row, so the inner product runs
+        # s8 x s8 -> s32 on the MXU and the probe moves 4x fewer bytes.
+        #   x̂_d = m' + scale*c_d   with m' = min + 128*scale (stored in
+        #   state.mins), so  q·x̂ = m'*Σq + scale*qs*(qc·c)
+        codes = state.codes[top]                    # [B, P, L, d] int8
+        qmax = jnp.max(jnp.abs(q), axis=-1)
+        qs = jnp.maximum(qmax, 1e-30) / 127.0
+        qc = jnp.clip(
+            jnp.round(q / qs[:, None]), -127, 127
+        ).astype(jnp.int8)
+        doti = jnp.einsum(
+            "bd,bpld->bpl", qc, codes, preferred_element_type=jnp.int32
         )
         q_sum = jnp.sum(q, axis=-1)
-        u_sum = jnp.sum(u, axis=-1)
-        u_sq = jnp.sum(u * u, axis=-1)
-        dim = q.shape[1]
-        xn = dim * mins**2 + 2.0 * mins * scales * u_sum + scales**2 * u_sq
-        q_dot_x = mins * q_sum[:, None, None] + scales * dots_u
-        dist = qn[:, None, None] - 2.0 * q_dot_x + xn
+        q_dot_x = (
+            state.mins[top] * q_sum[:, None, None]
+            + state.scales[top] * (qs[:, None, None] * doti.astype(jnp.float32))
+        )
+        # pnorms holds the exact ‖x‖²; quantization error lands in the
+        # cross term only and the exact rerank pass absorbs it
+        dist = qn[:, None, None] - 2.0 * q_dot_x + state.pnorms[top]
     else:
         blocks = state.pvecs[top]                   # [B, P, L, d]
         dots = jnp.einsum(
@@ -261,6 +269,8 @@ class IvfIndex:
         self._cluster_cap = cluster_cap
         self.nprobe = nprobe
         self.sq8 = sq8
+        if sq8 and rerank == 0:
+            rerank = 64
         self.rerank = rerank
         self.cfg: IvfConfig | None = None
         self.state: IvfState | None = None
@@ -368,12 +378,15 @@ class IvfIndex:
         alive[mc, ml] = self._alive_host[mslots]
         jp = jnp.asarray(pvecs)
         if self.sq8:
-            codes, mins, scales = sq8_encode(jp.reshape(-1, self.dim))
-            codes = codes.reshape(c, cap, self.dim)
-            mins = mins.reshape(c, cap)
+            codes_u8, mins, scales = sq8_encode(jp.reshape(-1, self.dim))
+            # centered int8 (see ivf_search_impl) + shifted mins
+            codes = (
+                codes_u8.astype(jnp.int16) - 128
+            ).astype(jnp.int8).reshape(c, cap, self.dim)
+            mins = (mins + 128.0 * scales).reshape(c, cap)
             scales = scales.reshape(c, cap)
         else:
-            codes = jnp.zeros((c, cap, self.dim), jnp.uint8)
+            codes = jnp.zeros((c, cap, self.dim), jnp.int8)
             mins = jnp.zeros((c, cap), jnp.float32)
             scales = jnp.zeros((c, cap), jnp.float32)
         self.state = IvfState(
@@ -464,10 +477,12 @@ class IvfIndex:
             alive=st.alive.at[cs, lanes].set(True),
         )
         if cfg.sq8:
-            codes, mins, scales = sq8_encode(jv)
+            codes_u8, mins, scales = sq8_encode(jv)
             st = st._replace(
-                codes=st.codes.at[cs, lanes].set(codes),
-                mins=st.mins.at[cs, lanes].set(mins),
+                codes=st.codes.at[cs, lanes].set(
+                    (codes_u8.astype(jnp.int16) - 128).astype(jnp.int8)
+                ),
+                mins=st.mins.at[cs, lanes].set(mins + 128.0 * scales),
                 scales=st.scales.at[cs, lanes].set(scales),
             )
         self.state = st
