@@ -29,35 +29,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NBUF = 8
-
-
 def _probe_kernel(top_ref, q_ref, data_ref, out_ref, scratch, sems):
-    b = pl.program_id(0)
+    """QB queries per program, ALL of their copies issued before the first
+    wait: per-program fixed overhead (~15us measured) and per-copy latency
+    both amortize over QB*P outstanding DMAs."""
+    g = pl.program_id(0)
     nprobe = top_ref.shape[1]
     l_cap = data_ref.shape[1]
+    qb = q_ref.shape[0]
+    total = qb * nprobe
 
-    def get_dma(slot, p):
+    def get_dma(t):
+        j = t // nprobe
+        p = t % nprobe
         return pltpu.make_async_copy(
-            data_ref.at[top_ref[b, p]], scratch.at[slot], sems.at[slot]
+            data_ref.at[top_ref[g * qb + j, p]], scratch.at[t], sems.at[t]
         )
 
-    get_dma(0, 0).start()
-    qv = q_ref[0, 0, :].astype(jnp.float32)       # [d]
-
-    def body(p, _):
-        slot = p % _NBUF
-        @pl.when(p + 1 < nprobe)
-        def _():
-            get_dma((p + 1) % _NBUF, p + 1).start()
-        get_dma(slot, p).wait()
-        block = scratch[slot].astype(jnp.float32)  # [L, d]
-        dots = jnp.sum(block * qv[None, :], axis=1)  # [L] VPU reduce
-        off = pl.multiple_of(p * l_cap, 128)  # l_cap is 128-aligned
-        out_ref[0, 0, pl.ds(off, l_cap)] = dots
+    def start(t, _):
+        get_dma(t).start()
         return 0
 
-    jax.lax.fori_loop(0, nprobe, body, 0)
+    jax.lax.fori_loop(0, total, start, 0)
+
+    def body(t, _):
+        j = t // nprobe
+        p = t % nprobe
+        get_dma(t).wait()
+        block = scratch[t].astype(jnp.float32)     # [L, d]
+        qv = q_ref[j, 0, :].astype(jnp.float32)
+        dots = jnp.sum(block * qv[None, :], axis=1)
+        off = pl.multiple_of(p * l_cap, 128)
+        out_ref[j, 0, pl.ds(off, l_cap)] = dots
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
 
 
 @partial(jax.jit, static_argnames=())
@@ -69,24 +75,32 @@ def probe_dots(data: jax.Array, top: jax.Array, q: jax.Array) -> jax.Array:
     b, p = top.shape
     c, l_cap, d = data.shape
     assert l_cap % 128 == 0, "cluster_cap must be a multiple of 128 (lane width)"
+    # queries per program: fill ~6MB of VMEM scratch with outstanding
+    # copies (also leaves room for the output block)
+    block_bytes = l_cap * d * data.dtype.itemsize
+    qb = max(1, min(16, (6 * 2**20) // (p * block_bytes)))
+    while b % qb:
+        qb -= 1
     # 3-D shapes with a unit middle axis satisfy the TPU block tiling rule
-    # ((1, 1, d): middle dim equals the whole axis)
+    # ((QB, 1, d): middle dim equals the whole axis)
     out = pl.pallas_call(
         _probe_kernel,
         out_shape=jax.ShapeDtypeStruct((b, 1, p * l_cap), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(b // qb,),
             in_specs=[
-                pl.BlockSpec((1, 1, d), lambda i, top: (i, 0, 0),
+                pl.BlockSpec((qb, 1, d), lambda i, top: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, p * l_cap), lambda i, top: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (qb, 1, p * l_cap), lambda i, top: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             scratch_shapes=[
-                pltpu.VMEM((_NBUF, l_cap, d), data.dtype),
-                pltpu.SemaphoreType.DMA((_NBUF,)),
+                pltpu.VMEM((qb * p, l_cap, d), data.dtype),
+                pltpu.SemaphoreType.DMA((qb * p,)),
             ],
         ),
     )(top, q.reshape(b, 1, d), data)
