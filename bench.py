@@ -34,10 +34,14 @@ def log(*a):
 
 def make_pool(rng, n, dim, n_clusters=1024):
     """Clustered synthetic embeddings (SIFT-like structure, not uniform).
-    Base and queries split from ONE pool so both share the distribution."""
+    Base and queries split from ONE pool so both share the distribution.
+    Per-point radius jitter breaks the gaussian concentration shell —
+    isotropic noise puts thousands of points at near-identical distances
+    and turns recall@k into a tie-breaking lottery."""
     centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 4.0
     assign = rng.integers(0, n_clusters, size=n)
-    x = centers[assign] + rng.standard_normal((n, dim)).astype(np.float32)
+    radius = rng.uniform(0.3, 1.7, size=(n, 1)).astype(np.float32)
+    x = centers[assign] + radius * rng.standard_normal((n, dim)).astype(np.float32)
     return x.astype(np.float32)
 
 

@@ -332,10 +332,17 @@ class IvfIndex:
         cents = _kmeans(jnp.asarray(xt), jnp.asarray(x[seed_idx]), iters=iters)
         xp = _pad_rows(x, _KM_CHUNK)
         assign = np.asarray(_assign_all(jnp.asarray(xp), cents))[:n]
-        counts = np.bincount(assign, minlength=c)
         cap = self._cluster_cap or _pow2_at_least(
             max(int(2.0 * n / c), 16), floor=8
         )
+        # split oversized clusters (local 2-means) instead of spilling rows
+        # to far clusters: a spilled row is invisible to centroid probing
+        # (measured: spill victims' clusters rank ~78-255th for their
+        # queries, capping recall at ~0.946 however many probes)
+        cents_np, assign = _split_oversized(np.asarray(cents), assign, x, cap)
+        cents = jnp.asarray(cents_np)
+        c = cents_np.shape[0]
+        counts = np.bincount(assign, minlength=c)
         # balanced packing, fully vectorized: stable-sort by cluster, lane =
         # rank within the cluster run; lanes past the cap spill to the
         # nearest cluster with free lanes (rare with cap >= 2x mean)
@@ -564,6 +571,42 @@ class IvfIndex:
                     self._slot_cluster[m], self._slot_lane[m]
                 ].set(False)
             )
+
+
+def _split_oversized(cents: np.ndarray, assign: np.ndarray, x: np.ndarray,
+                     cap: int, max_rounds: int = 12):
+    """Split clusters whose population exceeds the lane cap into two via
+    local 2-means, repeating until everything fits (or rounds run out —
+    leftovers then spill in packing, which only happens for pathological
+    duplicates). Keeps every row NEAR its own centroid, which is what
+    makes it reachable by centroid probing."""
+    cents = np.array(cents, np.float32)
+    assign = np.array(assign)
+    for _ in range(max_rounds):
+        counts = np.bincount(assign, minlength=len(cents))
+        over = np.flatnonzero(counts > cap)
+        if len(over) == 0:
+            break
+        for ci in over:
+            rows = np.flatnonzero(assign == ci)
+            pts = x[rows]
+            # 2-means: seed with two far members, few Lloyd steps
+            a = pts[0]
+            db = ((pts - a) ** 2).sum(1)
+            bpt = pts[int(np.argmax(db))]
+            c2 = np.stack([a, bpt])
+            for _ in range(6):
+                d = ((pts[:, None, :] - c2[None]) ** 2).sum(-1)
+                lab = np.argmin(d, axis=1)
+                for g in (0, 1):
+                    m = lab == g
+                    if m.any():
+                        c2[g] = pts[m].mean(0)
+            cents[ci] = c2[0]
+            new_ci = len(cents)
+            cents = np.concatenate([cents, c2[1:2]])
+            assign[rows[lab == 1]] = new_ci
+    return cents, assign
 
 
 def _pad_rows(x: np.ndarray, mult: int) -> np.ndarray:
