@@ -472,3 +472,35 @@ class TestMeta:
             "FROM users ORDER BY id"
         )
         assert rows == [("alice", 1), ("bob", 1), ("carol", 2), ("dave", 1)]
+
+
+class TestIndexScans:
+    def test_point_lookup_uses_index(self, db):
+        seed(db)
+        # correctness through the index probe path
+        assert db.query("SELECT name FROM users WHERE id = 3") == [("carol",)]
+        assert db.query("SELECT name FROM users WHERE id = 999") == []
+        # param binding through the probe
+        assert db.query("SELECT name FROM users WHERE id = ?", [2]) == [("bob",)]
+
+    def test_range_scan_via_index(self, db):
+        db.execute("CREATE TABLE r (k INT, v TEXT)")
+        db.execute("PRAGMA wal_autoflush = false")
+        vals = ", ".join(f"({i}, 'v{i}')" for i in range(1000))
+        db.execute(f"INSERT INTO r VALUES {vals}")
+        db.execute("CREATE INDEX rk ON r (k)")
+        rows = db.query("SELECT v FROM r WHERE k > 5 AND k <= 8 ORDER BY k")
+        assert rows == [("v6",), ("v7",), ("v8",)]
+        rows = db.query("SELECT COUNT(*) FROM r WHERE k >= 990")
+        assert rows == [(10,)]
+        # huge range falls back to the scan (still correct)
+        assert db.query("SELECT COUNT(*) FROM r WHERE k >= 1") == [(999,)]
+
+    def test_range_after_update_delete(self, db):
+        db.execute("CREATE TABLE r2 (k INT)")
+        db.execute("INSERT INTO r2 VALUES (1), (2), (3), (4), (5)")
+        db.execute("CREATE INDEX r2k ON r2 (k)")
+        db.execute("DELETE FROM r2 WHERE k = 3")
+        db.execute("UPDATE r2 SET k = 40 WHERE k = 4")
+        rows = db.query("SELECT k FROM r2 WHERE k > 1 AND k < 10 ORDER BY k")
+        assert rows == [(2,), (5,)]

@@ -699,36 +699,90 @@ class Database:
                         )
                         if v is not None:
                             eqs[a.name] = v
+        # range conjuncts: col {<,<=,>,>=} const (reference bounds.rs:50)
+        ranges: dict[str, list] = {}
+
+        def walk_rng(e):
+            if isinstance(e, A.BinaryOp) and e.op == "AND":
+                walk_rng(e.left)
+                walk_rng(e.right)
+            elif isinstance(e, A.BinaryOp) and e.op in ("<", "<=", ">", ">="):
+                a, bnd = e.left, e.right
+                op = e.op
+                if not isinstance(a, A.ColumnRef):
+                    a, bnd = bnd, a
+                    op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+                if isinstance(a, A.ColumnRef) and isinstance(
+                    bnd, (A.Literal, A.Param)
+                ):
+                    qn = ref.alias or ref.name
+                    if a.table in (None, qn):
+                        v = (
+                            bnd.value
+                            if isinstance(bnd, A.Literal)
+                            else (
+                                ctx.params[bnd.index - 1]
+                                if bnd.index <= len(ctx.params)
+                                else None
+                            )
+                        )
+                        if v is not None:
+                            ranges.setdefault(a.name, []).append((op, v))
+
         walk(where)
-        if not eqs:
+        walk_rng(where)
+        rowids = None
+        if eqs:
+            for name, idx in info.btree.items():
+                cols = info.btree_cols[name]
+                if all(c in eqs for c in cols):
+                    key = idx.make_key([_norm_probe(eqs[c]) for c in cols])
+                    rowids = idx.find(key)
+                    break
+        if rowids is None and ranges:
+            from turdb_tpu.records.keys import encode_value
+
+            for name, idx in info.btree.items():
+                cols = info.btree_cols[name]
+                if len(cols) == 1 and cols[0] in ranges:
+                    lo = hi = None
+                    lo_inc = hi_inc = True
+                    for op, v in ranges[cols[0]]:
+                        kb = encode_value(_norm_probe(v))
+                        if op in (">", ">="):
+                            if lo is None or kb > lo:
+                                lo, lo_inc = kb, op == ">="
+                        else:
+                            if hi is None or kb < hi:
+                                hi, hi_inc = kb, op == "<="
+                    cand = idx.range(lo, hi, lo_inc, hi_inc)
+                    # a huge range is slower than the vectorized scan
+                    if len(cand) <= max(64, info.table.nversions // 3):
+                        rowids = cand
+                    break
+        if rowids is None:
             return None
-        for name, idx in info.btree.items():
-            cols = info.btree_cols[name]
-            if all(c in eqs for c in cols):
-                key = idx.make_key([_norm_probe(eqs[c]) for c in cols])
-                rowids = idx.find(key)
-                read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
-                own = getattr(ctx, "own_txn", 0)
-                vidx = []
-                for rid in rowids:
-                    i = info.table.latest.get(rid)
-                    if i is None:
-                        continue
-                    if self.mgr.visible_mask(
-                        info.table.xmin[i : i + 1],
-                        info.table.xmax[i : i + 1],
-                        read_ts, own,
-                    )[0]:
-                        vidx.append(i)
-                q = ref.alias or ref.name
-                arr = np.asarray(vidx, np.int64)
-                b = Batch(len(arr))
-                for c in info.columns:
-                    vals, nulls = info.table.column_batch(c.name, arr)
-                    b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
-                b.add(q, ROWID, Col(info.table.rowids[arr].copy()))
-                return b
-        return None
+        read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
+        own = getattr(ctx, "own_txn", 0)
+        vidx = []
+        for rid in rowids:
+            i = info.table.latest.get(rid)
+            if i is None:
+                continue
+            if self.mgr.visible_mask(
+                info.table.xmin[i : i + 1],
+                info.table.xmax[i : i + 1],
+                read_ts, own,
+            )[0]:
+                vidx.append(i)
+        q = ref.alias or ref.name
+        arr = np.asarray(vidx, np.int64)
+        b = Batch(len(arr))
+        for c in info.columns:
+            vals, nulls = info.table.column_batch(c.name, arr)
+            b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
+        b.add(q, ROWID, Col(info.table.rowids[arr].copy()))
+        return b
 
     # ------------------------------------------------------------------
     # ANN fast path hook (wired by QueryEngine._try_ann_path)
