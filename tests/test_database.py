@@ -504,3 +504,9 @@ class TestIndexScans:
         db.execute("UPDATE r2 SET k = 40 WHERE k = 4")
         rows = db.query("SELECT k FROM r2 WHERE k > 1 AND k < 10 ORDER BY k")
         assert rows == [(2,), (5,)]
+
+    def test_explain_analyze(self, db):
+        seed(db)
+        rows = db.query("EXPLAIN ANALYZE SELECT name FROM users WHERE age > 26")
+        text = "\n".join(r[0] for r in rows)
+        assert "Execution: 2 rows" in text and "ms" in text

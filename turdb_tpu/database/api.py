@@ -854,6 +854,20 @@ class Database:
         from turdb_tpu.database.meta import explain_plan
 
         lines = explain_plan(self, e.stmt)
+        if e.analyze:
+            # EXPLAIN ANALYZE: execute and append timing + row count
+            import time as _time
+
+            t0 = _time.perf_counter()
+            if isinstance(e.stmt, A.Select):
+                ctx = self._ctx(params)
+                batch = self.engine.run_select(e.stmt, ctx)
+                nrows = batch.n
+            else:
+                res = self._dispatch(e.stmt, params, A.render_expr(e.stmt))
+                nrows = res.rows_affected
+            ms = (_time.perf_counter() - t0) * 1e3
+            lines.append(f"Execution: {nrows} rows in {ms:.2f} ms")
         return (["plan"], [(ln,) for ln in lines])
 
     # ------------------------------------------------------------------
