@@ -510,3 +510,68 @@ class TestIndexScans:
         rows = db.query("EXPLAIN ANALYZE SELECT name FROM users WHERE age > 26")
         text = "\n".join(r[0] for r in rows)
         assert "Execution: 2 rows" in text and "ms" in text
+
+    def _query_as(self, db, txn, sql):
+        """Run a SELECT under a specific (older) snapshot."""
+        from turdb_tpu.sql.parser import Parser
+
+        stmt = Parser(sql).parse_statement()
+        batch = db.engine.run_select(stmt, db._ctx([], txn))
+        from turdb_tpu.database.api import _batch_to_rows
+
+        return _batch_to_rows(batch)[1]
+
+    def test_index_scan_sees_old_version_under_snapshot(self, db):
+        """Regression (ADVICE r1): the indexed path must honor snapshot
+        isolation — a reader whose snapshot predates a committed UPDATE
+        must see the OLD version, exactly like the full-scan path."""
+        db.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+        db.execute("INSERT INTO t VALUES (1, 10)")
+        reader = db.mgr.begin()  # snapshot BEFORE the update commits
+        db.execute("UPDATE t SET v = 20 WHERE id = 1")
+        try:
+            # indexed probe (id = 1) under the old snapshot
+            assert self._query_as(db, reader, "SELECT v FROM t WHERE id = 1") \
+                == [(10,)]
+            # scan path agrees
+            assert self._query_as(db, reader, "SELECT v FROM t") == [(10,)]
+        finally:
+            db.mgr.abort(reader)
+        # current snapshot sees the new version via the same index path
+        assert db.query("SELECT v FROM t WHERE id = 1") == [(20,)]
+
+    def test_index_scan_sees_deleted_row_under_snapshot(self, db):
+        db.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+        db.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+        reader = db.mgr.begin()
+        db.execute("DELETE FROM t WHERE id = 1")
+        try:
+            assert self._query_as(db, reader, "SELECT v FROM t WHERE id = 1") \
+                == [(10,)]
+        finally:
+            db.mgr.abort(reader)
+        assert db.query("SELECT v FROM t WHERE id = 1") == []
+
+    def test_unique_reusable_after_key_update(self, db):
+        """Stale index entries (kept for MVCC) must not cause false
+        unique-constraint conflicts after the key value moved."""
+        db.execute("CREATE TABLE u (id INT PRIMARY KEY, email TEXT UNIQUE)")
+        db.execute("INSERT INTO u VALUES (1, 'a@x')")
+        db.execute("UPDATE u SET email = 'b@x' WHERE id = 1")
+        db.execute("INSERT INTO u VALUES (2, 'a@x')")  # must NOT conflict
+        assert sorted(db.query("SELECT id, email FROM u")) == [
+            (1, "b@x"), (2, "a@x"),
+        ]
+        with pytest.raises(ConstraintViolation):
+            db.execute("INSERT INTO u VALUES (3, 'b@x')")
+
+    def test_fk_probe_not_fooled_by_stale_parent_entry(self, db):
+        db.execute("CREATE TABLE p (id INT PRIMARY KEY)")
+        db.execute(
+            "CREATE TABLE c (id INT PRIMARY KEY, pid INT REFERENCES p(id))"
+        )
+        db.execute("INSERT INTO p VALUES (1)")
+        db.execute("UPDATE p SET id = 2 WHERE id = 1")
+        with pytest.raises(ConstraintViolation):
+            db.execute("INSERT INTO c VALUES (10, 1)")  # 1 no longer exists
+        db.execute("INSERT INTO c VALUES (11, 2)")

@@ -172,6 +172,42 @@ class TestWal:
         frames = list(wal2.replay())
         assert len(frames) == 1  # replay stops at the corrupt frame
 
+    def test_torn_tail_recovery_keeps_new_commits(self, tmp_path):
+        """Regression: after torn-tail recovery, next_lsn must advance past
+        replayed frames and new frames must land at the truncated boundary
+        (not after the corrupt bytes) so the NEXT restart replays them."""
+        wal = Wal(str(tmp_path / "wal"), SyncMode.FULL)
+        wal.append(FrameType.BEGIN, b"", txn_id=1)
+        wal.append(FrameType.INSERT, b"good", txn_id=1)
+        wal.append(FrameType.COMMIT, b"", txn_id=1)
+        wal.flush()
+        wal.close()
+        seg = os.path.join(str(tmp_path / "wal"), "wal.000001")
+        size_before = os.path.getsize(seg)
+        with open(seg, "r+b") as f:
+            f.seek(-2, os.SEEK_END)
+            f.write(b"!!")  # tear the COMMIT frame
+
+        wal2 = Wal(str(tmp_path / "wal"), SyncMode.FULL)
+        # torn tail was truncated at the last valid frame boundary
+        assert os.path.getsize(seg) < size_before
+        frames = list(wal2.replay())
+        assert [f[1] for f in frames] == [FrameType.BEGIN, FrameType.INSERT]
+        assert wal2.next_lsn == 3  # advanced even though replay stopped early
+        wal2.append(FrameType.COMMIT, b"", txn_id=1)
+        wal2.append(FrameType.INSERT, b"post-recovery", txn_id=2)
+        wal2.flush()
+        wal2.close()
+
+        wal3 = Wal(str(tmp_path / "wal"))
+        frames = list(wal3.replay())
+        assert [f[1] for f in frames] == [
+            FrameType.BEGIN, FrameType.INSERT, FrameType.COMMIT,
+            FrameType.INSERT,
+        ]
+        assert frames[-1][4] == b"post-recovery"
+        assert [f[0] for f in frames] == [1, 2, 3, 4]  # no duplicate LSNs
+
     def test_truncate(self, tmp_path):
         wal = Wal(str(tmp_path / "wal"), SyncMode.FULL)
         for i in range(10):

@@ -48,6 +48,41 @@ def test_key_order_ints_floats():
     assert encs == sorted(encs), "key encoding must preserve value order"
 
 
+def test_key_numeric_total_order_large_ints():
+    """Regression (ADVICE r1): ints not representable as f64 must order
+    totally with floats and other ints — one tag + residue tiebreaker."""
+    vals = [
+        -1e300, -(2**63), -(2**53) - 3, -(2**53) - 2, -5, 0, 1,
+        2**53, 2**53 + 1, 2**53 + 2, 2**53 + 3,
+        float(2**53 + 4), 2**53 + 5, 2**60, 2**63 - 2, 2**63 - 1,
+        1e300,
+    ]
+    encs = [encode_value(v) for v in vals]
+    assert encs == sorted(encs)
+    # mixed exact equality: 1 and 1.0 encode identically
+    assert encode_value(1) == encode_value(1.0)
+    # exact round trip for ints beyond 2^53
+    for v in (2**53 + 1, -(2**53) - 3, 2**63 - 1, -(2**63)):
+        from turdb_tpu.records.keys import decode_value
+
+        dec, _ = decode_value(encode_value(v))
+        assert dec == v
+
+
+def test_key_numeric_random_total_order():
+    import struct as _s
+
+    pop: list = [random.randint(-(2**63), 2**63 - 1) for _ in range(400)]
+    pop += [random.random() * 10**random.randint(-3, 300)
+            * random.choice([-1, 1]) for _ in range(400)]
+    pop += [float(x) for x in random.sample(pop[:400], 100)]
+    def k(v):
+        return (float(v), v - int(float(v)) if isinstance(v, int) else 0.0)
+    pop.sort(key=k)
+    encs = [encode_value(v) for v in pop]
+    assert encs == sorted(encs)
+
+
 def test_key_order_text():
     vals = ["", "a", "a\x00b", "aa", "ab", "b", "ba", "z" * 100]
     encs = [encode_value(v) for v in vals]

@@ -766,14 +766,12 @@ class Database:
         own = getattr(ctx, "own_txn", 0)
         vidx = []
         for rid in rowids:
-            i = info.table.latest.get(rid)
-            if i is None:
-                continue
-            if self.mgr.visible_mask(
-                info.table.xmin[i : i + 1],
-                info.table.xmax[i : i + 1],
-                read_ts, own,
-            )[0]:
+            # chain walk: the snapshot may see an OLDER version than latest
+            # (concurrent committed UPDATE/DELETE); the full WHERE is
+            # re-evaluated on the candidate batch, so a version whose
+            # indexed value changed is filtered there
+            i = info.table.visible_version(self.mgr, rid, read_ts, own)
+            if i is not None:
                 vidx.append(i)
         q = ref.alias or ref.name
         arr = np.asarray(vidx, np.int64)

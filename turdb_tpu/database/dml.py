@@ -207,18 +207,25 @@ def _find_conflict(db, info, row: dict, ctx):
             continue  # NULLs never conflict
         key = idx.make_key([_norm_key(v) for v in vals])
         for rid in idx.find(key):
-            vidx = info.table.latest.get(rid)
+            vidx = info.table.visible_version(db.mgr, rid, read_ts, own)
             if vidx is None:
                 continue
-            vis = db.mgr.visible_mask(
-                info.table.xmin[vidx : vidx + 1],
-                info.table.xmax[vidx : vidx + 1],
-                read_ts,
-                own,
+            # index entries persist until vacuum (MVCC: older snapshots
+            # must still find their versions), so re-verify the visible
+            # version actually carries this key
+            cur = idx.make_key(
+                [_norm_key(_vis_cell(info.table, c, vidx)) for c in cols]
             )
-            if vis[0]:
+            if cur == key:
                 return rid
     return None
+
+
+def _vis_cell(table, colname: str, vidx: int):
+    if table.nulls[colname][vidx]:
+        return None
+    v = table.cols[colname][vidx]
+    return _py(v)
 
 
 def _norm_key(v):
@@ -267,12 +274,10 @@ def _parent_has(db, parent, pcols, vals, ctx) -> bool:
         if parent.btree_cols[name] == list(pcols):
             key = idx.make_key([_norm_key(v) for v in vals])
             for rid in idx.find(key):
-                vidx = parent.table.latest.get(rid)
-                if vidx is not None and db.mgr.visible_mask(
-                    parent.table.xmin[vidx : vidx + 1],
-                    parent.table.xmax[vidx : vidx + 1],
-                    read_ts, own,
-                )[0]:
+                vidx = parent.table.visible_version(db.mgr, rid, read_ts, own)
+                if vidx is not None and idx.make_key(
+                    [_norm_key(_vis_cell(parent.table, c, vidx)) for c in pcols]
+                ) == key:
                     return True
             return False
     # fallback scan
@@ -299,14 +304,13 @@ def _index_insert(db, info, rowid: int, row: dict, txn=None):
 
 
 def _index_delete(db, info, rowid: int, row: dict):
-    """B-tree entries are removed eagerly (probes re-verify visibility
-    anyway); the HNSW graph is APPEND-ONLY — deleted rowids are excluded
-    by the visibility mask every ANN search passes, so a rollback needs no
-    graph surgery and vacuum reclaims stale vectors later."""
-    for name, idx in info.btree.items():
-        cols = info.btree_cols[name]
-        key = idx.make_key([_norm_key(row.get(c)) for c in cols])
-        idx.delete(key, rowid)
+    """Index entries are NOT removed at DML time: older snapshots must
+    still find their versions through the index (the probe walks the
+    version chain and re-verifies values/visibility), exactly like the
+    table keeps dead versions until vacuum. VACUUM reindexes. The HNSW
+    graph is likewise APPEND-ONLY — deleted rowids are excluded by the
+    visibility mask every ANN search passes, so a rollback needs no graph
+    surgery and vacuum reclaims stale vectors later."""
 
 
 def _apply_conflict_update(db, info, rowid, assignments, excluded_row, ctx, txn):

@@ -17,8 +17,11 @@ import struct
 TAG_NULL = 0x01
 TAG_FALSE = 0x08
 TAG_TRUE = 0x09
-TAG_NUM = 0x10     # all numerics normalize to f64 bit-flip (index order)
-TAG_INT = 0x11     # exact i64 path (sign-split big-endian)
+# ONE numeric tag: f64 bit-flip + 2-byte exact-int residue tiebreaker.
+# A second exact-int tag would break the memcmp total order (ints not
+# representable as f64 would sort after ALL floats); the residue keeps
+# 1 == 1.0 while ordering i64s that share an f64 bucket exactly.
+TAG_NUM = 0x10
 TAG_TEXT = 0x20
 TAG_BLOB = 0x30
 TAG_UUID = 0x40
@@ -71,11 +74,19 @@ def encode_value(v, desc: bool = False) -> bytes:
         out = bytes([TAG_NULL])
     elif isinstance(v, bool):
         out = bytes([TAG_TRUE if v else TAG_FALSE])
-    elif isinstance(v, int) and -(2**63) <= v < 2**63 and float(v) != v:
-        # ints not exactly representable as f64 keep the exact path
-        out = bytes([TAG_INT]) + struct.pack(">Q", (v + 2**63))
     elif isinstance(v, (int, float)):
-        out = bytes([TAG_NUM]) + struct.pack(">Q", _flip_float(float(v)))
+        f = float(v)
+        # residue = v - round_to_nearest_f64(v): orders i64s sharing an f64
+        # bucket (ulp at 2^63 is 2048, so |residue| <= 1024 fits 2 bytes)
+        delta = 0
+        if isinstance(v, int) and not isinstance(v, bool) and float(f) != v \
+                and f.is_integer() and abs(f) < 2**64 * 2.0:
+            delta = v - int(f)
+        out = (
+            bytes([TAG_NUM])
+            + struct.pack(">Q", _flip_float(f))
+            + struct.pack(">H", delta + 0x8000)
+        )
     elif isinstance(v, str):
         out = bytes([TAG_TEXT]) + _escape_bytes(v.encode("utf-8"))
     elif isinstance(v, (bytes, bytearray)):
@@ -101,13 +112,13 @@ def decode_value(buf: bytes, offset: int = 0, desc: bool = False):
         return False, offset + 1
     if tag == TAG_TRUE:
         return True, offset + 1
-    if tag == TAG_INT:
-        raw = struct.unpack(">Q", buf[offset + 1 : offset + 9])[0]
-        return raw - 2**63, offset + 9
     if tag == TAG_NUM:
         bits = struct.unpack(">Q", buf[offset + 1 : offset + 9])[0]
         f = _unflip_float(bits)
-        return int(f) if f.is_integer() and abs(f) < 2**53 else f, offset + 9
+        delta = struct.unpack(">H", buf[offset + 9 : offset + 11])[0] - 0x8000
+        if delta != 0:
+            return int(f) + delta, offset + 11
+        return int(f) if f.is_integer() and abs(f) < 2**53 else f, offset + 11
     if tag == TAG_TEXT:
         raw, nxt = _unescape_bytes(buf, offset + 1)
         return raw.decode("utf-8"), nxt

@@ -178,10 +178,15 @@ class FileManager:
                         col[:n] = raw.reshape(n, col.shape[1])
                     else:
                         col[:n] = raw
-            # rebuild latest map: ascending order, newest version wins
+            # rebuild latest map + version chains: ascending order, newest wins
             t.latest = {}
+            t.prev[:n] = -1
             for i in range(n):
-                t.latest[int(t.rowids[i])] = i
+                rid = int(t.rowids[i])
+                old = t.latest.get(rid)
+                if old is not None:
+                    t.prev[i] = old
+                t.latest[rid] = i
             return t
 
     def drop_table_files(self, schema: str, name: str):

@@ -37,6 +37,9 @@ class ColumnarTable:
         self.xmin = np.zeros(self.capacity, np.int64)
         self.xmax = np.zeros(self.capacity, np.int64)
         self.rowids = np.zeros(self.capacity, np.int64)
+        # version chain: index of the previous version of the same rowid,
+        # -1 at chain end (reference mvcc/version.rs VersionChainReader :124)
+        self.prev = np.full(self.capacity, -1, np.int64)
         self.latest: dict[int, int] = {}   # rowid -> newest version index
         self.next_rowid = 1
         self.auto_increment = 1            # for SERIAL columns
@@ -76,6 +79,9 @@ class ColumnarTable:
             grown = np.zeros(new_cap, np.int64)
             grown[: self.nversions] = old[: self.nversions]
             setattr(self, attr, grown)
+        grown = np.full(new_cap, -1, np.int64)
+        grown[: self.nversions] = self.prev[: self.nversions]
+        self.prev = grown
         self.capacity = new_cap
 
     # -- DML ---------------------------------------------------------------
@@ -109,6 +115,7 @@ class ColumnarTable:
             self.xmax[idx] = 0
             self.rowids[idx] = rid
             prev = self.latest.get(rid)
+            self.prev[idx] = -1 if prev is None else prev
             self.latest[rid] = idx
             txn.undo.append((self, "insert", idx, prev))
             out_ids.append(rid)
@@ -208,6 +215,22 @@ class ColumnarTable:
         mask = mgr.visible_mask(self.xmin[:n], self.xmax[:n], read_ts, own_txn)
         return np.flatnonzero(mask)
 
+    def visible_version(
+        self, mgr: TransactionManager, rowid: int, read_ts: int, own_txn: int = 0
+    ) -> int | None:
+        """Version index of `rowid` visible under the snapshot, walking the
+        version chain newest->oldest (reference VersionChainReader,
+        mvcc/version.rs:124) — the snapshot may see an older version than
+        `latest` when a concurrent txn committed an UPDATE/DELETE."""
+        i = self.latest.get(rowid)
+        while i is not None and i >= 0:
+            if mgr.visible_mask(
+                self.xmin[i : i + 1], self.xmax[i : i + 1], read_ts, own_txn
+            )[0]:
+                return i
+            i = int(self.prev[i])
+        return None
+
     def column_batch(self, name: str, indices: np.ndarray):
         """(values, null_mask) for a column over selected versions."""
         return self.cols[name][indices], self.nulls[name][indices]
@@ -240,12 +263,22 @@ class ColumnarTable:
         removed = n - len(keep)
         if removed == 0:
             return 0
+        # remap version-chain pointers: skip over removed ancestors
+        remap = np.full(n, -1, np.int64)
+        remap[keep] = np.arange(len(keep))
+        new_prev = np.full(len(keep), -1, np.int64)
+        for new_i, old_i in enumerate(keep):
+            p = int(self.prev[old_i])
+            while p >= 0 and remap[p] < 0:
+                p = int(self.prev[p])
+            new_prev[new_i] = remap[p] if p >= 0 else -1
         for c in self.columns:
             self.cols[c.name][: len(keep)] = self.cols[c.name][keep]
             self.nulls[c.name][: len(keep)] = self.nulls[c.name][keep]
         self.xmin[: len(keep)] = self.xmin[keep]
         self.xmax[: len(keep)] = self.xmax[keep]
         self.rowids[: len(keep)] = self.rowids[keep]
+        self.prev[: len(keep)] = new_prev
         self.nversions = len(keep)
         self.latest = {}
         for new_idx in range(len(keep)):

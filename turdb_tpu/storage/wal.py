@@ -63,12 +63,25 @@ class Wal:
         self._segment_size = 0
         self.next_lsn = 1
         self.frame_count = 0
+        self._torn: tuple[int, int] | None = None  # (segment_no, valid_end)
         segs = self._segments()
         if segs:
             # scan existing frames to restore next_lsn/frame_count
             for _ in self.replay():
                 pass
-            self._open_segment(segs[-1][0])
+            if self._torn is not None:
+                # Torn tail: truncate the segment at the last valid frame
+                # boundary and drop any later (unreachable) segments, so
+                # new frames are appended where replay WILL reach them
+                # (reference wal.rs torn-write handling :239-266).
+                torn_no, valid_end = self._torn
+                with open(self._seg_path(torn_no), "r+b") as f:
+                    f.truncate(valid_end)
+                for no, path in self._segments():
+                    if no > torn_no:
+                        os.remove(path)
+                self._torn = None
+            self._open_segment(self._segments()[-1][0])
         else:
             self._open_segment(1)
 
@@ -143,37 +156,50 @@ class Wal:
     def replay(self):
         """Yield (lsn, FrameType, txn_id, table_id, payload) for every
         valid frame across segments, in order. Stops cleanly at the first
-        torn/corrupt frame (per-frame CRC, reference wal.rs:239-266)."""
+        torn/corrupt frame (per-frame CRC, reference wal.rs:239-266).
+
+        next_lsn/frame_count are restored even when replay stops early —
+        otherwise a post-recovery commit would reuse LSNs of frames that
+        were already replayed. A torn tail is recorded in self._torn as
+        (segment_no, last_valid_frame_boundary) for truncation."""
         max_lsn = self.next_lsn - 1
         count = 0
-        for no, path in self._segments():
-            with open(path, "rb") as f:
-                data = f.read()
-            off = FILE_HEADER_SIZE
-            if data[:16] != MAGIC_WAL:
-                raise WalCorruption(f"bad segment magic in {path}")
-            while off + WAL_FRAME_HEADER_SIZE <= len(data):
-                plen, ftype, _flags, table_id, lsn, txn_id = struct.unpack_from(
-                    "<IBBHQQ", data, off
-                )
-                crc_stored = struct.unpack_from("<Q", data, off + 24)[0]
-                end = off + WAL_FRAME_HEADER_SIZE + plen
-                if end > len(data):
-                    return  # torn tail
-                payload = data[off + WAL_FRAME_HEADER_SIZE : end]
-                crc_calc = crc64(data[off : off + 24] + payload)
-                if crc_calc != crc_stored:
-                    return  # torn/corrupt frame: stop replay here
-                try:
-                    ft = FrameType(ftype)
-                except ValueError:
+        try:
+            for no, path in self._segments():
+                with open(path, "rb") as f:
+                    data = f.read()
+                off = FILE_HEADER_SIZE
+                if data[:16] != MAGIC_WAL:
+                    raise WalCorruption(f"bad segment magic in {path}")
+                while off + WAL_FRAME_HEADER_SIZE <= len(data):
+                    plen, ftype, _flags, table_id, lsn, txn_id = struct.unpack_from(
+                        "<IBBHQQ", data, off
+                    )
+                    crc_stored = struct.unpack_from("<Q", data, off + 24)[0]
+                    end = off + WAL_FRAME_HEADER_SIZE + plen
+                    if end > len(data):
+                        self._torn = (no, off)  # torn tail
+                        return
+                    payload = data[off + WAL_FRAME_HEADER_SIZE : end]
+                    crc_calc = crc64(data[off : off + 24] + payload)
+                    if crc_calc != crc_stored:
+                        self._torn = (no, off)  # torn/corrupt frame
+                        return
+                    try:
+                        ft = FrameType(ftype)
+                    except ValueError:
+                        self._torn = (no, off)
+                        return
+                    max_lsn = max(max_lsn, lsn)
+                    count += 1
+                    yield lsn, ft, txn_id, table_id, payload
+                    off = end
+                if off != len(data):
+                    self._torn = (no, off)  # partial frame header at tail
                     return
-                max_lsn = max(max_lsn, lsn)
-                count += 1
-                yield lsn, ft, txn_id, table_id, payload
-                off = end
-        self.next_lsn = max_lsn + 1
-        self.frame_count = max(self.frame_count, count)
+        finally:
+            self.next_lsn = max(self.next_lsn, max_lsn + 1)
+            self.frame_count = max(self.frame_count, count)
 
     # -- checkpoint --------------------------------------------------------
 
