@@ -274,7 +274,7 @@ class Database:
             if ftype is FrameType.BEGIN:
                 pending[txn_id] = []
             elif ftype in (FrameType.INSERT, FrameType.DELETE, FrameType.UPDATE,
-                           FrameType.DDL):
+                           FrameType.DDL, FrameType.BULK_INSERT):
                 pending.setdefault(txn_id, []).append((ftype, table_id, payload))
             elif ftype is FrameType.COMMIT:
                 ops = pending.pop(txn_id, [])
@@ -308,6 +308,20 @@ class Database:
                 elif ftype is FrameType.DELETE:
                     rowid = int.from_bytes(payload[:8], "little")
                     info.table.delete_row(rowid, txn)
+                elif ftype is FrameType.BULK_INSERT:
+                    import io
+
+                    with np.load(io.BytesIO(payload), allow_pickle=True) as z:
+                        rids = z["rowids"]
+                        data = {
+                            k[2:]: (z[k], z["n_" + k[2:]])
+                            for k in z.files
+                            if k.startswith("v_")
+                        }
+                    info.table.insert_columns(data, txn, rowids=rids)
+                    self._replay_touched.update(
+                        (table_id, int(r)) for r in rids
+                    )
                 if ftype in (FrameType.INSERT, FrameType.UPDATE, FrameType.DELETE):
                     rowid = int.from_bytes(payload[:8], "little")
                     self._replay_touched.add((table_id, rowid))
@@ -395,22 +409,24 @@ class Database:
     def prepare(self, sql: str) -> "PreparedStatement":
         return PreparedStatement(self, sql)
 
-    def insert_batch(self, table: str, rows: list[dict],
+    def insert_batch(self, table: str, rows,
                      schema: str = "main") -> ExecuteResult:
         """Programmatic multi-row insert without SQL parsing (reference
-        batch.rs insert_batch). Full constraint pipeline applies."""
+        batch.rs insert_batch). Full constraint pipeline applies.
+        `rows` is a list[dict] OR a columnar dict {col: array-or-
+        (values, null_mask)} — the columnar form takes the vectorized
+        fast-load pipeline (reference fast_load.rs)."""
         from turdb_tpu.database import dml
 
         self._check_writable()
         txn, own = self._begin_write()
         try:
-            stmt = A.Insert(
-                table=A.TableRef(table, schema if schema != "main" else None),
-                columns=None,
-                values=None,
-            )
-            info = self.resolve_table(stmt.table)
-            res = dml.bulk_insert_rows(self, info, rows, txn)
+            ref = A.TableRef(table, schema if schema != "main" else None)
+            info = self.resolve_table(ref)
+            if isinstance(rows, dict):
+                res = dml.bulk_insert_columns(self, info, rows, txn)
+            else:
+                res = dml.bulk_insert_rows(self, info, rows, txn)
             if own:
                 self._commit(txn)
             return res
@@ -419,7 +435,7 @@ class Database:
                 self.mgr.abort(txn)
             raise
 
-    def bulk_insert(self, table: str, rows: list[dict],
+    def bulk_insert(self, table: str, rows,
                     schema: str = "main") -> ExecuteResult:
         """Bulk loader: defers per-row WAL flushing and HNSW graph work to
         the end of the batch (reference fast_load.rs FastLoader, 4-6x)."""
@@ -607,6 +623,25 @@ class Database:
             table_id=info.table.table_id,
         )
 
+    def _log_bulk_insert(self, info: TableInfo, rowids, prepared: dict, txn):
+        """ONE columnar frame for a whole bulk load (vs n row frames)."""
+        if not self.wal_enabled or self._replaying:
+            return
+        import io
+
+        buf = io.BytesIO()
+        payload = {"rowids": np.asarray(rowids, np.int64)}
+        for name, (vals, nulls) in prepared.items():
+            payload[f"v_{name}"] = np.asarray(vals)
+            payload[f"n_{name}"] = np.asarray(nulls, bool)
+        np.savez(buf, **payload, allow_pickle=True)
+        self.wal.append(
+            FrameType.BULK_INSERT,
+            buf.getvalue(),
+            txn_id=txn.txn_id,
+            table_id=info.table.table_id,
+        )
+
     def _log_ddl(self, sql: str, txn):
         if not self.wal_enabled or self._replaying:
             return
@@ -639,6 +674,7 @@ class Database:
             ctx.read_ts = self.mgr.snapshot_ts()
             ctx.own_txn = 0
         ctx.query_budget = self.budget.pool("query")
+        ctx.budget = self.budget
         return ctx
 
     def _scan_batch(self, ref: A.TableRef, ctx) -> Batch:
@@ -655,7 +691,8 @@ class Database:
         b = Batch(len(vis))
         for c in info.columns:
             vals, nulls = info.table.column_batch(c.name, vis)
-            b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
+            # column_batch fancy-indexing already copied; no second copy
+            b.add(q, c.name, Col(vals, nulls))
         b.add(q, ROWID, Col(info.table.rowids[vis].copy()))
         return b
 
@@ -778,7 +815,8 @@ class Database:
         b = Batch(len(arr))
         for c in info.columns:
             vals, nulls = info.table.column_batch(c.name, arr)
-            b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
+            # column_batch fancy-indexing already copied; no second copy
+            b.add(q, c.name, Col(vals, nulls))
         b.add(q, ROWID, Col(info.table.rowids[arr].copy()))
         return b
 
@@ -818,7 +856,8 @@ class Database:
         b = Batch(len(idx))
         for c in info.columns:
             vals, nulls = info.table.column_batch(c.name, idx)
-            b.add(q, c.name, Col(np.array(vals, copy=True), nulls.copy()))
+            # column_batch fancy-indexing already copied; no second copy
+            b.add(q, c.name, Col(vals, nulls))
         b.add(q, ROWID, Col(info.table.rowids[idx].copy()))
         if sel.where is not None:
             c = eval_expr(sel.where, b, ctx)
@@ -975,13 +1014,23 @@ def _cell(table: ColumnarTable, colname: str, idx: int):
 
 
 def _batch_to_rows(batch: Batch):
+    """Columnar -> row tuples, column-at-a-time (ndarray.tolist is one C
+    call; the per-cell loop was a top-3 hot spot at 1M rows)."""
     cols = [nm for (q, nm) in batch.names if nm != ROWID]
     keep = [i for i, (q, nm) in enumerate(batch.names) if nm != ROWID]
-    rows = []
-    for i in range(batch.n):
-        row = []
-        for j in keep:
-            c = batch.cols[j]
-            row.append(None if c.nulls[i] else _py(c.values[i]))
-        rows.append(tuple(row))
+    pycols = []
+    for j in keep:
+        c = batch.cols[j]
+        v = c.values
+        if v.ndim > 1:
+            vals = [np.array(x) for x in v]
+        elif v.dtype == object:
+            vals = [_py(x) for x in v]
+        else:
+            vals = v.tolist()
+        if c.nulls.any():
+            nn = c.nulls.tolist()
+            vals = [None if nu else x for nu, x in zip(nn, vals)]
+        pycols.append(vals)
+    rows = list(zip(*pycols)) if pycols else [()] * batch.n
     return cols, rows

@@ -159,6 +159,13 @@ def execute_pragma(db, p: A.Pragma):
             return show(db.ann_overfetch)
         db.ann_overfetch = int(v)
         return show(db.ann_overfetch)
+    if name == "spill_stats":
+        from turdb_tpu.sql.engine import STATS
+
+        return ExecuteResult(
+            rows=[(k, int(val)) for k, val in STATS.items()],
+            columns=["stat", "value"],
+        )
     if name == "timing_stats":
         from turdb_tpu.utils.timing import timing_stats
 

@@ -33,6 +33,10 @@ from turdb_tpu.sql.lexer import SqlError
 ROWID = "#rowid"
 MAX_NESTED_LOOP = 10_000_000
 
+# observability counters (PRAGMA spill_stats; reference group-commit/lock
+# stats analogs, group_commit.rs:126)
+STATS = {"grace_joins": 0, "spill_partitions": 0, "spilled_bytes": 0}
+
 
 class QueryEngine:
     """Executes Select ASTs against a Database (catalog + tables + txn)."""
@@ -297,24 +301,20 @@ class QueryEngine:
     # ------------------------------------------------------------------
 
     def _aggregate(self, sel: A.Select, src: Batch, ctx: EvalContext) -> Batch:
+        from turdb_tpu.sql.factorize import renumber_first_occurrence, row_codes
+
         keys = [eval_expr(g, src, ctx) for g in sel.group_by]
         n = src.n
         if keys:
-            group_map: dict = {}
-            group_of = np.zeros(n, np.int64)
-            for i in range(n):
-                kt = tuple(
-                    None if k.nulls[i] else _py(k.values[i]) for k in keys
-                )
-                kt = tuple(
-                    tuple(x) if isinstance(x, (list, np.ndarray)) else x for x in kt
-                )
-                g = group_map.setdefault(kt, len(group_map))
-                group_of[i] = g
-            ngroups = len(group_map)
+            # vectorized grouping: factorize key columns to dense codes
+            # (reference HashAggregate, executor.rs:1373 — C-speed here
+            # via np.unique instead of a per-row hash table)
+            group_of, rep = renumber_first_occurrence(row_codes(keys))
+            ngroups = len(rep)
         else:
             group_of = np.zeros(n, np.int64)
-            ngroups = 1 if True else 0
+            ngroups = 1
+            rep = np.zeros(min(n, 1), np.int64)
 
         # collect aggregate calls across SELECT/HAVING/ORDER BY
         agg_nodes: list[A.FuncCall] = []
@@ -342,14 +342,7 @@ class QueryEngine:
                 continue
             agg_cols[key] = _eval_aggregate(node, src, ctx, group_of, ngroups)
 
-        # group-key columns (one row per group)
-        rep = np.zeros(ngroups, np.int64)
-        seen = set()
-        for i in range(n):
-            g = int(group_of[i])
-            if g not in seen:
-                rep[g] = i
-                seen.add(g)
+        # group-key columns: one representative row per group (rep)
         post = Batch(ngroups)
         if n == 0 and ngroups == 1:
             # global aggregate over empty input: key columns are all-NULL
@@ -568,24 +561,13 @@ def _strip_hidden(b: Batch) -> Batch:
 
 
 def _distinct(b: Batch) -> Batch:
-    seen = set()
-    keep = []
     cols = _visible_cols(b)
-    for i in range(b.n):
-        key = tuple(
-            None
-            if c.nulls[i]
-            else (
-                tuple(c.values[i])
-                if isinstance(c.values[i], (list, np.ndarray))
-                else _py(c.values[i])
-            )
-            for c in cols
-        )
-        if key not in seen:
-            seen.add(key)
-            keep.append(i)
-    return b.take(np.asarray(keep, np.int64))
+    if not cols or b.n == 0:
+        return b
+    from turdb_tpu.sql.factorize import renumber_first_occurrence, row_codes
+
+    _, first = renumber_first_occurrence(row_codes(cols))
+    return b.take(first)  # first-occurrence order = ascending row order
 
 
 def _apply_setop(left: Batch, right: Batch, op: str, all_: bool) -> Batch:
@@ -596,30 +578,13 @@ def _apply_setop(left: Batch, right: Batch, op: str, all_: bool) -> Batch:
         out = left.concat(right)
         return out if all_ else _distinct(out)
 
-    def rowkeys(b):
-        out = []
-        for i in range(b.n):
-            out.append(
-                tuple(
-                    None
-                    if c.nulls[i]
-                    else (
-                        tuple(c.values[i])
-                        if isinstance(c.values[i], (list, np.ndarray))
-                        else _py(c.values[i])
-                    )
-                    for c in b.cols
-                )
-            )
-        return out
+    from turdb_tpu.sql.factorize import joint_codes
 
-    lk, rk = rowkeys(left), rowkeys(right)
-    rset = set(rk)
-    if op == "INTERSECT":
-        keep = [i for i, k in enumerate(lk) if k in rset]
-    else:  # EXCEPT
-        keep = [i for i, k in enumerate(lk) if k not in rset]
-    out = left.take(np.asarray(keep, np.int64))
+    # set ops treat NULLs as equal (IS NOT DISTINCT semantics)
+    lc, rc = joint_codes(left.cols, right.cols, null_matches=True)
+    member = np.isin(lc, rc)
+    keep = np.flatnonzero(member if op == "INTERSECT" else ~member)
+    out = left.take(keep)
     return out if all_ else _distinct(out)
 
 
@@ -685,65 +650,55 @@ def _merge_batches(left: Batch, right: Batch, li, ri, lnull=None, rnull=None):
 
 
 def _hash_join(left, right, equis, residual, kind, ctx):
-    """Hash join; above the query memory budget it becomes a GRACE hash
-    join: both sides partition by key hash (spillable to temp files) and
-    partition pairs join one at a time (reference GraceHashJoinExecutor,
-    executor.rs:1140 + partition_spiller.rs:116)."""
-    from turdb_tpu.sql.spill import estimate_batch_bytes, partition_batch
+    """Equi join on factorized key codes (sort + searchsorted probe —
+    whole-column C kernels replacing the reference's per-row hash table,
+    executor.rs:1140). Above the query memory budget it becomes a GRACE
+    join: both sides partition by key code, partitions SPILL to temp
+    files, and pairs join one at a time (partition_spiller.rs:116)."""
+    from turdb_tpu.sql.factorize import joint_codes
+    from turdb_tpu.sql.spill import estimate_batch_bytes
 
-    budget = getattr(ctx, "query_budget", None)
-    est = estimate_batch_bytes(left) + estimate_batch_bytes(right)
-    if kind == "INNER" and budget and est > budget and left.n > 64 and right.n > 64:
-        nparts = max(2, int(est // budget) + 1)
-        lkeys = [eval_expr(a, left, ctx) for a, _ in equis]
-        rkeys = [eval_expr(b, right, ctx) for _, b in equis]
-        lparts = partition_batch(left, lkeys, nparts)
-        rparts = partition_batch(right, rkeys, nparts)
-        out = None
-        for lp, rp in zip(lparts, rparts):
-            if lp.n == 0 or rp.n == 0:
-                continue
-            sub = _hash_join_mem(lp, rp, equis, residual, "INNER", ctx)
-            out = sub if out is None else out.concat(sub)
-        if out is None:
-            out = _hash_join_mem(
-                left.take(np.zeros(0, np.int64)),
-                right.take(np.zeros(0, np.int64)),
-                equis, residual, "INNER", ctx,
-            )
-        return out
-    return _hash_join_mem(left, right, equis, residual, kind, ctx)
-
-
-def _hash_join_mem(left, right, equis, residual, kind, ctx):
     lkeys = [eval_expr(a, left, ctx) for a, _ in equis]
     rkeys = [eval_expr(b, right, ctx) for _, b in equis]
+    lcodes, rcodes = joint_codes(lkeys, rkeys)
 
-    table: dict = {}
-    for i in range(right.n):
-        if any(k.nulls[i] for k in rkeys):
-            continue
-        kt = tuple(_hashable(k.values[i]) for k in rkeys)
-        table.setdefault(kt, []).append(i)
+    budget = getattr(ctx, "query_budget", None)
+    bobj = getattr(ctx, "budget", None)  # MemoryBudget: hard accounting
+    est = estimate_batch_bytes(left) + estimate_batch_bytes(right)
+    over = bool(budget and est > budget)
+    reserved = 0
+    if not over and bobj is not None:
+        # reserve the working set against the query pool; failure (pool
+        # contended or exhausted) degrades to the spilling path instead
+        # of blowing the budget (reference tests/memory_budget.rs)
+        if bobj.try_reserve("query", est):
+            reserved = est
+        else:
+            over = True
+    try:
+        if over and kind == "INNER" and left.n > 64 and right.n > 64:
+            return _grace_join(
+                left, right, lcodes, rcodes, residual, ctx,
+                nparts=max(2, int(est // max(budget or est, 1)) + 1),
+            )
+        return _join_codes(left, right, lcodes, rcodes, residual, kind, ctx)
+    finally:
+        if reserved:
+            bobj.release("query", reserved)
 
-    li, ri = [], []
-    lmatched = np.zeros(left.n, bool)
-    rmatched = np.zeros(right.n, bool)
-    for i in range(left.n):
-        if any(k.nulls[i] for k in lkeys):
-            continue
-        kt = tuple(_hashable(k.values[i]) for k in lkeys)
-        for j in table.get(kt, ()):
-            li.append(i)
-            ri.append(j)
-    li = np.asarray(li, np.int64)
-    ri = np.asarray(ri, np.int64)
+
+def _join_codes(left, right, lcodes, rcodes, residual, kind, ctx):
+    from turdb_tpu.sql.factorize import match_pairs
+
+    li, ri = match_pairs(lcodes, rcodes)
     out = _merge_batches(left, right, li, ri)
     if residual is not None and out.n:
         c = eval_expr(residual, out, ctx)
         keep = c.values.astype(bool) & ~c.nulls
         li, ri = li[keep], ri[keep]
         out = out.take(np.flatnonzero(keep))
+    lmatched = np.zeros(left.n, bool)
+    rmatched = np.zeros(right.n, bool)
     lmatched[li] = True
     rmatched[ri] = True
 
@@ -760,6 +715,49 @@ def _hash_join_mem(left, right, equis, residual, kind, ctx):
                 _merge_batches(left, right, np.full(len(extra), -1), extra)
             )
     return out
+
+
+def _grace_join(left, right, lcodes, rcodes, residual, ctx, nparts):
+    """Partition both sides by key code (value-based, so INT 1 and FLOAT
+    1.0 land in the same partition — the representation-hash bug class is
+    structurally gone), spill every partition to disk, then join pairs
+    one at a time so only one pair is resident."""
+    import os
+    import shutil
+    import tempfile
+
+    from turdb_tpu.sql.spill import SpilledBatch
+
+    tmpdir = tempfile.mkdtemp(prefix="turdb-grace-")
+    STATS["grace_joins"] += 1
+    try:
+        pairs = []
+        for p in range(nparts):
+            lsel = np.flatnonzero((lcodes >= 0) & (lcodes % nparts == p))
+            rsel = np.flatnonzero((rcodes >= 0) & (rcodes % nparts == p))
+            if len(lsel) == 0 or len(rsel) == 0:
+                continue
+            ls = SpilledBatch(left.take(lsel), tmpdir)
+            rs = SpilledBatch(right.take(rsel), tmpdir)
+            STATS["spill_partitions"] += 2
+            STATS["spilled_bytes"] += (
+                os.path.getsize(ls.path) + os.path.getsize(rs.path)
+            )
+            pairs.append((ls, lcodes[lsel], rs, rcodes[rsel]))
+        out = None
+        for lsp, lc, rsp, rc in pairs:
+            sub = _join_codes(lsp.load(), rsp.load(), lc, rc,
+                              residual, "INNER", ctx)
+            lsp.close()
+            rsp.close()
+            out = sub if out is None else out.concat(sub)
+        if out is None:
+            out = _merge_batches(
+                left, right, np.zeros(0, np.int64), np.zeros(0, np.int64)
+            )
+        return out
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def _hashable(v):
@@ -809,7 +807,17 @@ def _nl_outer_join(left, right, cond, kind, ctx):
 # -- aggregates --------------------------------------------------------------
 
 
+_VECTOR_AGGS = frozenset([
+    "count", "sum", "total", "avg", "min", "max",
+    "stddev", "stddev_samp", "variance", "var_samp",
+    "bool_and", "bool_or",
+])
+
+
 def _eval_aggregate(node: A.FuncCall, src: Batch, ctx, group_of, ngroups) -> Col:
+    """Segment aggregation over group codes — whole-column C kernels
+    (bincount / add.at / minimum.at) instead of the reference's per-row
+    accumulator pulls (executor.rs:1373)."""
     name = node.name
     n = src.n
     mask = np.ones(n, bool)
@@ -818,89 +826,146 @@ def _eval_aggregate(node: A.FuncCall, src: Batch, ctx, group_of, ngroups) -> Col
         mask = c.values.astype(bool) & ~c.nulls
 
     if node.star:
-        arg = None
-    else:
-        if not node.args:
-            raise SqlError(f"{name}() needs an argument")
-        arg = eval_expr(node.args[0], src, ctx)
+        cnt = np.bincount(group_of[mask], minlength=ngroups)
+        return Col(cnt.astype(np.int64))
+
+    if not node.args:
+        raise SqlError(f"{name}() needs an argument")
+    arg = eval_expr(node.args[0], src, ctx)
+    valid = mask & ~arg.nulls
+
+    if node.distinct:
+        # keep the first row of each distinct (group, value) pair
+        from turdb_tpu.sql.factorize import combine_codes, factorize_col
+
+        pair = combine_codes([group_of, factorize_col(arg)])
+        vi = np.flatnonzero(valid)
+        if len(vi):
+            _, first = np.unique(pair[vi], return_index=True)
+            keep = np.zeros(n, bool)
+            keep[vi[first]] = True
+            valid = keep
+
+    vals = arg.values
+    numeric = vals.ndim == 1 and vals.dtype != object and vals.dtype.kind in "biuf"
+    if name in _VECTOR_AGGS and numeric:
+        return _agg_numeric(name, vals, valid, group_of, ngroups)
+    return _agg_pergroup(node, name, arg, valid, group_of, ngroups, src, ctx)
+
+
+def _agg_numeric(name, vals, valid, group_of, ngroups) -> Col:
+    g = group_of[valid]
+    v = vals[valid]
+    cnt = np.bincount(g, minlength=ngroups).astype(np.int64)
+    empty = cnt == 0
+    if name == "count":
+        return Col(cnt)
+    if name in ("bool_and", "bool_or"):
+        t = np.bincount(g[v.astype(bool)], minlength=ngroups)
+        out = (t == cnt) if name == "bool_and" else (t > 0)
+        return Col(out, empty)
+    if name in ("sum", "total"):
+        if v.dtype.kind in "biu":
+            acc = np.zeros(ngroups, np.int64)
+            np.add.at(acc, g, v.astype(np.int64))
+        else:
+            acc = np.zeros(ngroups, np.float64)
+            np.add.at(acc, g, v.astype(np.float64))
+        if name == "total":
+            return Col(acc.astype(np.float64))
+        return Col(acc, empty)
+    if name == "avg":
+        acc = np.zeros(ngroups, np.float64)
+        np.add.at(acc, g, v.astype(np.float64))
+        return Col(acc / np.maximum(cnt, 1), empty)
+    if name in ("min", "max"):
+        if v.dtype.kind == "f":
+            init = np.inf if name == "min" else -np.inf
+            acc = np.full(ngroups, init, np.float64)
+            ufunc = np.minimum if name == "min" else np.maximum
+            ufunc.at(acc, g, v.astype(np.float64))
+            return Col(acc, empty)
+        info = np.iinfo(np.int64)
+        init = info.max if name == "min" else info.min
+        acc = np.full(ngroups, init, np.int64)
+        ufunc = np.minimum if name == "min" else np.maximum
+        ufunc.at(acc, g, v.astype(np.int64))
+        return Col(acc, empty)
+    # stddev / variance (sample)
+    s = np.zeros(ngroups, np.float64)
+    s2 = np.zeros(ngroups, np.float64)
+    fv = v.astype(np.float64)
+    np.add.at(s, g, fv)
+    np.add.at(s2, g, fv * fv)
+    under = cnt < 2
+    c = np.maximum(cnt, 2).astype(np.float64)
+    var = np.maximum(s2 - s * s / c, 0.0) / (c - 1.0)
+    out = np.sqrt(var) if name.startswith("stddev") else var
+    return Col(out, under)
+
+
+def _agg_pergroup(node, name, arg: Col, valid, group_of, ngroups, src, ctx) -> Col:
+    """Aggregates over object columns / list-building aggregates: one
+    Python step per GROUP (sorted-slice lists), never per row."""
+    vi = np.flatnonzero(valid)
+    order = vi[np.argsort(group_of[vi], kind="stable")]
+    og = group_of[order]
+    bounds = np.flatnonzero(np.diff(og)) + 1
+    slices = np.split(order, bounds)
+    gids = og[np.concatenate([[0], bounds])] if len(order) else np.zeros(0, int)
+    per: list = [None] * ngroups
+    vals_all = arg.values
+    for gid, sl in zip(gids, slices):
+        xs = vals_all[sl]
+        per[int(gid)] = (
+            [_py(x) for x in xs] if xs.dtype == object or xs.ndim > 1
+            else xs.tolist()
+        )
+
+    sep = ","
+    if name in ("string_agg", "group_concat") and len(node.args) > 1:
+        sc = eval_expr(node.args[1], src, ctx)
+        sep = str(sc.values[0]) if not sc.nulls[0] else ","
 
     out_v = np.empty(ngroups, object)
     out_n = np.zeros(ngroups, bool)
-    groups: list[list[int]] = [[] for _ in range(ngroups)]
-    for i in range(n):
-        if mask[i]:
-            groups[int(group_of[i])].append(i)
-
-    for g, idxs in enumerate(groups):
-        if arg is None:
-            out_v[g] = len(idxs)
-            continue
-        vals = [
-            _py(arg.values[i]) for i in idxs if not arg.nulls[i]
-        ]
-        if node.distinct:
-            seen = set()
-            ded = []
-            for v in vals:
-                h = tuple(v) if isinstance(v, (list, np.ndarray)) else v
-                if h not in seen:
-                    seen.add(h)
-                    ded.append(v)
-            vals = ded
+    for g in range(ngroups):
+        vals = per[g]
         if name == "count":
-            out_v[g] = len(vals)
-        elif name in ("sum", "total"):
-            if not vals:
-                if name == "total":
-                    out_v[g] = 0.0
-                else:
-                    out_n[g] = True
+            out_v[g] = len(vals) if vals else 0
+            continue
+        if name == "array_agg":
+            out_v[g] = list(vals) if vals else []
+            continue
+        if not vals:
+            if name == "total":
+                out_v[g] = 0.0
             else:
-                s = sum(vals)
-                out_v[g] = s
+                out_n[g] = True
+            continue
+        if name in ("sum", "total"):
+            out_v[g] = sum(vals)
         elif name == "avg":
-            if not vals:
-                out_n[g] = True
-            else:
-                out_v[g] = sum(float(v) for v in vals) / len(vals)
+            out_v[g] = sum(float(v) for v in vals) / len(vals)
         elif name == "min":
-            if not vals:
-                out_n[g] = True
-            else:
-                out_v[g] = min(vals)
+            out_v[g] = min(vals)
         elif name == "max":
-            if not vals:
-                out_n[g] = True
-            else:
-                out_v[g] = max(vals)
+            out_v[g] = max(vals)
         elif name in ("stddev", "stddev_samp", "variance", "var_samp"):
             if len(vals) < 2:
                 out_n[g] = True
             else:
                 a = np.asarray([float(v) for v in vals])
                 var = a.var(ddof=1)
-                out_v[g] = float(np.sqrt(var)) if name.startswith("stddev") else float(var)
+                out_v[g] = (
+                    float(np.sqrt(var)) if name.startswith("stddev") else float(var)
+                )
         elif name in ("string_agg", "group_concat"):
-            sep = ","
-            if len(node.args) > 1:
-                sc = eval_expr(node.args[1], src, ctx)
-                sep = str(sc.values[0]) if not sc.nulls[0] else ","
-            if not vals:
-                out_n[g] = True
-            else:
-                out_v[g] = sep.join(str(v) for v in vals)
-        elif name == "array_agg":
-            out_v[g] = list(vals)
+            out_v[g] = sep.join(str(v) for v in vals)
         elif name == "bool_and":
-            if not vals:
-                out_n[g] = True
-            else:
-                out_v[g] = all(bool(v) for v in vals)
+            out_v[g] = all(bool(v) for v in vals)
         elif name == "bool_or":
-            if not vals:
-                out_n[g] = True
-            else:
-                out_v[g] = any(bool(v) for v in vals)
+            out_v[g] = any(bool(v) for v in vals)
         else:
             raise SqlError(f"unknown aggregate {name}")
     return _densify(Col(out_v, out_n))
@@ -979,18 +1044,18 @@ def _eval_mixed(e, post: Batch, ctx, group_by) -> Col:
 def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
     n = src.n
     spec = fc.over
-    # partitions
+    # partitions (factorized, C-speed grouping)
     if spec.partition_by:
+        from turdb_tpu.sql.factorize import renumber_first_occurrence, row_codes
+
         pk = [eval_expr(e, src, ctx) for e in spec.partition_by]
-        parts: dict = {}
-        for i in range(n):
-            kt = tuple(
-                None if k.nulls[i] else _hashable(k.values[i]) for k in pk
-            )
-            parts.setdefault(kt, []).append(i)
-        partitions = list(parts.values())
+        group_of, _ = renumber_first_occurrence(row_codes(pk))
+        order = np.argsort(group_of, kind="stable")
+        og = group_of[order]
+        bounds = np.flatnonzero(np.diff(og)) + 1
+        partitions = np.split(order, bounds) if n else []
     else:
-        partitions = [list(range(n))]
+        partitions = [np.arange(n)]
 
     out = np.zeros(n, np.int64)
     out_f = None

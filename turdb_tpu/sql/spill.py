@@ -61,37 +61,6 @@ def estimate_batch_bytes(b: Batch) -> int:
     return total
 
 
-def partition_batch(b: Batch, key_cols: list, nparts: int):
-    """Split a batch into nparts by hash of the key columns (NULL keys go
-    to partition 0; they never match in an equi-join anyway)."""
-    import numpy as _np
-
-    h = _np.zeros(b.n, _np.uint64)
-    for kc in key_cols:
-        vals = kc.values
-        if vals.dtype == object or vals.ndim > 1:
-            hh = _np.asarray(
-                [hash(_to_hashable(x)) & 0xFFFFFFFFFFFFFFFF for x in vals],
-                _np.uint64,
-            )
-        else:
-            hh = _np.asarray(vals).view(_np.uint8).reshape(b.n, -1)
-            hh = _np.sum(
-                hh.astype(_np.uint64)
-                * _np.arange(1, hh.shape[1] + 1, dtype=_np.uint64),
-                axis=1,
-            )
-        h = h * _np.uint64(1099511628211) + hh
-        h &= _np.uint64(0xFFFFFFFFFFFFFFFF)
-    part = (h % _np.uint64(nparts)).astype(_np.int64)
-    for kc in key_cols:
-        part[kc.nulls] = 0
-    return [b.take(_np.flatnonzero(part == p)) for p in range(nparts)]
-
-
-def _to_hashable(x):
-    if isinstance(x, np.ndarray):
-        return x.tobytes()
-    if isinstance(x, (list, dict)):
-        return repr(x)
-    return x
+# Grace partitioning lives in engine._grace_join: partitions are selected
+# by the FACTORIZED key code (value-based), never a raw-byte hash — an
+# INT 1 and a FLOAT 1.0 always land in the same partition.

@@ -46,6 +46,7 @@ class FrameType(enum.IntEnum):
     UPDATE = 6
     DDL = 7
     CHECKPOINT = 8
+    BULK_INSERT = 9  # columnar payload: npz of arrays + null masks + rowids
 
 
 class WalCorruption(Exception):
