@@ -842,16 +842,26 @@ class Database:
             return None
         read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
         own = getattr(ctx, "own_txn", 0)
+        # everything below is whole-array ops — no per-row host work
+        # (round-1 built Python sets/dicts over all N rows per query)
         vis = info.table.visible_indices(self.mgr, read_ts, own)
-        visible_rowids = set(int(r) for r in info.table.rowids[vis])
+        visible_rowids = info.table.rowids[vis]
         fetch = min(max(k * self.ann_overfetch, k + 8), max(len(visible_rowids), 1))
         d, rowids = hidx.search(
             qvec, k=fetch, ef=max(64, 2 * fetch), allowed_rowids=visible_rowids
         )
-        rowids = [r for r in rowids if r >= 0]
-        # map rowids -> visible version indices
-        by_rowid = {int(info.table.rowids[i]): int(i) for i in vis}
-        idx = np.asarray([by_rowid[r] for r in rowids if r in by_rowid], np.int64)
+        rowids = np.asarray(rowids, np.int64)
+        rowids = rowids[rowids >= 0]
+        # map result rowids -> visible version indices (sorted probe; one
+        # visible version per rowid under a snapshot)
+        order = np.argsort(visible_rowids, kind="stable")
+        pos = np.searchsorted(visible_rowids, rowids, sorter=order)
+        pos = np.clip(pos, 0, max(len(vis) - 1, 0))
+        hit = (
+            visible_rowids[order[pos]] == rowids
+            if len(vis) else np.zeros(len(rowids), bool)
+        )
+        idx = vis[order[pos[hit]]]
         q = ref.alias or ref.name
         b = Batch(len(idx))
         for c in info.columns:

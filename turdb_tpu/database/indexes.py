@@ -93,7 +93,88 @@ class SortedKeyIndex:
 _METRIC_BY_OP = {"<->": Metric.L2, "<#>": Metric.IP, "<=>": Metric.COSINE}
 
 
-class IvfTableIndex:
+class _SlotMap:
+    """Incremental slot<->rowid mapping as numpy arrays, so the ANN SQL
+    path builds its MVCC visibility mask with VECTORIZED ops (np.isin)
+    instead of a per-rowid Python loop — the round-1 O(N)-per-query
+    bottleneck. `_slot_rowids[s]` is the rowid whose vector lives in slot
+    s (-1 once deleted); `_slot_current[s]` says the rowid's CURRENT
+    mapping still points at s (False for stale vectors after an update —
+    append-only doctrine, reference hnsw/mod.rs row_id_map :767-859)."""
+
+    def _init_slots(self):
+        self.rowid_to_slot: dict[int, int] = {}
+        self._slot_rowids = np.full(256, -1, np.int64)
+        self._slot_current = np.zeros(256, bool)
+
+    def _slots_ensure(self, need: int):
+        cap = len(self._slot_rowids)
+        if need <= cap:
+            return
+        while cap < need:
+            cap *= 2
+        sr = np.full(cap, -1, np.int64)
+        sr[: len(self._slot_rowids)] = self._slot_rowids
+        sc = np.zeros(cap, bool)
+        sc[: len(self._slot_current)] = self._slot_current
+        self._slot_rowids, self._slot_current = sr, sc
+
+    def _slot_assign(self, rowid: int, slot: int):
+        old = self.rowid_to_slot.get(rowid)
+        if old is not None and old < len(self._slot_current):
+            self._slot_current[old] = False
+        self._slots_ensure(slot + 1)
+        self._slot_rowids[slot] = rowid
+        self._slot_current[slot] = True
+        self.rowid_to_slot[rowid] = slot
+
+    def _slot_unassign(self, rowid: int) -> int | None:
+        slot = self.rowid_to_slot.pop(rowid, None)
+        if slot is not None and slot < len(self._slot_rowids):
+            self._slot_rowids[slot] = -1
+            self._slot_current[slot] = False
+        return slot
+
+    def _rebuild_slot_arrays(self):
+        """After snapshot load populated rowid_to_slot directly."""
+        if not self.rowid_to_slot:
+            return
+        self._slots_ensure(max(self.rowid_to_slot.values()) + 1)
+        for r, s in self.rowid_to_slot.items():
+            self._slot_rowids[s] = r
+            self._slot_current[s] = True
+
+    def _allowed_mask(self, allowed_rowids) -> np.ndarray:
+        """Bool mask over slots: current mapping AND rowid visible."""
+        size = max(self.index.size, 1)
+        if isinstance(allowed_rowids, np.ndarray):
+            ar = allowed_rowids.astype(np.int64, copy=False)
+        else:
+            ar = np.fromiter(allowed_rowids, np.int64, len(allowed_rowids))
+        allowed = np.zeros(size, bool)
+        m = min(size, len(self._slot_rowids))
+        allowed[:m] = self._slot_current[:m] & np.isin(
+            self._slot_rowids[:m], ar
+        )
+        return allowed
+
+    def _slots_to_rowids(self, slots: np.ndarray) -> np.ndarray:
+        s = np.asarray(slots, np.int64)
+        safe = np.clip(s, 0, len(self._slot_rowids) - 1)
+        out = self._slot_rowids[safe]
+        return np.where(s >= 0, out, -1)
+
+    # dict view kept for persistence/tests (reference row_id_map analog)
+    @property
+    def slot_to_rowid(self) -> dict:
+        return {
+            int(s): int(r)
+            for s, r in enumerate(self._slot_rowids[: self.index.size])
+            if r >= 0
+        }
+
+
+class IvfTableIndex(_SlotMap):
     """IVF-Flat index over one VECTOR column — same maintenance surface as
     HnswTableIndex (append-only; MVCC via the allowed mask) but backed by
     the clustered block-contiguous engine (models/ivf.py), which is the
@@ -111,8 +192,7 @@ class IvfTableIndex:
             dim=dim, metric=metric, n_clusters=n_clusters,
             nprobe=nprobe, sq8=sq8, rerank=rerank,
         )
-        self.rowid_to_slot: dict[int, int] = {}
-        self.slot_to_rowid: dict[int, int] = {}
+        self._init_slots()
         self._pending_vecs: list = []
         self._pending_rowids: list = []
 
@@ -135,28 +215,23 @@ class IvfTableIndex:
         self._pending_rowids = []
         slots = self.index.add(vecs)
         for r, s in zip(rids, slots):
-            self.rowid_to_slot[r] = int(s)
-            self.slot_to_rowid[int(s)] = r
+            self._slot_assign(r, int(s))
 
     _undo_one = None  # assigned below (shared with HnswTableIndex)
 
     def delete(self, rowid: int):
-        slot = self.rowid_to_slot.pop(rowid, None)
+        slot = self._slot_unassign(rowid)
         if slot is not None:
             self.index.delete([slot])
-            self.slot_to_rowid.pop(slot, None)
 
     def search(self, query: np.ndarray, k: int, ef: int | None = None,
-               allowed_rowids: set | None = None):
+               allowed_rowids=None):
         """(dists, rowids); `ef` maps to nprobe scaling for API parity."""
         self.flush_pending()
-        allowed = None
-        if allowed_rowids is not None:
-            allowed = np.zeros(max(self.index.size, 1), bool)
-            for r in allowed_rowids:
-                s = self.rowid_to_slot.get(r)
-                if s is not None and s < len(allowed):
-                    allowed[s] = True
+        allowed = (
+            self._allowed_mask(allowed_rowids)
+            if allowed_rowids is not None else None
+        )
         nprobe = None
         if ef is not None:
             nprobe = max(self.index.nprobe, ef // 8)
@@ -164,14 +239,10 @@ class IvfTableIndex:
             np.asarray(query, np.float32)[None], k=k, nprobe=nprobe,
             allowed=allowed,
         )
-        rowids = [
-            self.slot_to_rowid.get(int(s), -1) if s >= 0 else -1
-            for s in slots[0]
-        ]
-        return d[0], rowids
+        return d[0], self._slots_to_rowids(np.asarray(slots[0]))
 
 
-class HnswTableIndex:
+class HnswTableIndex(_SlotMap):
     """HNSW index over one VECTOR column of a table."""
 
     def __init__(self, name: str, column: str, dim: int,
@@ -184,8 +255,7 @@ class HnswTableIndex:
             dim=dim, metric=metric, m=m,
             ef_construction=ef_construction, ef_search=ef_search,
         )
-        self.rowid_to_slot: dict[int, int] = {}
-        self.slot_to_rowid: dict[int, int] = {}
+        self._init_slots()
         self._pending_vecs: list = []
         self._pending_rowids: list = []
 
@@ -205,8 +275,7 @@ class HnswTableIndex:
         (slot,) = self.index.add(
             np.asarray(vec, np.float32)[None], row_ids=np.asarray([rowid], np.uint64)
         )
-        self.rowid_to_slot[rowid] = int(slot)
-        self.slot_to_rowid[int(slot)] = rowid
+        self._slot_assign(rowid, int(slot))
 
     def _undo_one(self, kind: str, rowid: int, prev_slot, txn):
         """Transaction-undo hook (same protocol as ColumnarTable._undo_one):
@@ -218,10 +287,10 @@ class HnswTableIndex:
                 self._pending_rowids.pop(j)
                 self._pending_vecs.pop(j)
         cur = self.rowid_to_slot.get(rowid)
-        if cur is not None and cur != prev_slot:
-            self.slot_to_rowid.pop(cur, None)
-        self.rowid_to_slot[rowid] = prev_slot
-        self.slot_to_rowid[prev_slot] = rowid
+        if cur is not None and cur != prev_slot and cur < len(self._slot_rowids):
+            self._slot_rowids[cur] = -1
+            self._slot_current[cur] = False
+        self._slot_assign(rowid, prev_slot)
 
     def flush_pending(self):
         if not self._pending_vecs:
@@ -230,38 +299,29 @@ class HnswTableIndex:
         rids = np.asarray(self._pending_rowids, np.uint64)
         slots = self.index.add(vecs, row_ids=rids)
         for r, s in zip(self._pending_rowids, slots):
-            self.rowid_to_slot[r] = int(s)
-            self.slot_to_rowid[int(s)] = r
+            self._slot_assign(r, int(s))
         self._pending_vecs = []
         self._pending_rowids = []
 
     def delete(self, rowid: int):
-        slot = self.rowid_to_slot.pop(rowid, None)
+        slot = self._slot_unassign(rowid)
         if slot is not None:
             self.index.delete([slot])
-            self.slot_to_rowid.pop(slot, None)
 
     def search(self, query: np.ndarray, k: int, ef: int | None = None,
-               allowed_rowids: set | None = None):
-        """Returns (dists, rowids). `allowed_rowids`: restrict results
-        (MVCC visibility — search_filtered semantics, reference
-        hnsw/mod.rs:1176: invisible nodes traversed, excluded)."""
+               allowed_rowids=None):
+        """Returns (dists, rowids). `allowed_rowids` (array or set):
+        restrict results (MVCC visibility — search_filtered semantics,
+        reference hnsw/mod.rs:1176: invisible nodes traversed, excluded)."""
         self.flush_pending()
-        allowed = None
-        if allowed_rowids is not None:
-            allowed = np.zeros(max(self.index.size, 1), bool)
-            for r in allowed_rowids:
-                s = self.rowid_to_slot.get(r)
-                if s is not None and s < len(allowed):
-                    allowed[s] = True
+        allowed = (
+            self._allowed_mask(allowed_rowids)
+            if allowed_rowids is not None else None
+        )
         d, slots = self.index.search(
             np.asarray(query, np.float32)[None], k=k, ef=ef, allowed=allowed
         )
-        rowids = [
-            self.slot_to_rowid.get(int(s), -1) if s >= 0 else -1
-            for s in slots[0]
-        ]
-        return d[0], rowids
+        return d[0], self._slots_to_rowids(np.asarray(slots[0]))
 
 
 # IVF shares the remap-undo protocol with HNSW (append-only doctrine)

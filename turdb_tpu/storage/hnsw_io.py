@@ -117,5 +117,5 @@ def load_hnsw(path: str):
     idx._alive[:n] = alive
     for r, slot in meta["rowid_to_slot"]:
         tindex.rowid_to_slot[int(r)] = int(slot)
-        tindex.slot_to_rowid[int(slot)] = int(r)
+    tindex._rebuild_slot_arrays()
     return tindex
