@@ -274,7 +274,8 @@ class Database:
             if ftype is FrameType.BEGIN:
                 pending[txn_id] = []
             elif ftype in (FrameType.INSERT, FrameType.DELETE, FrameType.UPDATE,
-                           FrameType.DDL, FrameType.BULK_INSERT):
+                           FrameType.DDL, FrameType.BULK_INSERT,
+                           FrameType.TOAST):
                 pending.setdefault(txn_id, []).append((ftype, table_id, payload))
             elif ftype is FrameType.COMMIT:
                 ops = pending.pop(txn_id, [])
@@ -295,11 +296,34 @@ class Database:
                 info = self._table_by_id(table_id)
                 if info is None:
                     continue
+                if ftype is FrameType.TOAST:
+                    # rebuild the chunk store before the row that uses it
+                    from turdb_tpu.config import TOAST_CHUNK_SIZE
+                    from turdb_tpu.storage.toast import POINTER_LEN
+
+                    pointer = payload[:POINTER_LEN]
+                    raw = payload[POINTER_LEN:]
+                    import struct as _s
+
+                    tid = _s.unpack_from("<Q", pointer, 1)[0]
+                    store = info.table.toast
+                    store.chunks[tid] = [
+                        raw[i : i + TOAST_CHUNK_SIZE]
+                        for i in range(0, len(raw), TOAST_CHUNK_SIZE)
+                    ]
+                    store.next_id = max(store.next_id, tid + 1)
+                    continue
                 if ftype is FrameType.INSERT or ftype is FrameType.UPDATE:
                     rowid = int.from_bytes(payload[:8], "little")
                     rec = payload[8:]
                     values = unpack_record(info.record_schema(), rec)
                     row = {c.name: v for c, v in zip(info.columns, values)}
+                    from turdb_tpu.storage.toast import Toasted
+
+                    for c, v in row.items():
+                        if isinstance(v, Toasted):
+                            v.store = info.table.toast
+                            info.table.toast_cols.add(c)
                     if ftype is FrameType.INSERT:
                         info.table.insert_rows([row], txn, rowids=[rowid])
                     else:
@@ -642,6 +666,18 @@ class Database:
             table_id=info.table.table_id,
         )
 
+    def _log_toast(self, info: TableInfo, pointer: bytes, raw: bytes, ctx):
+        """Chunk bytes must reach the WAL once so replay can rebuild the
+        store (reference logs hidden _toast-table inserts the same way)."""
+        if not self.wal_enabled or self._replaying:
+            return
+        self.wal.append(
+            FrameType.TOAST,
+            pointer + raw,
+            txn_id=getattr(ctx, "own_txn", 0),
+            table_id=info.table.table_id,
+        )
+
     def _log_ddl(self, sql: str, txn):
         if not self.wal_enabled or self._replaying:
             return
@@ -692,7 +728,7 @@ class Database:
         for c in info.columns:
             vals, nulls = info.table.column_batch(c.name, vis)
             # column_batch fancy-indexing already copied; no second copy
-            b.add(q, c.name, Col(vals, nulls))
+            b.add(q, c.name, Col(_detoast_col(info.table, c.name, vals), nulls))
         b.add(q, ROWID, Col(info.table.rowids[vis].copy()))
         return b
 
@@ -816,7 +852,7 @@ class Database:
         for c in info.columns:
             vals, nulls = info.table.column_batch(c.name, arr)
             # column_batch fancy-indexing already copied; no second copy
-            b.add(q, c.name, Col(vals, nulls))
+            b.add(q, c.name, Col(_detoast_col(info.table, c.name, vals), nulls))
         b.add(q, ROWID, Col(info.table.rowids[arr].copy()))
         return b
 
@@ -867,7 +903,7 @@ class Database:
         for c in info.columns:
             vals, nulls = info.table.column_batch(c.name, idx)
             # column_batch fancy-indexing already copied; no second copy
-            b.add(q, c.name, Col(vals, nulls))
+            b.add(q, c.name, Col(_detoast_col(info.table, c.name, vals), nulls))
         b.add(q, ROWID, Col(info.table.rowids[idx].copy()))
         if sel.where is not None:
             c = eval_expr(sel.where, b, ctx)
@@ -1021,6 +1057,18 @@ def _cell(table: ColumnarTable, colname: str, idx: int):
         return None
     v = table.cols[colname][idx]
     return _py(v)
+
+
+def _detoast_col(table, name: str, vals):
+    """Resolve out-of-line values for columns known to hold pointers
+    (no-op for every other column — one set lookup per column)."""
+    if name in table.toast_cols and len(vals):
+        from turdb_tpu.storage.toast import detoast_value
+
+        out = np.empty(len(vals), object)
+        out[:] = [detoast_value(x) for x in vals]
+        return out
+    return vals
 
 
 def _batch_to_rows(batch: Batch):

@@ -171,7 +171,44 @@ def _prepare_row(db, info, row: dict, ctx) -> dict:
     for chk in info.checks:
         if not _check_passes(db, info, chk, out, ctx):
             raise _cv(db)(f"CHECK constraint violated on {info.table.name}")
+    _toast_row(db, info, out, ctx)
     return out
+
+
+def _toast_row(db, info, row: dict, ctx):
+    """Swap oversized TEXT/BLOB values for out-of-line pointers AFTER all
+    constraint checks (reference insert pipeline: TOAST before record
+    build, dml/insert.rs:1-30 + storage/toast.rs:70-73). Chunks are
+    WAL-logged so replay can rebuild the store."""
+    from turdb_tpu.config import TOAST_THRESHOLD
+    from turdb_tpu.storage.toast import Toasted, is_pointer
+
+    for cd in info.columns:
+        sc = cd.dtype.storage_class
+        if sc not in (StorageClass.TEXT, StorageClass.BYTES):
+            continue
+        v = row.get(cd.name)
+        if v is None or isinstance(v, Toasted):
+            continue
+        if isinstance(v, str):
+            raw = v.encode("utf-8")
+            if len(raw) <= TOAST_THRESHOLD:
+                continue
+            text = True
+        elif isinstance(v, (bytes, bytearray)):
+            raw = bytes(v)
+            # force-toast blobs that LOOK like pointers so the 0xFE
+            # marker stays unambiguous in serialized records
+            if len(raw) <= TOAST_THRESHOLD and not is_pointer(raw):
+                continue
+            text = False
+        else:
+            continue
+        store = info.table.toast
+        pointer = store.toast(raw)
+        db._log_toast(info, pointer, raw, ctx)
+        row[cd.name] = Toasted(pointer, store, text)
+        info.table.toast_cols.add(cd.name)
 
 
 def _parse_vec(s):
@@ -185,9 +222,12 @@ def _check_passes(db, info, expr, row: dict, ctx) -> bool:
         from turdb_tpu.database.api import _parse_expr
 
         expr = _parse_expr(expr)
+    from turdb_tpu.storage.toast import detoast_value
+
     b = Batch(1)
     for cd in info.columns:
-        b.add(info.table.name, cd.name, Col.const(row.get(cd.name), 1))
+        b.add(info.table.name, cd.name,
+              Col.const(detoast_value(row.get(cd.name)), 1))
     c = eval_expr(expr, b, ctx)
     # NULL check result passes (SQL semantics)
     return bool(c.nulls[0] or c.values[0])
@@ -229,6 +269,9 @@ def _vis_cell(table, colname: str, vidx: int):
 
 
 def _norm_key(v):
+    from turdb_tpu.storage.toast import detoast_value
+
+    v = detoast_value(v)
     if isinstance(v, np.ndarray):
         return v.tobytes()
     return _py(v)
@@ -314,16 +357,19 @@ def _index_delete(db, info, rowid: int, row: dict):
 
 
 def _apply_conflict_update(db, info, rowid, assignments, excluded_row, ctx, txn):
+    from turdb_tpu.storage.toast import detoast_value
+
     vidx = info.table.latest[rowid]
     b = Batch(1)
     for cd in info.columns:
         cur = (
             None
             if info.table.nulls[cd.name][vidx]
-            else info.table._get(cd, vidx)
+            else detoast_value(info.table._get(cd, vidx))
         )
         b.add(info.table.name, cd.name, Col.const(cur, 1))
-        b.add("excluded", cd.name, Col.const(excluded_row.get(cd.name), 1))
+        b.add("excluded", cd.name,
+              Col.const(detoast_value(excluded_row.get(cd.name)), 1))
     changes = {}
     for cn, e in assignments:
         c = eval_expr(e, b, ctx)
@@ -524,8 +570,12 @@ def _returning(db, info, rowids, items, ctx):
                 vals.append(None)
                 nulls.append(True)
             else:
+                from turdb_tpu.storage.toast import detoast_value
+
                 isnull = bool(info.table.nulls[c.name][vidx])
-                vals.append(None if isnull else info.table._get(c, vidx))
+                vals.append(
+                    None if isnull else detoast_value(info.table._get(c, vidx))
+                )
                 nulls.append(isnull)
     for c in info.columns:
         vals, nulls = cols_data[c.name]

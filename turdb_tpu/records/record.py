@@ -59,6 +59,13 @@ class RecordSchema:
 
 def _var_bytes(dt: DataType, v) -> bytes:
     sc = dt.storage_class
+    if sc in (StorageClass.TEXT, StorageClass.BYTES):
+        from turdb_tpu.storage.toast import Toasted
+
+        if isinstance(v, Toasted):
+            # toasted values serialize as their 17-byte pointer
+            # (reference toast.rs:70-80; chunks are logged separately)
+            return v.pointer
     if sc is StorageClass.TEXT:
         return str(v).encode("utf-8")
     if sc is StorageClass.BYTES:
@@ -76,6 +83,13 @@ def _var_bytes(dt: DataType, v) -> bytes:
 
 def _var_value(dt: DataType, raw: bytes):
     sc = dt.storage_class
+    if sc in (StorageClass.TEXT, StorageClass.BYTES):
+        from turdb_tpu.storage.toast import Toasted, is_pointer
+
+        # 0xFE is never a valid utf-8 lead byte; BLOBs that would collide
+        # are force-toasted at write time, so the marker is unambiguous
+        if is_pointer(raw):
+            return Toasted(bytes(raw), None, text=sc is StorageClass.TEXT)
     if sc is StorageClass.TEXT:
         return raw.decode("utf-8")
     if sc is StorageClass.BYTES:

@@ -126,6 +126,7 @@ class FileManager:
             "next_rowid": table.next_rowid,
             "auto_increment": table.auto_increment,
             "columns": [c.to_dict() for c in table.columns],
+            "toast_cols": sorted(table.toast_cols),
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
@@ -144,6 +145,9 @@ class FileManager:
                     _write_buf(fh, jsonb_encode(vals))
                 else:
                     _write_buf(fh, col[:n].tobytes())
+            from turdb_tpu.storage.toast import serialize_store
+
+            _write_buf(fh, serialize_store(table.toast))
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
@@ -171,6 +175,14 @@ class FileManager:
                     for i, v in enumerate(vals):
                         if isinstance(v, dict) and "__bytes__" in v and len(v) == 1:
                             v = v["__bytes__"].encode("latin-1")
+                        elif isinstance(v, dict) and "__toast__" in v:
+                            from turdb_tpu.storage.toast import Toasted
+
+                            v = Toasted(
+                                v["__toast__"].encode("latin-1"),
+                                None,  # patched to t.toast below
+                                bool(v.get("text")),
+                            )
                         col[i] = v
                 else:
                     raw = np.frombuffer(_read_buf(fh), col.dtype)
@@ -178,6 +190,15 @@ class FileManager:
                         col[:n] = raw.reshape(n, col.shape[1])
                     else:
                         col[:n] = raw
+            from turdb_tpu.storage.toast import Toasted, deserialize_store
+
+            t.toast = deserialize_store(_read_buf(fh))
+            t.toast_cols = set(meta.get("toast_cols", []))
+            for cn in t.toast_cols:
+                col = t.cols[cn]
+                for i in range(n):
+                    if isinstance(col[i], Toasted):
+                        col[i].store = t.toast
             # rebuild latest map + version chains: ascending order, newest wins
             t.latest = {}
             t.prev[:n] = -1
@@ -203,6 +224,13 @@ class FileManager:
 
 
 def _jsonable(v):
+    from turdb_tpu.storage.toast import Toasted
+
+    if isinstance(v, Toasted):
+        return {
+            "__toast__": v.pointer.decode("latin-1"),
+            "text": bool(v.text),
+        }
     if isinstance(v, np.ndarray):
         return v.tolist()
     if isinstance(v, (bytes, bytearray)):

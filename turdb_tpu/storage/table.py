@@ -43,6 +43,12 @@ class ColumnarTable:
         self.latest: dict[int, int] = {}   # rowid -> newest version index
         self.next_rowid = 1
         self.auto_increment = 1            # for SERIAL columns
+        # TOAST: oversized TEXT/BLOB values live out-of-line (reference
+        # toast.rs; wired by dml._prepare_row / read-path detoasting)
+        from turdb_tpu.storage.toast import ToastStore
+
+        self.toast = ToastStore()
+        self.toast_cols: set[str] = set()  # columns holding Toasted values
 
     # -- allocation -------------------------------------------------------
 
@@ -248,6 +254,10 @@ class ColumnarTable:
                 )
             return arr
         if sc is StorageClass.TEXT:
+            from turdb_tpu.storage.toast import Toasted
+
+            if isinstance(v, Toasted):
+                return v
             return v if isinstance(v, str) else str(v)
         return v
 
@@ -317,9 +327,14 @@ class ColumnarTable:
         return self.cols[name][indices], self.nulls[name][indices]
 
     def row_as_dict(self, idx: int) -> dict:
+        from turdb_tpu.storage.toast import detoast_value
+
         out = {}
         for c in self.columns:
-            out[c.name] = None if self.nulls[c.name][idx] else self._get(c, idx)
+            out[c.name] = (
+                None if self.nulls[c.name][idx]
+                else detoast_value(self._get(c, idx))
+            )
         return out
 
     # -- vacuum ------------------------------------------------------------
@@ -361,6 +376,21 @@ class ColumnarTable:
         self.rowids[: len(keep)] = self.rowids[keep]
         self.prev[: len(keep)] = new_prev
         self.nversions = len(keep)
+        if self.toast_cols:
+            # prune chunks no surviving version references (versions share
+            # pointers across updates, so collect live tids first)
+            from turdb_tpu.storage.toast import Toasted
+
+            live: set[int] = set()
+            for cn in self.toast_cols:
+                col, nulls = self.cols[cn], self.nulls[cn]
+                for i in range(len(keep)):
+                    v = col[i]
+                    if not nulls[i] and isinstance(v, Toasted):
+                        live.add(v.tid)
+            for tid in list(self.toast.chunks):
+                if tid not in live:
+                    del self.toast.chunks[tid]
         self.latest = {}
         for new_idx in range(len(keep)):
             self.latest[int(self.rowids[new_idx])] = new_idx

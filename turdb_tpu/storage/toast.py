@@ -59,6 +59,67 @@ class ToastStore:
         self.chunks.pop(tid, None)
 
 
+class Toasted:
+    """In-column stand-in for a toasted value: the 17-byte pointer plus
+    the owning store (reference Detoaster trait, toast.rs:75). `text`
+    marks utf-8 payloads (TEXT columns) vs raw bytes (BLOB)."""
+
+    __slots__ = ("pointer", "store", "text")
+
+    def __init__(self, pointer: bytes, store: "ToastStore | None",
+                 text: bool):
+        self.pointer = pointer
+        self.store = store
+        self.text = text
+
+    @property
+    def tid(self) -> int:
+        return struct.unpack_from("<Q", self.pointer, 1)[0]
+
+    def resolve(self):
+        raw = self.store.detoast(self.pointer)
+        return raw.decode("utf-8") if self.text else raw
+
+    def __repr__(self):
+        _, tid, total, n = struct.unpack("<BQII", self.pointer)
+        return f"<Toasted id={tid} {total}B/{n} chunks>"
+
+
+def detoast_value(v):
+    return v.resolve() if isinstance(v, Toasted) else v
+
+
+def serialize_store(store: ToastStore) -> bytes:
+    """Binary store image for table snapshots: u32 count, then per entry
+    u64 tid | u32 total | u32 nparts | parts (u32 len + bytes each)."""
+    out = [struct.pack("<IQ", len(store.chunks), store.next_id)]
+    for tid, parts in store.chunks.items():
+        total = sum(len(p) for p in parts)
+        out.append(struct.pack("<QII", tid, total, len(parts)))
+        for p in parts:
+            out.append(struct.pack("<I", len(p)))
+            out.append(p)
+    return b"".join(out)
+
+
+def deserialize_store(blob: bytes) -> ToastStore:
+    store = ToastStore()
+    count, next_id = struct.unpack_from("<IQ", blob, 0)
+    off = 12
+    for _ in range(count):
+        tid, _total, nparts = struct.unpack_from("<QII", blob, off)
+        off += 16
+        parts = []
+        for _ in range(nparts):
+            (ln,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            parts.append(blob[off : off + ln])
+            off += ln
+        store.chunks[tid] = parts
+    store.next_id = max(next_id, 1)
+    return store
+
+
 def is_pointer(raw: bytes) -> bool:
     return len(raw) == POINTER_LEN and raw[0] == MARKER
 

@@ -47,6 +47,7 @@ class FrameType(enum.IntEnum):
     DDL = 7
     CHECKPOINT = 8
     BULK_INSERT = 9  # columnar payload: npz of arrays + null masks + rowids
+    TOAST = 10       # out-of-line chunks: 17B pointer + raw value bytes
 
 
 class WalCorruption(Exception):
