@@ -711,6 +711,7 @@ class Database:
             ctx.own_txn = 0
         ctx.query_budget = self.budget.pool("query")
         ctx.budget = self.budget
+        ctx.db = self  # decorrelation needs catalog scope resolution
         return ctx
 
     def _scan_batch(self, ref: A.TableRef, ctx) -> Batch:
@@ -724,8 +725,15 @@ class Database:
         own = getattr(ctx, "own_txn", 0)
         vis = info.table.visible_indices(self.mgr, read_ts, own)
         q = ref.alias or ref.name
+        # projection pruning (reference projection_pruning.rs): only
+        # materialize columns the query references
+        needed = getattr(ctx, "needed_cols", None)
+        take_all = needed is None or (q, "*") in needed
         b = Batch(len(vis))
         for c in info.columns:
+            if not take_all and (None, c.name) not in needed \
+                    and (q, c.name) not in needed:
+                continue
             vals, nulls = info.table.column_batch(c.name, vis)
             # column_batch fancy-indexing already copied; no second copy
             b.add(q, c.name, Col(_detoast_col(info.table, c.name, vals), nulls))

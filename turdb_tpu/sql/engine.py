@@ -35,7 +35,10 @@ MAX_NESTED_LOOP = 10_000_000
 
 # observability counters (PRAGMA spill_stats; reference group-commit/lock
 # stats analogs, group_commit.rs:126)
-STATS = {"grace_joins": 0, "spill_partitions": 0, "spilled_bytes": 0}
+STATS = {
+    "grace_joins": 0, "spill_partitions": 0, "spilled_bytes": 0,
+    "decorrelated": 0, "rowwise_subqueries": 0,
+}
 
 
 class QueryEngine:
@@ -77,7 +80,7 @@ class QueryEngine:
         c = EvalContext(ctx.params, self._subquery_fn, outer=ctx.outer)
         c.ctes = ctes
         # propagate the MVCC snapshot (read_ts/own_txn ride on the context)
-        for attr in ("read_ts", "own_txn", "query_budget"):
+        for attr in ("read_ts", "own_txn", "query_budget", "budget", "db"):
             if hasattr(ctx, attr):
                 setattr(c, attr, getattr(ctx, attr))
         return c
@@ -90,6 +93,17 @@ class QueryEngine:
     # ------------------------------------------------------------------
 
     def _select_core(self, sel: A.Select, ctx: EvalContext) -> Batch:
+        # projection pruning: scan only referenced columns (reference
+        # optimizer/rules/projection_pruning.rs). Saved/restored because
+        # nested selects (FROM subqueries, CTE bodies) share the ctx.
+        prev_needed = getattr(ctx, "needed_cols", None)
+        ctx.needed_cols = _collect_needed(sel)
+        try:
+            return self._select_core_inner(sel, ctx)
+        finally:
+            ctx.needed_cols = prev_needed
+
+    def _select_core_inner(self, sel: A.Select, ctx: EvalContext) -> Batch:
         # ANN fast path before generic FROM/WHERE
         ann = self._try_ann_path(sel, ctx)
         if ann is not None:
@@ -177,6 +191,17 @@ class QueryEngine:
         raise SqlError(f"bad FROM node {type(node).__name__}")
 
     def _join(self, j: A.Join, ctx: EvalContext) -> Batch:
+        # cost-ordered join tree for pure INNER chains (reference
+        # optimizer/rules/join_reordering.rs:66): leaves materialize
+        # first, so ACTUAL row counts drive the greedy order
+        if (
+            j.kind in ("INNER", "CROSS")
+            and j.using is None
+            and (isinstance(j.left, A.Join) or isinstance(j.right, A.Join))
+        ):
+            flat = _flatten_inner(j)
+            if flat is not None and len(flat[0]) > 2:
+                return self._join_reordered(flat[0], flat[1], ctx)
         left = self._from(j.left, ctx)
         right = self._from(j.right, ctx)
         # consume pushed-down single-side predicates (outer-join safe:
@@ -218,6 +243,85 @@ class QueryEngine:
         if j.kind == "INNER":
             return _cross_join(left, right, cond, ctx)
         return _nl_outer_join(left, right, cond, j.kind, ctx)
+
+    def _join_reordered(self, leaves, conjuncts, ctx: EvalContext) -> Batch:
+        """Greedy cost-ordered INNER-join chain: start at the smallest
+        relation, repeatedly join the smallest relation reachable through
+        an applicable conjunct (cross-join the smallest only when nothing
+        connects)."""
+        batches = [self._from(leaf, ctx) for leaf in leaves]
+        # consume pushed-down single-side predicates per leaf
+        push = getattr(ctx, "pushdown", None)
+        if push:
+            for bi, b in enumerate(batches):
+                for pi, c in enumerate(push):
+                    if c is None:
+                        continue
+                    if _resolvable(c, b) and _contains_column(c):
+                        cc = eval_expr(c, b, ctx)
+                        batches[bi] = b = b.take(
+                            np.flatnonzero(cc.values.astype(bool) & ~cc.nulls)
+                        )
+                        push[pi] = None
+        # which leaves does each conjunct need?
+        def leafset(c):
+            s = set()
+            for i, b in enumerate(batches):
+                refs: list = []
+                _collect_refs(c, refs)
+                for r in refs:
+                    if isinstance(r, A.ColumnRef):
+                        try:
+                            b.resolve(r.name, r.table)
+                            s.add(i)
+                        except SqlError:
+                            pass
+            return s
+
+        pending = [(c, leafset(c)) for c in conjuncts]
+        remaining = set(range(len(batches)))
+        start = min(remaining, key=lambda i: batches[i].n)
+        joined = batches[start]
+        in_set = {start}
+        remaining.remove(start)
+        while remaining:
+            connected = [
+                i for i in remaining
+                if any(ls and ls <= in_set | {i} and i in ls
+                       for _, ls in pending)
+            ]
+            pick = min(connected or remaining, key=lambda i: batches[i].n)
+            applicable = [
+                c for c, ls in pending
+                if ls and ls <= in_set | {pick} and not ls <= in_set
+            ]
+            pending = [
+                (c, ls) for c, ls in pending
+                if not (ls and ls <= in_set | {pick} and not ls <= in_set)
+            ]
+            cond = None
+            for c in applicable:
+                cond = c if cond is None else A.BinaryOp("AND", cond, c)
+            right = batches[pick]
+            if cond is None:
+                joined = _cross_join(joined, right, None, ctx)
+            else:
+                equis, residual = _split_equi(cond, joined, right)
+                if equis:
+                    joined = _hash_join(joined, right, equis, residual,
+                                        "INNER", ctx)
+                else:
+                    joined = _cross_join(joined, right, cond, ctx)
+            in_set.add(pick)
+            remaining.remove(pick)
+        # conjuncts that never became applicable (single-leaf conjuncts on
+        # the start relation, constants) filter the final result
+        for c, _ls in pending:
+            cc = eval_expr(c, joined, ctx)
+            joined = joined.take(
+                np.flatnonzero(cc.values.astype(bool) & ~cc.nulls)
+            )
+        return joined
 
     # ------------------------------------------------------------------
     # ANN fast path
@@ -472,6 +576,82 @@ def _split_conjuncts(e) -> list:
             out.append(x)
 
     flat(e)
+    return out
+
+
+def _flatten_inner(j):
+    """Flatten a maximal INNER/CROSS `on`-only join subtree into
+    (leaves, conjuncts); outer/USING joins stay intact as leaves."""
+    leaves, conjuncts = [], []
+
+    def rec(node):
+        if (
+            isinstance(node, A.Join)
+            and node.kind in ("INNER", "CROSS")
+            and node.using is None
+        ):
+            rec(node.left)
+            rec(node.right)
+            if node.on is not None:
+                conjuncts.extend(_split_conjuncts(node.on))
+        else:
+            leaves.append(node)
+
+    rec(j)
+    return (leaves, conjuncts) if len(leaves) >= 2 else None
+
+
+def _collect_refs(e, out: list):
+    import dataclasses
+
+    if isinstance(e, (A.ColumnRef, A.Star)):
+        out.append(e)
+        return
+    if not dataclasses.is_dataclass(e):
+        return
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, (A.Expr, A.Select)) or dataclasses.is_dataclass(v):
+            _collect_refs(v, out)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                if dataclasses.is_dataclass(x):
+                    _collect_refs(x, out)
+                elif isinstance(x, tuple):
+                    for y in x:
+                        if dataclasses.is_dataclass(y):
+                            _collect_refs(y, out)
+
+
+def _collect_needed(sel: A.Select):
+    """Set of column names the query can touch, or None when pruning is
+    unsafe (a bare `*`). Overapproximates by walking nested subqueries
+    too (their inner names simply keep extra outer columns alive)."""
+    refs: list = []
+    for it in sel.items:
+        _collect_refs(it, refs)
+    for part in (sel.where, sel.having, sel.limit, sel.offset):
+        if part is not None:
+            _collect_refs(part, refs)
+    for g in sel.group_by:
+        _collect_refs(g, refs)
+    for ob in sel.order_by:
+        _collect_refs(ob.expr, refs)
+    _collect_refs(sel.from_, refs) if sel.from_ is not None else None
+    if sel.set_op is not None:
+        sub = _collect_needed(sel.set_op[2])
+        if sub is None:
+            return None
+        refs.extend(A.ColumnRef(nm, q) for q, nm in sub if nm != "*")
+        refs.extend(A.Star(q) for q, nm in sub if nm == "*")
+    out = set()
+    for r in refs:
+        if isinstance(r, A.Star):
+            if r.table is None:
+                return None  # bare *: keep everything
+            out.add((r.table, "*"))
+        else:
+            out.add((r.table, r.name))
     return out
 
 

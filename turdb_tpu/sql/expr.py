@@ -737,6 +737,12 @@ def _run_sub(sub, ctx: EvalContext, outer_row: Batch | None):
     return ctx.subquery_fn(sub, sub_ctx)
 
 
+def _count_rowwise():
+    from turdb_tpu.sql.engine import STATS
+
+    STATS["rowwise_subqueries"] = STATS.get("rowwise_subqueries", 0) + 1
+
+
 def _correlated(sub) -> bool:
     # conservative: treat every subquery as potentially correlated unless it
     # has no outer references; cheap detection via column resolution at run
@@ -777,6 +783,14 @@ def _in_subquery(e: A.InSubquery, batch: Batch, ctx: EvalContext) -> Col:
             if not hit and had_null:
                 nulls[i] = True  # NOT IN with NULLs: unknown
     else:
+        # decorrelation rewrite first (reference decorrelate.rs:56);
+        # row-wise execution is the correctness fallback
+        from turdb_tpu.sql.decorrelate import in_decorrelated
+
+        dec = in_decorrelated(e, batch, ctx)
+        if dec is not None:
+            return dec
+        _count_rowwise()
         for i in range(n):
             if nulls[i]:
                 continue
@@ -801,6 +815,12 @@ def _exists(e: A.Exists, batch: Batch, ctx: EvalContext) -> Col:
         res = _run_sub(e.subquery, ctx, None)
         out[:] = res.n > 0
     except SqlError:
+        from turdb_tpu.sql.decorrelate import exists_decorrelated
+
+        dec = exists_decorrelated(e, batch, ctx)
+        if dec is not None:
+            return dec
+        _count_rowwise()
         for i in range(n):
             res = _run_sub(e.subquery, ctx, batch.take([i]))
             out[i] = res.n > 0
@@ -821,6 +841,12 @@ def _scalar_subquery(e: A.ScalarSubquery, batch: Batch, ctx: EvalContext) -> Col
     except SqlError as err:
         if "more than one row" in str(err):
             raise
+        from turdb_tpu.sql.decorrelate import scalar_decorrelated
+
+        dec = scalar_decorrelated(e, batch, ctx)
+        if dec is not None:
+            return dec
+        _count_rowwise()
         out = np.empty(n, object)
         nulls = np.ones(n, bool)
         for i in range(n):
