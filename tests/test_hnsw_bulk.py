@@ -1,0 +1,74 @@
+"""Bulk (initial-load) HNSW build: clustered exact-kNN -> diversity graph.
+
+Round-2 verdict item #3: the wave path pays a latency-bound beam search
+per wave; the bulk path derives the graph from per-cluster all-pairs
+distances (MXU matmuls) + the reference diversity rule
+(operations.rs:181-233) + reverse merge (mod.rs:1067-1077 semantics).
+These tests assert recall parity with the exact oracle and that
+incremental adds still work on top of a bulk-built graph.
+"""
+
+import numpy as np
+import pytest
+
+from turdb_tpu.models.flat import FlatIndex
+from turdb_tpu.models.hnsw import HnswIndex
+
+
+def _clustered(rng, n, dim, n_clusters=128):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_clusters, size=n)
+    radius = rng.uniform(0.3, 1.7, size=(n, 1)).astype(np.float32)
+    return (
+        centers[assign] + radius * rng.standard_normal((n, dim)).astype(np.float32)
+    ).astype(np.float32)
+
+
+def _recall(ids, truth):
+    k = truth.shape[1]
+    return float(
+        np.mean([len(set(p[p >= 0]) & set(t)) / k for p, t in zip(ids, truth)])
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    pool = _clustered(rng, 12_256, 32)
+    x, q = pool[:12_000], pool[12_000:]
+    flat = FlatIndex(dim=32, capacity=len(x))
+    flat.add(x)
+    _, truth = flat.search(q, k=10)
+    return x, q, truth
+
+
+def test_bulk_build_recall(data):
+    x, q, truth = data
+    idx = HnswIndex(dim=32, capacity=len(x), bulk_threshold=1000)
+    slots = idx.add(x)
+    assert len(idx) == len(x)
+    assert slots[0] == 0 and slots[-1] == len(x) - 1
+    _, ids = idx.search(q, k=10, ef=64)
+    r = _recall(ids, truth)
+    assert r >= 0.90, f"bulk recall {r}"
+
+
+def test_bulk_then_incremental(data):
+    x, q, truth = data
+    idx = HnswIndex(dim=32, capacity=len(x), bulk_threshold=1000)
+    idx.add(x[:10_000])
+    idx.add(x[10_000:])  # below threshold -> wave path on bulk graph
+    assert len(idx) == len(x)
+    _, ids = idx.search(q, k=10, ef=64)
+    r = _recall(ids, truth)
+    assert r >= 0.88, f"bulk+incremental recall {r}"
+
+
+def test_bulk_delete_tombstones(data):
+    x, q, truth = data
+    idx = HnswIndex(dim=32, capacity=len(x), bulk_threshold=1000)
+    idx.add(x)
+    victims = np.unique(truth[:, 0])
+    idx.delete(victims)
+    _, ids = idx.search(q, k=10, ef=64)
+    assert not np.isin(np.asarray(ids).ravel(), victims).any()

@@ -83,3 +83,25 @@ def test_sharded_ivf(data):
     r = recall_at_k(pred, true_ids)
     assert r >= 0.9, f"sharded ivf recall {r:.3f}"
     assert (d[:, 0] <= d[:, -1]).all()
+
+def test_gid_stability_across_growth(data):
+    """Packed gids must survive capacity growth (round-1 verdict weak #10:
+    capacity-based packing invalidated stored gids on _ensure growth)."""
+    x, _, _ = data
+    mesh = make_mesh(n_db=2, n_data=1)
+    idx = ShardedHnswIndex(dim=32, mesh=mesh, ef_construction=32,
+                           capacity_per_shard=1024)
+    gids = idx.add(x[:600])
+    cap0 = idx.capacity
+    # force growth past the initial per-shard capacity
+    more = np.repeat(x[:300], 8, axis=0) + RNG.standard_normal(
+        (2400, 32)
+    ).astype(np.float32)
+    idx.add(more)
+    assert idx.capacity > cap0
+    # old gids still resolve to the same vectors
+    sh, sl = idx.unpack_ids(gids[:5])
+    q = x[:5]
+    _, gi = idx.search(q, k=1)
+    for j in range(5):
+        assert gi[j, 0] == gids[j], "stored gid no longer matches"

