@@ -758,17 +758,16 @@ def _cluster_topr(pvecs, pnorms, members, r: int, metric):
     """Per-cluster exact top-R neighbor lists from all-pairs distances.
     pvecs [G,L,d] packed cluster vectors, pnorms [G,L] (+inf pad),
     members [G,L] local ids (-1 pad). Returns ([G,L,r] ids, [G,L,r] d)."""
+    # f32 matmul, NOT bf16: with |x|^2 in the thousands, bf16's ~0.4%
+    # relative error exceeds the distance gaps between near neighbors and
+    # the top-R candidate lists degenerate (measured on TPU: bulk recall
+    # 0.65 with bf16 ranking vs 0.96 with f32)
     dots = jnp.einsum(
-        "gld,gmd->glm",
-        pvecs.astype(jnp.bfloat16),
-        pvecs.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        "gld,gmd->glm", pvecs, pvecs, preferred_element_type=jnp.float32
     )
     if metric is Metric.IP:
         pair = -dots
     else:
-        # L2 ordering == cosine ordering on unit vectors; exact distances
-        # are recomputed in the selection pass, bf16 only ranks candidates
         pair = pnorms[:, :, None] + pnorms[:, None, :] - 2.0 * dots
     lcap = members.shape[1]
     pair = jnp.where((members >= 0)[:, None, :], pair, INF)

@@ -346,6 +346,16 @@ class IvfIndex:
 
     def train(self, iters: int = 8):
         """K-means + packed layout build over all staged vectors."""
+        import os
+        import time as _t
+
+        dbg = os.environ.get("TURDB_IVF_DEBUG") == "1"
+        marks = [("start", _t.perf_counter())]
+
+        def mark(label):
+            if dbg:
+                marks.append((label, _t.perf_counter()))
+
         x = (
             np.concatenate(self._vectors_host)
             if self._vectors_host
@@ -373,8 +383,11 @@ class IvfIndex:
         )
         xt = _pad_rows(x[tr_idx], _KM_CHUNK)
         cents = _kmeans(jnp.asarray(xt), jnp.asarray(x[seed_idx]), iters=iters)
+        jax.block_until_ready(cents)
+        mark("kmeans")
         xp = _pad_rows(x, _KM_CHUNK)
         assign = np.asarray(_assign_all(jnp.asarray(xp), cents))[:n]
+        mark("assign")
         cap = self._cluster_cap or _pow2_at_least(
             max(int(2.0 * n / c), 16), floor=8
         )
@@ -382,9 +395,11 @@ class IvfIndex:
         # to far clusters: a spilled row is invisible to centroid probing
         # (measured: spill victims' clusters rank ~78-255th for their
         # queries, capping recall at ~0.946 however many probes)
+        c0 = c
         cents_np, assign = _split_oversized(np.asarray(cents), assign, x, cap)
         cents = jnp.asarray(cents_np)
         c = cents_np.shape[0]
+        mark(f"split({c0}->{c})")
         counts = np.bincount(assign, minlength=c)
         # balanced packing, fully vectorized: stable-sort by cluster, lane =
         # rank within the cluster run; lanes past the cap spill to the
@@ -409,6 +424,7 @@ class IvfIndex:
                 np.asarray(spill), x, np.asarray(cents), members, occupancy, cap
             )
         self._occupancy = occupancy
+        mark("pack+spill")
         # slot -> (cluster, lane) as flat arrays (vectorized mask builds);
         # primaries first, BEFORE replicas land in members
         self._slot_cluster = np.full(n, -1, np.int32)
@@ -424,6 +440,7 @@ class IvfIndex:
             replicated = self._place_replicas(
                 x, cents_np, members, occupancy, cap
             )
+        mark("replicas")
         self.cfg = IvfConfig(
             dim=self.dim, n_clusters=c, cluster_cap=cap, metric=self.metric,
             nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
@@ -462,6 +479,18 @@ class IvfIndex:
             scales=scales,
         )
         self._vectors_host = []
+        if dbg:
+            jax.block_until_ready(self.state)
+            marks.append(("state", _t.perf_counter()))
+            import sys
+
+            total = marks[-1][1] - marks[0][1]
+            parts = " ".join(
+                f"{lbl}={t1 - t0:.1f}s"
+                for (_, t0), (lbl, t1) in zip(marks, marks[1:])
+            )
+            print(f"[ivf.train n={n} C={c} L={cap} {total:.1f}s: {parts}]",
+                  file=sys.stderr, flush=True)
 
     @staticmethod
     def _place_spill(spill, x, cents_np, members, occupancy, cap):

@@ -12,3 +12,9 @@ from turdb_tpu.records.varint import encode_varint, decode_varint  # noqa: F401
 from turdb_tpu.records.keys import encode_key, decode_key  # noqa: F401
 from turdb_tpu.records.record import RecordSchema, pack_record, unpack_record  # noqa: F401
 from turdb_tpu.records.jsonb import jsonb_encode, jsonb_decode, jsonb_get  # noqa: F401
+from turdb_tpu.records.composite import (  # noqa: F401
+    CompositeSchema,
+    CompositeView,
+    pack_composite,
+    unpack_composite,
+)

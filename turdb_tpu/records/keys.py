@@ -12,15 +12,20 @@ NULL < BOOL < numerics (one shared tag family so 1 == 1.0 in index order)
 
 from __future__ import annotations
 
+import math
 import struct
+from decimal import Decimal, localcontext
 
 TAG_NULL = 0x01
 TAG_FALSE = 0x08
 TAG_TRUE = 0x09
-# ONE numeric tag: f64 bit-flip + 2-byte exact-int residue tiebreaker.
-# A second exact-int tag would break the memcmp total order (ints not
-# representable as f64 would sort after ALL floats); the residue keeps
-# 1 == 1.0 while ordering i64s that share an f64 bucket exactly.
+# ONE numeric tag: f64 bit-flip + 8-byte residue tiebreaker. A second
+# exact-int tag would break the memcmp total order (ints not
+# representable as f64 would sort after ALL floats). The residue is the
+# signed fraction (v - nearest_f64(v)) / ulp scaled to 62 bits: it keeps
+# 1 == 1.0 == Decimal(1) in index order while exactly ordering i64s that
+# share an f64 bucket and ordering DECIMALs to ~34 significant digits
+# (16 from the f64 + 18.6 from the residue).
 TAG_NUM = 0x10
 TAG_TEXT = 0x20
 TAG_BLOB = 0x30
@@ -29,6 +34,41 @@ TAG_MAX = 0xFF
 
 _ESC = 0x00
 _TERM = b"\x00\x00"
+
+
+def _safe_float(v) -> float:
+    try:
+        return float(v)
+    except OverflowError:
+        return math.inf if v > 0 else -math.inf
+
+
+def _clamp63(q: int) -> int:
+    lim = (1 << 63) - 1
+    return max(-lim, min(lim, q))
+
+
+def _residue(v, f: float) -> int:
+    """Signed 62-bit-scaled fraction (v - f)/ulp(f); 0 for plain floats."""
+    if isinstance(v, float) or math.isinf(f) or math.isnan(f):
+        return 0
+    if isinstance(v, int):
+        if -(2**53) < v < 2**53:
+            return 0
+        delta = v - int(f)
+        if delta == 0:
+            return 0
+        ulp = int(math.ulp(f))       # power of two >= 2 here: exact shift
+        return _clamp63((delta << 62) // ulp)
+    # Decimal
+    df = Decimal(f)
+    if v == df:
+        return 0
+    ulp = math.ulp(f) or 5e-324
+    with localcontext() as ctx:
+        ctx.prec = 60
+        q = (Decimal(v) - df) / Decimal(ulp) * (1 << 62)
+    return _clamp63(int(q))
 
 
 def _flip_float(v: float) -> int:
@@ -74,18 +114,12 @@ def encode_value(v, desc: bool = False) -> bytes:
         out = bytes([TAG_NULL])
     elif isinstance(v, bool):
         out = bytes([TAG_TRUE if v else TAG_FALSE])
-    elif isinstance(v, (int, float)):
-        f = float(v)
-        # residue = v - round_to_nearest_f64(v): orders i64s sharing an f64
-        # bucket (ulp at 2^63 is 2048, so |residue| <= 1024 fits 2 bytes)
-        delta = 0
-        if isinstance(v, int) and not isinstance(v, bool) and float(f) != v \
-                and f.is_integer() and abs(f) < 2**64 * 2.0:
-            delta = v - int(f)
+    elif isinstance(v, (int, float, Decimal)):
+        f = _safe_float(v)
         out = (
             bytes([TAG_NUM])
             + struct.pack(">Q", _flip_float(f))
-            + struct.pack(">H", delta + 0x8000)
+            + struct.pack(">Q", _residue(v, f) + (1 << 63))
         )
     elif isinstance(v, str):
         out = bytes([TAG_TEXT]) + _escape_bytes(v.encode("utf-8"))
@@ -115,10 +149,20 @@ def decode_value(buf: bytes, offset: int = 0, desc: bool = False):
     if tag == TAG_NUM:
         bits = struct.unpack(">Q", buf[offset + 1 : offset + 9])[0]
         f = _unflip_float(bits)
-        delta = struct.unpack(">H", buf[offset + 9 : offset + 11])[0] - 0x8000
-        if delta != 0:
-            return int(f) + delta, offset + 11
-        return int(f) if f.is_integer() and abs(f) < 2**53 else f, offset + 11
+        resid = struct.unpack(">Q", buf[offset + 9 : offset + 17])[0] - (1 << 63)
+        nxt = offset + 17
+        if resid == 0:
+            return int(f) if f.is_integer() and abs(f) < 2**53 else f, nxt
+        if f.is_integer() and math.isfinite(f) and math.ulp(f) >= 1:
+            num = resid * int(math.ulp(f))
+            if num % (1 << 62) == 0:     # exact integer residue
+                return int(f) + (num >> 62), nxt
+        with localcontext() as ctx:      # decimal: ~34-digit round-trip
+            ctx.prec = 60
+            d = Decimal(f) + Decimal(resid) * Decimal(
+                math.ulp(f) or 5e-324
+            ) / (1 << 62)
+        return d, nxt
     if tag == TAG_TEXT:
         raw, nxt = _unescape_bytes(buf, offset + 1)
         return raw.decode("utf-8"), nxt

@@ -78,6 +78,8 @@ def _var_bytes(dt: DataType, v) -> bytes:
         from turdb_tpu.records.jsonb import jsonb_encode
 
         return jsonb_encode(v)
+    if sc is StorageClass.DECIMAL:
+        return str(v).encode("ascii")   # Decimal str round-trips exactly
     raise TypeError(f"not a var-width class: {sc}")
 
 
@@ -102,6 +104,10 @@ def _var_value(dt: DataType, raw: bytes):
         from turdb_tpu.records.jsonb import jsonb_decode
 
         return jsonb_decode(raw)
+    if sc is StorageClass.DECIMAL:
+        from decimal import Decimal
+
+        return Decimal(raw.decode("ascii"))
     raise TypeError(f"not a var-width class: {sc}")
 
 

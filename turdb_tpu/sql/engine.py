@@ -1126,7 +1126,12 @@ def _agg_pergroup(node, name, arg: Col, valid, group_of, ngroups, src, ctx) -> C
         if name in ("sum", "total"):
             out_v[g] = sum(vals)
         elif name == "avg":
-            out_v[g] = sum(float(v) for v in vals) / len(vals)
+            from decimal import Decimal
+
+            if isinstance(vals[0], Decimal):
+                out_v[g] = sum(vals) / len(vals)   # exact decimal mean
+            else:
+                out_v[g] = sum(float(v) for v in vals) / len(vals)
         elif name == "min":
             out_v[g] = min(vals)
         elif name == "max":

@@ -124,7 +124,74 @@ def _is_text(a: Col) -> bool:
     return a.values.dtype == object
 
 
+def _is_decimal(a: Col) -> bool:
+    from decimal import Decimal
+
+    v = a.values
+    if v.dtype != object or v.ndim != 1:
+        return False
+    for i, x in enumerate(v):
+        if x is not None and not a.nulls[i]:
+            return isinstance(x, Decimal)
+    return False
+
+
+def _decimal_vals(a: Col) -> np.ndarray:
+    from decimal import Decimal
+
+    n = len(a.values)
+    out = np.empty(n, object)
+    v = a.values
+    for i in range(n):
+        x = None if a.nulls[i] else v[i]
+        if x is None:
+            out[i] = Decimal(0)
+        elif isinstance(x, Decimal):
+            out[i] = x
+        elif isinstance(x, (float, np.floating)):
+            out[i] = Decimal(str(float(x)))  # shortest repr: 0.1 stays 0.1
+        elif isinstance(x, (int, np.integer)):
+            out[i] = Decimal(int(x))
+        else:
+            out[i] = Decimal(x)
+    return out
+
+
+def _binary_decimal(op, a: Col, b: Col) -> Col:
+    """Exact DECIMAL arithmetic (reference src/types/data_type.rs:94):
+    both operands lift to Decimal; division is true division."""
+    nulls = (a.nulls | b.nulls).copy()
+    va, vb = _decimal_vals(a), _decimal_vals(b)
+    n = len(va)
+    out = np.empty(n, object)
+    from decimal import Decimal
+
+    zero = Decimal(0)
+    for i in range(n):
+        if nulls[i]:
+            out[i] = None
+            continue
+        x, y = va[i], vb[i]
+        if op == "+":
+            out[i] = x + y
+        elif op == "-":
+            out[i] = x - y
+        elif op == "*":
+            out[i] = x * y
+        elif op in ("/", "%"):
+            if y == zero:
+                nulls[i] = True
+                out[i] = None
+            else:
+                out[i] = x / y if op == "/" else x % y
+        else:
+            raise SqlError(f"bad numeric op {op}")
+    return Col(out, nulls)
+
+
 def _binary_numeric(op, a: Col, b: Col) -> Col:
+    if _is_decimal(a) or _is_decimal(b):
+        return _binary_decimal(op, a, b)
     nulls = a.nulls | b.nulls
     va, vb = _numeric(a), _numeric(b)
     both_int = va.dtype.kind in "i" and vb.dtype.kind in "i"
@@ -170,6 +237,11 @@ def _compare(op, a: Col, b: Col) -> Col:
             if nulls[i]:
                 continue
             x, y = va[i], vb[i]
+            # numpy scalars don't interoperate with Decimal — unwrap
+            if isinstance(x, np.generic):
+                x = x.item()
+            if isinstance(y, np.generic):
+                y = y.item()
             try:
                 if op == "=":
                     out[i] = x == y
@@ -356,6 +428,11 @@ def eval_expr(e, batch: Batch, ctx: EvalContext) -> Col:
             bv = v.values.astype(bool)
             return Col(~bv, v.nulls)
         if e.op == "-":
+            if _is_decimal(v):
+                dv = _decimal_vals(v)
+                return Col(
+                    np.array([-x for x in dv], object), v.nulls
+                )
             return Col(-_numeric(v), v.nulls)
         return v
     if isinstance(e, A.IsNull):
@@ -637,7 +714,25 @@ def _cast(v: Col, type_name: str) -> Col:
             except (ValueError, TypeError):
                 raise SqlError(f"cannot cast {v.values[i]!r} to {tn}")
         return Col(out, nulls)
-    if dt in (DataType.REAL, DataType.DOUBLE, DataType.DECIMAL):
+    if dt is DataType.DECIMAL:
+        from decimal import Decimal, InvalidOperation
+
+        out = np.empty(n, object)
+        nulls = v.nulls.copy()
+        for i in range(n):
+            if nulls[i]:
+                out[i] = None
+                continue
+            x = v.values[i]
+            try:
+                out[i] = (
+                    x if isinstance(x, Decimal)
+                    else Decimal(str(x) if isinstance(x, float) else x)
+                )
+            except (InvalidOperation, ValueError, TypeError):
+                raise SqlError(f"cannot cast {x!r} to {tn}")
+        return Col(out, nulls)
+    if dt in (DataType.REAL, DataType.DOUBLE):
         out = np.zeros(n, np.float64)
         nulls = v.nulls.copy()
         for i in range(n):

@@ -137,7 +137,13 @@ class FileManager:
                 _write_buf(fh, table.nulls[c.name][:n].tobytes())
                 col = table.cols[c.name]
                 sc = c.dtype.storage_class
-                if sc is StorageClass.OBJECT or col.dtype == object:
+                if sc is StorageClass.DECIMAL:
+                    nulls = table.nulls[c.name][:n]
+                    vals = [
+                        None if nulls[i] else str(col[i]) for i in range(n)
+                    ]
+                    _write_buf(fh, jsonb_encode(vals))
+                elif sc is StorageClass.OBJECT or col.dtype == object:
                     nulls = table.nulls[c.name][:n]
                     vals = [
                         None if nulls[i] else _jsonable(col[i]) for i in range(n)
@@ -170,7 +176,13 @@ class FileManager:
                 t.nulls[c.name][:n] = np.frombuffer(_read_buf(fh), bool)
                 col = t.cols[c.name]
                 sc = c.dtype.storage_class
-                if sc is StorageClass.OBJECT or col.dtype == object:
+                if sc is StorageClass.DECIMAL:
+                    from decimal import Decimal
+
+                    vals = jsonb_decode(_read_buf(fh))
+                    for i, v in enumerate(vals):
+                        col[i] = None if v is None else Decimal(v)
+                elif sc is StorageClass.OBJECT or col.dtype == object:
                     vals = jsonb_decode(_read_buf(fh))
                     for i, v in enumerate(vals):
                         if isinstance(v, dict) and "__bytes__" in v and len(v) == 1:

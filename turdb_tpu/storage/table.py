@@ -179,6 +179,10 @@ class ColumnarTable:
                             f"got {vv.shape[1]}, want {want}"
                         )
                     self.cols[c.name][base : base + n] = vv
+            elif sc is StorageClass.DECIMAL:
+                out = self.cols[c.name]
+                for j, (x, nu) in enumerate(zip(vals, nulls)):
+                    out[base + j] = None if nu else self._coerce(c, x)
             else:
                 out = self.cols[c.name]
                 if vals.dtype == object:
@@ -243,6 +247,16 @@ class ColumnarTable:
             return int(v)
         if sc in (StorageClass.FLOAT, StorageClass.FLOAT32):
             return float(v)
+        if sc is StorageClass.DECIMAL:
+            from decimal import Decimal
+
+            # floats go through str(): shortest-repr keeps 0.1 exact
+            d = v if isinstance(v, Decimal) else Decimal(
+                str(v) if isinstance(v, float) else v
+            )
+            if c.scale is not None:
+                d = d.quantize(Decimal(1).scaleb(-c.scale))
+            return d
         if sc is StorageClass.BOOL:
             return bool(v)
         if sc is StorageClass.VECTOR:

@@ -24,6 +24,7 @@ class StorageClass(enum.Enum):
     TEXT = "text"        # object array of str
     VECTOR = "vector"    # fixed-dim float32 rows (2-D numpy)
     OBJECT = "object"    # object array (json, arrays, composite)
+    DECIMAL = "decimal"  # object array of decimal.Decimal (exact)
 
 
 class DataType(enum.IntEnum):
@@ -101,7 +102,9 @@ _STORAGE = {
     DataType.BIGSERIAL: StorageClass.INT,
     DataType.REAL: StorageClass.FLOAT32,
     DataType.DOUBLE: StorageClass.FLOAT,
-    DataType.DECIMAL: StorageClass.FLOAT,   # decimal-as-f64 (documented)
+    # exact decimal (reference src/types/data_type.rs:94): Python Decimal
+    # objects in an object column; arithmetic/aggregation stay exact
+    DataType.DECIMAL: StorageClass.DECIMAL,
     DataType.VARCHAR: StorageClass.TEXT,
     DataType.CHAR: StorageClass.TEXT,
     DataType.TEXT: StorageClass.TEXT,
