@@ -51,6 +51,7 @@ import numpy as np
 
 from turdb_tpu import config as cfgmod
 from turdb_tpu.ops.distance import (
+    PRECISE,
     Metric,
     gathered_distances,
     normalize_rows,
@@ -426,7 +427,8 @@ def _select_neighbors_heuristic(
     valid = cand_i >= 0
     # pairwise distances among candidates: [B, C, C]
     dots = jnp.einsum(
-        "bcd,bkd->bck", cand_vecs, cand_vecs, preferred_element_type=jnp.float32
+        "bcd,bkd->bck", cand_vecs, cand_vecs,
+        preferred_element_type=jnp.float32, precision=PRECISE,
     )
     if metric is Metric.L2:
         nrm = jnp.sum(cand_vecs * cand_vecs, axis=-1)
@@ -758,12 +760,12 @@ def _cluster_topr(pvecs, pnorms, members, r: int, metric):
     """Per-cluster exact top-R neighbor lists from all-pairs distances.
     pvecs [G,L,d] packed cluster vectors, pnorms [G,L] (+inf pad),
     members [G,L] local ids (-1 pad). Returns ([G,L,r] ids, [G,L,r] d)."""
-    # f32 matmul, NOT bf16: with |x|^2 in the thousands, bf16's ~0.4%
-    # relative error exceeds the distance gaps between near neighbors and
-    # the top-R candidate lists degenerate (measured on TPU: bulk recall
-    # 0.65 with bf16 ranking vs 0.96 with f32)
+    # full-precision matmul (ops/distance.py PRECISE): TPU-default bf16
+    # passes exceed the distance gaps between near neighbors and the
+    # top-R candidate lists degenerate (measured: bulk recall 0.65)
     dots = jnp.einsum(
-        "gld,gmd->glm", pvecs, pvecs, preferred_element_type=jnp.float32
+        "gld,gmd->glm", pvecs, pvecs,
+        preferred_element_type=jnp.float32, precision=PRECISE,
     )
     if metric is Metric.IP:
         pair = -dots
@@ -783,7 +785,8 @@ def _cluster_topr(pvecs, pnorms, members, r: int, metric):
 def _brute_topr(x, xn, valid, r: int, metric):
     """All-pairs top-R for small subsets (padded). Returns local ids."""
     dots = jnp.einsum(
-        "ld,md->lm", x, x, preferred_element_type=jnp.float32
+        "ld,md->lm", x, x,
+        preferred_element_type=jnp.float32, precision=PRECISE,
     )
     if metric is Metric.IP:
         pair = -dots

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from turdb_tpu.ops.distance import Metric, normalize_rows, prep_norms
+from turdb_tpu.ops.distance import PRECISE, Metric, normalize_rows, prep_norms
 from turdb_tpu.ops.quantize import sq8_encode
 from turdb_tpu.ops.topk import mask_duplicates, topk_smallest
 
@@ -225,8 +225,11 @@ def ivf_search_impl(
         dist = qn[:, None, None] - 2.0 * q_dot_x + state.pnorms[top]
     else:
         blocks = state.pvecs[top]                   # [B, P, L, d]
+        # PRECISE: the probe is HBM-bound (2 flops/byte), the full-f32
+        # passes are free; bf16-default silently capped recall (distance.py)
         dots = jnp.einsum(
-            "bd,bpld->bpl", q, blocks, preferred_element_type=jnp.float32
+            "bd,bpld->bpl", q, blocks,
+            preferred_element_type=jnp.float32, precision=PRECISE,
         )
         if cfg.metric is Metric.L2:
             dist = qn[:, None, None] + state.pnorms[top] - 2.0 * dots
@@ -239,7 +242,7 @@ def ivf_search_impl(
     dist = jnp.where(live, dist, INF).reshape(b, pl_)
     ids = mem.reshape(b, pl_)
 
-    if cfg.rerank and cfg.sq8:
+    if cfg.rerank:
         # exact rerank: ONE ordering drives both the candidate ids and the
         # packed positions (a tie-inconsistent second sort would mismatch)
         r = min(cfg.rerank, pl_)
@@ -260,7 +263,10 @@ def ivf_search_impl(
         flat = state.pvecs.reshape(-1, cfg.dim)
         fnorm = state.pnorms.reshape(-1)
         vecs = flat[flat_pos]                         # [B, r, d] small gather
-        dots = jnp.einsum("bd,brd->br", q, vecs, preferred_element_type=jnp.float32)
+        dots = jnp.einsum(
+            "bd,brd->br", q, vecs,
+            preferred_element_type=jnp.float32, precision=PRECISE,
+        )
         exact = qn[:, None] + fnorm[flat_pos] - 2.0 * dots
         exact = jnp.where(jnp.isinf(cd), INF, exact)
         if cfg.replicated:
@@ -448,13 +454,21 @@ class IvfIndex:
         )
         mc, ml = np.nonzero(members >= 0)       # now includes replicas
         mslots = members[mc, ml]
-        pvecs = np.zeros((c, cap, self.dim), np.float32)
-        pnorms = np.full((c, cap), np.inf, np.float32)
+        # pack on DEVICE: one [n, d] upload + scatter, instead of staging
+        # a [C, L, d] host array (measured 28s host->device at 200k x 128)
+        xd = jnp.asarray(x)
+        mcj, mlj = jnp.asarray(mc), jnp.asarray(ml)
+        mslj = jnp.asarray(mslots)
+        jp = (
+            jnp.zeros((c, cap, self.dim), jnp.float32)
+            .at[mcj, mlj].set(xd[mslj])
+        )
+        pnorms = (
+            jnp.full((c, cap), INF, jnp.float32)
+            .at[mcj, mlj].set(prep_norms(xd)[mslj])
+        )
         alive = np.zeros((c, cap), bool)
-        pvecs[mc, ml] = x[mslots]
-        pnorms[mc, ml] = (x[mslots] ** 2).sum(1)
         alive[mc, ml] = self._alive_host[mslots]
-        jp = jnp.asarray(pvecs)
         if self.sq8:
             codes_u8, mins, scales = sq8_encode(jp.reshape(-1, self.dim))
             # centered int8 (see ivf_search_impl) + shifted mins
@@ -472,7 +486,7 @@ class IvfIndex:
             cnorms=prep_norms(jnp.asarray(cents)),
             members=jnp.asarray(members.astype(np.int32)),
             pvecs=jp,
-            pnorms=jnp.asarray(pnorms),
+            pnorms=pnorms,
             alive=jnp.asarray(alive),
             codes=codes,
             mins=mins,

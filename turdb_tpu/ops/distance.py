@@ -23,6 +23,17 @@ import jax
 import jax.numpy as jnp
 
 
+# Fine-grained distance matmuls MUST run at full f32 precision: JAX's
+# DEFAULT matmul precision on TPU is bfloat16 passes even for f32 inputs
+# (preferred_element_type only picks the accumulator), and the resulting
+# ~0.4%-of-magnitude error (measured: 2.1 absolute on dots of ~2e3)
+# swamps near-neighbor distance gaps — recall silently capped at 0.94 at
+# 200k. These kernels are HBM-bandwidth-bound, so the extra MXU passes
+# are essentially free; coarse rankings (k-means assignment, centroid
+# top-nprobe) keep the fast default.
+PRECISE = jax.lax.Precision.HIGHEST
+
+
 class Metric(enum.Enum):
     """Distance metric, matching reference hnsw DistanceFunction ids
     (reference src/hnsw/storage.rs header field `distance_fn`)."""
@@ -68,6 +79,7 @@ def pairwise_distances(
         x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=PRECISE,
     )
     if metric is Metric.L2:
         qn = prep_norms(q) if q_norms is None else q_norms
@@ -99,7 +111,10 @@ def gathered_distances(
     """
     q = q.astype(jnp.float32)
     vecs = vecs.astype(jnp.float32)
-    dots = jnp.einsum("bd,bkd->bk", q, vecs, preferred_element_type=jnp.float32)
+    dots = jnp.einsum(
+        "bd,bkd->bk", q, vecs,
+        preferred_element_type=jnp.float32, precision=PRECISE,
+    )
     if metric is Metric.L2:
         qn = prep_norms(q) if q_norms is None else q_norms
         vn = jnp.sum(vecs * vecs, axis=-1) if vec_norms is None else vec_norms

@@ -147,6 +147,8 @@ def decode_value(buf: bytes, offset: int = 0, desc: bool = False):
     if tag == TAG_TRUE:
         return True, offset + 1
     if tag == TAG_NUM:
+        if len(buf) < offset + 17:
+            raise ValueError("truncated numeric key")
         bits = struct.unpack(">Q", buf[offset + 1 : offset + 9])[0]
         f = _unflip_float(bits)
         resid = struct.unpack(">Q", buf[offset + 9 : offset + 17])[0] - (1 << 63)

@@ -856,27 +856,18 @@ def _in_subquery(e: A.InSubquery, batch: Batch, ctx: EvalContext) -> Col:
     except SqlError:
         corr = True
     if not corr:
-        items = [
-            res.cols[0].values[i]
-            for i in range(res.n)
-            if not res.cols[0].nulls[i]
-        ]
-        had_null = bool(res.cols[0].nulls.any())
-        sset = set()
-        unhashable = []
-        for x in items:
-            try:
-                sset.add(_py(x))
-            except TypeError:
-                unhashable.append(x)
-        for i in range(n):
-            if nulls[i]:
-                continue
-            x = _py(v.values[i])
-            hit = x in sset or any(x == u for u in unhashable)
-            out[i] = hit
-            if not hit and had_null:
-                nulls[i] = True  # NOT IN with NULLs: unknown
+        # vectorized hash semi/anti join (reference HashSemiJoinExec /
+        # HashAntiJoinExec, planner/physical.rs:43-44): shared-coded keys
+        # + np.isin instead of a per-row Python set probe
+        from turdb_tpu.sql.factorize import joint_codes
+
+        sub_col = res.cols[0]
+        lc, rc = joint_codes([v], [sub_col])
+        hit = np.isin(lc, rc) & (lc >= 0)
+        out = hit
+        if res.n and sub_col.nulls.any():
+            # x NOT IN (.., NULL, ..) is unknown when unmatched (3VL)
+            nulls = nulls | (~hit & ~v.nulls)
     else:
         # decorrelation rewrite first (reference decorrelate.rs:56);
         # row-wise execution is the correctness fallback

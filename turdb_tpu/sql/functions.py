@@ -126,8 +126,20 @@ def _mapnum(fn, *cols: Col) -> Col:
     return Col(np.where(bad, 0.0, out), nulls | bad)
 
 
+# MySQL-style aliases from the reference inventory (README.md:382-476)
+_ALIASES = {
+    "ucase": "upper",
+    "lcase": "lower",
+    "len": "length",
+    "curdate": "current_date",
+    "curtime": "current_time",
+    "rand": "random",
+    "truncate": "trunc",
+}
+
+
 def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
-    name = e.name
+    name = _ALIASES.get(e.name, e.name)
     n = batch.n
     if name in AGGREGATES or name in WINDOW_FUNCS:
         raise SqlError(
@@ -208,6 +220,8 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
         for i in range(n):
             out[i] = "null" if args[0].nulls[i] else _ty(_py(args[0].values[i]))
         return Col(out)
+    if name == "database":
+        return Col.const("main", n)
     if name == "version":
         from turdb_tpu import __version__
 
@@ -311,6 +325,17 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
             lambda s, k, p: str(s).ljust(int(k), str(p)[0])[: int(k)],
             args[0], args[1], pad,
         )
+    if name == "locate":
+        want(2)   # LOCATE(substr, str): 1-based, 0 when absent
+        return _map(
+            lambda sub, s: str(s).find(str(sub)) + 1, args[0], args[1]
+        )
+    if name == "strcmp":
+        want(2)
+        return _map(
+            lambda a, b: (str(a) > str(b)) - (str(a) < str(b)),
+            args[0], args[1],
+        )
     if name in ("strpos", "position", "instr"):
         want(2)
         return _map(lambda s, sub: str(s).find(str(sub)) + 1, args[0], args[1])
@@ -397,6 +422,11 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
         )
     if name == "trunc":
         want(1, 2)
+        if len(args) == 2:
+            return _mapnum(
+                lambda x, d: np.trunc(x * 10.0 ** d) / 10.0 ** d,
+                args[0], args[1],
+            )
         return _mapnum(lambda x: np.trunc(x), args[0])
     if name == "sqrt":
         want(1)
@@ -521,22 +551,17 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
             return d.strftime("%Y-%m-%d %H:%M:%S")
 
         return _map(_trunc, args[0], args[1])
-    if name == "date_add":
+    if name in ("date_add", "date_sub"):
         want(2)
+        sign = 1 if name == "date_add" else -1
 
-        def _dadd(v, micros):
-            d = _parse_dt(v) + _dt.timedelta(microseconds=int(micros))
+        def _dshift(v, days):
+            d = _parse_dt(v) + sign * _dt.timedelta(days=float(days))
+            if len(str(v).strip()) <= 10:        # date in, date out
+                return d.date().isoformat()
             return d.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
 
-        return _map(_dadd, args[0], args[1])
-    if name == "date_sub":
-        want(2)
-
-        def _dsub(v, micros):
-            d = _parse_dt(v) - _dt.timedelta(microseconds=int(micros))
-            return d.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
-
-        return _map(_dsub, args[0], args[1])
+        return _map(_dshift, args[0], args[1])
     if name == "age":
         want(2)
         return _map(
@@ -556,6 +581,75 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
     if name == "strftime":
         want(2)
         return _map(lambda f, v: _parse_dt(v).strftime(str(f)), args[0], args[1])
+    if name in (
+        "date", "time", "year", "month", "day", "hour", "minute", "second",
+        "dayname", "monthname", "dayofweek", "dayofyear", "quarter", "week",
+        "last_day",
+    ):
+        want(1)
+
+        def _dx(v):
+            d = _parse_dt(v)
+            if name == "date":
+                return d.date().isoformat()
+            if name == "time":
+                return d.time().isoformat()
+            if name == "year":
+                return d.year
+            if name == "month":
+                return d.month
+            if name == "day":
+                return d.day
+            if name == "hour":
+                return d.hour
+            if name == "minute":
+                return d.minute
+            if name == "second":
+                return d.second
+            if name == "dayname":
+                return d.strftime("%A")
+            if name == "monthname":
+                return d.strftime("%B")
+            if name == "dayofweek":
+                return d.isoweekday() % 7 + 1      # 1 = Sunday (MySQL)
+            if name == "dayofyear":
+                return d.timetuple().tm_yday
+            if name == "quarter":
+                return (d.month - 1) // 3 + 1
+            if name == "week":
+                return d.isocalendar()[1]
+            import calendar
+
+            return d.date().replace(
+                day=calendar.monthrange(d.year, d.month)[1]
+            ).isoformat()
+
+        return _map(_dx, args[0])
+    if name == "datediff":
+        want(2)
+        return _map(
+            lambda a, b: (_parse_dt(a).date() - _parse_dt(b).date()).days,
+            args[0], args[1],
+        )
+    if name == "date_format":
+        want(2)
+        # MySQL format tokens -> strftime (%i minutes, %M month name, ...)
+        _tok = {"%M": "%B", "%i": "%M", "%s": "%S", "%W": "%A", "%e": "%d"}
+
+        def _df(v, fmt):
+            f = str(fmt)
+            out, i = "", 0
+            while i < len(f):
+                if f[i] == "%" and i + 1 < len(f):
+                    t = f[i : i + 2]
+                    out += _tok.get(t, t)
+                    i += 2
+                else:
+                    out += f[i]
+                    i += 1
+            return _parse_dt(v).strftime(out)
+
+        return _map(_df, args[0], args[1])
 
     # ---- vector -----------------------------------------------------------
     if name == "vector_dims":

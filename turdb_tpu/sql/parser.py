@@ -969,6 +969,8 @@ _SOFT_IDENT = {
 
 # DELETE/UPDATE appear inside ON DELETE / ON UPDATE fk actions
 _SOFT_IDENT |= {"DELETE", "UPDATE"}
+# statement keywords that also name scalar functions (TRUNCATE(n, d))
+_SOFT_IDENT |= {"TRUNCATE"}
 
 
 def _num(text: str):
