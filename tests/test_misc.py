@@ -214,3 +214,56 @@ class TestSpill:
         )
         assert rows == [(2000, sum(i * 5 for i in range(2000)))]
         db.close()
+
+
+class TestPreparedPlans:
+    """CachedInsertPlan (reference prepared.rs:106-158)."""
+
+    def test_prepared_insert_plan(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "pp"))
+        db.execute("CREATE TABLE t (id BIGINT PRIMARY KEY, v TEXT)")
+        ps = db.prepare("INSERT INTO t VALUES ($1, $2)")
+        for i in range(50):
+            ps.execute([i, f"v{i}"])
+        assert ps._plan  # the fast path actually engaged
+        assert db.query("SELECT COUNT(*) FROM t") == [(50,)]
+        # constraint still enforced through the plan
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            ps.execute([0, "dup"])
+        assert db.query("SELECT COUNT(*) FROM t") == [(50,)]
+
+    def test_prepared_plan_survives_ddl(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "pd"))
+        db.execute("CREATE TABLE t (id BIGINT)")
+        ps = db.prepare("INSERT INTO t (id) VALUES ($1)")
+        ps.execute([1])
+        db.execute("ALTER TABLE t ADD COLUMN extra TEXT")
+        ps.execute([2])  # plan rebinds against the new TableInfo
+        rows = db.query("SELECT id, extra FROM t ORDER BY id")
+        assert rows == [(1, None), (2, None)]
+
+    def test_prepared_faster_than_raw(self, tmp_path):
+        import time
+
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "pf"))
+        db.execute("PRAGMA wal_autoflush = false")
+        db.execute("CREATE TABLE t (a BIGINT, b DOUBLE, c TEXT)")
+        n = 2000
+        t0 = time.perf_counter()
+        for i in range(n):
+            db.execute(f"INSERT INTO t VALUES ({i}, {i}.5, 'r{i}')")
+        raw = time.perf_counter() - t0
+        ps = db.prepare("INSERT INTO t VALUES ($1, $2, $3)")
+        t0 = time.perf_counter()
+        for i in range(n):
+            ps.execute([i, i + 0.5, f"r{i}"])
+        prep = time.perf_counter() - t0
+        assert prep < raw, f"prepared {prep:.3f}s !< raw {raw:.3f}s"

@@ -999,18 +999,104 @@ class Database:
             info.btree_cols[idef.name] = cols
 
 
+class CachedInsertPlan:
+    """Pre-resolved INSERT plan (reference prepared.rs:106-158
+    CachedInsertPlan): the table info, target column order, and per-cell
+    binders (literal constant or parameter index) resolve ONCE at prepare
+    time; execute() skips parsing, name resolution, and expression
+    dispatch. Rebuilds itself when DDL replaces the TableInfo."""
+
+    def __init__(self, db: Database, stmt: A.Insert):
+        self.db = db
+        self.stmt = stmt
+        self.schema = stmt.table.schema or "main"
+        self.tname = stmt.table.name
+        self._bind()
+
+    def _bind(self):
+        db, stmt = self.db, self.stmt
+        self.info = db.resolve_table(stmt.table)
+        colnames = [c.name for c in self.info.columns]
+        target = stmt.columns if stmt.columns is not None else colnames
+        for cn in target:
+            if cn not in colnames:
+                raise SqlError(f"no such column: {cn}")
+        binders = []
+        for vrow in stmt.values:
+            if len(vrow) != len(target):
+                raise SqlError(
+                    f"INSERT has {len(vrow)} values for {len(target)} columns"
+                )
+            row = []
+            for cn, e in zip(target, vrow):
+                if isinstance(e, A.Literal):
+                    row.append((cn, False, e.value))
+                elif isinstance(e, A.Param):
+                    row.append((cn, True, e.index - 1))
+                else:
+                    raise _NotCacheable()
+            binders.append(row)
+        self.binders = binders
+
+    @classmethod
+    def try_build(cls, db: Database, stmt) -> "CachedInsertPlan | None":
+        if not (
+            isinstance(stmt, A.Insert)
+            and stmt.values is not None
+            and stmt.on_conflict is None
+            and not stmt.returning
+        ):
+            return None
+        try:
+            return cls(db, stmt)
+        except (_NotCacheable, SqlError):
+            return None
+
+    def execute(self, params) -> ExecuteResult:
+        from turdb_tpu.database import dml
+
+        db = self.db
+        db._check_writable()
+        live = db.catalog.get(self.schema, {}).get(self.tname)
+        if live is not self.info:     # DDL since prepare: re-resolve
+            self._bind()
+        txn, own = db._begin_write()
+        try:
+            res = dml.insert_plan_rows(db, self.info, self.binders, params, txn)
+            if own:
+                db._commit(txn)
+            return res
+        except Exception:
+            if own:
+                db.mgr.abort(txn)
+            raise
+
+
+class _NotCacheable(Exception):
+    pass
+
+
 class PreparedStatement:
-    """Prepared statement with a cached parse (reference prepared.rs:158).
-    The plan cache here is the parsed AST + resolved table info; columnar
-    execution re-binds params per call."""
+    """Prepared statement with a cached parse + (for plain INSERT ...
+    VALUES) a CachedInsertPlan (reference prepared.rs:106-158).
+    Columnar execution re-binds params per call."""
 
     def __init__(self, db: Database, sql: str):
         self.db = db
         self.sql = sql
         self.stmt = _parse_stmt(sql)
+        self._plan: CachedInsertPlan | None | bool = None
 
     def execute(self, params=None) -> ExecuteResult:
-        return self.db._dispatch(self.stmt, list(params or []), self.sql)
+        params = list(params or [])
+        if self._plan is not False and isinstance(self.stmt, A.Insert):
+            if self._plan is None:
+                self._plan = (
+                    CachedInsertPlan.try_build(self.db, self.stmt) or False
+                )
+            if self._plan:
+                return self._plan.execute(params)
+        return self.db._dispatch(self.stmt, params, self.sql)
 
     def query(self, params=None) -> list[tuple]:
         if isinstance(self.stmt, A.Select):

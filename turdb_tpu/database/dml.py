@@ -116,6 +116,36 @@ def execute_insert(db, stmt: A.Insert, params, txn):
     return res
 
 
+def insert_plan_rows(db, info, binders, params, txn):
+    """Execute a CachedInsertPlan's pre-bound rows: the reference's
+    prepared-insert fast path (prepared.rs:106-158) — no parsing, no name
+    resolution, no expression dispatch; just bind, validate, insert."""
+    from turdb_tpu.database.api import ExecuteResult
+
+    ctx = db._ctx(params, txn)
+    inserted = 0
+    last = None
+    for brow in binders:
+        row = {}
+        for cn, is_param, payload in brow:
+            if is_param:
+                if payload >= len(params):
+                    raise SqlError(f"missing bind parameter ${payload + 1}")
+                row[cn] = params[payload]
+            else:
+                row[cn] = payload
+        prepared = _prepare_row(db, info, row, ctx)
+        if _find_conflict(db, info, prepared, ctx) is not None:
+            raise _cv(db)(f"UNIQUE constraint violated on {info.table.name}")
+        _check_fks(db, info, prepared, ctx)
+        (rowid,) = info.table.insert_rows([prepared], txn)
+        db._log_insert(info, rowid, prepared, txn)
+        _index_insert(db, info, rowid, prepared)
+        inserted += 1
+        last = rowid
+    return ExecuteResult(rows_affected=inserted, last_rowid=last)
+
+
 def eval_default(db, cd):
     if cd.default is None:
         return None
