@@ -19,13 +19,17 @@ import time
 
 import numpy as np
 
-N = int(os.environ.get("TURDB_BENCH_N", 100_000))
+N = int(os.environ.get("TURDB_BENCH_N", 1_000_000))   # the SIFT-1M-class gate
 DIM = int(os.environ.get("TURDB_BENCH_DIM", 128))
 K = 10
 N_QUERIES = int(os.environ.get("TURDB_BENCH_Q", 16384))
 RECALL_GATE = 0.95
 BASELINE_QPS = 50_000.0  # BASELINE.json: >=50k QPS/chip at recall@10>=0.95
 SKIP_HNSW = os.environ.get("TURDB_BENCH_SKIP_HNSW") == "1"
+# HNSW is the parity engine, not the throughput engine; cap its measured
+# store size so the bench stays inside the driver budget (it enters the
+# headline only when it was measured at the FULL N)
+N_HNSW = int(os.environ.get("TURDB_BENCH_N_HNSW", min(N, 200_000)))
 
 
 def log(*a):
@@ -202,20 +206,30 @@ def main():
     # ---- HNSW (the reference algorithm) ----------------------------------
     if not SKIP_HNSW:
       try:
-        idx = HnswIndex(dim=DIM, ef_construction=100, build_batch=512, capacity=N)
+        nh = N_HNSW
+        xh = x[:nh]
+        if nh == N:
+            truth_h = truth
+        else:
+            fh = FlatIndex(dim=DIM, capacity=nh)
+            fh.add(xh)
+            _, truth_h = fh.search(sample, k=K)
+        idx = HnswIndex(dim=DIM, ef_construction=100, build_batch=512,
+                        capacity=nh)
         t0 = time.perf_counter()
-        idx.add(x)
+        idx.add(xh)
         build_s = time.perf_counter() - t0
-        log(f"hnsw: build {N} in {build_s:.1f}s = {N / build_s:,.0f} vec/s")
+        log(f"hnsw: build {nh} in {build_s:.1f}s = {nh / build_s:,.0f} vec/s "
+            f"({'bulk' if nh >= idx.bulk_threshold else 'waves'})")
         star = None
         for ef in (64, 128, 256):
             _, ids = idx.search(sample, k=K, ef=ef)
-            r = recall_of(ids, truth)
+            r = recall_of(ids, truth_h)
             log(f"  ef={ef}: recall@{K}={r:.4f}")
             if r >= RECALL_GATE:
                 star = (ef, r)
                 break
-        if star is not None:
+        if star is not None and nh == N:
             ef, r = star
             # per-call with host materialization (reuses the already-
             # compiled search program; a fresh scan program would pay
@@ -237,6 +251,32 @@ def main():
             results.append(("hnsw", qps, r, N / build_s, idx, ef))
       except Exception as e:
         log(f"  hnsw: FAILED ({str(e)[:120]})")
+
+    # ---- shell-data recall check (the tie-heavy variant; VERDICT r1 #2
+    # asked for both jittered and shell evidence at scale) ----------------
+    if os.environ.get("TURDB_BENCH_SHELL", "1") == "1" and results:
+      try:
+        ns = N
+        xs_ = rng.standard_normal((ns, DIM)).astype(np.float32)
+        qs_ = rng.standard_normal((256, DIM)).astype(np.float32)
+        fs = FlatIndex(dim=DIM, capacity=ns)
+        fs.add(xs_)
+        _, ts_ = fs.search(qs_, k=K)
+        sidx = IvfIndex(dim=DIM)
+        t0 = time.perf_counter()
+        sidx.add(xs_)
+        if sidx.state is None:
+            sidx.train()
+        log(f"shell build: {ns / (time.perf_counter() - t0):,.0f} vec/s")
+        for nprobe in (4, 8, 16, 32, 64):
+            _, ids = sidx.search(qs_, k=K, nprobe=nprobe)
+            r = recall_of(ids, ts_)
+            log(f"  shell {ns // 1000}k nprobe={nprobe}: recall@{K}={r:.4f}")
+            if r >= RECALL_GATE:
+                break
+        del sidx, fs, xs_
+      except Exception as e:
+        log(f"  shell check FAILED ({str(e)[:120]})")
 
     if not results:
         print(json.dumps({

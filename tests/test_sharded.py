@@ -105,3 +105,30 @@ def test_gid_stability_across_growth(data):
     _, gi = idx.search(q, k=1)
     for j in range(5):
         assert gi[j, 0] == gids[j], "stored gid no longer matches"
+
+def test_multihost_two_level_merge(data):
+    """(host, data, db) mesh: store sharded over host x db, search merges
+    db on 'ICI' then host on 'DCN' with only [B,k] crossing the host
+    axis. Results must match the exact oracle like the flat mesh does."""
+    from turdb_tpu.parallel.mesh import make_multihost_mesh
+    from turdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    x, q, true_ids = data
+    mesh = make_multihost_mesh(n_host=2, n_db=2, n_data=2)
+    idx = ShardedHnswIndex(dim=32, mesh=mesh, ef_construction=64)
+    assert idx.n_shards == 4
+    gids = idx.add(x)
+    d, gi = idx.search(q, k=10, ef=64)
+    lut = {g: i for i, g in enumerate(gids)}
+    pred = np.array([[lut.get(g, -1) for g in row] for row in gi])
+    r = recall_at_k(pred, true_ids)
+    assert r >= 0.93, f"multihost hnsw recall {r:.3f}"
+
+    ivf = ShardedIvfIndex(dim=32, mesh=mesh, nprobe=16)
+    g2 = ivf.add(x)
+    ivf.train()
+    d2, gi2 = ivf.search(q, k=10)
+    lut2 = {g: i for i, g in enumerate(g2)}
+    pred2 = np.array([[lut2.get(g, -1) for g in row] for row in gi2])
+    r2 = recall_at_k(pred2, true_ids)
+    assert r2 >= 0.9, f"multihost ivf recall {r2:.3f}"

@@ -71,6 +71,9 @@ MEMORY_BUDGET_MIN = 4 * 1024 * 1024
 # ---------------------------------------------------------------------------
 MESH_AXIS_DB = "db"      # vector-store shard axis (the "tensor" axis)
 MESH_AXIS_DATA = "data"  # query-batch data-parallel axis
+MESH_AXIS_HOST = "host"  # cross-host (DCN) shard axis; outermost so the
+#                          db-axis merge rides ICI and only [B,k] buffers
+#                          cross DCN (two-level merge, SURVEY §2.9)
 
 # Dependency assertions (spirit of reference constants.rs `const _: ()`).
 assert HNSW_M0 == 2 * HNSW_M, "level-0 degree must be 2*M (graph invariant)"

@@ -360,7 +360,7 @@ class Database:
 
     def _reindex(self, info: TableInfo):
         for name, idx in info.btree.items():
-            idx._run, idx._delta, idx._deleted = [], [], set()
+            idx.clear()
         read_ts = self.mgr.snapshot_ts()
         vis = info.table.visible_indices(self.mgr, read_ts)
         for name, idx in info.btree.items():

@@ -29,45 +29,76 @@ _MERGE_THRESHOLD = 2048
 
 
 class SortedKeyIndex:
+    """Size-tiered sorted runs (LSM-style): the delta buffer flushes into
+    a fresh sorted run; adjacent runs compact when the newer one reaches
+    half the elder's size. Amortized O(log n) merge work per insert —
+    the round-1 single-run design re-sorted the WHOLE index every 2,048
+    inserts (quadratic-ish at millions of rows). Probes bisect each of
+    the O(log n) runs."""
+
     def __init__(self, name: str, columns: list[str], unique: bool = False):
         self.name = name
         self.columns = columns
         self.unique = unique
-        self._run: list[tuple[bytes, int]] = []   # sorted
+        self._runs: list[list[tuple[bytes, int]]] = []  # each sorted
         self._delta: list[tuple[bytes, int]] = []
         self._deleted: set[tuple[bytes, int]] = set()
 
     def make_key(self, values) -> bytes:
         return encode_key(list(values))
 
+    def clear(self):
+        self._runs, self._delta, self._deleted = [], [], set()
+
     def insert(self, key: bytes, rowid: int):
         self._deleted.discard((key, rowid))
         self._delta.append((key, rowid))
         if len(self._delta) >= _MERGE_THRESHOLD:
-            self._merge()
+            self._flush()
 
     def delete(self, key: bytes, rowid: int):
         self._deleted.add((key, rowid))
 
-    def _merge(self):
-        merged = sorted(set(self._run) | set(self._delta))
-        if self._deleted:
-            merged = [e for e in merged if e not in self._deleted]
-            self._deleted.clear()
-        self._run = merged
-        self._delta = []
+    def _flush(self):
+        if self._delta:
+            self._runs.append(sorted(set(self._delta)))
+            self._delta = []
+        # size-tiered compaction
+        while (
+            len(self._runs) >= 2
+            and 2 * len(self._runs[-1]) >= len(self._runs[-2])
+        ):
+            b = self._runs.pop()
+            a = self._runs.pop()
+            self._runs.append(self._merge_two(a, b))
+        # tombstones purge whenever everything compacted into one run
+        if self._deleted and len(self._runs) == 1:
+            dead = self._deleted
+            self._runs[0] = [e for e in self._runs[0] if e not in dead]
+            self._deleted = set()
+
+    @staticmethod
+    def _merge_two(a, b):
+        import heapq
+
+        out: list[tuple[bytes, int]] = []
+        last = None
+        for e in heapq.merge(a, b):
+            if e != last:       # (key, rowid) may recur across runs
+                out.append(e)
+                last = e
+        return out
 
     def find(self, key: bytes) -> list[int]:
-        """All rowids with exactly this key (deduplicated: the same
-        (key, rowid) can live in both the run and the delta after a
-        delete + re-insert cycle)."""
+        """All rowids with exactly this key (deduplicated across runs)."""
         out = []
-        lo = bisect.bisect_left(self._run, (key, -(2**62)))
-        while lo < len(self._run) and self._run[lo][0] == key:
-            e = self._run[lo]
-            if e not in self._deleted:
-                out.append(e[1])
-            lo += 1
+        for run in self._runs:
+            lo = bisect.bisect_left(run, (key, -(2**62)))
+            while lo < len(run) and run[lo][0] == key:
+                e = run[lo]
+                if e not in self._deleted:
+                    out.append(e[1])
+                lo += 1
         for k, r in self._delta:
             if k == key and (k, r) not in self._deleted:
                 out.append(r)
@@ -75,19 +106,33 @@ class SortedKeyIndex:
 
     def range(self, lo_key: bytes | None, hi_key: bytes | None,
               lo_inc=True, hi_inc=True) -> list[int]:
-        self._merge()
-        lo = 0
-        if lo_key is not None:
-            lo = bisect.bisect_left(self._run, (lo_key, -(2**62))) if lo_inc else \
-                bisect.bisect_right(self._run, (lo_key, 2**62))
-        hi = len(self._run)
-        if hi_key is not None:
-            hi = bisect.bisect_right(self._run, (hi_key, 2**62)) if hi_inc else \
-                bisect.bisect_left(self._run, (hi_key, -(2**62)))
-        return [r for _, r in self._run[lo:hi]]
+        """Candidate rowids in [lo, hi] (order not guaranteed — callers
+        re-apply the full WHERE on the candidate batch)."""
+        self._flush()
+        out: list[int] = []
+        dead = self._deleted
+        for run in self._runs:
+            lo = 0
+            if lo_key is not None:
+                lo = bisect.bisect_left(run, (lo_key, -(2**62))) if lo_inc \
+                    else bisect.bisect_right(run, (lo_key, 2**62))
+            hi = len(run)
+            if hi_key is not None:
+                hi = bisect.bisect_right(run, (hi_key, 2**62)) if hi_inc \
+                    else bisect.bisect_left(run, (hi_key, -(2**62)))
+            if dead:
+                out.extend(r for e in run[lo:hi]
+                           if (r := e[1]) is not None and e not in dead)
+            else:
+                out.extend(r for _, r in run[lo:hi])
+        return list(dict.fromkeys(out))
 
     def __len__(self):
-        return len(self._run) + len(self._delta) - len(self._deleted)
+        return (
+            sum(len(r) for r in self._runs)
+            + len(self._delta)
+            - len(self._deleted)
+        )
 
 
 _METRIC_BY_OP = {"<->": Metric.L2, "<#>": Metric.IP, "<=>": Metric.COSINE}

@@ -388,15 +388,40 @@ class IvfIndex:
             else np.arange(n)
         )
         xt = _pad_rows(x[tr_idx], _KM_CHUNK)
-        cents = _kmeans(jnp.asarray(xt), jnp.asarray(x[seed_idx]), iters=iters)
+        xtj = jnp.asarray(xt)
+        cents = _kmeans(xtj, jnp.asarray(x[seed_idx]), iters=iters)
         jax.block_until_ready(cents)
         mark("kmeans")
         xp = _pad_rows(x, _KM_CHUNK)
-        assign = np.asarray(_assign_all(jnp.asarray(xp), cents))[:n]
+        xpj = jnp.asarray(xp)
+        assign = np.asarray(_assign_all(xpj, cents))[:n]
         mark("assign")
         cap = self._cluster_cap or _pow2_at_least(
             max(int(2.0 * n / c), 16), floor=8
         )
+        # balance repair (faiss-style): Lloyd's on blobby data leaves many
+        # centroids empty while others swallow whole blobs; re-seed each
+        # empty centroid as a perturbed copy of an oversized one and run a
+        # couple more device iterations. This does on the MXU what the
+        # host 2-means split cascade otherwise does one cluster at a time
+        # (round-1: 3125 -> 13190 clusters, 16-26s of host time at 200k).
+        for rnd in range(4):
+            counts = np.bincount(assign, minlength=c)
+            over = np.flatnonzero(counts > cap)
+            empty = np.flatnonzero(counts == 0)
+            if len(over) == 0 or len(empty) == 0:
+                break
+            cents_np = np.array(cents)
+            want = np.maximum(counts[over] // cap, 1)
+            donors = np.repeat(over, want)[: len(empty)]
+            rloc = np.random.default_rng(7 + rnd)
+            sigma = 1e-3 * (np.abs(cents_np[donors]).mean() + 1.0)
+            cents_np[empty[: len(donors)]] = cents_np[donors] + sigma * (
+                rloc.standard_normal((len(donors), self.dim)).astype(np.float32)
+            )
+            cents = _kmeans(xtj, jnp.asarray(cents_np), iters=2)
+            assign = np.asarray(_assign_all(xpj, cents))[:n]
+        mark("rebalance")
         # split oversized clusters (local 2-means) instead of spilling rows
         # to far clusters: a spilled row is invisible to centroid probing
         # (measured: spill victims' clusters rank ~78-255th for their

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from turdb_tpu.config import MESH_AXIS_DATA, MESH_AXIS_DB
+from turdb_tpu.config import MESH_AXIS_DATA, MESH_AXIS_DB, MESH_AXIS_HOST
 from turdb_tpu.models.hnsw import (
     HnswConfig,
     HnswState,
@@ -65,7 +65,13 @@ class ShardedHnswIndex:
         build_batch: int = 512,
     ):
         self.mesh = mesh
-        self.n_shards = mesh.shape[MESH_AXIS_DB]
+        self.n_db = mesh.shape[MESH_AXIS_DB]
+        self.n_host = mesh.shape.get(MESH_AXIS_HOST, 1)
+        self.n_shards = self.n_host * self.n_db
+        self._store_spec = (
+            P((MESH_AXIS_HOST, MESH_AXIS_DB)) if self.n_host > 1
+            else P(MESH_AXIS_DB)
+        )
         self.n_data = mesh.shape.get(MESH_AXIS_DATA, 1)
         self.cfg = HnswConfig(
             dim=dim, m0=2 * m, m=m, metric=metric,
@@ -81,7 +87,7 @@ class ShardedHnswIndex:
         self.id_stride = stride
         self.build_batch = build_batch
         state = _init_stacked(self.cfg, self.n_shards, self.capacity)
-        sharding = NamedSharding(mesh, P(MESH_AXIS_DB))
+        sharding = NamedSharding(mesh, self._store_spec)
         self.state = jax.device_put(state, sharding)
         self.sizes = np.zeros(self.n_shards, np.int64)
         self._alive = np.zeros((self.n_shards, self.capacity), bool)
@@ -240,15 +246,13 @@ class ShardedHnswIndex:
             )
             return jax.tree.map(lambda x: x[None], out)
 
+        sp = self._store_spec
         fn = jax.jit(
             jax.shard_map(
                 local,
                 mesh=self.mesh,
-                in_specs=(
-                    P(MESH_AXIS_DB), P(MESH_AXIS_DB), P(MESH_AXIS_DB),
-                    P(MESH_AXIS_DB), P(MESH_AXIS_DB),
-                ),
-                out_specs=P(MESH_AXIS_DB),
+                in_specs=(sp, sp, sp, sp, sp),
+                out_specs=sp,
                 check_vma=False,
             ),
             donate_argnums=(0,),
@@ -262,6 +266,8 @@ class ShardedHnswIndex:
             return self._fn_cache[key]
         cfg = self.cfg
         stride = self.id_stride
+        multihost = self.n_host > 1
+        n_db = self.n_db
 
         def local(state, q, mask):
             state = jax.tree.map(lambda x: x[0], state)
@@ -270,19 +276,29 @@ class ShardedHnswIndex:
                 state, q, am, cfg=cfg, k=k, ef=ef, iters=iters, filtered=filtered
             )
             shard = jax.lax.axis_index(MESH_AXIS_DB)
+            if multihost:
+                shard = shard + jax.lax.axis_index(MESH_AXIS_HOST) * n_db
             # int32 packing is alias-free: n_shards*stride <= 2^31 (init)
             gi = jnp.where(i >= 0, shard.astype(jnp.int32) * stride + i, -1)
+            # level 1: ICI merge over db
             ad = jax.lax.all_gather(d, MESH_AXIS_DB)          # [S, Bl, k]
             ai = jax.lax.all_gather(gi, MESH_AXIS_DB)
             ad = jnp.moveaxis(ad, 0, 1).reshape(q.shape[0], -1)
             ai = jnp.moveaxis(ai, 0, 1).reshape(q.shape[0], -1)
             md, mi = topk_smallest(ad, ai, k)
-            return md, mi
+            if not multihost:
+                return md, mi
+            # level 2: DCN merge of the per-host [B, k] reductions
+            hd = jax.lax.all_gather(md, MESH_AXIS_HOST)
+            hi = jax.lax.all_gather(mi, MESH_AXIS_HOST)
+            hd = jnp.moveaxis(hd, 0, 1).reshape(q.shape[0], -1)
+            hi = jnp.moveaxis(hi, 0, 1).reshape(q.shape[0], -1)
+            return topk_smallest(hd, hi, k)
 
         if filtered:
-            in_specs = (P(MESH_AXIS_DB), P(MESH_AXIS_DATA), P(MESH_AXIS_DB))
+            in_specs = (self._store_spec, P(MESH_AXIS_DATA), self._store_spec)
         else:
-            in_specs = (P(MESH_AXIS_DB), P(MESH_AXIS_DATA), P())
+            in_specs = (self._store_spec, P(MESH_AXIS_DATA), P())
         fn = jax.jit(
             jax.shard_map(
                 local,
@@ -328,7 +344,7 @@ class ShardedHnswIndex:
             entry=s.entry,
             max_level=s.max_level,
         )
-        sharding = NamedSharding(self.mesh, P(MESH_AXIS_DB))
+        sharding = NamedSharding(self.mesh, self._store_spec)
         self.state = jax.device_put(self.state, sharding)
         self._alive = np.concatenate(
             [self._alive, np.zeros((self.n_shards, pad), bool)], axis=1

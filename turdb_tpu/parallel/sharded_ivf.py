@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from turdb_tpu.config import MESH_AXIS_DATA, MESH_AXIS_DB
+from turdb_tpu.config import MESH_AXIS_DATA, MESH_AXIS_DB, MESH_AXIS_HOST
 from turdb_tpu.models.ivf import IvfConfig, IvfIndex, IvfState, ivf_search_impl
 from turdb_tpu.ops.distance import Metric, normalize_rows
 from turdb_tpu.ops.topk import topk_smallest
@@ -32,7 +32,15 @@ class ShardedIvfIndex:
                  nprobe: int = 8, sq8: bool = False, rerank: int = 0,
                  n_clusters: int | None = None, cluster_cap: int | None = None):
         self.mesh = mesh
-        self.n_shards = mesh.shape[MESH_AXIS_DB]
+        self.n_db = mesh.shape[MESH_AXIS_DB]
+        self.n_host = mesh.shape.get(MESH_AXIS_HOST, 1)
+        self.n_shards = self.n_host * self.n_db
+        # the store shards over (host, db) combined; with one host this
+        # degenerates to the plain db-axis layout
+        self._store_spec = (
+            P((MESH_AXIS_HOST, MESH_AXIS_DB)) if self.n_host > 1
+            else P(MESH_AXIS_DB)
+        )
         self.n_data = mesh.shape.get(MESH_AXIS_DATA, 1)
         self.dim = dim
         self.metric = metric
@@ -103,7 +111,7 @@ class ShardedIvfIndex:
             lambda *leaves: jnp.stack(leaves), *[s.state for s in self.shards]
         )
         self._stacked = jax.device_put(
-            stacked, NamedSharding(self.mesh, P(MESH_AXIS_DB))
+            stacked, NamedSharding(self.mesh, self._store_spec)
         )
 
     def search(self, queries, k: int, nprobe: int | None = None):
@@ -132,22 +140,36 @@ class ShardedIvfIndex:
         cfg = self._cfg
         stride = self.id_stride
 
+        multihost = self.n_host > 1
+        n_db = self.n_db
+
         def local(state, q):
             state = jax.tree.map(lambda x: x[0], state)
             d, i = ivf_search_impl(state, q, None, cfg=cfg, k=k, nprobe=nprobe)
             shard = jax.lax.axis_index(MESH_AXIS_DB)
+            if multihost:
+                shard = shard + jax.lax.axis_index(MESH_AXIS_HOST) * n_db
             gi = jnp.where(i >= 0, shard.astype(jnp.int32) * stride + i, -1)
+            # level 1: merge across the db axis (ICI within a host)
             ad = jax.lax.all_gather(d, MESH_AXIS_DB)
             ai = jax.lax.all_gather(gi, MESH_AXIS_DB)
             ad = jnp.moveaxis(ad, 0, 1).reshape(q.shape[0], -1)
             ai = jnp.moveaxis(ai, 0, 1).reshape(q.shape[0], -1)
-            return topk_smallest(ad, ai, k)
+            md, mi = topk_smallest(ad, ai, k)
+            if not multihost:
+                return md, mi
+            # level 2: only [B, k] crosses DCN (two-level merge)
+            hd = jax.lax.all_gather(md, MESH_AXIS_HOST)
+            hi = jax.lax.all_gather(mi, MESH_AXIS_HOST)
+            hd = jnp.moveaxis(hd, 0, 1).reshape(q.shape[0], -1)
+            hi = jnp.moveaxis(hi, 0, 1).reshape(q.shape[0], -1)
+            return topk_smallest(hd, hi, k)
 
         fn = jax.jit(
             jax.shard_map(
                 local,
                 mesh=self.mesh,
-                in_specs=(P(MESH_AXIS_DB), P(MESH_AXIS_DATA)),
+                in_specs=(self._store_spec, P(MESH_AXIS_DATA)),
                 out_specs=(P(MESH_AXIS_DATA), P(MESH_AXIS_DATA)),
                 check_vma=False,
             )
