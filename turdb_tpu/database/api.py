@@ -93,6 +93,23 @@ class TableInfo:
         return RecordSchema([c.dtype for c in self.columns])
 
 
+@dataclasses.dataclass
+class IndexChoice:
+    """Outcome of index selection (shared by _try_index_scan and the
+    plan-IR builder, sql/plan.py): which index, eq-probe or range, and
+    the probed candidate rowids (the probe IS the selectivity test)."""
+
+    info: TableInfo
+    index: str
+    kind: str                 # "eq" | "range"
+    cols: tuple
+    rowids: list
+
+    @property
+    def nrows(self) -> int:
+        return len(self.rowids)
+
+
 class Database:
     # ------------------------------------------------------------------
     # lifecycle (reference database.rs:213-397 open/create/recovery)
@@ -744,10 +761,12 @@ class Database:
     # index point-lookup hook (wired by QueryEngine._select_core)
     # ------------------------------------------------------------------
 
-    def _try_index_scan(self, ref: A.TableRef, where, ctx) -> Batch | None:
-        """Equality conjuncts covering a B-tree index -> probe instead of
-        full scan (reference optimizer/index_selection.rs:38). Returns a
-        batch of candidate visible versions, or None."""
+    def _index_choice(self, ref: A.TableRef, where, ctx):
+        """Shared index-selection decision (executor + planner, plan.py):
+        equality conjuncts covering a B-tree index, else a single-column
+        range with a selectivity cutoff (reference index_selection.rs:38,
+        bounds.rs:50). Probes the index (that IS the selectivity test) and
+        returns an IndexChoice carrying the candidate rowids, or None."""
         if (ref.schema or "main") == "turdb_catalog":
             return None
         try:
@@ -812,15 +831,15 @@ class Database:
 
         walk(where)
         walk_rng(where)
-        rowids = None
         if eqs:
             for name, idx in info.btree.items():
                 cols = info.btree_cols[name]
                 if all(c in eqs for c in cols):
                     key = idx.make_key([_norm_probe(eqs[c]) for c in cols])
-                    rowids = idx.find(key)
-                    break
-        if rowids is None and ranges:
+                    return IndexChoice(
+                        info, name, "eq", tuple(cols), idx.find(key)
+                    )
+        if ranges:
             from turdb_tpu.records.keys import encode_value
 
             for name, idx in info.btree.items():
@@ -839,10 +858,19 @@ class Database:
                     cand = idx.range(lo, hi, lo_inc, hi_inc)
                     # a huge range is slower than the vectorized scan
                     if len(cand) <= max(64, info.table.nversions // 3):
-                        rowids = cand
+                        return IndexChoice(
+                            info, name, "range", tuple(cols), cand
+                        )
                     break
-        if rowids is None:
+        return None
+
+    def _try_index_scan(self, ref: A.TableRef, where, ctx) -> Batch | None:
+        """Execute the _index_choice decision: resolve candidate rowids
+        against the MVCC snapshot and materialize the candidate batch."""
+        choice = self._index_choice(ref, where, ctx)
+        if choice is None:
             return None
+        info, rowids = choice.info, choice.rowids
         read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
         own = getattr(ctx, "own_txn", 0)
         vidx = []
@@ -868,6 +896,16 @@ class Database:
     # ANN fast path hook (wired by QueryEngine._try_ann_path)
     # ------------------------------------------------------------------
 
+    def _ann_choice(self, info: TableInfo, colname: str, op: str):
+        """Shared ANN index resolution (executor + planner, plan.py):
+        the first vector index on `colname` whose metric matches the
+        operator. Returns (index_name, engine_kind) or None."""
+        metric = {"<->": Metric.L2, "<#>": Metric.IP, "<=>": Metric.COSINE}[op]
+        for name, h in info.hnsw.items():
+            if h.column == colname and h.metric is metric:
+                return name, type(h).__name__.replace("TableIndex", "").lower()
+        return None
+
     def _ann_search(self, sel: A.Select, colref: A.ColumnRef, qvec, op, k, ctx):
         if not self.ann_enabled:
             return None
@@ -876,14 +914,10 @@ class Database:
             info = self.resolve_table(ref)
         except SqlError:
             return None
-        metric = {"<->": Metric.L2, "<#>": Metric.IP, "<=>": Metric.COSINE}[op]
-        hidx = None
-        for h in info.hnsw.values():
-            if h.column == colref.name and h.metric is metric:
-                hidx = h
-                break
-        if hidx is None:
+        choice = self._ann_choice(info, colref.name, op)
+        if choice is None:
             return None
+        hidx = info.hnsw[choice[0]]
         read_ts = getattr(ctx, "read_ts", None) or self.mgr.snapshot_ts()
         own = getattr(ctx, "own_txn", 0)
         # everything below is whole-array ops — no per-row host work

@@ -196,88 +196,20 @@ def _as_bool(v) -> bool:
 
 
 def explain_plan(db, stmt) -> list[str]:
-    """Textual plan tree (reference EXPLAIN, database/config.rs)."""
+    """Textual plan tree (reference EXPLAIN, database/config.rs). SELECTs
+    render the physical plan IR (sql/plan.py) — built by the SAME decision
+    helpers the executor calls, so the printed operators are the executed
+    operators."""
+    from turdb_tpu.sql.plan import plan_select
+
     lines: list[str] = []
 
     def emit(depth, text):
         lines.append("  " * depth + text)
 
-    def from_node(node, depth):
-        if node is None:
-            emit(depth, "Dual (1 row)")
-        elif isinstance(node, A.TableRef):
-            emit(depth, f"SeqScan {node.schema or 'main'}.{node.name}"
-                 + (f" AS {node.alias}" if node.alias else ""))
-        elif isinstance(node, A.SubqueryRef):
-            emit(depth, f"Subquery AS {node.alias}")
-            select(node.subquery, depth + 1)
-        elif isinstance(node, A.Join):
-            kind = node.kind
-            algo = "HashJoin" if node.on is not None or node.using else "CrossJoin"
-            emit(depth, f"{algo} ({kind})"
-                 + (f" ON {A.render_expr(node.on)}" if node.on else ""))
-            from_node(node.left, depth + 1)
-            from_node(node.right, depth + 1)
-
     def select(sel: A.Select, depth):
-        if sel.limit is not None and sel.order_by:
-            ob = sel.order_by[0].expr
-            if (
-                isinstance(ob, A.BinaryOp)
-                and ob.op in ("<->", "<#>", "<=>")
-                and isinstance(sel.from_, A.TableRef)
-                and db.ann_enabled
-            ):
-                try:
-                    info = db.resolve_table(sel.from_)
-                    col = ob.left if isinstance(ob.left, A.ColumnRef) else ob.right
-                    if isinstance(col, A.ColumnRef) and any(
-                        h.column == col.name for h in info.hnsw.values()
-                    ):
-                        emit(depth, f"AnnIndexScan {sel.from_.name} "
-                             f"({A.render_expr(ob)}) [hnsw, overfetch x{db.ann_overfetch}]")
-                        depth += 1
-                except SqlError:
-                    pass
-        if sel.limit is not None:
-            emit(depth, f"Limit {A.render_expr(sel.limit)}"
-                 + (f" OFFSET {A.render_expr(sel.offset)}" if sel.offset else ""))
-            depth += 1
-        if sel.order_by:
-            keys = ", ".join(
-                A.render_expr(o.expr) + (" DESC" if o.desc else "")
-                for o in sel.order_by
-            )
-            emit(depth, f"Sort [{keys}]")
-            depth += 1
-        if sel.distinct:
-            emit(depth, "Distinct")
-            depth += 1
-        if sel.group_by or sel.having is not None or any(
-            isinstance(it, A.SelectItem) and _has_agg(it.expr) for it in sel.items
-        ):
-            keys = ", ".join(A.render_expr(g) for g in sel.group_by)
-            emit(depth, f"HashAggregate [{keys}]"
-                 + (f" HAVING {A.render_expr(sel.having)}" if sel.having else ""))
-            depth += 1
-        emit(depth, "Project [" + ", ".join(
-            "*" if isinstance(it.expr, A.Star) else A.render_expr(it.expr)
-            for it in sel.items
-        ) + "]")
-        depth += 1
-        if sel.where is not None:
-            emit(depth, f"Filter {A.render_expr(sel.where)}")
-            depth += 1
-        from_node(sel.from_, depth)
-        if sel.set_op:
-            op, all_, rhs = sel.set_op
-            emit(depth - 1, f"{op}{' ALL' if all_ else ''}")
-            select(rhs, depth)
-
-    def _has_agg(e):
-        from turdb_tpu.sql.engine import _contains_aggregate
-
-        return _contains_aggregate(e)
+        for ln in plan_select(db, sel).render():
+            emit(depth, ln)
 
     if isinstance(stmt, A.Select):
         select(stmt, 0)

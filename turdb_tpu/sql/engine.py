@@ -330,42 +330,20 @@ class QueryEngine:
     def _try_ann_path(self, sel: A.Select, ctx: EvalContext):
         """ORDER BY <vector-col> <-> <const> LIMIT k over one HNSW-indexed
         table → graph search + visibility/predicate mask + over-fetch."""
-        if (
-            not sel.order_by
-            or len(sel.order_by) != 1
-            or sel.order_by[0].desc
-            or sel.limit is None
-            or sel.group_by
-            or sel.having is not None
-            or not isinstance(sel.from_, A.TableRef)
-        ):
+        cand = ann_candidate(sel, ctx)
+        if cand is None:
             return None
-        ob = sel.order_by[0].expr
-        if not (isinstance(ob, A.BinaryOp) and ob.op in ("<->", "<#>", "<=>")):
-            return None
-        col, const = ob.left, ob.right
-        if not isinstance(col, A.ColumnRef):
-            col, const = ob.right, ob.left
-        if not isinstance(col, A.ColumnRef):
-            return None
-        if _contains_column(const):
-            return None
+        col, const, op, k, off = cand
         hook = getattr(self.db, "_ann_search", None)
         if hook is None:
             return None
-        try:
-            k = int(_eval_scalar(sel.limit, ctx))
-            off = int(_eval_scalar(sel.offset, ctx)) if sel.offset else 0
-        except (TypeError, ValueError):
-            return None
-        qcol = Col.const(None, 1)
         qv = eval_expr(const, Batch(1), ctx)
         vec = qv.values[0] if qv.values.ndim == 1 else qv.values[0]
         if isinstance(vec, str):
             vec = parse_vector_text(vec)
         if vec is None:
             return None
-        return hook(sel, col, np.asarray(vec, np.float32), ob.op, k + off, ctx)
+        return hook(sel, col, np.asarray(vec, np.float32), op, k + off, ctx)
 
     # ------------------------------------------------------------------
     # projection
@@ -537,6 +515,38 @@ class QueryEngine:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def ann_candidate(sel: A.Select, ctx: EvalContext):
+    """Shared ANN-path eligibility check (executor + planner): the query
+    must be `ORDER BY <vec-col> <-> <const> LIMIT k` over one table with
+    no grouping. Returns (colref, const_expr, op, k, offset) or None."""
+    if (
+        not sel.order_by
+        or len(sel.order_by) != 1
+        or sel.order_by[0].desc
+        or sel.limit is None
+        or sel.group_by
+        or sel.having is not None
+        or not isinstance(sel.from_, A.TableRef)
+    ):
+        return None
+    ob = sel.order_by[0].expr
+    if not (isinstance(ob, A.BinaryOp) and ob.op in ("<->", "<#>", "<=>")):
+        return None
+    col, const = ob.left, ob.right
+    if not isinstance(col, A.ColumnRef):
+        col, const = ob.right, ob.left
+    if not isinstance(col, A.ColumnRef):
+        return None
+    if _contains_column(const):
+        return None
+    try:
+        k = int(_eval_scalar(sel.limit, ctx))
+        off = int(_eval_scalar(sel.offset, ctx)) if sel.offset else 0
+    except (TypeError, ValueError):
+        return None
+    return col, const, ob.op, k, off
 
 
 def _eval_scalar(expr, ctx: EvalContext):
