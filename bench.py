@@ -187,14 +187,20 @@ def main():
         state = idx.state
 
         @_jax.jit
-        def scan_fn(qs):
+        def _scan(st, qs):
+            # state rides as a pytree ARGUMENT: closing over it would bake
+            # ~GBs of index arrays into the program as captured constants
+            # (slow lowering, duplicated HBM)
             def step(_, qb):
                 d, i = ivf_search_impl(
-                    state, qb, None, cfg=cfg, k=K, nprobe=nprobe
+                    st, qb, None, cfg=cfg, k=K, nprobe=nprobe
                 )
                 return 0, i
             _, ids = _jax.lax.scan(step, 0, qs)
             return ids
+
+        def scan_fn(qs):
+            return _scan(state, qs)
 
         qps = qps_device_slope(scan_fn, queries)
         log(f"  {tag}: QPS={qps:,.0f} (device-slope) @ "
@@ -231,22 +237,30 @@ def main():
                 break
         if star is not None and nh == N:
             ef, r = star
-            # per-call with host materialization (reuses the already-
-            # compiled search program; a fresh scan program would pay
-            # minutes of tunnel compile). Includes ~0.1s/call of relay
-            # roundtrip, so this modestly UNDERCOUNTS the engine.
-            import jax.numpy as _jnp
+            import jax as _jax
 
-            batch = 1024
-            lats = []
-            for i in range(1, 4):
-                qb = _jnp.asarray(queries[i * batch : (i + 1) * batch])
-                t0 = time.perf_counter()
-                _, ids = idx.search(qb, k=K, ef=ef)
-                np.asarray(ids)
-                lats.append(time.perf_counter() - t0)
-            qps = batch / float(np.median(lats))
-            log(f"  hnsw: QPS={qps:,.0f} (host-inclusive) @ ef={ef} "
+            from turdb_tpu.models.hnsw import hnsw_search_impl
+
+            hcfg = idx.cfg
+            hstate = idx.state
+            def_ef = idx._descent_ef
+
+            @_jax.jit
+            def _hscan(st, qs):
+                def step(_, qb):
+                    _, ids = hnsw_search_impl(
+                        st, qb, None, cfg=hcfg, k=K, ef=ef,
+                        iters=ef + ef // 2, filtered=False,
+                        descent_ef=def_ef,
+                    )
+                    return 0, ids
+                _, out = _jax.lax.scan(step, 0, qs)
+                return out
+
+            qps = qps_device_slope(
+                lambda qs: _hscan(hstate, qs), queries, m_lo=2, m_hi=4
+            )
+            log(f"  hnsw: QPS={qps:,.0f} (device-slope) @ ef={ef} "
                 f"recall={r:.4f}")
             results.append(("hnsw", qps, r, N / build_s, idx, ef))
       except Exception as e:

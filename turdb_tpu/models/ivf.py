@@ -387,36 +387,46 @@ class IvfIndex:
             rng.choice(n, size=n_train, replace=False) if n_train < n
             else np.arange(n)
         )
-        xt = _pad_rows(x[tr_idx], _KM_CHUNK)
-        xtj = jnp.asarray(xt)
-        cents = _kmeans(xtj, jnp.asarray(x[seed_idx]), iters=iters)
+        # ONE host->device upload (round-1 uploaded the full array three
+        # times — train sample, assignment, packing — each a multi-second
+        # relay transfer at 1M x 128); the train sample is a device gather
+        xpj = jnp.asarray(_pad_rows(x, _KM_CHUNK))
+        if n_train == n:
+            xtj = xpj
+        else:
+            xtj = _pad_rows_dev(xpj[jnp.asarray(tr_idx)], _KM_CHUNK)
+        cents = _kmeans(xtj, xpj[jnp.asarray(seed_idx)], iters=iters)
         jax.block_until_ready(cents)
         mark("kmeans")
-        xp = _pad_rows(x, _KM_CHUNK)
-        xpj = jnp.asarray(xp)
         assign = np.asarray(_assign_all(xpj, cents))[:n]
         mark("assign")
         cap = self._cluster_cap or _pow2_at_least(
             max(int(2.0 * n / c), 16), floor=8
         )
-        # balance repair (faiss-style): Lloyd's on blobby data leaves many
-        # centroids empty while others swallow whole blobs; re-seed each
-        # empty centroid as a perturbed copy of an oversized one and run a
-        # couple more device iterations. This does on the MXU what the
-        # host 2-means split cascade otherwise does one cluster at a time
-        # (round-1: 3125 -> 13190 clusters, 16-26s of host time at 200k).
-        for rnd in range(4):
+        # balance repair (faiss-style): Lloyd's on blobby data leaves the
+        # seed-count-per-blob Poisson variance in place — some centroids
+        # swallow 2-3x the cap while others starve. Re-seed STARVED
+        # centroids (not only empty ones — round-2a's empty-only loop left
+        # ~40% of cells oversized and the split cascade then exploded the
+        # cell count ~2.5x into 15-25-row cells, wasting ~85% of every
+        # probe's bandwidth on padding) as perturbed copies of oversized
+        # donors, then re-run a couple of device Lloyd iterations.
+        for rnd in range(6):
             counts = np.bincount(assign, minlength=c)
             over = np.flatnonzero(counts > cap)
-            empty = np.flatnonzero(counts == 0)
-            if len(over) == 0 or len(empty) == 0:
+            if len(over) == 0:
+                break
+            order = np.argsort(counts)
+            starved = order[counts[order] < max(1, cap // 4)]
+            if len(starved) == 0:
                 break
             cents_np = np.array(cents)
+            # each donor contributes one seed per cap-multiple of excess
             want = np.maximum(counts[over] // cap, 1)
-            donors = np.repeat(over, want)[: len(empty)]
+            donors = np.repeat(over, want)[: len(starved)]
             rloc = np.random.default_rng(7 + rnd)
             sigma = 1e-3 * (np.abs(cents_np[donors]).mean() + 1.0)
-            cents_np[empty[: len(donors)]] = cents_np[donors] + sigma * (
+            cents_np[starved[: len(donors)]] = cents_np[donors] + sigma * (
                 rloc.standard_normal((len(donors), self.dim)).astype(np.float32)
             )
             cents = _kmeans(xtj, jnp.asarray(cents_np), iters=2)
@@ -469,7 +479,7 @@ class IvfIndex:
         replicated = False
         if self.replicate and n > c:
             replicated = self._place_replicas(
-                x, cents_np, members, occupancy, cap
+                x, cents_np, members, occupancy, cap, xpj=xpj
             )
         mark("replicas")
         self.cfg = IvfConfig(
@@ -479,9 +489,9 @@ class IvfIndex:
         )
         mc, ml = np.nonzero(members >= 0)       # now includes replicas
         mslots = members[mc, ml]
-        # pack on DEVICE: one [n, d] upload + scatter, instead of staging
-        # a [C, L, d] host array (measured 28s host->device at 200k x 128)
-        xd = jnp.asarray(x)
+        # pack on DEVICE from the already-uploaded padded array: a scatter,
+        # not another [n, d] relay transfer
+        xd = xpj
         mcj, mlj = jnp.asarray(mc), jnp.asarray(ml)
         mslj = jnp.asarray(mslots)
         jp = (
@@ -503,9 +513,12 @@ class IvfIndex:
             mins = (mins + 128.0 * scales).reshape(c, cap)
             scales = scales.reshape(c, cap)
         else:
-            codes = jnp.zeros((c, cap, self.dim), jnp.int8)
-            mins = jnp.zeros((c, cap), jnp.float32)
-            scales = jnp.zeros((c, cap), jnp.float32)
+            # placeholders: cfg.sq8 is STATIC, so the search trace never
+            # touches these — full-shape zeros would waste ~C*L*d bytes of
+            # HBM (640MB at 1M x 128d)
+            codes = jnp.zeros((1, 1, 1), jnp.int8)
+            mins = jnp.zeros((1, 1), jnp.float32)
+            scales = jnp.zeros((1, 1), jnp.float32)
         self.state = IvfState(
             centroids=jnp.asarray(cents),
             cnorms=prep_norms(jnp.asarray(cents)),
@@ -571,7 +584,8 @@ class IvfIndex:
             remaining = sp[~accept]
         raise RuntimeError("IVF spill placement did not converge")
 
-    def _place_replicas(self, x, cents_np, members, occupancy, cap) -> bool:
+    def _place_replicas(self, x, cents_np, members, occupancy, cap,
+                        xpj=None) -> bool:
         """Boundary-row replication into FREE padding lanes (SOAR-style
         multi-assignment, memory- and probe-cost-free): every probe reads
         all `cap` lanes of a cluster whether occupied or not, so filling
@@ -587,9 +601,9 @@ class IvfIndex:
         free = np.maximum(cap - occupancy - max(1, cap // 8), 0)
         if free.sum() == 0:
             return False
-        a12, d12 = _assign_top2_all(
-            jnp.asarray(_pad_rows(x, _KM_CHUNK)), jnp.asarray(cents_np)
-        )
+        if xpj is None:
+            xpj = jnp.asarray(_pad_rows(x, _KM_CHUNK))
+        a12, d12 = _assign_top2_all(xpj, jnp.asarray(cents_np))
         a12 = np.asarray(a12)[:n]
         d12 = np.asarray(d12)[:n]
         placed = self._slot_cluster[:n].astype(np.int64)
@@ -767,40 +781,124 @@ class IvfIndex:
             self.state = self.state._replace(alive=alive)
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _two_means_batched(pts, valid, iters: int = 6):
+    """2-means over MANY clusters at once: pts [O, L, d] (lane-padded),
+    valid [O, L]. Seeds = lane 0 and the member farthest from it. Returns
+    (labels [O, L] in {0,1}, c2 [O, 2, d]). Distances go through the
+    dot-product identity so nothing [O, L, 2, d]-shaped materializes."""
+    pn = jnp.where(valid, jnp.sum(pts * pts, axis=-1), jnp.inf)  # [O, L]
+    a = pts[:, 0]                                                # [O, d]
+    d0 = pn - 2.0 * jnp.einsum(
+        "old,od->ol", pts, a, preferred_element_type=jnp.float32
+    )
+    far = jnp.argmax(jnp.where(valid, d0, -jnp.inf), axis=1)
+    b = jnp.take_along_axis(pts, far[:, None, None], axis=1)[:, 0]
+    c2 = jnp.stack([a, b], axis=1)                               # [O, 2, d]
+    w = valid.astype(jnp.float32)
+
+    def step(c2, _):
+        cn = jnp.sum(c2 * c2, axis=-1)                           # [O, 2]
+        d = pn[:, :, None] + cn[:, None, :] - 2.0 * jnp.einsum(
+            "old,ogd->olg", pts, c2, preferred_element_type=jnp.float32
+        )
+        lab = jnp.argmin(d, axis=-1)                             # [O, L]
+        w1 = w * lab.astype(jnp.float32)
+        w0 = w - w1
+        s0 = jnp.einsum("ol,old->od", w0, pts)
+        s1 = jnp.einsum("ol,old->od", w1, pts)
+        n0 = jnp.maximum(jnp.sum(w0, axis=1), 1.0)[:, None]
+        n1 = jnp.maximum(jnp.sum(w1, axis=1), 1.0)[:, None]
+        return jnp.stack([s0 / n0, s1 / n1], axis=1), None
+
+    c2, _ = jax.lax.scan(step, c2, None, length=iters)
+    cn = jnp.sum(c2 * c2, axis=-1)
+    d = pn[:, :, None] + cn[:, None, :] - 2.0 * jnp.einsum(
+        "old,ogd->olg", pts, c2, preferred_element_type=jnp.float32
+    )
+    return jnp.argmin(d, axis=-1).astype(jnp.int32), c2
+
+
+_SPLIT_OCHUNK = 512  # oversized clusters per device batch
+
+
 def _split_oversized(cents: np.ndarray, assign: np.ndarray, x: np.ndarray,
                      cap: int, max_rounds: int = 12):
     """Split clusters whose population exceeds the lane cap into two via
     local 2-means, repeating until everything fits (or rounds run out —
     leftovers then spill in packing, which only happens for pathological
     duplicates). Keeps every row NEAR its own centroid, which is what
-    makes it reachable by centroid probing."""
+    makes it reachable by centroid probing. All oversized clusters in a
+    round run as ONE batched device 2-means (round 1's serial host loop
+    was 126s of the 1M build; this is the same math as [O] simultaneous
+    jobs of _two_means_batched)."""
     cents = np.array(cents, np.float32)
     assign = np.array(assign)
+    d = x.shape[1]
+    lmax = 0
     for _ in range(max_rounds):
         counts = np.bincount(assign, minlength=len(cents))
         over = np.flatnonzero(counts > cap)
         if len(over) == 0:
             break
-        for ci in over:
-            rows = np.flatnonzero(assign == ci)
-            pts = x[rows]
-            # 2-means: seed with two far members, few Lloyd steps
-            a = pts[0]
-            db = ((pts - a) ** 2).sum(1)
-            bpt = pts[int(np.argmax(db))]
-            c2 = np.stack([a, bpt])
-            for _ in range(6):
-                d = ((pts[:, None, :] - c2[None]) ** 2).sum(-1)
-                lab = np.argmin(d, axis=1)
-                for g in (0, 1):
-                    m = lab == g
-                    if m.any():
-                        c2[g] = pts[m].mean(0)
-            cents[ci] = c2[0]
-            new_ci = len(cents)
-            cents = np.concatenate([cents, c2[1:2]])
-            assign[rows[lab == 1]] = new_ci
+        # members of each oversized cluster, padded to a shared power-of-2
+        # lane width; lmax never SHRINKS across rounds — populations only
+        # drop after a split, and a fresh (smaller) shape would cost a new
+        # ~30s relay compile per round
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        starts = np.searchsorted(sa, over, side="left")
+        lmax = max(lmax, _pow2_at_least(int(counts[over].max()), floor=32))
+        new_cents = []
+        n_new = 0
+        for s in range(0, len(over), _SPLIT_OCHUNK):
+            e = min(len(over), s + _SPLIT_OCHUNK)
+            oc, ost = over[s:e], starts[s:e]
+            ocnt = counts[oc]
+            o = len(oc)
+            opad = o if o == _SPLIT_OCHUNK else _pow2_at_least(o, floor=8)
+            idx = np.zeros((opad, lmax), np.int64)
+            valid = np.zeros((opad, lmax), bool)
+            lane = np.arange(lmax)
+            vo = lane[None, :] < ocnt[:, None]
+            # row ids: order[start + lane] where valid (clip keeps gathers
+            # in-bounds; invalid lanes carry weight 0)
+            flat = np.clip(ost[:, None] + lane[None, :], 0, len(order) - 1)
+            idx[:o] = order[flat]
+            valid[:o] = vo
+            lab, c2 = _two_means_batched(
+                jnp.asarray(x[idx.reshape(-1)].reshape(opad, lmax, d)),
+                jnp.asarray(valid),
+            )
+            lab = np.asarray(lab)[:o]
+            c2 = np.asarray(c2)[:o]
+            cents[oc] = c2[:, 0]
+            move = valid[:o] & (lab == 1)
+            # each oversized cluster's side-1 rows move to one new cluster;
+            # unsplittable clusters (all-duplicate rows -> side 1 empty)
+            # get no new centroid and fall through to packing spill
+            nz = move.any(axis=1)
+            new_ids = np.full(o, -1, np.int64)
+            new_ids[nz] = len(cents) + n_new + np.arange(int(nz.sum()))
+            rows = idx[:o][move]
+            assign[rows] = np.repeat(new_ids, move.sum(axis=1))
+            new_cents.append(c2[nz, 1])
+            n_new += int(nz.sum())
+        if new_cents:
+            cents = np.concatenate([cents] + new_cents)
     return cents, assign
+
+
+def _pad_rows_dev(x: jax.Array, mult: int) -> jax.Array:
+    """Device-side analog of _pad_rows (+inf pad rows, zero k-means
+    weight)."""
+    n = x.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((pad, x.shape[1]), jnp.inf, jnp.float32)]
+    )
 
 
 def _pad_rows(x: np.ndarray, mult: int) -> np.ndarray:
