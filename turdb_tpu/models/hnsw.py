@@ -765,34 +765,32 @@ def build_wave_impl(
 # ---------------------------------------------------------------------------
 
 _BULK_MIN = 8192           # below this the wave path is fast enough
-_BULK_TARGET = 1024        # mean cluster population for layer builds
 _BULK_BRUTE = 4096         # subsets up to this use one all-pairs matrix
+_BULK_EXACT = 1 << 17      # subsets up to this get CHUNKED exact kNN:
+                           # at 1M rows every upper layer (<= n/16 = 62.5k)
+                           # stays exact — a 62.5k x 62.5k x 128d sweep is
+                           # ~1 TFLOP, seconds on the MXU — so the layers
+                           # that do the NAVIGATING keep brute-force-grade
+                           # long edges; only L0 uses clustered self-probe
 
 
 @partial(jax.jit, static_argnames=("r", "metric"))
-def _cluster_topr(pvecs, pnorms, members, r: int, metric):
-    """Per-cluster exact top-R neighbor lists from all-pairs distances.
-    pvecs [G,L,d] packed cluster vectors, pnorms [G,L] (+inf pad),
-    members [G,L] local ids (-1 pad). Returns ([G,L,r] ids, [G,L,r] d)."""
-    # full-precision matmul (ops/distance.py PRECISE): TPU-default bf16
-    # passes exceed the distance gaps between near neighbors and the
-    # top-R candidate lists degenerate (measured: bulk recall 0.65)
-    dots = jnp.einsum(
-        "gld,gmd->glm", pvecs, pvecs,
+def _topr_vs_subset(xc, xcn, sub_vecs, sub_norms, r: int, metric):
+    """Top-r nearest within a fixed SUBSET for a chunk of rows.
+    Returns positions into the subset [B, r] (-1 pad)."""
+    dots = jax.lax.dot_general(
+        xc, sub_vecs, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=PRECISE,
     )
     if metric is Metric.IP:
         pair = -dots
     else:
-        pair = pnorms[:, :, None] + pnorms[:, None, :] - 2.0 * dots
-    lcap = members.shape[1]
-    pair = jnp.where((members >= 0)[:, None, :], pair, INF)
-    pair = jnp.where(jnp.eye(lcap, dtype=bool)[None], INF, pair)
+        pair = xcn[:, None] + sub_norms[None, :] - 2.0 * dots
+    # +inf-norm entries are padding under EVERY metric (IP's -dots would
+    # otherwise rank a zero pad row above negative-dot candidates)
+    pair = jnp.where(jnp.isinf(sub_norms)[None, :], INF, pair)
     nd, pos = jax.lax.top_k(-pair, r)
-    ids = jnp.take_along_axis(
-        jnp.broadcast_to(members[:, None, :], pair.shape), pos, axis=-1
-    )
-    return jnp.where(jnp.isinf(nd), NIL, ids), -nd
+    return jnp.where(jnp.isinf(nd), NIL, pos.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("r", "metric"))
@@ -816,6 +814,20 @@ def _brute_topr(x, xn, valid, r: int, metric):
 _bulk_select_jit = jax.jit(
     _select_from_candidates, static_argnames=("deg", "metric", "alpha")
 )
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "nprobe"))
+def _self_probe_scan(state, xs, *, cfg, k, nprobe):
+    """[M, B, d] queries -> [M, B, k] local ids, scanned inside ONE
+    program (state rides as a pytree argument, not captured constants)."""
+    from turdb_tpu.models.ivf import ivf_search_impl
+
+    def step(_, qb):
+        _, ids = ivf_search_impl(state, qb, None, cfg=cfg, k=k, nprobe=nprobe)
+        return 0, ids
+
+    _, out = jax.lax.scan(step, 0, xs)
+    return out
 
 
 def _bulk_reverse_lists(sub_slots, adj, seld, rcap: int):
@@ -893,47 +905,67 @@ def _bulk_layer_adj(
         cand = np.where(ids >= 0, sub_slots[np.clip(ids, 0, None)], -1).astype(
             np.int32
         )
+    elif n <= _BULK_EXACT:
+        # chunked exact kNN against the whole (padded) subset: each chunk
+        # is one [B, S] distance tile on the MXU
+        spad = _pow2_at_least(n, floor=4096)
+        sv = jnp.zeros((spad, x_sub.shape[1]), jnp.float32)
+        sv = sv.at[:n].set(jnp.asarray(x_sub))
+        sn = jnp.full((spad,), jnp.inf, jnp.float32).at[:n].set(prep_norms(sv)[:n])
+        rr = min(r, n - 1)
+        cand = np.full((n, rr), -1, np.int32)
+        qb = 4096
+        gslots32 = np.asarray(sub_slots, np.int64)
+        for s in range(0, n, qb):
+            e = min(n, s + qb)
+            ridx = np.full(qb, int(gslots32[s]), np.int64)
+            ridx[: e - s] = gslots32[s:e]
+            pos = np.asarray(
+                _topr_vs_subset(
+                    vec_dev[jnp.asarray(ridx)], norm_dev[jnp.asarray(ridx)],
+                    sv, sn, rr, metric,
+                )
+            )[: e - s]
+            cand[s:e] = np.where(
+                pos >= 0, gslots32[np.clip(pos, 0, None)], -1
+            ).astype(np.int32)
     else:
         from turdb_tpu.models.ivf import IvfIndex
 
+        # SELF-PROBE candidate generation: cluster the subset, then let
+        # every row QUERY the clustered index (the measured IVF fast path)
+        # for its top-r neighbors at nprobe=4. Unlike the round-2a
+        # per-cluster all-pairs scheme, candidates span the row's nearest
+        # CELLS, so the graph gets the cross-cell-boundary edges whose
+        # absence fragmented L0 into cluster islands (measured: 0.83
+        # recall at 200k however wide the intra-cell pool).
         tmp = IvfIndex(
-            dim=x_sub.shape[1], metric=Metric.L2,
-            n_clusters=max(4, n // _BULK_TARGET),
-            cluster_cap=_pow2_at_least(2 * _BULK_TARGET, floor=64),
+            dim=x_sub.shape[1],
+            metric=Metric.IP if metric is Metric.IP else Metric.L2,
             replicate=True, sq8=False,
         )
         tmp.add(x_sub)
         if tmp.state is None:
             tmp.train()
-        members = np.asarray(tmp.state.members)
-        c, lcap = members.shape
-        cand = np.full((n, 2 * r), -1, np.int32)
-        g = max(1, (64 << 20) // (lcap * lcap * 4))  # ~64MB pair tensor
-        rr = min(r, lcap - 1)
-        for s in range(0, c, g):
-            e = min(c, s + g)
-            if e - s < g:   # pad the tail chunk to the shared shape
-                pm = jnp.zeros((g, lcap, x_sub.shape[1]), jnp.float32)
-                pn = jnp.full((g, lcap), INF, jnp.float32)
-                pmem = jnp.full((g, lcap), NIL, jnp.int32)
-                pm = pm.at[: e - s].set(tmp.state.pvecs[s:e])
-                pn = pn.at[: e - s].set(tmp.state.pnorms[s:e])
-                pmem = pmem.at[: e - s].set(tmp.state.members[s:e])
-            else:
-                pm = tmp.state.pvecs[s:e]
-                pn = tmp.state.pnorms[s:e]
-                pmem = tmp.state.members[s:e]
-            ids = np.asarray(_cluster_topr(pm, pn, pmem, rr, metric)[0])
-            ids = ids[: e - s]
-            mc, ml = np.nonzero(members[s:e] >= 0)
-            lslots = members[s:e][mc, ml]
-            lids = ids[mc, ml]                       # [*, rr] local ids
-            gids = np.where(lids >= 0, sub_slots[np.clip(lids, 0, None)], -1)
-            is_prim = (tmp._slot_cluster[lslots] == mc + s) & (
-                tmp._slot_lane[lslots] == ml
-            )
-            cand[lslots[is_prim], :rr] = gids[is_prim]
-            cand[lslots[~is_prim], r : r + rr] = gids[~is_prim]
+        # probe queries come from the DEVICE vector array: a host loop of
+        # tmp.search(chunk) calls re-uploads every chunk through the relay
+        # (measured 109s for 200k at B=4096); this is one gather + one
+        # scanned program + one [n, r] download. nprobe=8: probe recall
+        # caps graph recall (nprobe=4 saturated search at 0.926 however
+        # wide the beam)
+        qb = 4096
+        m = (n + qb - 1) // qb
+        ridx = np.zeros(m * qb, np.int64)
+        ridx[:n] = sub_slots
+        xs = vec_dev[jnp.asarray(ridx)].reshape(m, qb, x_sub.shape[1])
+        ids = np.asarray(
+            _self_probe_scan(tmp.state, xs, cfg=tmp.cfg, k=r, nprobe=8)
+        ).reshape(m * qb, r)[:n]
+        # ids are positions into x_sub; self hits are masked by the
+        # selection pass (cand == target)
+        cand = np.where(
+            ids >= 0, sub_slots[np.clip(ids, 0, None)], -1
+        ).astype(np.int32)
         del tmp
     _mark("candidates")
     # forward diversity selection (chunked, shared jit per (width, deg))
@@ -953,22 +985,39 @@ def _bulk_layer_adj(
         adj[s:e] = np.asarray(ki)[: e - s]
         seld[s:e] = np.asarray(kd)[: e - s]
     _mark("select")
-    # reverse merge + re-select (bidirectional edges, then prune)
+    # reverse merge with a GUARANTEED quota (CAGRA-style union): the row
+    # becomes fwd[:deg-rcap] + reverse-by-rank + remaining fwd, deduped in
+    # that priority order, NO re-pruning. Re-running the diversity rule on
+    # the merged list (round-2a) re-dropped exactly the incoming edges
+    # that make a region escapable, leaving directed dead ends: recall
+    # saturated at 0.914 however large ef, with the UNDIRECTED graph 99%
+    # one component.
     rev = _bulk_reverse_lists(gslots.astype(np.int64), adj, seld, rcap)
-    merged = np.concatenate([adj, rev], axis=1)
+    keep = max(deg - rcap, deg // 2)
+    merged = np.concatenate([adj[:, :keep], rev, adj[:, keep:]], axis=1)
     for s in range(0, n, chunk):
         e = min(n, s + chunk)
-        rows = np.full(chunk, int(gslots[s]), np.int32)
-        rows[: e - s] = gslots[s:e]
         cd = np.full((chunk, merged.shape[1]), -1, np.int32)
         cd[: e - s] = merged[s:e]
-        ki, _ = _bulk_select_jit(
-            vec_dev, norm_dev, jnp.asarray(rows), jnp.asarray(cd),
-            deg=deg, metric=metric, alpha=alpha,
-        )
+        ki = _union_rows_jit(jnp.asarray(cd), deg=deg)
         adj[s:e] = np.asarray(ki)[: e - s]
     _mark("reverse")
     return adj
+
+
+@partial(jax.jit, static_argnames=("deg",))
+def _union_rows_jit(cand, *, deg: int):
+    """First-occurrence dedup + compact to `deg` lanes, preserving the
+    given priority order (duplicates and NIL sink to the end)."""
+    w = cand.shape[-1]
+    eq = cand[:, :, None] == cand[:, None, :]
+    earlier = jnp.tril(jnp.ones((w, w), bool), k=-1)
+    dup = jnp.any(eq & earlier, axis=-1) | (cand < 0)
+    key = jnp.where(dup, w + 1, jnp.arange(w, dtype=jnp.int32))
+    order = jnp.argsort(key, axis=-1)
+    out = jnp.take_along_axis(cand, order, axis=-1)[:, :deg]
+    kept = jnp.take_along_axis(key, order, axis=-1)[:, :deg] <= w
+    return jnp.where(kept, out, NIL)
 
 
 @partial(jax.jit, static_argnames=("deg", "ef", "iters", "metric"))
@@ -1025,17 +1074,17 @@ def _refine_layer_adj(
         rev = _bulk_reverse_lists(
             gslots.astype(np.int64), rows_out, seld, rcap
         )
-        merged = np.concatenate([rows_out, rev], axis=1)
+        # union with guaranteed reverse quota, no re-pruning (see
+        # _bulk_layer_adj: re-pruning re-creates directed dead ends)
+        keep = max(deg - rcap, deg // 2)
+        merged = np.concatenate(
+            [rows_out[:, :keep], rev, rows_out[:, keep:]], axis=1
+        )
         for s in range(0, n, chunk):
             e = min(n, s + chunk)
-            ridx = np.full(chunk, int(gslots[s]), np.int32)
-            ridx[: e - s] = gslots[s:e]
             cd = np.full((chunk, merged.shape[1]), -1, np.int32)
             cd[: e - s] = merged[s:e]
-            ki, _ = _bulk_select_jit(
-                vectors, norms, jnp.asarray(ridx), jnp.asarray(cd),
-                deg=deg, metric=metric, alpha=1.2,
-            )
+            ki = _union_rows_jit(jnp.asarray(cd), deg=deg)
             rows_out[s:e] = np.asarray(ki)[: e - s]
         adj_full = adj_full.at[gslots].set(jnp.asarray(rows_out))
     return adj_full
@@ -1108,7 +1157,10 @@ class HnswIndex:
             self._bulk_add(vecs, slots, levels)
             self._alive[slots] = True
             self.size += n
-            self._descent_ef = 8
+            # bulk graphs lack beam-path long edges, so greedy/narrow
+            # descent sticks in local minima; 32 measured: 8 -> recall
+            # 0.79, 32 -> the L0-candidate-quality ceiling
+            self._descent_ef = 32
             return slots
 
         # Wave sizes grow 1, 2, 4, ... up to build_batch so every wave
@@ -1151,7 +1203,7 @@ class HnswIndex:
                 st.vectors, st.norms, slots[sub].astype(np.int64),
                 vecs[sub], deg, cfg.metric,
                 r_mult=2 if lvl == 0 else 8,
-                alpha=1.0 if lvl == 0 else 1.2,
+                alpha=1.2,
             )
             if lvl == 0:
                 adj0 = adj0.at[slots[sub]].set(jnp.asarray(rows))
