@@ -55,3 +55,81 @@ def test_search_respects_valid_mask():
     )
     ids = np.asarray(ids)
     assert ((ids >= 40) & (ids < 60)).all()
+
+
+class TestHnswSq8Serving:
+    """SQ8-in-HBM graph store (models/hnsw.py Sq8Rows): search runs the
+    same jitted programs via dequantize-on-gather; 4x HBM saved."""
+
+    def _clustered(self, n, dim, nq):
+        centers = RNG.standard_normal((32, dim)).astype(np.float32) * 4.0
+        a = RNG.integers(0, 32, n + nq)
+        pool = (centers[a] + RNG.standard_normal((n + nq, dim))).astype(
+            np.float32
+        )
+        return pool[:n], pool[n:]
+
+    def test_quantized_search_recall(self):
+        from turdb_tpu.models.flat import FlatIndex
+        from turdb_tpu.models.hnsw import HnswIndex, Sq8Rows
+
+        x, q = self._clustered(3000, 32, 64)
+        flat = FlatIndex(dim=32)
+        flat.add(x)
+        _, truth = flat.search(q, k=10)
+        idx = HnswIndex(dim=32, ef_construction=80)
+        idx.add(x)
+        idx.quantize_sq8()
+        assert isinstance(idx.state.vectors, Sq8Rows)
+        _, ids = idx.search(q, k=10, ef=80)
+        rec = np.mean(
+            [len(set(p[p >= 0]) & set(t)) / 10 for p, t in zip(ids, truth)]
+        )
+        assert rec >= 0.92, f"sq8 recall {rec}"
+
+    def test_add_after_quantize_dequantizes(self):
+        from turdb_tpu.models.hnsw import HnswIndex, Sq8Rows
+
+        x, q = self._clustered(500, 16, 4)
+        idx = HnswIndex(dim=16)
+        idx.add(x)
+        idx.quantize_sq8()
+        idx.add(RNG.standard_normal((8, 16)).astype(np.float32))
+        assert not isinstance(idx.state.vectors, Sq8Rows)
+        assert idx.size == 508
+        d, ids = idx.search(q, k=5, ef=32)
+        assert (ids[:, 0] >= 0).all()
+
+    def test_sql_hnsw_sq8_option_and_reopen(self, tmp_path):
+        from turdb_tpu import connect
+        from turdb_tpu.models.hnsw import Sq8Rows
+
+        p = str(tmp_path / "db")
+        db = connect(p)
+        db.execute("CREATE TABLE docs (id INT, emb VECTOR(16))")
+        vecs = RNG.standard_normal((200, 16)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            lit = "[" + ", ".join(f"{t:.5f}" for t in v) + "]"
+            db.execute(f"INSERT INTO docs VALUES ({i}, '{lit}')")
+        db.execute(
+            "CREATE INDEX ds ON docs USING HNSW (emb) WITH (sq8 = true)"
+        )
+        h = db.catalog["main"]["docs"].hnsw["ds"]
+        h.flush_pending()
+        assert isinstance(h.index.state.vectors, Sq8Rows)
+        qv = vecs[7]
+        lit = "[" + ", ".join(f"{t:.5f}" for t in qv) + "]"
+        rows = db.query(
+            f"SELECT id FROM docs ORDER BY emb <-> '{lit}' LIMIT 3"
+        )
+        assert rows[0][0] == 7
+        db.checkpoint()
+        db.close()
+        db2 = connect(p)
+        h2 = db2.catalog["main"]["docs"].hnsw["ds"]
+        assert isinstance(h2.index.state.vectors, Sq8Rows)
+        rows = db2.query(
+            f"SELECT id FROM docs ORDER BY emb <-> '{lit}' LIMIT 3"
+        )
+        assert rows[0][0] == 7
+        db2.close()

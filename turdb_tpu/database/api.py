@@ -1025,6 +1025,7 @@ class Database:
                 m=int(idef.options.get("m", 16)),
                 ef_construction=int(idef.options.get("ef_construction", 100)),
                 ef_search=int(idef.options.get("ef_search", 64)),
+                sq8=bool(idef.options.get("sq8", False)),
             )
             info.hnsw[idef.name] = h
         else:

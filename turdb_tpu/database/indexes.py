@@ -292,10 +292,12 @@ class HnswTableIndex(_SlotMap):
 
     def __init__(self, name: str, column: str, dim: int,
                  metric: Metric = Metric.L2, m: int = 16,
-                 ef_construction: int = 100, ef_search: int = 64):
+                 ef_construction: int = 100, ef_search: int = 64,
+                 sq8: bool = False):
         self.name = name
         self.column = column
         self.metric = metric
+        self.sq8 = sq8
         self.index = HnswIndex(
             dim=dim, metric=metric, m=m,
             ef_construction=ef_construction, ef_search=ef_search,
@@ -339,6 +341,8 @@ class HnswTableIndex(_SlotMap):
 
     def flush_pending(self):
         if not self._pending_vecs:
+            if self.sq8:
+                self.index.quantize_sq8()
             return
         vecs = np.stack(self._pending_vecs)
         rids = np.asarray(self._pending_rowids, np.uint64)
@@ -347,6 +351,10 @@ class HnswTableIndex(_SlotMap):
             self._slot_assign(r, int(s))
         self._pending_vecs = []
         self._pending_rowids = []
+        if self.sq8:
+            # serving-time SQ8 (reference quantization.rs): adds above
+            # transparently dequantized; re-quantize after the flush
+            self.index.quantize_sq8()
 
     def delete(self, rowid: int):
         slot = self._slot_unassign(rowid)

@@ -98,6 +98,48 @@ class HnswState(NamedTuple):
     max_level: jax.Array  # scalar int32 (-1 when empty)
 
 
+@jax.tree_util.register_pytree_node_class
+class Sq8Rows:
+    """SQ8-in-HBM graph vector store (reference quantization.rs:7-33
+    applied to the index, SURVEY §7 'SQ8-in-HBM + f32 rerank'): u8 codes
+    plus per-row (min, scale), DEQUANTIZED ON GATHER. Ducks as the
+    [cap, d] f32 vectors array inside every jitted search program —
+    `rows[ids]` returns f32 — so the beam's scattered HBM reads move 4x
+    fewer bytes and a 100M x 128d store fits one chip's HBM (12.8GB vs
+    51GB). Row norms stay EXACT f32 (computed before quantization, the
+    same trick as IvfState.pnorms), so only the q·x cross term carries
+    quantization error."""
+
+    def __init__(self, codes, mins, scales):
+        self.codes = codes      # [cap, d] uint8
+        self.mins = mins        # [cap] f32
+        self.scales = scales    # [cap] f32
+
+    @property
+    def shape(self):
+        return self.codes.shape
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    def __getitem__(self, ids):
+        c = self.codes[ids]
+        m = self.mins[ids]
+        s = self.scales[ids]
+        return m[..., None] + s[..., None] * c.astype(jnp.float32)
+
+    def dense(self) -> jax.Array:
+        return self[jnp.arange(self.codes.shape[0])]
+
+    def tree_flatten(self):
+        return (self.codes, self.mins, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def init_state(cfg: HnswConfig, capacity: int) -> HnswState:
     return HnswState(
         vectors=jnp.zeros((capacity, cfg.dim), jnp.float32),
@@ -1142,6 +1184,9 @@ class HnswIndex:
     def add(self, vecs: np.ndarray, row_ids: np.ndarray | None = None) -> np.ndarray:
         """Insert vectors; returns slot ids. Levels are deterministic from
         row_ids (defaults to the slot id), as in the reference."""
+        if isinstance(self.state.vectors, Sq8Rows):
+            # writes need the f32 store; round-trip through dequantize
+            self.dequantize()
         vecs = np.atleast_2d(np.asarray(vecs, np.float32))
         n = vecs.shape[0]
         slots = np.arange(self.size, self.size + n, dtype=np.int32)
@@ -1358,6 +1403,27 @@ class HnswIndex:
         """Tombstone delete — node stays as a stepping stone until vacuum
         (reference VacuumQueue design, mod.rs:726-765)."""
         self._alive[np.asarray(slots)] = False
+
+    # -- quantization (reference quantization.rs; SQ8 for the GRAPH) ------
+
+    def quantize_sq8(self) -> None:
+        """Switch the vector store to SQ8-in-HBM serving mode (4x less
+        HBM + gather bandwidth; see Sq8Rows). Search runs unchanged
+        through the same jitted programs; add() transparently dequantizes
+        first. Norms keep their exact f32 values."""
+        from turdb_tpu.ops.quantize import sq8_encode
+
+        s = self.state
+        if isinstance(s.vectors, Sq8Rows):
+            return
+        codes, mins, scales = sq8_encode(s.vectors)
+        self.state = s._replace(vectors=Sq8Rows(codes, mins, scales))
+
+    def dequantize(self) -> None:
+        """Expand SQ8 codes back to a dense f32 store (for writes)."""
+        s = self.state
+        if isinstance(s.vectors, Sq8Rows):
+            self.state = s._replace(vectors=s.vectors.dense())
 
     # -- memory -----------------------------------------------------------
 

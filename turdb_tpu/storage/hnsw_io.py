@@ -16,6 +16,7 @@ import struct
 import numpy as np
 
 from turdb_tpu.config import FILE_HEADER_SIZE, FORMAT_VERSION, MAGIC_HNSW
+from turdb_tpu.models.hnsw import Sq8Rows
 from turdb_tpu.records.jsonb import jsonb_decode, jsonb_encode
 from turdb_tpu.storage.files import CorruptFile, _read_buf, _write_buf
 
@@ -40,6 +41,7 @@ def save_hnsw(path: str, tindex) -> None:
         "capacity": idx.capacity,
         "entry": int(s.entry),
         "max_level": int(s.max_level),
+        "sq8": isinstance(s.vectors, Sq8Rows),
         "rowid_to_slot": [
             [int(r), int(sl)] for r, sl in tindex.rowid_to_slot.items()
         ],
@@ -53,7 +55,15 @@ def save_hnsw(path: str, tindex) -> None:
         blob = jsonb_encode(meta)
         _write_buf(fh, blob)
         n = idx.size
-        _write_buf(fh, np.asarray(s.vectors)[:n].tobytes())
+        if isinstance(s.vectors, Sq8Rows):
+            # SQ8 serving stores persist as codes (4x smaller file); the
+            # exact norms are re-derivable only from f32, so they ride too
+            _write_buf(fh, np.asarray(s.vectors.codes)[:n].tobytes())
+            _write_buf(fh, np.asarray(s.vectors.mins)[:n].tobytes())
+            _write_buf(fh, np.asarray(s.vectors.scales)[:n].tobytes())
+            _write_buf(fh, np.asarray(s.norms)[:n].tobytes())
+        else:
+            _write_buf(fh, np.asarray(s.vectors)[:n].tobytes())
         _write_buf(fh, np.asarray(s.adj0)[:n].tobytes())
         for a in s.adj_hi:
             _write_buf(fh, np.asarray(a)[:n].tobytes())
@@ -86,11 +96,19 @@ def load_hnsw(path: str):
             metric=Metric(meta["metric"]), m=int(meta["m"]),
             ef_construction=int(meta["ef_construction"]),
             ef_search=int(meta["ef_search"]),
+            sq8=bool(meta.get("sq8", False)),
         )
         idx = tindex.index
         idx._ensure(max(n + 1, 1))
         cfg = idx.cfg
-        vectors = np.frombuffer(_read_buf(fh), np.float32).reshape(n, dim)
+        sq8 = bool(meta.get("sq8", False))
+        if sq8:
+            codes = np.frombuffer(_read_buf(fh), np.uint8).reshape(n, dim)
+            mins = np.frombuffer(_read_buf(fh), np.float32)[:n]
+            scales = np.frombuffer(_read_buf(fh), np.float32)[:n]
+            norms = np.frombuffer(_read_buf(fh), np.float32)[:n]
+        else:
+            vectors = np.frombuffer(_read_buf(fh), np.float32).reshape(n, dim)
         adj0 = np.frombuffer(_read_buf(fh), np.int32).reshape(n, cfg.m0)
         adj_hi = [
             np.frombuffer(_read_buf(fh), np.int32).reshape(n, cfg.m)
@@ -100,11 +118,26 @@ def load_hnsw(path: str):
         alive = np.frombuffer(_read_buf(fh), bool)[:n]
 
     s = idx.state
-    jv = jnp.asarray(vectors)
     sl = jnp.arange(n)
+    if sq8:
+        cap = idx.capacity
+        cfull = np.zeros((cap, dim), np.uint8)
+        cfull[:n] = codes
+        mfull = np.zeros(cap, np.float32)
+        mfull[:n] = mins
+        sfull = np.zeros(cap, np.float32)
+        sfull[:n] = scales
+        vec_store = Sq8Rows(
+            jnp.asarray(cfull), jnp.asarray(mfull), jnp.asarray(sfull)
+        )
+        norms_full = s.norms.at[sl].set(jnp.asarray(norms))
+    else:
+        jv = jnp.asarray(vectors)
+        vec_store = s.vectors.at[sl].set(jv)
+        norms_full = s.norms.at[sl].set(prep_norms(jv))
     idx.state = s._replace(
-        vectors=s.vectors.at[sl].set(jv),
-        norms=s.norms.at[sl].set(prep_norms(jv)),
+        vectors=vec_store,
+        norms=norms_full,
         adj0=s.adj0.at[sl].set(jnp.asarray(adj0)),
         adj_hi=tuple(
             a.at[sl].set(jnp.asarray(h)) for a, h in zip(s.adj_hi, adj_hi)
