@@ -903,7 +903,7 @@ def _bulk_reverse_lists(sub_slots, adj, seld, rcap: int):
 
 def _bulk_layer_adj(
     vec_dev, norm_dev, sub_slots, x_sub, deg: int, metric,
-    rcap: int = 16, chunk: int = 4096, r_mult: int = 2, alpha: float = 1.0,
+    rcap: int = 16, chunk: int = 16384, r_mult: int = 2, alpha: float = 1.0,
 ):
     """Build one layer's adjacency for the subset `sub_slots` (global slot
     ids). vec_dev/norm_dev are the FULL device vector arrays so every

@@ -437,7 +437,9 @@ class IvfIndex:
         # (measured: spill victims' clusters rank ~78-255th for their
         # queries, capping recall at ~0.946 however many probes)
         c0 = c
-        cents_np, assign = _split_oversized(np.asarray(cents), assign, x, cap)
+        cents_np, assign = _split_oversized(
+            np.asarray(cents), assign, x, cap, xpj=xpj
+        )
         cents = jnp.asarray(cents_np)
         c = cents_np.shape[0]
         mark(f"split({c0}->{c})")
@@ -823,7 +825,7 @@ _SPLIT_OCHUNK = 512  # oversized clusters per device batch
 
 
 def _split_oversized(cents: np.ndarray, assign: np.ndarray, x: np.ndarray,
-                     cap: int, max_rounds: int = 12):
+                     cap: int, max_rounds: int = 12, xpj=None):
     """Split clusters whose population exceeds the lane cap into two via
     local 2-means, repeating until everything fits (or rounds run out —
     leftovers then spill in packing, which only happens for pathological
@@ -866,10 +868,13 @@ def _split_oversized(cents: np.ndarray, assign: np.ndarray, x: np.ndarray,
             flat = np.clip(ost[:, None] + lane[None, :], 0, len(order) - 1)
             idx[:o] = order[flat]
             valid[:o] = vo
-            lab, c2 = _two_means_batched(
-                jnp.asarray(x[idx.reshape(-1)].reshape(opad, lmax, d)),
-                jnp.asarray(valid),
-            )
+            if xpj is not None:
+                # gather member rows ON DEVICE: the host gather+upload was
+                # 512MB of relay traffic per chunk (358s of the 1M build)
+                pts = xpj[jnp.asarray(idx)]
+            else:
+                pts = jnp.asarray(x[idx.reshape(-1)].reshape(opad, lmax, d))
+            lab, c2 = _two_means_batched(pts, jnp.asarray(valid))
             lab = np.asarray(lab)[:o]
             c2 = np.asarray(c2)[:o]
             cents[oc] = c2[:, 0]
