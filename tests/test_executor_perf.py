@@ -184,3 +184,58 @@ class TestPerfGates:
         dt = time.perf_counter() - t0
         assert cnt == 100_000
         assert dt < 1.0, f"100k-row join took {dt:.2f}s"
+
+
+class TestUniqueBulkLoad:
+    """Round-2: a unique index used to force bulk loads onto the per-row
+    pipeline (~3k rows/s); the vectorized unique check + bulk reindex
+    keep the fast path (reference gate: >100k inserts/s, lib.rs:66)."""
+
+    N = 200_000
+
+    def test_pk_bulk_insert_rate_and_correctness(self, tmp_path):
+        from turdb_tpu import connect
+
+        d = connect(str(tmp_path / "db"))
+        d.execute("PRAGMA wal = off")
+        d.execute("CREATE TABLE t (id INT PRIMARY KEY, a INT)")
+        t0 = time.perf_counter()
+        d.bulk_insert(
+            "t", {"id": np.arange(self.N), "a": np.arange(self.N) % 97}
+        )
+        rate = self.N / (time.perf_counter() - t0)
+        assert rate > 100_000, f"PK bulk_insert {rate:,.0f} rows/s"
+        # index scans see the bulk-loaded rows (round-2 regression: the
+        # in-txn reindex missed own-txn rows and probes returned empty)
+        assert d.query("SELECT a FROM t WHERE id = 123") == [(123 % 97,)]
+        assert d.query(
+            "SELECT a FROM t WHERE id > 4 AND id < 8 ORDER BY id"
+        ) == [(5,), (6,), (7,)]
+        with pytest.raises(Exception):
+            d.bulk_insert("t", {"id": np.array([5]), "a": np.array([0])})
+        with pytest.raises(Exception):
+            d.bulk_insert(
+                "t", {"id": np.array([self.N + 1, self.N + 1]),
+                      "a": np.array([0, 0])}
+            )
+        (cnt,) = d.query("SELECT count(*) FROM t")[0]
+        assert cnt == self.N
+        d.close()
+
+    def test_text_pk_bulk(self, tmp_path):
+        from turdb_tpu import connect
+
+        d = connect(str(tmp_path / "db"))
+        d.execute("CREATE TABLE s (k TEXT PRIMARY KEY, v INT)")
+        n = 20_000
+        d.bulk_insert(
+            "s",
+            {"k": np.array([f"key{i}" for i in range(n)], object),
+             "v": np.arange(n)},
+        )
+        assert d.query("SELECT v FROM s WHERE k = 'key7'") == [(7,)]
+        with pytest.raises(Exception):
+            d.bulk_insert(
+                "s", {"k": np.array(["key7"], object), "v": np.array([1])}
+            )
+        d.close()

@@ -375,19 +375,37 @@ class Database:
             for info in tables.values():
                 self._reindex(info)
 
-    def _reindex(self, info: TableInfo):
+    def _reindex(self, info: TableInfo, txn: Transaction | None = None,
+                 hnsw: bool = True):
+        """Rebuild the table's sorted-run indexes. `txn`: in-flight
+        transaction whose OWN uncommitted rows must be indexed (the bulk
+        loader reindexes before commit; without own-txn visibility the
+        fresh rows were invisible here and index scans silently missed
+        them). Phantom entries from a later rollback are harmless: every
+        probe re-verifies its candidates against MVCC visibility.
+        `hnsw=False` skips vector indexes (the bulk loader maintains them
+        itself — reinserting here would double-insert)."""
         for name, idx in info.btree.items():
             idx.clear()
         read_ts = self.mgr.snapshot_ts()
-        vis = info.table.visible_indices(self.mgr, read_ts)
+        own = txn.txn_id if txn is not None else 0
+        vis = info.table.visible_indices(self.mgr, read_ts, own)
+        rowids_vis = info.table.rowids[vis]
         for name, idx in info.btree.items():
             cols = info.btree_cols[name]
-            for i in vis:
-                rowid = int(info.table.rowids[i])
-                key = idx.make_key(
-                    [_cell(info.table, c, int(i)) for c in cols]
-                )
-                idx.insert(key, rowid)
+            keys = _batch_index_keys(info.table, cols, vis)
+            if keys is not None:
+                idx.bulk_load(keys, rowids_vis)
+            else:
+                idx.clear()
+                for i in vis:
+                    rowid = int(info.table.rowids[i])
+                    key = idx.make_key(
+                        [_cell(info.table, c, int(i)) for c in cols]
+                    )
+                    idx.insert(key, rowid)
+        if not hnsw:
+            return
         touched = getattr(self, "_replay_touched", set())
         snapshot_loaded = getattr(info, "_hnsw_loaded", False)
         for name, h in info.hnsw.items():
@@ -1173,6 +1191,28 @@ def _parse_expr(text: str):
 
 def _jsonable_fk(x):
     return list(x) if isinstance(x, (list, tuple)) else x
+
+
+def _batch_index_keys(table: ColumnarTable, cols: list[str], vis):
+    """Vectorized key bytes for a whole reindex sweep when every index
+    column is a plain numeric array (the PK-on-INT common case); None
+    when any column needs the per-row encoder."""
+    from turdb_tpu.records.keys import TAG_NULL, encode_num_batch
+
+    parts = []
+    for c in cols:
+        sv = table.cols[c][vis]
+        if sv.dtype.kind not in "iuf":
+            return None
+        p = encode_num_batch(sv)
+        sn = table.nulls[c][vis]
+        if sn.any():
+            nullb = bytes([TAG_NULL])
+            p = [nullb if nu else k for k, nu in zip(p, sn)]
+        parts.append(p)
+    if len(parts) == 1:
+        return parts[0]
+    return [b"".join(t) for t in zip(*parts)]
 
 
 def _norm_probe(v):

@@ -640,7 +640,8 @@ def bulk_insert_columns(db, info, data: dict, txn):
     from turdb_tpu.database.api import ExecuteResult
 
     n = len(np.asarray(next(iter(data.values()))))
-    if any(idx.unique for idx in info.btree.values()) or info.fks:
+    if info.fks:
+        # child-side FK probes stay per-row for now
         rows = _columns_to_rows(info, data, n)
         return bulk_insert_rows(db, info, rows, txn)
 
@@ -709,11 +710,12 @@ def bulk_insert_columns(db, info, data: dict, txn):
                     f"CHECK constraint violated on {info.table.name}{where}"
                 )
 
+    _batch_unique_check(db, info, prepared, n, ctx)
     rowids = info.table.insert_columns(prepared, txn)
     db._log_bulk_insert(info, rowids, prepared, txn)
     if info.btree:
-        # non-unique secondary indexes: one sorted rebuild beats n probes
-        db._reindex(info)
+        # secondary indexes (incl. unique): one sorted rebuild beats n probes
+        db._reindex(info, txn, hnsw=False)
     for h in info.hnsw.values():
         vals, nulls = prepared.get(h.column, (None, None))
         if vals is None:
@@ -726,6 +728,71 @@ def bulk_insert_columns(db, info, data: dict, txn):
         rows_affected=int(n),
         last_rowid=int(rowids[-1]) if n else None,
     )
+
+
+def _batch_unique_check(db, info, prepared: dict, n: int, ctx):
+    """Vectorized unique-constraint validation for the columnar fast
+    load (round-2: a PK index used to force the whole batch onto the
+    per-row pipeline — 3k rows/s vs the fast path's 100k+). Key bytes
+    come from the batch numeric encoder when every key column is
+    numeric; dup detection is one set pass; existing-key probes are set
+    membership + the same MVCC re-verification as _find_conflict."""
+    from turdb_tpu.records.keys import encode_num_batch
+
+    read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
+    own = getattr(ctx, "own_txn", 0)
+    for name, idx in info.btree.items():
+        if not idx.unique:
+            continue
+        cols = info.btree_cols[name]
+        if any(c not in prepared for c in cols):
+            continue
+        null_any = np.zeros(n, bool)
+        for c in cols:
+            null_any |= prepared[c][1]
+        live = np.flatnonzero(~null_any)     # NULLs never conflict
+        if len(live) == 0:
+            continue
+        parts = []
+        fast = all(
+            prepared[c][0].dtype.kind in "iuf" for c in cols
+        )
+        if fast:
+            for c in cols:
+                parts.append(encode_num_batch(prepared[c][0]))
+            keys = [
+                b"".join(p[i] for p in parts) for i in live
+            ]
+        else:
+            keys = [
+                idx.make_key(
+                    [_norm_key(prepared[c][0][i]) for c in cols]
+                )
+                for i in live
+            ]
+        if len(set(keys)) != len(keys):
+            raise _cv(db)(
+                f"UNIQUE constraint violated on {info.table.name}"
+            )
+        existing = idx.key_set()
+        if not existing:
+            continue
+        for k in keys:
+            if k not in existing:
+                continue
+            # persisted entries may be dead versions: re-verify exactly
+            # as the per-row probe does
+            for rid in idx.find(k):
+                vidx = info.table.visible_version(db.mgr, rid, read_ts, own)
+                if vidx is None:
+                    continue
+                cur = idx.make_key(
+                    [_norm_key(_vis_cell(info.table, c, vidx)) for c in cols]
+                )
+                if cur == k:
+                    raise _cv(db)(
+                        f"UNIQUE constraint violated on {info.table.name}"
+                    )
 
 
 def _columns_to_rows(info, data: dict, n: int) -> list[dict]:

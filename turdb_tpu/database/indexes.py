@@ -104,6 +104,26 @@ class SortedKeyIndex:
                 out.append(r)
         return list(dict.fromkeys(out))
 
+    def bulk_load(self, keys: list, rowids) -> None:
+        """Replace the whole index with ONE sorted run (the reindex
+        path): one sort beats per-row delta inserts + tiered merges."""
+        self._runs = [sorted(zip(keys, (int(r) for r in rowids)))]
+        self._delta = []
+        self._deleted = set()
+
+    def key_set(self) -> set:
+        """All live key byte-strings (bulk unique probes: one O(K) set
+        build + O(1) membership beats per-row run bisects)."""
+        out: set = set()
+        dead = self._deleted
+        for run in self._runs:
+            if dead:
+                out.update(k for k, r in run if (k, r) not in dead)
+            else:
+                out.update(k for k, _ in run)
+        out.update(k for k, r in self._delta if (k, r) not in dead)
+        return out
+
     def range(self, lo_key: bytes | None, hi_key: bytes | None,
               lo_inc=True, hi_inc=True) -> list[int]:
         """Candidate rowids in [lo, hi] (order not guaranteed — callers

@@ -132,6 +132,37 @@ def encode_value(v, desc: bool = False) -> bytes:
     return out
 
 
+def encode_num_batch(vals) -> list[bytes]:
+    """Vectorized encode_value for a whole numeric numpy column (the
+    bulk-load unique-check path): int/uint within +/-2^53 and float64
+    rows encode with residue 0 as one [n, 17] byte matrix; the rare
+    big-int rows (nonzero residue) fall back per element. Byte-identical
+    to encode_value."""
+    import numpy as np
+
+    vals = np.asarray(vals)
+    n = len(vals)
+    if vals.dtype.kind == "f":
+        f = vals.astype(np.float64)
+        slow = np.zeros(n, bool)
+    else:
+        slow = (vals >= 2**53) | (vals <= -(2**53))
+        f = vals.astype(np.float64)
+    bits = f.view(np.uint64)
+    neg = (bits >> np.uint64(63)).astype(bool)
+    flipped = np.where(
+        neg, ~bits, bits | np.uint64(0x8000000000000000)
+    )
+    out = np.zeros((n, 17), np.uint8)
+    out[:, 0] = TAG_NUM
+    out[:, 1:9] = flipped.astype(">u8").view(np.uint8).reshape(n, 8)
+    out[:, 9] = 0x80        # residue 0 biased by 1<<63, big-endian
+    keys = [r.tobytes() for r in out]
+    for i in np.flatnonzero(slow):
+        keys[i] = encode_value(int(vals[i]))
+    return keys
+
+
 def decode_value(buf: bytes, offset: int = 0, desc: bool = False):
     """Returns (value, next_offset)."""
     if desc:
