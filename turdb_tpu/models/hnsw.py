@@ -932,100 +932,96 @@ def _bulk_layer_adj(
 
     n = len(sub_slots)
     r = r_mult * deg
+    d = x_sub.shape[1]
+    sslots = jnp.asarray(np.asarray(sub_slots, np.int64))
+    # Everything below stays ON DEVICE end to end — candidates, selection,
+    # reverse edges, union — with no intermediate host round-trips (the
+    # round-2b host pipeline downloaded/re-uploaded every stage: ~140s of
+    # the 1M build was relay traffic + dispatch storms).
     if n <= _BULK_BRUTE:
         npad = _BULK_BRUTE
-        xp = np.zeros((npad, x_sub.shape[1]), np.float32)
+        xp = np.zeros((npad, d), np.float32)
         xp[:n] = x_sub
         valid = np.zeros(npad, bool)
         valid[:n] = True
-        ids = np.asarray(
-            _brute_topr(
-                jnp.asarray(xp), prep_norms(jnp.asarray(xp)),
-                jnp.asarray(valid), min(r, npad - 1), metric,
-            )
+        pos = _brute_topr(
+            jnp.asarray(xp), prep_norms(jnp.asarray(xp)),
+            jnp.asarray(valid), min(r, npad - 1), metric,
         )[:n]
-        cand = np.where(ids >= 0, sub_slots[np.clip(ids, 0, None)], -1).astype(
-            np.int32
+        cand = jnp.where(
+            pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
         )
     elif n <= _BULK_EXACT:
         # chunked exact kNN against the whole (padded) subset: each chunk
         # is one [B, S] distance tile on the MXU
         spad = _pow2_at_least(n, floor=4096)
-        sv = jnp.zeros((spad, x_sub.shape[1]), jnp.float32)
+        sv = jnp.zeros((spad, d), jnp.float32)
         sv = sv.at[:n].set(jnp.asarray(x_sub))
         sn = jnp.full((spad,), jnp.inf, jnp.float32).at[:n].set(prep_norms(sv)[:n])
         rr = min(r, n - 1)
-        cand = np.full((n, rr), -1, np.int32)
         qb = 4096
-        gslots32 = np.asarray(sub_slots, np.int64)
+        parts = []
         for s in range(0, n, qb):
-            e = min(n, s + qb)
-            ridx = np.full(qb, int(gslots32[s]), np.int64)
-            ridx[: e - s] = gslots32[s:e]
-            pos = np.asarray(
+            ridx = jnp.clip(
+                jnp.arange(s, s + qb), 0, n - 1
+            )
+            rows = sslots[ridx]
+            parts.append(
                 _topr_vs_subset(
-                    vec_dev[jnp.asarray(ridx)], norm_dev[jnp.asarray(ridx)],
-                    sv, sn, rr, metric,
+                    vec_dev[rows], norm_dev[rows], sv, sn, rr, metric
                 )
-            )[: e - s]
-            cand[s:e] = np.where(
-                pos >= 0, gslots32[np.clip(pos, 0, None)], -1
-            ).astype(np.int32)
+            )
+        pos = jnp.concatenate(parts)[:n]
+        cand = jnp.where(
+            pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
+        )
     else:
         from turdb_tpu.models.ivf import IvfIndex
 
         # SELF-PROBE candidate generation: cluster the subset, then let
-        # every row QUERY the clustered index (the measured IVF fast path)
-        # for its top-r neighbors at nprobe=4. Unlike the round-2a
-        # per-cluster all-pairs scheme, candidates span the row's nearest
-        # CELLS, so the graph gets the cross-cell-boundary edges whose
-        # absence fragmented L0 into cluster islands (measured: 0.83
-        # recall at 200k however wide the intra-cell pool).
+        # every row QUERY the clustered index (the measured IVF fast
+        # path) for its top-r neighbors. Unlike the round-2a per-cluster
+        # all-pairs scheme, candidates span the row's nearest CELLS, so
+        # the graph gets the cross-cell-boundary edges whose absence
+        # fragmented L0 into cluster islands (measured: 0.83 recall at
+        # 200k however wide the intra-cell pool). nprobe=8: probe recall
+        # caps graph recall (nprobe=4 saturated search at 0.926).
         tmp = IvfIndex(
-            dim=x_sub.shape[1],
+            dim=d,
             metric=Metric.IP if metric is Metric.IP else Metric.L2,
             replicate=True, sq8=False,
         )
         tmp.add(x_sub)
         if tmp.state is None:
             tmp.train()
-        # probe queries come from the DEVICE vector array: a host loop of
-        # tmp.search(chunk) calls re-uploads every chunk through the relay
-        # (measured 109s for 200k at B=4096); this is one gather + one
-        # scanned program + one [n, r] download. nprobe=8: probe recall
-        # caps graph recall (nprobe=4 saturated search at 0.926 however
-        # wide the beam)
         qb = 4096
         m = (n + qb - 1) // qb
-        ridx = np.zeros(m * qb, np.int64)
-        ridx[:n] = sub_slots
-        xs = vec_dev[jnp.asarray(ridx)].reshape(m, qb, x_sub.shape[1])
-        ids = np.asarray(
-            _self_probe_scan(tmp.state, xs, cfg=tmp.cfg, k=r, nprobe=8)
+        ridx = jnp.clip(jnp.arange(m * qb), 0, n - 1)
+        xs = vec_dev[sslots[ridx]].reshape(m, qb, d)
+        pos = _self_probe_scan(
+            tmp.state, xs, cfg=tmp.cfg, k=r, nprobe=8
         ).reshape(m * qb, r)[:n]
-        # ids are positions into x_sub; self hits are masked by the
+        # pos are positions into x_sub; self hits are masked by the
         # selection pass (cand == target)
-        cand = np.where(
-            ids >= 0, sub_slots[np.clip(ids, 0, None)], -1
-        ).astype(np.int32)
-        del tmp
-    _mark("candidates")
-    # forward diversity selection (chunked, shared jit per (width, deg))
-    adj = np.full((n, deg), -1, np.int32)
-    seld = np.full((n, deg), np.inf, np.float32)
-    gslots = np.asarray(sub_slots, np.int32)
-    for s in range(0, n, chunk):
-        e = min(n, s + chunk)
-        rows = np.full(chunk, int(gslots[s]), np.int32)
-        rows[: e - s] = gslots[s:e]
-        cd = np.full((chunk, cand.shape[1]), -1, np.int32)
-        cd[: e - s] = cand[s:e]
-        ki, kd = _bulk_select_jit(
-            vec_dev, norm_dev, jnp.asarray(rows), jnp.asarray(cd),
-            deg=deg, metric=metric, alpha=alpha,
+        cand = jnp.where(
+            pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
         )
-        adj[s:e] = np.asarray(ki)[: e - s]
-        seld[s:e] = np.asarray(kd)[: e - s]
+        del tmp
+    jax.block_until_ready(cand)
+    _mark("candidates")
+    # forward diversity selection, scanned inside ONE program
+    w = cand.shape[1]
+    mm = (n + chunk - 1) // chunk
+    pidx = jnp.clip(jnp.arange(mm * chunk), 0, n - 1)
+    rows_pad = sslots[pidx].astype(jnp.int32).reshape(mm, chunk)
+    cand_pad = cand[pidx].reshape(mm, chunk, w)
+    adj, seld = _select_scan(
+        vec_dev, norm_dev, rows_pad, cand_pad,
+        deg=deg, metric=metric, alpha=alpha,
+    )
+    adj = adj.reshape(mm * chunk, deg)[:n]
+    seld = seld.reshape(mm * chunk, deg)[:n]
+    jax.block_until_ready(adj)
     _mark("select")
     # reverse merge with a GUARANTEED quota (CAGRA-style union): the row
     # becomes fwd[:deg-rcap] + reverse-by-rank + remaining fwd, deduped in
@@ -1034,21 +1030,52 @@ def _bulk_layer_adj(
     # that make a region escapable, leaving directed dead ends: recall
     # saturated at 0.914 however large ef, with the UNDIRECTED graph 99%
     # one component.
-    rev = _bulk_reverse_lists(gslots.astype(np.int64), adj, seld, rcap)
+    # reverse lists stay HOST-side: the fully-device lexsort+scatter
+    # variant (see git history) hung the relay compiler >20min at 200k;
+    # one 32M-entry numpy lexsort is ~10s at 1M and the download/upload
+    # it needs is one adj+seld round-trip
+    rev = jnp.asarray(_bulk_reverse_lists(
+        np.asarray(sub_slots, np.int64), np.asarray(adj),
+        np.asarray(seld), rcap,
+    ))
     keep = max(deg - rcap, deg // 2)
-    merged = np.concatenate([adj[:, :keep], rev, adj[:, keep:]], axis=1)
-    for s in range(0, n, chunk):
-        e = min(n, s + chunk)
-        cd = np.full((chunk, merged.shape[1]), -1, np.int32)
-        cd[: e - s] = merged[s:e]
-        ki = _union_rows_jit(jnp.asarray(cd), deg=deg)
-        adj[s:e] = np.asarray(ki)[: e - s]
+    merged = jnp.concatenate([adj[:, :keep], rev, adj[:, keep:]], axis=1)
+    w2 = merged.shape[1]
+    merged_pad = merged[pidx].reshape(mm, chunk, w2)
+    adj = _union_scan(merged_pad, deg=deg).reshape(mm * chunk, deg)[:n]
+    jax.block_until_ready(adj)
     _mark("reverse")
     return adj
 
 
+@partial(jax.jit, static_argnames=("deg", "metric", "alpha"))
+def _select_scan(vectors, norms, rows, cand, *, deg, metric, alpha):
+    """Chunk-scanned diversity selection: rows [M, B], cand [M, B, W] ->
+    (adj [M, B, deg], seld [M, B, deg]), one device program."""
+
+    def step(_, inp):
+        rr, cc = inp
+        ki, kd = _select_from_candidates(
+            vectors, norms, rr, cc, deg, metric, alpha
+        )
+        return 0, (ki, kd)
+
+    _, out = jax.lax.scan(step, 0, (rows, cand))
+    return out
+
+
 @partial(jax.jit, static_argnames=("deg",))
-def _union_rows_jit(cand, *, deg: int):
+def _union_scan(cand, *, deg: int):
+    """Chunk-scanned _union_rows_jit: [M, B, W] -> [M, B, deg]."""
+
+    def step(_, cc):
+        return 0, _union_rows(cc, deg)
+
+    _, out = jax.lax.scan(step, 0, cand)
+    return out
+
+
+def _union_rows(cand, deg: int):
     """First-occurrence dedup + compact to `deg` lanes, preserving the
     given priority order (duplicates and NIL sink to the end)."""
     w = cand.shape[-1]
@@ -1060,6 +1087,9 @@ def _union_rows_jit(cand, *, deg: int):
     out = jnp.take_along_axis(cand, order, axis=-1)[:, :deg]
     kept = jnp.take_along_axis(key, order, axis=-1)[:, :deg] <= w
     return jnp.where(kept, out, NIL)
+
+
+_union_rows_jit = jax.jit(_union_rows, static_argnames=("deg",))
 
 
 @partial(jax.jit, static_argnames=("deg", "ef", "iters", "metric"))

@@ -484,6 +484,30 @@ class IvfIndex:
                 x, cents_np, members, occupancy, cap, xpj=xpj
             )
         mark("replicas")
+        # pad the cluster count to a power of two: C is a STATIC shape in
+        # every packed-state and search program, and the split outcome
+        # varies per dataset — padding buckets the shapes so the scatter/
+        # probe programs compile once per bucket, not once per train()
+        # (measured ~20s of relay compile per distinct C). Pad centroids
+        # are ZERO vectors whose cnorms are forced to +inf below (a +inf
+        # centroid would turn q·c into inf*0 = NaN and poison the top-k);
+        # members -1, occupancy full.
+        c_real = c
+        cpad = _pow2_at_least(c, floor=8)
+        if cpad != c:
+            cents_np = np.concatenate([
+                cents_np,
+                np.zeros((cpad - c, self.dim), np.float32),
+            ])
+            cents = jnp.asarray(cents_np)
+            members = np.concatenate([
+                members, np.full((cpad - c, cap), -1, np.int64)
+            ])
+            occupancy = np.concatenate([
+                occupancy, np.full(cpad - c, cap, np.int64)
+            ])
+            self._occupancy = occupancy
+            c = cpad
         self.cfg = IvfConfig(
             dim=self.dim, n_clusters=c, cluster_cap=cap, metric=self.metric,
             nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
@@ -521,9 +545,13 @@ class IvfIndex:
             codes = jnp.zeros((1, 1, 1), jnp.int8)
             mins = jnp.zeros((1, 1), jnp.float32)
             scales = jnp.zeros((1, 1), jnp.float32)
+        cn_full = prep_norms(jnp.asarray(cents))
+        if c_real != c:
+            # pad cells can never win a probe slot
+            cn_full = cn_full.at[c_real:].set(jnp.inf)
         self.state = IvfState(
             centroids=jnp.asarray(cents),
-            cnorms=prep_norms(jnp.asarray(cents)),
+            cnorms=cn_full,
             members=jnp.asarray(members.astype(np.int32)),
             pvecs=jp,
             pnorms=pnorms,
