@@ -107,3 +107,36 @@ def test_ivf_empty():
     idx = IvfIndex(dim=8)
     d, i = idx.search(np.zeros((2, 8), np.float32), k=3)
     assert (i == -1).all()
+
+
+def test_ivf_compact_store_sq16_rerank():
+    """keep_f32=False: int8 probe codes + SQ16 rerank copy (3 bytes/dim
+    total) must match the f32-rerank engine's recall on clustered data."""
+    import jax.numpy as jnp
+
+    from turdb_tpu.models.flat import FlatIndex
+
+    centers = RNG.standard_normal((16, 32)).astype(np.float32) * 4.0
+    a = RNG.integers(0, 16, 4256)
+    pool = (centers[a] + RNG.standard_normal((4256, 32))).astype(np.float32)
+    x, q = pool[:4000], pool[4000:4128]
+    flat = FlatIndex(dim=32)
+    flat.add(x)
+    _, truth = flat.search(q, k=10)
+    idx = IvfIndex(dim=32, sq8=True, keep_f32=False, n_clusters=64)
+    idx.add(x)
+    if idx.state is None:
+        idx.train()
+    assert idx.state.pvecs.dtype == jnp.uint16
+    _, ids = idx.search(q, k=10, nprobe=16)
+    rec = np.mean(
+        [len(set(p[p >= 0]) & set(t)) / 10 for p, t in zip(ids, truth)]
+    )
+    assert rec >= 0.9, f"compact-store recall {rec}"
+    # incremental append keeps the compact encoding
+    extra = (centers[RNG.integers(0, 16, 8)]
+             + RNG.standard_normal((8, 32))).astype(np.float32)
+    slots = idx.add(extra)
+    _, ids2 = idx.search(extra, k=1, nprobe=16)
+    hit = (ids2[:, 0] == slots).mean()
+    assert hit >= 0.75, f"append self-hit {hit}"

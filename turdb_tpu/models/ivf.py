@@ -262,7 +262,19 @@ def ivf_search_impl(
         flat_pos = cl * lcap + ln
         flat = state.pvecs.reshape(-1, cfg.dim)
         fnorm = state.pnorms.reshape(-1)
-        vecs = flat[flat_pos]                         # [B, r, d] small gather
+        if state.pvecs.dtype == jnp.uint16:
+            # compact store: dequantize SQ16 from the row (min, scale)
+            # the int8 codes already carry (mins holds m' = min+128*s8)
+            mr = state.mins.reshape(-1)[flat_pos]
+            sr = state.scales.reshape(-1)[flat_pos]
+            base = mr - 128.0 * sr
+            s16 = sr * (255.0 / 65535.0)
+            vecs = (
+                base[..., None]
+                + s16[..., None] * flat[flat_pos].astype(jnp.float32)
+            )
+        else:
+            vecs = flat[flat_pos].astype(jnp.float32)  # [B, r, d]
         dots = jnp.einsum(
             "bd,brd->br", q, vecs,
             preferred_element_type=jnp.float32, precision=PRECISE,
@@ -303,6 +315,7 @@ class IvfIndex:
         sq8: bool = False,
         rerank: int = 0,
         replicate: bool = True,
+        keep_f32: bool = True,
     ):
         self.dim = dim
         self.metric = metric
@@ -310,6 +323,14 @@ class IvfIndex:
         self._cluster_cap = cluster_cap
         self.nprobe = nprobe
         self.sq8 = sq8
+        # keep_f32=False stores int8 probe codes + a 16-BIT (SQ16) rerank
+        # copy instead of the full f32 copy (3 bytes/dim vs 5): ~10M x
+        # 128d fits one 16GB chip. SQ16 shares the row (min, scale) the
+        # int8 codes already store, so no extra metadata; its ~2^-16-of-
+        # range error is final-ordering-exact (measured at 1M: no rerank
+        # 0.785, bf16 rerank 0.884 — both saturate below the 0.95 gate;
+        # f32-grade rerank 0.964).
+        self.keep_f32 = keep_f32 or not sq8
         if sq8 and rerank == 0:
             rerank = 64
         self.rerank = rerank
@@ -381,8 +402,9 @@ class IvfIndex:
         # ~64 points/centroid minimum: round-1 capped this at 262k, which
         # left 16 pts/centroid at 1M/15.6k clusters — centroids too noisy,
         # cells overlap, recall saturated at 0.92 (the k-means matmuls are
-        # ~4 TFLOP/iter at 1M x 15.6k x 128 — cheap on the MXU)
-        n_train = min(n, max(c * 64, 100_000), 1_048_576)
+        # ~4 TFLOP/iter at 1M x 15.6k x 128 — cheap on the MXU). The 4M
+        # ceiling keeps 10M-scale trains at >=25 pts/centroid.
+        n_train = min(n, max(c * 64, 100_000), 4_194_304)
         tr_idx = (
             rng.choice(n, size=n_train, replace=False) if n_train < n
             else np.arange(n)
@@ -520,10 +542,25 @@ class IvfIndex:
         xd = xpj
         mcj, mlj = jnp.asarray(mc), jnp.asarray(ml)
         mslj = jnp.asarray(mslots)
-        jp = (
-            jnp.zeros((c, cap, self.dim), jnp.float32)
-            .at[mcj, mlj].set(xd[mslj])
-        )
+        if self.keep_f32:
+            jp = (
+                jnp.zeros((c, cap, self.dim), jnp.float32)
+                .at[mcj, mlj].set(xd[mslj])
+            )
+        else:
+            # compact store: SQ16 rerank codes (int8 codes carry the
+            # probe); row (min, scale) ride in state.mins/scales below
+            _, rmins0, rscales0 = sq8_encode(xd)
+            s16 = rscales0 * (255.0 / 65535.0)
+            safe16 = jnp.where(s16 == 0, 1.0, s16)
+            u16 = jnp.clip(
+                jnp.round((xd - rmins0[:, None]) / safe16[:, None]),
+                0, 65535,
+            ).astype(jnp.uint16)
+            jp = (
+                jnp.zeros((c, cap, self.dim), jnp.uint16)
+                .at[mcj, mlj].set(u16[mslj])
+            )
         pnorms = (
             jnp.full((c, cap), INF, jnp.float32)
             .at[mcj, mlj].set(prep_norms(xd)[mslj])
@@ -531,13 +568,23 @@ class IvfIndex:
         alive = np.zeros((c, cap), bool)
         alive[mc, ml] = self._alive_host[mslots]
         if self.sq8:
-            codes_u8, mins, scales = sq8_encode(jp.reshape(-1, self.dim))
-            # centered int8 (see ivf_search_impl) + shifted mins
+            # ROW-wise quantization from the already-uploaded array, then
+            # scatter into the packed layout — never materializes a packed
+            # f32 copy (pad rows are +inf -> NaN codes, never gathered)
+            codes_u8, rmins, rscales = sq8_encode(xd)
+            ccent = (codes_u8.astype(jnp.int16) - 128).astype(jnp.int8)
             codes = (
-                codes_u8.astype(jnp.int16) - 128
-            ).astype(jnp.int8).reshape(c, cap, self.dim)
-            mins = (mins + 128.0 * scales).reshape(c, cap)
-            scales = scales.reshape(c, cap)
+                jnp.zeros((c, cap, self.dim), jnp.int8)
+                .at[mcj, mlj].set(ccent[mslj])
+            )
+            mins = (
+                jnp.zeros((c, cap), jnp.float32)
+                .at[mcj, mlj].set((rmins + 128.0 * rscales)[mslj])
+            )
+            scales = (
+                jnp.zeros((c, cap), jnp.float32)
+                .at[mcj, mlj].set(rscales[mslj])
+            )
         else:
             # placeholders: cfg.sq8 is STATIC, so the search trace never
             # touches these — full-shape zeros would waste ~C*L*d bytes of
@@ -708,7 +755,6 @@ class IvfIndex:
         jv = jnp.asarray(vecs)
         st = st._replace(
             members=st.members.at[cs, lanes].set(slots.astype(np.int32)),
-            pvecs=st.pvecs.at[cs, lanes].set(jv),
             pnorms=st.pnorms.at[cs, lanes].set(prep_norms(jv)),
             alive=st.alive.at[cs, lanes].set(True),
         )
@@ -721,6 +767,18 @@ class IvfIndex:
                 mins=st.mins.at[cs, lanes].set(mins + 128.0 * scales),
                 scales=st.scales.at[cs, lanes].set(scales),
             )
+            if st.pvecs.dtype == jnp.uint16:
+                s16 = scales * (255.0 / 65535.0)
+                safe16 = jnp.where(s16 == 0, 1.0, s16)
+                u16 = jnp.clip(
+                    jnp.round((jv - mins[:, None]) / safe16[:, None]),
+                    0, 65535,
+                ).astype(jnp.uint16)
+                st = st._replace(pvecs=st.pvecs.at[cs, lanes].set(u16))
+            else:
+                st = st._replace(pvecs=st.pvecs.at[cs, lanes].set(jv))
+        else:
+            st = st._replace(pvecs=st.pvecs.at[cs, lanes].set(jv))
         self.state = st
         need = int(slots.max()) + 1
         if need > len(self._slot_cluster):
@@ -737,7 +795,18 @@ class IvfIndex:
 
     def _retrain_with(self, extra_vecs, extra_slots):
         # collect all live vectors + extras, retrain from scratch
-        flat = np.asarray(self.state.pvecs).reshape(-1, self.dim)
+        st0 = self.state
+        if st0.pvecs.dtype == jnp.uint16:
+            base = st0.mins - 128.0 * st0.scales
+            s16 = st0.scales * (255.0 / 65535.0)
+            flat = np.asarray(
+                base[..., None]
+                + s16[..., None] * st0.pvecs.astype(jnp.float32)
+            ).reshape(-1, self.dim)
+        else:
+            flat = np.asarray(
+                st0.pvecs.astype(jnp.float32)
+            ).reshape(-1, self.dim)
         mem = np.asarray(self.state.members).reshape(-1)
         extra_slots = np.atleast_1d(np.asarray(extra_slots, np.int64))
         hi = int(extra_slots.max()) + 1 if len(extra_slots) else 0
