@@ -84,6 +84,28 @@ def test_sharded_ivf(data):
     assert r >= 0.9, f"sharded ivf recall {r:.3f}"
     assert (d[:, 0] <= d[:, -1]).all()
 
+
+def test_sharded_ivf_compact_store(data):
+    """Per-shard compact stores (int8 probe + SQ16 rerank) keep recall on
+    the mesh — the BASELINE 100M config's memory mode."""
+    from turdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    x, q, true_ids = data
+    mesh = make_mesh(n_db=4, n_data=2)
+    idx = ShardedIvfIndex(
+        dim=32, mesh=mesh, nprobe=16, sq8=True, keep_f32=False
+    )
+    gids = idx.add(x)
+    idx.train()
+    import jax.numpy as jnp
+
+    assert all(s.state.pvecs.dtype == jnp.uint16 for s in idx.shards)
+    d, gi = idx.search(q, k=10)
+    lut = {g: i for i, g in enumerate(gids)}
+    pred = np.array([[lut.get(g, -1) for g in row] for row in gi])
+    r = recall_at_k(pred, true_ids)
+    assert r >= 0.9, f"sharded compact ivf recall {r:.3f}"
+
 def test_gid_stability_across_growth(data):
     """Packed gids must survive capacity growth (round-1 verdict weak #10:
     capacity-based packing invalidated stored gids on _ensure growth)."""

@@ -30,7 +30,8 @@ class ShardedIvfIndex:
 
     def __init__(self, dim: int, mesh, metric: Metric = Metric.L2,
                  nprobe: int = 8, sq8: bool = False, rerank: int = 0,
-                 n_clusters: int | None = None, cluster_cap: int | None = None):
+                 n_clusters: int | None = None, cluster_cap: int | None = None,
+                 keep_f32: bool = True):
         self.mesh = mesh
         self.n_db = mesh.shape[MESH_AXIS_DB]
         self.n_host = mesh.shape.get(MESH_AXIS_HOST, 1)
@@ -44,10 +45,14 @@ class ShardedIvfIndex:
         self.n_data = mesh.shape.get(MESH_AXIS_DATA, 1)
         self.dim = dim
         self.metric = metric
+        # keep_f32=False: per-shard compact stores (int8 probe + SQ16
+        # rerank, 3 bytes/dim) — the BASELINE 100M-mesh config fits in
+        # ~4.8GB/chip on a db=8 mesh instead of ~8GB f32
         self.shards = [
             IvfIndex(
                 dim=dim, metric=metric, nprobe=nprobe, sq8=sq8, rerank=rerank,
                 n_clusters=n_clusters, cluster_cap=cluster_cap,
+                keep_f32=keep_f32,
             )
             for _ in range(self.n_shards)
         ]
