@@ -42,6 +42,9 @@ class SortedKeyIndex:
         self.unique = unique
         self._runs: list[list[tuple[bytes, int]]] = []  # each sorted
         self._delta: list[tuple[bytes, int]] = []
+        # hash over the delta: probes were a LINEAR delta scan, ~25% of
+        # the per-row prepared-insert cost (unique checks probe per row)
+        self._delta_by_key: dict[bytes, list[int]] = {}
         self._deleted: set[tuple[bytes, int]] = set()
 
     def make_key(self, values) -> bytes:
@@ -49,10 +52,12 @@ class SortedKeyIndex:
 
     def clear(self):
         self._runs, self._delta, self._deleted = [], [], set()
+        self._delta_by_key = {}
 
     def insert(self, key: bytes, rowid: int):
         self._deleted.discard((key, rowid))
         self._delta.append((key, rowid))
+        self._delta_by_key.setdefault(key, []).append(rowid)
         if len(self._delta) >= _MERGE_THRESHOLD:
             self._flush()
 
@@ -63,6 +68,7 @@ class SortedKeyIndex:
         if self._delta:
             self._runs.append(sorted(set(self._delta)))
             self._delta = []
+            self._delta_by_key = {}
         # size-tiered compaction
         while (
             len(self._runs) >= 2
@@ -99,8 +105,8 @@ class SortedKeyIndex:
                 if e not in self._deleted:
                     out.append(e[1])
                 lo += 1
-        for k, r in self._delta:
-            if k == key and (k, r) not in self._deleted:
+        for r in self._delta_by_key.get(key, ()):
+            if (key, r) not in self._deleted:
                 out.append(r)
         return list(dict.fromkeys(out))
 
@@ -109,6 +115,7 @@ class SortedKeyIndex:
         path): one sort beats per-row delta inserts + tiered merges."""
         self._runs = [sorted(zip(keys, (int(r) for r in rowids)))]
         self._delta = []
+        self._delta_by_key = {}
         self._deleted = set()
 
     def key_set(self) -> set:
