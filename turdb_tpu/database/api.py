@@ -1031,6 +1031,8 @@ class Database:
                 nprobe=int(idef.options.get("nprobe", 8)),
                 sq8=bool(idef.options.get("sq8", False)),
                 rerank=int(idef.options.get("rerank", 0)),
+                # WITH (compact = true): int8 probe + SQ16 rerank store
+                compact=bool(idef.options.get("compact", False)),
             )
             info.hnsw[idef.name] = iv
             return

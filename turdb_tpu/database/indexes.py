@@ -256,13 +256,15 @@ class IvfTableIndex(_SlotMap):
 
     def __init__(self, name: str, column: str, dim: int,
                  metric: Metric = Metric.L2, n_clusters: int | None = None,
-                 nprobe: int = 8, sq8: bool = False, rerank: int = 0):
+                 nprobe: int = 8, sq8: bool = False, rerank: int = 0,
+                 compact: bool = False):
         self.name = name
         self.column = column
         self.metric = metric
         self.index = IvfIndex(
             dim=dim, metric=metric, n_clusters=n_clusters,
-            nprobe=nprobe, sq8=sq8, rerank=rerank,
+            nprobe=nprobe, sq8=sq8 or compact, rerank=rerank,
+            keep_f32=not compact,
         )
         self._init_slots()
         self._pending_vecs: list = []

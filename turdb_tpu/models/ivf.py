@@ -515,7 +515,12 @@ class IvfIndex:
         # centroid would turn q·c into inf*0 = NaN and poison the top-k);
         # members -1, occupancy full.
         c_real = c
-        cpad = _pow2_at_least(c, floor=8)
+        # pow2 up to 8k, then multiples of 8k: a pure pow2 ladder would
+        # inflate 156k cells (10M rows) to 262k (+68% packed memory)
+        cpad = (
+            _pow2_at_least(c, floor=8) if c <= 8192
+            else -(-c // 8192) * 8192
+        )
         if cpad != c:
             cents_np = np.concatenate([
                 cents_np,
@@ -537,54 +542,30 @@ class IvfIndex:
         )
         mc, ml = np.nonzero(members >= 0)       # now includes replicas
         mslots = members[mc, ml]
-        # pack on DEVICE from the already-uploaded padded array: a scatter,
-        # not another [n, d] relay transfer
-        xd = xpj
-        mcj, mlj = jnp.asarray(mc), jnp.asarray(ml)
-        mslj = jnp.asarray(mslots)
-        if self.keep_f32:
-            jp = (
-                jnp.zeros((c, cap, self.dim), jnp.float32)
-                .at[mcj, mlj].set(xd[mslj])
-            )
+        # pack CHUNKED with buffer DONATION — whole-array encodes
+        # materialize several [n, d] f32 temporaries, which OOMs a 16GB
+        # chip at 10M x 128d. Above ~2.5GB of source data, additionally
+        # FREE the padded device copy first and re-upload rows per chunk
+        # from the host: the packed stores + the full f32 source cannot
+        # coexist at 10M scale.
+        stream = n * self.dim * 4 > 2_500_000_000
+        if stream:
+            xd = None
+            xpj = None
         else:
-            # compact store: SQ16 rerank codes (int8 codes carry the
-            # probe); row (min, scale) ride in state.mins/scales below
-            _, rmins0, rscales0 = sq8_encode(xd)
-            s16 = rscales0 * (255.0 / 65535.0)
-            safe16 = jnp.where(s16 == 0, 1.0, s16)
-            u16 = jnp.clip(
-                jnp.round((xd - rmins0[:, None]) / safe16[:, None]),
-                0, 65535,
-            ).astype(jnp.uint16)
-            jp = (
-                jnp.zeros((c, cap, self.dim), jnp.uint16)
-                .at[mcj, mlj].set(u16[mslj])
-            )
-        pnorms = (
-            jnp.full((c, cap), INF, jnp.float32)
-            .at[mcj, mlj].set(prep_norms(xd)[mslj])
-        )
-        alive = np.zeros((c, cap), bool)
-        alive[mc, ml] = self._alive_host[mslots]
+            xd = xpj
+        mcj = jnp.asarray(mc)
+        mlj = jnp.asarray(ml)
+        mslj = jnp.asarray(mslots)
+        nm = len(mslots)
+        if self.keep_f32:
+            jp = jnp.zeros((c, cap, self.dim), jnp.float32)
+        else:
+            jp = jnp.zeros((c, cap, self.dim), jnp.uint16)
         if self.sq8:
-            # ROW-wise quantization from the already-uploaded array, then
-            # scatter into the packed layout — never materializes a packed
-            # f32 copy (pad rows are +inf -> NaN codes, never gathered)
-            codes_u8, rmins, rscales = sq8_encode(xd)
-            ccent = (codes_u8.astype(jnp.int16) - 128).astype(jnp.int8)
-            codes = (
-                jnp.zeros((c, cap, self.dim), jnp.int8)
-                .at[mcj, mlj].set(ccent[mslj])
-            )
-            mins = (
-                jnp.zeros((c, cap), jnp.float32)
-                .at[mcj, mlj].set((rmins + 128.0 * rscales)[mslj])
-            )
-            scales = (
-                jnp.zeros((c, cap), jnp.float32)
-                .at[mcj, mlj].set(rscales[mslj])
-            )
+            codes = jnp.zeros((c, cap, self.dim), jnp.int8)
+            mins = jnp.zeros((c, cap), jnp.float32)
+            scales = jnp.zeros((c, cap), jnp.float32)
         else:
             # placeholders: cfg.sq8 is STATIC, so the search trace never
             # touches these — full-shape zeros would waste ~C*L*d bytes of
@@ -592,6 +573,21 @@ class IvfIndex:
             codes = jnp.zeros((1, 1, 1), jnp.int8)
             mins = jnp.zeros((1, 1), jnp.float32)
             scales = jnp.zeros((1, 1), jnp.float32)
+        pnorms = jnp.full((c, cap), INF, jnp.float32)
+        ch = 1 << 21
+        for s in range(0, nm, ch):
+            e = min(nm, s + ch)   # tail chunk = one extra compile, fine
+            if stream:
+                xb = jnp.asarray(x[mslots[s:e]])
+            else:
+                xb = xd[mslj[s:e]]
+            jp, codes, mins, scales, pnorms = _pack_chunk(
+                jp, codes, mins, scales, pnorms,
+                xb, mcj[s:e], mlj[s:e],
+                sq8=self.sq8, keep_f32=self.keep_f32,
+            )
+        alive = np.zeros((c, cap), bool)
+        alive[mc, ml] = self._alive_host[mslots]
         cn_full = prep_norms(jnp.asarray(cents))
         if c_real != c:
             # pad cells can never win a probe slot
@@ -989,6 +985,37 @@ def _split_oversized(cents: np.ndarray, assign: np.ndarray, x: np.ndarray,
         if new_cents:
             cents = np.concatenate([cents] + new_cents)
     return cents, assign
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sq8", "keep_f32"),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def _pack_chunk(jp, codes, mins, scales, pnorms, xb, mc_, ml_,
+                *, sq8: bool, keep_f32: bool):
+    """One packing chunk: quantize the gathered rows (when sq8) and
+    scatter into the donated packed buffers. Donation keeps the big
+    accumulators in-place — eager .at[].set would copy the multi-GB
+    arrays per chunk."""
+    pnorms = pnorms.at[mc_, ml_].set(prep_norms(xb))
+    if sq8:
+        cu8, m8, s8 = sq8_encode(xb)
+        codes = codes.at[mc_, ml_].set(
+            (cu8.astype(jnp.int16) - 128).astype(jnp.int8)
+        )
+        mins = mins.at[mc_, ml_].set(m8 + 128.0 * s8)
+        scales = scales.at[mc_, ml_].set(s8)
+    if keep_f32:
+        jp = jp.at[mc_, ml_].set(xb)
+    else:
+        s16 = s8 * (255.0 / 65535.0)
+        safe16 = jnp.where(s16 == 0, 1.0, s16)
+        u16 = jnp.clip(
+            jnp.round((xb - m8[:, None]) / safe16[:, None]), 0, 65535
+        ).astype(jnp.uint16)
+        jp = jp.at[mc_, ml_].set(u16)
+    return jp, codes, mins, scales, pnorms
 
 
 def _pad_rows_dev(x: jax.Array, mult: int) -> jax.Array:
