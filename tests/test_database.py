@@ -575,3 +575,60 @@ class TestIndexScans:
         with pytest.raises(ConstraintViolation):
             db.execute("INSERT INTO c VALUES (10, 1)")  # 1 no longer exists
         db.execute("INSERT INTO c VALUES (11, 2)")
+
+
+class TestQuantifiedSubqueries:
+    """ANY/SOME/ALL comparisons (reference subquery/classifier.rs:44-95)."""
+
+    @pytest.fixture()
+    def qdb(self, tmp_path):
+        from turdb_tpu import connect
+
+        d = connect(str(tmp_path / "qdb"))
+        d.execute("CREATE TABLE t (a INT)")
+        d.execute("INSERT INTO t VALUES (1),(2),(3)")
+        d.execute("CREATE TABLE s (b INT)")
+        d.execute("INSERT INTO s VALUES (1),(2),(NULL)")
+        yield d
+        d.close()
+
+    def test_any_all_basics(self, qdb):
+        assert qdb.query(
+            "SELECT a FROM t WHERE a > ANY (SELECT a FROM t WHERE a < 3) "
+            "ORDER BY a"
+        ) == [(2,), (3,)]
+        assert qdb.query(
+            "SELECT a FROM t WHERE a >= ALL (SELECT a FROM t)"
+        ) == [(3,)]
+        assert qdb.query(
+            "SELECT a FROM t WHERE a = SOME (SELECT a FROM t WHERE a = 2)"
+        ) == [(2,)]
+        assert qdb.query(
+            "SELECT a FROM t WHERE a <> ALL (SELECT a FROM t WHERE a > 2) "
+            "ORDER BY a"
+        ) == [(1,), (2,)]
+
+    def test_null_three_valued(self, qdb):
+        # {1, 2, NULL}: 1 > ANY is UNKNOWN for a=1 (no true, null present)
+        assert qdb.query(
+            "SELECT a FROM t WHERE a > ANY (SELECT b FROM s) ORDER BY a"
+        ) == [(2,), (3,)]
+        # a > ALL over a null-bearing set can never be TRUE
+        assert qdb.query(
+            "SELECT a FROM t WHERE a > ALL (SELECT b FROM s)"
+        ) == []
+
+    def test_empty_set(self, qdb):
+        assert qdb.query(
+            "SELECT a FROM t WHERE a > ANY (SELECT a FROM t WHERE a > 99)"
+        ) == []
+        assert qdb.query(
+            "SELECT count(*) FROM t WHERE a > ALL "
+            "(SELECT a FROM t WHERE a > 99)"
+        ) == [(3,)]
+
+    def test_correlated(self, qdb):
+        assert qdb.query(
+            "SELECT a FROM t WHERE a >= ALL "
+            "(SELECT b FROM s WHERE s.b <= t.a) ORDER BY a"
+        ) == [(1,), (2,), (3,)]

@@ -90,6 +90,17 @@ class InSubquery(Expr):
 
 
 @dataclass
+class Quantified(Expr):
+    """<operand> <op> ANY/ALL (<subquery>) (reference quantified
+    subqueries, sql/subquery/classifier.rs:44-95)."""
+
+    op: str                  # comparison operator
+    operand: Expr
+    kind: str                # "ANY" | "ALL" (SOME parses as ANY)
+    subquery: "Select"
+
+
+@dataclass
 class Exists(Expr):
     subquery: "Select"
     negated: bool = False
@@ -377,6 +388,8 @@ def render_expr(e) -> str:
         return " ".join(parts)
     if isinstance(e, TypedLiteral):
         return f"{e.type_name} '{e.text}'"
+    if isinstance(e, Quantified):
+        return f"({render_expr(e.operand)} {e.op} {e.kind} (<subquery>))"
     if dataclasses.is_dataclass(e):
         return type(e).__name__
     return repr(e)

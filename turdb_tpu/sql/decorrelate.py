@@ -97,7 +97,7 @@ def _refs(e, out: list):
     if isinstance(e, (A.Star,)):
         out.append(e)
         return
-    if isinstance(e, (A.ScalarSubquery, A.InSubquery, A.Exists)):
+    if isinstance(e, (A.ScalarSubquery, A.InSubquery, A.Exists, A.Quantified)):
         out.append(e)  # nested subquery: treat as unclassifiable
         return
     if not dataclasses.is_dataclass(e):

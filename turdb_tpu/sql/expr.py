@@ -482,6 +482,8 @@ def eval_expr(e, batch: Batch, ctx: EvalContext) -> Col:
         return acc
     if isinstance(e, A.InSubquery):
         return _in_subquery(e, batch, ctx)
+    if isinstance(e, A.Quantified):
+        return _quantified(e, batch, ctx)
     if isinstance(e, A.Exists):
         return _exists(e, batch, ctx)
     if isinstance(e, A.ScalarSubquery):
@@ -891,6 +893,100 @@ def _in_subquery(e: A.InSubquery, batch: Batch, ctx: EvalContext) -> Col:
                 nulls[i] = True
     if e.negated:
         return Col(~out, nulls)
+    return Col(out, nulls)
+
+
+_QCMP = {
+    "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+    "<>": lambda a, b: a != b, "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b, ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _quant_one(x, op: str, kind: str, svals: list, has_null: bool):
+    """Three-valued `x op ANY/ALL (svals ∪ {NULL if has_null})`: ANY is
+    the OR over comparisons (empty -> FALSE), ALL the AND (empty -> TRUE).
+    Returns True/False/None. O(1) per row via the precomputed extremes:
+    x > ANY(S) == x > min(S), x > ALL(S) == x > max(S), etc."""
+    if not svals and not has_null:
+        return kind == "ALL"
+    if x is None:
+        return None
+    cmp = _QCMP[op]
+    if not svals:                      # only NULLs in the set
+        return None
+    try:
+        if op in ("=", "!=", "<>"):
+            if op == "=":
+                t_any = x in svals
+                t_all = all(v == x for v in svals)
+            else:
+                t_any = any(v != x for v in svals)
+                t_all = x not in svals
+        else:
+            mn, mx = min(svals), max(svals)
+            lo_side = op in ("<", "<=")
+            if kind == "ANY":
+                t_any = cmp(x, mn if not lo_side else mx)
+            else:
+                t_all = cmp(x, mx if not lo_side else mn)
+    except TypeError:
+        raise SqlError(
+            f"cannot compare {type(x).__name__} in quantified subquery"
+        )
+    if kind == "ANY":
+        if t_any:
+            return True
+        return None if has_null else False
+    if not t_all:
+        return False
+    return None if has_null else True
+
+
+def _quantified(e: A.Quantified, batch: Batch, ctx: EvalContext) -> Col:
+    """op ANY/ALL (subquery) — reference quantified subqueries
+    (sql/subquery/classifier.rs:44-95). Uncorrelated: one subquery run +
+    O(1)-per-row comparison against precomputed extremes / membership;
+    correlated: row-wise fallback (same policy as IN/EXISTS)."""
+    v = eval_expr(e.operand, batch, ctx)
+    n = batch.n
+    out = np.zeros(n, bool)
+    nulls = np.zeros(n, bool)
+
+    def finish(i, r):
+        if r is None:
+            nulls[i] = True
+        else:
+            out[i] = r
+
+    try:
+        res = _run_sub(e.subquery, ctx, None)
+        corr = False
+    except SqlError:
+        corr = True
+    if not corr:
+        sub = res.cols[0]
+        svals = [
+            _py(x) for x, nu in zip(sub.values, sub.nulls) if not nu
+        ]
+        has_null = bool(res.n and sub.nulls.any())
+        if e.op in ("=", "!=", "<>"):
+            svals = list(dict.fromkeys(svals))
+        for i in range(n):
+            x = None if v.nulls[i] else _py(v.values[i])
+            finish(i, _quant_one(x, e.op, e.kind, svals, has_null))
+    else:
+        _count_rowwise()
+        for i in range(n):
+            res = _run_sub(e.subquery, ctx, batch.take([i]))
+            sub = res.cols[0]
+            svals = [
+                _py(x) for x, nu in zip(sub.values, sub.nulls) if not nu
+            ]
+            has_null = bool(res.n and sub.nulls.any())
+            x = None if v.nulls[i] else _py(v.values[i])
+            finish(i, _quant_one(x, e.op, e.kind, svals, has_null))
     return Col(out, nulls)
 
 

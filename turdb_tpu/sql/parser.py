@@ -831,6 +831,18 @@ class Parser:
             if bp < min_bp:
                 break
             self.next()
+            if (
+                op in ("=", "!=", "<>", "<", "<=", ">", ">=")
+                and self.peek().is_kw("ANY", "SOME", "ALL")
+                and self.peek(1).type is T.LPAREN
+            ):
+                kind = "ALL" if self.peek().is_kw("ALL") else "ANY"
+                self.next()
+                self.expect(T.LPAREN)
+                sub = self._select_stmt()
+                self.expect(T.RPAREN)
+                lhs = A.Quantified(op, lhs, kind, sub)
+                continue
             rhs = self._expr(bp + 1)
             lhs = A.BinaryOp(op, lhs, rhs)
         return lhs
