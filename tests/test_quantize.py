@@ -133,3 +133,29 @@ class TestHnswSq8Serving:
         )
         assert rows[0][0] == 7
         db2.close()
+
+    def test_sq16_graph_beats_sq8(self):
+        from turdb_tpu.models.flat import FlatIndex
+        from turdb_tpu.models.hnsw import HnswIndex, Sq8Rows
+        import jax.numpy as jnp
+
+        x, q = self._clustered(3000, 32, 64)
+        flat = FlatIndex(dim=32)
+        flat.add(x)
+        _, truth = flat.search(q, k=10)
+
+        def recall_of(idx):
+            _, ids = idx.search(q, k=10, ef=80)
+            return np.mean(
+                [len(set(p[p >= 0]) & set(t)) / 10 for p, t in zip(ids, truth)]
+            )
+
+        i16 = HnswIndex(dim=32, ef_construction=80)
+        i16.add(x)
+        base = recall_of(i16)
+        i16.quantize_sq16()
+        assert isinstance(i16.state.vectors, Sq8Rows)
+        assert i16.state.vectors.codes.dtype == jnp.uint16
+        r16 = recall_of(i16)
+        # sq16's 2^-16-of-range step is final-ordering-exact
+        assert r16 >= base - 0.005, f"sq16 {r16} vs f32 {base}"

@@ -1045,7 +1045,9 @@ class Database:
                 m=int(idef.options.get("m", 16)),
                 ef_construction=int(idef.options.get("ef_construction", 100)),
                 ef_search=int(idef.options.get("ef_search", 64)),
-                sq8=bool(idef.options.get("sq8", False)),
+                sq8=bool(idef.options.get("sq8", False))
+                or bool(idef.options.get("sq16", False)),
+                qbits=16 if idef.options.get("sq16") else 8,
             )
             info.hnsw[idef.name] = h
         else:

@@ -322,11 +322,12 @@ class HnswTableIndex(_SlotMap):
     def __init__(self, name: str, column: str, dim: int,
                  metric: Metric = Metric.L2, m: int = 16,
                  ef_construction: int = 100, ef_search: int = 64,
-                 sq8: bool = False):
+                 sq8: bool = False, qbits: int = 8):
         self.name = name
         self.column = column
         self.metric = metric
         self.sq8 = sq8
+        self.qbits = qbits
         self.index = HnswIndex(
             dim=dim, metric=metric, m=m,
             ef_construction=ef_construction, ef_search=ef_search,
@@ -371,7 +372,7 @@ class HnswTableIndex(_SlotMap):
     def flush_pending(self):
         if not self._pending_vecs:
             if self.sq8:
-                self.index.quantize_sq8()
+                self.index._quantize(self.qbits)
             return
         vecs = np.stack(self._pending_vecs)
         rids = np.asarray(self._pending_rowids, np.uint64)
@@ -381,9 +382,9 @@ class HnswTableIndex(_SlotMap):
         self._pending_vecs = []
         self._pending_rowids = []
         if self.sq8:
-            # serving-time SQ8 (reference quantization.rs): adds above
-            # transparently dequantized; re-quantize after the flush
-            self.index.quantize_sq8()
+            # serving-time quantization (reference quantization.rs): adds
+            # above transparently dequantized; re-quantize after the flush
+            self.index._quantize(self.qbits)
 
     def delete(self, rowid: int):
         slot = self._slot_unassign(rowid)

@@ -1440,13 +1440,33 @@ class HnswIndex:
         """Switch the vector store to SQ8-in-HBM serving mode (4x less
         HBM + gather bandwidth; see Sq8Rows). Search runs unchanged
         through the same jitted programs; add() transparently dequantizes
-        first. Norms keep their exact f32 values."""
-        from turdb_tpu.ops.quantize import sq8_encode
+        first. Norms keep their exact f32 values.
 
+        At-scale tradeoff (measured, 1M x 128d clustered): u8 codes cost
+        real recall (0.77 vs 0.94 at ef=64 — beam DISTANCES carry the
+        quantization error and there is no rerank stage in a graph
+        search); quantize_sq16() keeps recall at f32 parity for 2x (not
+        4x) memory."""
+        self._quantize(8)
+
+    def quantize_sq16(self) -> None:
+        """16-bit variant: 2x less HBM at f32-parity recall (the 2^-16
+        step is final-ordering-exact; same finding as the IVF SQ16
+        rerank store)."""
+        self._quantize(16)
+
+    def _quantize(self, bits: int) -> None:
         s = self.state
         if isinstance(s.vectors, Sq8Rows):
             return
-        codes, mins, scales = sq8_encode(s.vectors)
+        x = s.vectors
+        levels = (1 << bits) - 1
+        mins = jnp.min(x, axis=-1)
+        scales = (jnp.max(x, axis=-1) - mins) / levels
+        safe = jnp.where(scales == 0, 1.0, scales)
+        codes = jnp.clip(
+            jnp.round((x - mins[:, None]) / safe[:, None]), 0, levels
+        ).astype(jnp.uint8 if bits == 8 else jnp.uint16)
         self.state = s._replace(vectors=Sq8Rows(codes, mins, scales))
 
     def dequantize(self) -> None:

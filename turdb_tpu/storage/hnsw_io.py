@@ -42,6 +42,10 @@ def save_hnsw(path: str, tindex) -> None:
         "entry": int(s.entry),
         "max_level": int(s.max_level),
         "sq8": isinstance(s.vectors, Sq8Rows),
+        "qbits": (
+            16 if isinstance(s.vectors, Sq8Rows)
+            and s.vectors.codes.dtype == np.uint16 else 8
+        ),
         "rowid_to_slot": [
             [int(r), int(sl)] for r, sl in tindex.rowid_to_slot.items()
         ],
@@ -97,13 +101,16 @@ def load_hnsw(path: str):
             ef_construction=int(meta["ef_construction"]),
             ef_search=int(meta["ef_search"]),
             sq8=bool(meta.get("sq8", False)),
+            qbits=int(meta.get("qbits", 8)),
         )
         idx = tindex.index
         idx._ensure(max(n + 1, 1))
         cfg = idx.cfg
         sq8 = bool(meta.get("sq8", False))
+        qbits = int(meta.get("qbits", 8))
         if sq8:
-            codes = np.frombuffer(_read_buf(fh), np.uint8).reshape(n, dim)
+            cdt = np.uint16 if qbits == 16 else np.uint8
+            codes = np.frombuffer(_read_buf(fh), cdt).reshape(n, dim)
             mins = np.frombuffer(_read_buf(fh), np.float32)[:n]
             scales = np.frombuffer(_read_buf(fh), np.float32)[:n]
             norms = np.frombuffer(_read_buf(fh), np.float32)[:n]
@@ -121,7 +128,7 @@ def load_hnsw(path: str):
     sl = jnp.arange(n)
     if sq8:
         cap = idx.capacity
-        cfull = np.zeros((cap, dim), np.uint8)
+        cfull = np.zeros((cap, dim), np.uint16 if qbits == 16 else np.uint8)
         cfull[:n] = codes
         mfull = np.zeros(cap, np.float32)
         mfull[:n] = mins
