@@ -550,8 +550,11 @@ class IvfIndex:
         # coexist at 10M scale.
         stream = n * self.dim * 4 > 2_500_000_000
         if stream:
+            # drop EVERY reference to the padded device copy (xtj aliases
+            # it when the train sample is the whole set)
             xd = None
             xpj = None
+            xtj = None
         else:
             xd = xpj
         mcj = jnp.asarray(mc)
@@ -574,7 +577,7 @@ class IvfIndex:
             mins = jnp.zeros((1, 1), jnp.float32)
             scales = jnp.zeros((1, 1), jnp.float32)
         pnorms = jnp.full((c, cap), INF, jnp.float32)
-        ch = 1 << 21
+        ch = 1 << 20
         for s in range(0, nm, ch):
             e = min(nm, s + ch)   # tail chunk = one extra compile, fine
             if stream:
@@ -849,9 +852,38 @@ class IvfIndex:
             )
             am[self._slot_cluster2[sel2], self._slot_lane2[sel2]] = True
             amask = jnp.asarray(am)
-        d, ids = ivf_search_impl(
-            self.state, q, amask, cfg=self.cfg, k=k, nprobe=p
+        # cap the probe batch so the [B, P, L, d] gather (+ the int8
+        # path's s32 widening) stays <=~512MB of program temp: at the
+        # 10M-on-one-chip geometry the state is ~13.8GB of HBM and a
+        # B=1024 probe program fails to compile
+        bmax = max(
+            64, (1 << 27) // (p * self.cfg.cluster_cap * self.dim)
         )
+        if q.shape[0] > bmax:
+            parts = [
+                ivf_search_impl(
+                    self.state, q[s : s + bmax], amask,
+                    cfg=self.cfg, k=k, nprobe=p,
+                )
+                for s in range(0, q.shape[0] - bmax + 1, bmax)
+            ]
+            tail = q.shape[0] % bmax
+            if tail:
+                # pad the tail to the shared shape (no extra compile)
+                qt = jnp.concatenate(
+                    [q[-tail:], jnp.zeros((bmax - tail, q.shape[1]),
+                                          q.dtype)]
+                )
+                td, ti = ivf_search_impl(
+                    self.state, qt, amask, cfg=self.cfg, k=k, nprobe=p
+                )
+                parts.append((td[:tail], ti[:tail]))
+            d = jnp.concatenate([pd for pd, _ in parts])
+            ids = jnp.concatenate([pi for _, pi in parts])
+        else:
+            d, ids = ivf_search_impl(
+                self.state, q, amask, cfg=self.cfg, k=k, nprobe=p
+            )
         if out == "jax":
             return d, ids
         return np.asarray(d), np.asarray(ids)
