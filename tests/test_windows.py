@@ -1,0 +1,97 @@
+"""Window function semantics vs SQLite (reference logical.rs:172-183
+window inventory + SQL-standard default RANGE frame for aggregates)."""
+
+import sqlite3
+import tempfile
+
+import numpy as np
+import pytest
+
+from turdb_tpu.database.api import Database
+
+
+@pytest.fixture()
+def pair():
+    db = Database.create(tempfile.mkdtemp() + "/w")
+    lite = sqlite3.connect(":memory:")
+    db.execute("CREATE TABLE t(g INT, v INT, s TEXT)")
+    lite.execute("CREATE TABLE t(g INT, v INT, s TEXT)")
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        g = int(rng.integers(0, 5))
+        v = int(rng.integers(0, 20))
+        s = "abcde"[int(rng.integers(0, 5))]
+        db.execute(f"INSERT INTO t VALUES ({g}, {v}, '{s}')")
+        lite.execute("INSERT INTO t VALUES (?, ?, ?)", (g, v, s))
+    # a NULL row exercises null ordering in frames
+    db.execute("INSERT INTO t VALUES (1, NULL, 'z')")
+    lite.execute("INSERT INTO t VALUES (1, NULL, 'z')")
+    yield db, lite
+    db.close()
+    lite.close()
+
+
+QUERIES = [
+    "SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v NULLS FIRST, s) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, rank() OVER (PARTITION BY g ORDER BY v NULLS FIRST) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, dense_rank() OVER (PARTITION BY g ORDER BY v NULLS FIRST) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, ntile(3) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, ntile(7) OVER (ORDER BY v NULLS FIRST, s, g) FROM t ORDER BY v NULLS FIRST, s, g",
+    "SELECT g, v, lag(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, lead(v, 2, -1) OVER (PARTITION BY g ORDER BY v NULLS FIRST, s) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, sum(v) OVER (PARTITION BY g ORDER BY v NULLS FIRST) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, count(*) OVER (PARTITION BY g ORDER BY v NULLS FIRST) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, min(v) OVER (PARTITION BY g ORDER BY v DESC NULLS LAST) "
+    "FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, max(v) OVER (ORDER BY v NULLS FIRST) FROM t ORDER BY g, v NULLS FIRST, s",
+    "SELECT g, v, avg(v) OVER (PARTITION BY g) FROM t ORDER BY g, v NULLS FIRST, s",
+]
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(
+            round(x, 6) if isinstance(x, float) else x for x in r
+        ))
+    return out
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_window_matches_sqlite(pair, q):
+    db, lite = pair
+    ours = _norm(db.query(q))
+    theirs = _norm(lite.execute(q).fetchall())
+    assert ours == theirs
+
+
+def test_ntile_errors(pair):
+    db, _ = pair
+    with pytest.raises(Exception):
+        db.query("SELECT ntile(0) OVER (ORDER BY v NULLS FIRST) FROM t")
+
+
+def test_large_partition_fast(pair):
+    """50k-row ranked partition must be quick (was per-row Python)."""
+    import time
+
+    db, _ = pair
+    db.execute("CREATE TABLE big(v INT)")
+    db.bulk_insert(
+        "big", [{"v": int(i * 2654435761 % 100000)} for i in range(50000)]
+    )
+    t0 = time.perf_counter()
+    rows = db.query(
+        "SELECT v, rank() OVER (ORDER BY v NULLS FIRST), lag(v) OVER (ORDER BY v NULLS FIRST) FROM big"
+    )
+    dt = time.perf_counter() - t0
+    assert len(rows) == 50000
+    assert dt < 2.5, f"window eval too slow: {dt:.2f}s"

@@ -1205,6 +1205,7 @@ class HnswIndex:
         self.bulk_threshold = bulk_threshold
         self._descent_ef = 1   # bulk-built graphs raise this (see add)
         self._alive = np.zeros(self.capacity, bool)  # tombstone mask (host)
+        self.serve = None      # HnswServeState (see pack_serving)
 
     def __len__(self):
         return self.size
@@ -1217,6 +1218,7 @@ class HnswIndex:
         if isinstance(self.state.vectors, Sq8Rows):
             # writes need the f32 store; round-trip through dequantize
             self.dequantize()
+        self.serve = None   # graph mutation invalidates the serving pack
         vecs = np.atleast_2d(np.asarray(vecs, np.float32))
         n = vecs.shape[0]
         slots = np.arange(self.size, self.size + n, dtype=np.int32)
@@ -1433,6 +1435,67 @@ class HnswIndex:
         """Tombstone delete — node stays as a stepping stone until vacuum
         (reference VacuumQueue design, mod.rs:726-765)."""
         self._alive[np.asarray(slots)] = False
+
+    # -- serving pack (two-stage int8 beam + exact rerank) ----------------
+
+    def pack_serving(self, n_centroids: int | None = None) -> None:
+        """Build the packed-neighbor-block serving layout (see
+        models/hnsw_serve.py). Derived state: call again after mutations
+        (graph writes invalidate it — `add`/`delete` clear `self.serve`)."""
+        from turdb_tpu.models.hnsw_serve import pack_serving
+
+        if self.size == 0:
+            return
+        if isinstance(self.state.vectors, Sq8Rows):
+            self.dequantize()
+        self.serve = pack_serving(
+            self.state.vectors, self.state.norms, self.state.adj0,
+            self.size, self.cfg.metric, n_centroids=n_centroids,
+        )
+
+    def search_serve(
+        self,
+        queries,
+        k: int,
+        ef: int | None = None,
+        allowed: np.ndarray | None = None,
+        nseed: int = 16,
+        iters: int | None = None,
+        expand: int = 4,
+        rerank: int = 0,
+        out: str = "np",
+    ):
+        """Serving-path k-NN (packs on first use). Same visibility
+        semantics as `search`; distances returned are EXACT (rerank)."""
+        from turdb_tpu.models.hnsw_serve import serve_search_impl
+
+        if self.serve is None:
+            self.pack_serving()
+        if self.serve is None:   # empty index
+            b = np.atleast_2d(queries).shape[0]
+            return (np.full((b, k), np.inf, np.float32),
+                    np.full((b, k), -1, np.int32))
+        is_dev = isinstance(queries, jax.Array)
+        q = queries if is_dev else np.atleast_2d(np.asarray(queries, np.float32))
+        if self.cfg.metric is Metric.COSINE:
+            q = normalize_rows(jnp.asarray(q))
+        ef = max(ef or max(self.cfg.ef_search, k), k)
+        iters = iters or (ef + ef // 2)
+        mask = None
+        if allowed is not None or not self._alive[: self.size].all():
+            m = np.zeros(self.capacity, bool)
+            m[: self.size] = self._alive[: self.size]
+            if allowed is not None:
+                m[: len(allowed)] &= np.asarray(allowed, bool)
+            mask = jnp.asarray(m)
+        d, i = serve_search_impl(
+            self.serve, jnp.asarray(q), mask,
+            metric=self.cfg.metric, k=k, ef=ef, iters=iters,
+            expand=expand, nseed=nseed, rerank=rerank,
+        )
+        if out == "jax":
+            return d, i
+        return np.asarray(d), np.asarray(i)
 
     # -- quantization (reference quantization.rs; SQ8 for the GRAPH) ------
 

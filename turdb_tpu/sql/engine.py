@@ -1237,88 +1237,234 @@ def _eval_mixed(e, post: Batch, ctx, group_by) -> Col:
 
 
 def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
+    """Vectorized window evaluation: ONE global (partition, order-key)
+    sort, then run-segmented numpy kernels — no per-row eval_expr (the
+    round-2 per-row Python loops crawled on large partitions).
+
+    Reference windows (logical.rs:172-183): row_number/rank/dense_rank/
+    ntile/lag/lead + aggregate-over-window. Aggregates with ORDER BY use
+    the SQL-standard default frame (RANGE UNBOUNDED PRECEDING..CURRENT
+    ROW, peers included) for count/sum/avg/min/max; other aggregates
+    evaluate over the whole partition.
+    """
     n = src.n
     spec = fc.over
-    # partitions (factorized, C-speed grouping)
+    name = fc.name
     if spec.partition_by:
         from turdb_tpu.sql.factorize import renumber_first_occurrence, row_codes
 
         pk = [eval_expr(e, src, ctx) for e in spec.partition_by]
         group_of, _ = renumber_first_occurrence(row_codes(pk))
-        order = np.argsort(group_of, kind="stable")
-        og = group_of[order]
-        bounds = np.flatnonzero(np.diff(og)) + 1
-        partitions = np.split(order, bounds) if n else []
+        group_of = np.asarray(group_of, np.int64)
     else:
-        partitions = [np.arange(n)]
+        group_of = np.zeros(n, np.int64)
 
-    out = np.zeros(n, np.int64)
-    out_f = None
-    for rows in partitions:
-        rows = np.asarray(rows, np.int64)
-        if spec.order_by:
-            keys = [
-                (eval_expr(ob.expr, src.take(rows), ctx), ob.desc, ob.nulls_last)
-                for ob in spec.order_by
-            ]
-            order = _sort_indices(keys, len(rows))
-            ordered = rows[order]
-        else:
-            ordered = rows
-        name = fc.name
-        if name == "row_number":
-            for r, i in enumerate(ordered, 1):
-                out[i] = r
-        elif name in ("rank", "dense_rank"):
-            sub = src.take(ordered)
-            keyvals = [
-                tuple(
-                    None
-                    if eval_expr(ob.expr, sub, ctx).nulls[j]
-                    else _hashable(eval_expr(ob.expr, sub, ctx).values[j])
-                    for ob in spec.order_by
-                )
-                for j in range(len(ordered))
-            ]
-            rank = 0
-            dense = 0
-            prev = object()
-            for j, i in enumerate(ordered):
-                if keyvals[j] != prev:
-                    dense += 1
-                    rank = j + 1
-                    prev = keyvals[j]
-                out[i] = rank if name == "rank" else dense
-        elif name in ("lag", "lead"):
-            arg = eval_expr(fc.args[0], src, ctx)
-            off = 1
-            if len(fc.args) > 1:
-                off = int(_eval_scalar(fc.args[1], ctx))
-            if out_f is None:
-                out_f = np.empty(n, object)
-                out_fn = np.ones(n, bool)
-            shift = -off if name == "lag" else off
-            for j, i in enumerate(ordered):
-                j2 = j + shift
-                if 0 <= j2 < len(ordered):
-                    i2 = ordered[j2]
-                    if not arg.nulls[i2]:
-                        out_f[i] = _py(arg.values[i2])
-                        out_fn[i] = False
-        elif name in AGGREGATES:
-            # aggregate-over-window: whole-partition value
-            garr = np.zeros(n, np.int64)
-            gcol = _eval_aggregate(
-                fc, src.take(rows), ctx, np.zeros(len(rows), np.int64), 1
-            )
-            if out_f is None:
-                out_f = np.empty(n, object)
-                out_fn = np.ones(n, bool)
-            for i in rows:
-                out_f[i] = _py(gcol.values[0])
-                out_fn[i] = bool(gcol.nulls[0])
-        else:
-            raise SqlError(f"unknown window function {name}")
-    if out_f is not None:
+    keys = []
+    if spec.order_by:
+        keys = [
+            (eval_expr(ob.expr, src, ctx), ob.desc, ob.nulls_last)
+            for ob in spec.order_by
+        ]
+        korder = _sort_indices(keys, n)
+    else:
+        korder = np.arange(n)
+    # partition-major, key-ordered (stable on top of the key sort)
+    ordered = korder[np.argsort(group_of[korder], kind="stable")]
+    og = group_of[ordered]
+    pos = np.arange(n)
+    new_part = np.zeros(n, bool)
+    if n:
+        new_part[0] = True
+        new_part[1:] = og[1:] != og[:-1]
+    start = np.maximum.accumulate(np.where(new_part, pos, 0))
+    rank_in = pos - start                    # 0-based row index in partition
+
+    if name == "row_number":
+        out = np.zeros(n, np.int64)
+        out[ordered] = rank_in + 1
+        return Col(out)
+
+    if name in ("rank", "dense_rank") or (
+        name in AGGREGATES and spec.order_by
+    ):
+        # peer detection on the evaluated ORDER BY columns (sorted order)
+        same = np.ones(n, bool)
+        if n:
+            same[0] = False
+        a, b = ordered[1:], ordered[:-1]
+        for col, _, _ in keys:
+            v, nl = col.values, col.nulls
+            if n > 1:
+                if v.dtype == object or v.ndim > 1:
+                    eq = np.fromiter(
+                        (_hashable(x) == _hashable(y)
+                         for x, y in zip(v[a], v[b])),
+                        bool, count=n - 1,
+                    )
+                else:
+                    with np.errstate(invalid="ignore"):
+                        eq = v[a] == v[b]
+            else:
+                eq = np.zeros(0, bool)
+            same[1:] &= (eq & ~nl[a] & ~nl[b]) | (nl[a] & nl[b])
+        new_key = ~same | new_part
+
+    if name == "rank":
+        out = np.zeros(n, np.int64)
+        key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        out[ordered] = key_start - start + 1
+        return Col(out)
+    if name == "dense_rank":
+        out = np.zeros(n, np.int64)
+        dr = np.cumsum(new_key)
+        out[ordered] = dr - dr[start] + 1
+        return Col(out)
+
+    if name == "ntile":
+        if not fc.args:
+            raise SqlError("ntile requires a bucket count")
+        nb = int(_eval_scalar(fc.args[0], ctx))
+        if nb <= 0:
+            raise SqlError("ntile bucket count must be positive")
+        starts_idx = np.flatnonzero(new_part)
+        sizes = np.diff(np.append(starts_idx, n))
+        size_row = np.repeat(sizes, sizes) if n else np.zeros(0, np.int64)
+        q, r = np.divmod(size_row, nb)
+        cut = r * (q + 1)                    # rows covered by q+1-sized buckets
+        bucket = np.where(
+            rank_in < cut,
+            rank_in // np.maximum(q + 1, 1),
+            r + (rank_in - cut) // np.maximum(q, 1),
+        ) + 1
+        out = np.zeros(n, np.int64)
+        out[ordered] = bucket
+        return Col(out)
+
+    if name in ("lag", "lead"):
+        arg = eval_expr(fc.args[0], src, ctx)
+        off = int(_eval_scalar(fc.args[1], ctx)) if len(fc.args) > 1 else 1
+        default = (
+            _eval_scalar(fc.args[2], ctx) if len(fc.args) > 2 else None
+        )
+        shift = off if name == "lead" else -off
+        j2 = pos + shift
+        valid = (j2 >= 0) & (j2 < n) if n else np.zeros(0, bool)
+        j2c = np.clip(j2, 0, max(n - 1, 0))
+        valid &= og[j2c] == og               # stay inside the partition
+        out_f = np.empty(n, object)
+        out_fn = np.ones(n, bool)
+        if default is not None:
+            out_f[:] = default
+            out_fn[:] = False
+        tgt = ordered[valid]
+        sr = ordered[j2c[valid]]
+        if len(tgt):
+            if arg.values.ndim > 1:
+                for t, s in zip(tgt, sr):
+                    out_f[t] = arg.values[s]
+            else:
+                out_f[tgt] = arg.values[sr]
+            out_fn[tgt] = arg.nulls[sr]
         return _densify(Col(out_f, out_fn))
-    return Col(out)
+
+    if name in AGGREGATES:
+        if spec.order_by and name in ("count", "sum", "avg", "min", "max"):
+            return _running_aggregate(
+                fc, src, ctx, ordered, og, new_part, new_key, pos, start
+            )
+        ngroups = int(group_of.max()) + 1 if n else 0
+        gcol = _eval_aggregate(fc, src, ctx, group_of, max(ngroups, 1))
+        out_f = np.empty(n, object)
+        out_fn = np.ones(n, bool)
+        if n:
+            gv = gcol.values
+            if gv.ndim > 1:
+                for i in range(n):
+                    out_f[i] = gv[group_of[i]]
+            else:
+                out_f[:] = gv[group_of]
+            out_fn[:] = gcol.nulls[group_of]
+        return _densify(Col(out_f, out_fn))
+
+    raise SqlError(f"unknown window function {name}")
+
+
+def _running_aggregate(fc, src, ctx, ordered, og, new_part, new_key, pos,
+                       start):
+    """SQL-standard default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW):
+    cumulative aggregate in partition-major sorted order, with every row
+    taking the value at the END of its peer group. Vectorized: cumsum
+    with per-partition baseline subtraction; min/max accumulate per
+    partition segment (numpy accumulate has no reset, so those iterate
+    over partition SLICES — still vectorized within each)."""
+    n = src.n
+    name = fc.name
+    star = bool(fc.args) and isinstance(fc.args[0], A.Star)
+    is_int = False
+    if star or not fc.args:
+        vals = np.ones(n, np.float64)
+        nulls = np.zeros(n, bool)
+    else:
+        c = eval_expr(fc.args[0], src, ctx)
+        nulls = c.nulls.copy()
+        if c.values.dtype == object:
+            vals = np.zeros(n, np.float64)
+            ok = ~nulls
+            for i in np.flatnonzero(ok):
+                try:
+                    vals[i] = float(c.values[i])
+                except (TypeError, ValueError):
+                    raise SqlError(f"{name}() over non-numeric value")
+        else:
+            is_int = c.values.dtype.kind in "iub"
+            vals = np.where(nulls, 0.0, c.values.astype(np.float64))
+    sv = vals[ordered]
+    sn = nulls[ordered]
+    w = np.where(sn, 0.0, sv)
+    cnt1 = (~sn).astype(np.int64)
+
+    # cumulative with per-partition reset: subtract the running value at
+    # each partition's first row - 1 (baseline)
+    csum = np.cumsum(w)
+    ccnt = np.cumsum(cnt1)
+    base_sum = np.where(start > 0, csum[np.maximum(start - 1, 0)], 0.0)
+    base_cnt = np.where(start > 0, ccnt[np.maximum(start - 1, 0)], 0)
+    run_sum = csum - base_sum
+    run_cnt = ccnt - base_cnt
+
+    if name in ("min", "max"):
+        ident = np.inf if name == "min" else -np.inf
+        mvals = np.where(sn, ident, sv)
+        run_mm = np.empty(n, np.float64)
+        starts_idx = np.flatnonzero(new_part)
+        op = np.minimum if name == "min" else np.maximum
+        for i, s in enumerate(starts_idx):
+            e = starts_idx[i + 1] if i + 1 < len(starts_idx) else n
+            run_mm[s:e] = op.accumulate(mvals[s:e])
+
+    # RANGE frame: peers share the value at the END of their key run
+    run_id = np.cumsum(new_key) - 1 if n else np.zeros(0, np.int64)
+    nruns = int(run_id[-1]) + 1 if n else 0
+    run_end = np.zeros(max(nruns, 1), np.int64)
+    np.maximum.at(run_end, run_id, pos)
+    at = run_end[run_id]
+
+    out_f = np.empty(n, object)
+    out_fn = np.ones(n, bool)
+    if name == "count":
+        out_f[ordered] = run_cnt[at]
+        out_fn[ordered] = False
+    elif name == "sum":
+        res = run_sum[at]
+        out_f[ordered] = res.astype(np.int64) if is_int else res
+        out_fn[ordered] = run_cnt[at] == 0
+    elif name == "avg":
+        cc = run_cnt[at]
+        out_f[ordered] = run_sum[at] / np.maximum(cc, 1)
+        out_fn[ordered] = cc == 0
+    else:
+        cc = run_cnt[at]
+        res = np.where(cc == 0, 0.0, run_mm[at])   # inf->int is undefined
+        out_f[ordered] = res.astype(np.int64) if is_int else res
+        out_fn[ordered] = cc == 0
+    return _densify(Col(out_f, out_fn))
