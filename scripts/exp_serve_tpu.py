@@ -1,0 +1,152 @@
+"""TPU experiment: 1M x 128d HNSW serving pack — recall + device-slope QPS.
+
+Builds (or loads from /tmp/hnsw1m.npz) a bulk 1M graph, packs the
+serving layout, sweeps (ef, nprobe, nseed, expand), and measures
+device-slope QPS at configs clearing the 0.95 recall gate.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.environ.get("TURDB_EXP_CACHE", "/tmp/hnsw1m.npz")
+N = int(os.environ.get("TURDB_EXP_N", 1_000_000))
+DIM = 128
+K = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_pool(rng, n, dim, n_clusters=1024):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_clusters, size=n)
+    radius = rng.uniform(0.3, 1.7, size=(n, 1)).astype(np.float32)
+    x = centers[assign] + radius * rng.standard_normal((n, dim)).astype(np.float32)
+    return x.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from turdb_tpu.models.flat import FlatIndex
+    from turdb_tpu.models.hnsw import HnswIndex, HnswState, init_state
+    from turdb_tpu.models.hnsw_serve import serve_search_impl
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    pool = make_pool(rng, N + 16384, DIM)
+    x, queries = pool[:N], pool[N:]
+    sample = queries[:256]
+
+    idx = HnswIndex(dim=DIM, capacity=N)
+    if os.path.exists(CACHE):
+        log(f"loading graph from {CACHE}")
+        z = np.load(CACHE)
+        st = idx.state
+        st = st._replace(
+            vectors=jnp.asarray(z["vectors"]),
+            norms=jnp.asarray(z["norms"]),
+            adj0=jnp.asarray(z["adj0"]),
+            adj_hi=tuple(jnp.asarray(z[f"adj{i}"]) for i in range(1, 4)),
+            levels=jnp.asarray(z["levels"]),
+            entry=jnp.asarray(int(z["entry"]), jnp.int32),
+            max_level=jnp.asarray(int(z["max_level"]), jnp.int32),
+        )
+        idx.state = st
+        idx.size = N
+        idx._alive[:N] = True
+        idx._descent_ef = 32
+    else:
+        t0 = time.perf_counter()
+        idx.add(x)
+        log(f"bulk build: {time.perf_counter() - t0:.1f}s")
+        st = idx.state
+        np.savez(
+            CACHE,
+            vectors=np.asarray(st.vectors), norms=np.asarray(st.norms),
+            adj0=np.asarray(st.adj0),
+            **{f"adj{i+1}": np.asarray(a) for i, a in enumerate(st.adj_hi)},
+            levels=np.asarray(st.levels), entry=int(st.entry),
+            max_level=int(st.max_level),
+        )
+
+    tcache = CACHE + ".truth.npy"
+    if os.path.exists(tcache):
+        truth = np.load(tcache)
+    else:
+        flat = FlatIndex(dim=DIM, capacity=N)
+        flat.add(x)
+        _, truth = flat.search(sample, k=K)
+        np.save(tcache, truth)
+        del flat
+    log("truth ready")
+
+    t0 = time.perf_counter()
+    idx.pack_serving()
+    log(f"pack_serving: {time.perf_counter() - t0:.1f}s")
+
+    def rec(ids):
+        return float(np.mean([
+            len(set(p[p >= 0]) & set(t)) / len(t) for p, t in zip(ids, truth)
+        ]))
+
+    grid = [
+        # (ef, nprobe, nseed, expand, iters)
+        (64, 2, 32, 4, 48),
+        (64, 2, 32, 4, 96),
+        (48, 2, 32, 4, 32),
+        (48, 2, 24, 8, 32),
+        (64, 2, 32, 8, 64),
+        (96, 2, 48, 8, 96),
+        (32, 2, 16, 4, 24),
+    ]
+    passing = []
+    for ef, npr, ns, ex, iters in grid:
+        t0 = time.perf_counter()
+        _, ids = idx.search_serve(
+            sample, k=K, ef=ef, nprobe=npr, nseed=ns, expand=ex, iters=iters
+        )
+        r = rec(ids)
+        log(f"ef={ef} nprobe={npr} nseed={ns} expand={ex} iters={iters}: "
+            f"recall={r:.4f} ({time.perf_counter() - t0:.1f}s inc compile)")
+        if r >= 0.95:
+            passing.append((ef, npr, ns, ex, iters, r))
+
+    # device-slope QPS on the best (fewest-iters) passing configs
+    sv = idx.serve
+    cfgm = idx.cfg.metric
+    for ef, npr, ns, ex, iters, r in passing[:3]:
+        @jax.jit
+        def _scan(st, qs):
+            def step(_, qb):
+                _, ids = serve_search_impl(
+                    st, qb, None, metric=cfgm, k=K, ef=ef, iters=iters,
+                    expand=ex, nprobe=npr, nseed=ns,
+                )
+                return 0, ids
+            _, out = jax.lax.scan(step, 0, qs)
+            return out
+
+        def timed(m, batch=1024):
+            qs = jnp.asarray(queries[: m * batch].reshape(m, batch, DIM))
+            np.asarray(_scan(sv, qs))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(_scan(sv, qs))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        m_lo, m_hi = 4, 16
+        t_lo, t_hi = timed(m_lo), timed(m_hi)
+        qps = 1024 * (m_hi - m_lo) / max(t_hi - t_lo, 1e-9)
+        log(f"QPS ef={ef} iters={iters} expand={ex}: {qps:,.0f} "
+            f"(recall {r:.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -251,11 +251,16 @@ class Database:
 
     def checkpoint(self):
         """Snapshot all tables + catalog, then truncate the WAL
-        (reference database.rs:158-184)."""
+        (reference database.rs:158-184). With transactions in flight the
+        checkpoint still runs (reference wal.rs:50-60 checkpoints closed
+        segments regardless — round-2 weak #11: a long-lived reader used
+        to block WAL truncation indefinitely): it snapshots the
+        COMMITTED-visible state and rewrites the WAL keeping only the
+        in-flight transactions' frames."""
         if self.mode != "rw":
             raise ReadOnlyError("database is read-only (degraded)")
         if self.mgr.active:
-            return ExecuteResult(0)  # active txns: skip (checkpoint later)
+            return self._checkpoint_with_active()
         self.wal.flush()
         for schema, tables in self.catalog.items():
             for info in tables.values():
@@ -278,6 +283,43 @@ class Database:
             {"version": 1, "next_table_id": self._next_table_id}
         )
         self.wal.truncate()
+        return ExecuteResult(0)
+
+    def _checkpoint_with_active(self):
+        """Checkpoint while transactions are in flight: export the
+        committed-visible snapshot (stamps normalized by the writer),
+        then rewrite the WAL with only the active transactions' frames —
+        their eventual COMMIT replays them on top of the snapshot, their
+        ABORT (or a crash) discards them."""
+        self.wal.flush()
+        read_ts = self.mgr.snapshot_ts()
+        for schema, tables in self.catalog.items():
+            for info in tables.values():
+                t = info.table
+                vis = t.visible_indices(self.mgr, read_ts, own_txn=0)
+                self.fm.write_table_snapshot(schema, t, indices=vis)
+                # .hnsw snapshots would freeze uncommitted graph nodes;
+                # drop them — open() rebuilds/reindexes from the table
+                import os as _os
+
+                for iname in info.hnsw:
+                    p = self.fm.hnsw_path(schema, t.name, iname)
+                    if _os.path.exists(p):
+                        _os.remove(p)
+        self.fm.write_catalog(self._catalog_doc())
+        self.fm.write_meta(
+            {"version": 1, "next_table_id": self._next_table_id}
+        )
+        active_ids = set(self.mgr.active.keys())
+        keep = [
+            (ftype, payload, txn_id, table_id)
+            for _, ftype, txn_id, table_id, payload in self.wal.replay()
+            if txn_id in active_ids
+        ]
+        self.wal.truncate()
+        for ftype, payload, txn_id, table_id in keep:
+            self.wal.append(ftype, payload, txn_id=txn_id, table_id=table_id)
+        self.wal.flush()
         return ExecuteResult(0)
 
     # ------------------------------------------------------------------

@@ -420,10 +420,27 @@ def execute_update(db, stmt: A.Update, params, txn):
     src = db._scan_batch(stmt.table, ctx)
     if stmt.from_ is not None:
         right = db.engine._from(stmt.from_, ctx)
-        from turdb_tpu.sql.engine import _cross_join
+        from turdb_tpu.sql.engine import _cross_join, _hash_join, _split_equi
 
-        src = _cross_join(src, right, None, ctx)
-    if stmt.where is not None:
+        # plan the WHERE as a join condition: equality conjuncts linking
+        # the target table to the FROM source become a hash equi-join
+        # (reference dml/update.rs:1-25 plans UPDATE..FROM as a join);
+        # only the residual falls back to cross-join + filter
+        equis, residual = (
+            _split_equi(stmt.where, src, right)
+            if stmt.where is not None
+            else ([], None)
+        )
+        if equis:
+            src = _hash_join(src, right, equis, residual, "inner", ctx)
+        else:
+            src = _cross_join(src, right, None, ctx)
+            if stmt.where is not None:
+                c = eval_expr(stmt.where, src, ctx)
+                src = src.take(
+                    np.flatnonzero(c.values.astype(bool) & ~c.nulls)
+                )
+    elif stmt.where is not None:
         c = eval_expr(stmt.where, src, ctx)
         src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
 

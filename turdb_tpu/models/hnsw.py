@@ -1459,7 +1459,8 @@ class HnswIndex:
         k: int,
         ef: int | None = None,
         allowed: np.ndarray | None = None,
-        nseed: int = 16,
+        nprobe: int = 2,
+        nseed: int = 32,
         iters: int | None = None,
         expand: int = 4,
         rerank: int = 0,
@@ -1491,7 +1492,7 @@ class HnswIndex:
         d, i = serve_search_impl(
             self.serve, jnp.asarray(q), mask,
             metric=self.cfg.metric, k=k, ef=ef, iters=iters,
-            expand=expand, nseed=nseed, rerank=rerank,
+            expand=expand, nprobe=nprobe, nseed=nseed, rerank=rerank,
         )
         if out == "jax":
             return d, i

@@ -70,9 +70,8 @@ class HnswServeState(NamedTuple):
     nbr_meta: jax.Array    # [cap, M0, 4] f32 (base, scale, ‖x‖², bitcast id)
     centroids: jax.Array   # [C, d] f32
     cnorms: jax.Array      # [C] f32 (+inf for pad cells)
-    seed_ids: jax.Array    # [C] int32 medoid row per cell (NIL pad)
-    seed_codes: jax.Array  # [C, d] int8
-    seed_meta: jax.Array   # [C, 3] f32 (base, scale, ‖x‖²)
+    cell_codes: jax.Array  # [C, L, d] int8 member codes, cell-packed
+    cell_meta: jax.Array   # [C, L, 4] f32 (base, scale, ‖x‖², bitcast id)
     vectors: jax.Array     # [cap, d] f32 rerank store
     norms: jax.Array       # [cap] f32
 
@@ -100,7 +99,9 @@ def _approx_dist(doti, base, scale, qn, qsum, qs, nnorm, metric: Metric):
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "k", "ef", "iters", "expand", "nseed", "rerank"),
+    static_argnames=(
+        "metric", "k", "ef", "iters", "expand", "nprobe", "nseed", "rerank",
+    ),
 )
 def serve_search_impl(
     state: HnswServeState,
@@ -112,15 +113,24 @@ def serve_search_impl(
     ef: int,
     iters: int,
     expand: int = 4,
-    nseed: int = 16,
+    nprobe: int = 2,
+    nseed: int = 32,
     rerank: int = 0,
 ):
     """Two-stage batched k-NN over the serving pack.
 
-    Stage 1: centroid probe -> medoid seeds -> fixed-shape beam over
-    packed int8 neighbor blocks (reference beam semantics,
-    search.rs:311-350, with the termination bound as a per-query done
-    mask). Stage 2: exact f32 rerank of the top-`rerank` beam candidates
+    Stage 1a (seeding): centroid matmul -> probe the `nprobe` nearest
+    cells' packed member blocks (contiguous reads, the measured-fast IVF
+    access pattern) -> top-`nseed` rows seed the beam. This replaces the
+    graph's upper-level descent: cell MEDOID seeding was measured to
+    strand ~12% of queries (the medoid can sit far uphill of the query
+    with every bulk-graph edge pointing away); probing the cell interior
+    seeds the beam INSIDE the query's true neighborhood.
+    Stage 1b (beam): fixed-shape beam over packed int8 neighbor blocks
+    (reference beam semantics, search.rs:311-350, with the termination
+    bound as a per-query done mask) — this is what recovers the
+    cross-cell-boundary neighbors a pure nprobe=2 probe misses.
+    Stage 2: exact f32 rerank of the top-`rerank` beam candidates
     (default ef), visibility mask applied at rerank (stepping-stone
     doctrine, mod.rs:62-68: traversal unrestricted, results masked).
     Returns ([B,k] exact dists asc, [B,k] slot ids, NIL-padded).
@@ -134,23 +144,30 @@ def serve_search_impl(
     loops = -(-iters // expand)
     exp_cap = loops * expand
 
-    # ---- seeds: one centroid matmul + medoid codes ----------------------
+    # ---- stage 1a: cell-probe seeding -----------------------------------
     d2c = qn[:, None] + state.cnorms[None, :] - 2.0 * jax.lax.dot_general(
         q, state.centroids, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = min(nseed, ef, state.centroids.shape[0])
-    _, top = jax.lax.top_k(-d2c, s)                    # [B, S]
-    seed_i = state.seed_ids[top]                       # [B, S]
+    p = min(nprobe, state.centroids.shape[0])
+    _, top = jax.lax.top_k(-d2c, p)                    # [B, P]
+    cmeta = state.cell_meta[top]                       # [B, P, L, 4]
     doti = jnp.einsum(
-        "bd,bsd->bs", qc, state.seed_codes[top], preferred_element_type=jnp.int32
+        "bd,bpld->bpl", qc, state.cell_codes[top],
+        preferred_element_type=jnp.int32,
     )
-    smeta = state.seed_meta[top]                       # [B, S, 3]
-    seed_d = _approx_dist(
-        doti, smeta[..., 0], smeta[..., 1],
-        qn[:, None], qsum[:, None], qs[:, None], smeta[..., 2], metric,
-    )
-    seed_d = jnp.where(seed_i >= 0, seed_d, INF)
+    pd = _approx_dist(
+        doti, cmeta[..., 0], cmeta[..., 1],
+        qn[:, None, None], qsum[:, None, None], qs[:, None, None],
+        cmeta[..., 2], metric,
+    ).reshape(b, -1)
+    pids = jax.lax.bitcast_convert_type(
+        cmeta[..., 3], jnp.int32
+    ).reshape(b, -1)
+    pd = jnp.where(pids >= 0, pd, INF)
+    s = min(nseed, ef, pd.shape[-1])
+    seed_d, seed_i = topk_smallest(pd, pids, s)
+    seed_i = jnp.where(jnp.isinf(seed_d), NIL, seed_i)
 
     cand_i = jnp.full((b, ef), NIL, jnp.int32).at[:, :s].set(seed_i)
     cand_d = jnp.full((b, ef), INF, jnp.float32).at[:, :s].set(seed_d)
@@ -339,45 +356,46 @@ def pack_serving(
     assign_j = _assign_all(xall, cents)
     assign = np.asarray(assign_j)[:size]
     cn = np.asarray(prep_norms(cents))
-    # per-row d² to the assigned centroid, computed ON DEVICE (only
-    # [size] floats come back)
-    d2 = np.asarray(
-        norms[rows_all]
-        - 2.0 * jnp.einsum(
-            "nd,nd->n", jnp.where(live, vectors[rows_all], 0.0),
-            cents[assign_j], preferred_element_type=jnp.float32,
-        )
-        + prep_norms(cents)[assign_j]
-    )[:size]
-    order = np.lexsort((d2, assign))
-    a_s = assign[order]
+    # balanced cell packing (the IVF layout): lane = rank within the
+    # cell's sorted run; rows past the lane cap are dropped — seeding has
+    # no completeness requirement (the beam recovers them via the graph)
+    counts = np.bincount(assign, minlength=c)
+    lcap = _pow2_at_least(max(int(2 * size / max(c, 1)), 8), floor=8)
+    members = np.full((c, lcap), -1, np.int64)
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
     first = np.zeros(size, bool)
     if size:
         first[0] = True
-        first[1:] = a_s[1:] != a_s[:-1]
-    seed_ids = np.full(c, -1, np.int32)
-    seed_ids[a_s[first]] = order[first]
-    cnorms = jnp.asarray(np.where(seed_ids >= 0, cn, np.inf).astype(np.float32))
-    sid = jnp.asarray(seed_ids)
-    ssafe = jnp.clip(sid, 0)
-    ok = (sid >= 0).astype(jnp.float32)
-    seed_meta = jnp.stack(
+        first[1:] = sa[1:] != sa[:-1]
+    run_start = np.flatnonzero(first)
+    start_of = np.zeros(c, np.int64)
+    start_of[sa[run_start]] = run_start
+    lane = np.arange(size) - start_of[sa]
+    ok = lane < lcap
+    members[sa[ok], lane[ok]] = order[ok]
+    nonempty = counts > 0
+    cnorms = jnp.asarray(np.where(nonempty, cn, np.inf).astype(np.float32))
+    mem = jnp.asarray(members.astype(np.int32))
+    msafe = jnp.clip(mem, 0)
+    mok = mem >= 0
+    cell_codes = jnp.where(mok[..., None], codes[msafe], 0)
+    cell_meta = jnp.stack(
         [
-            jnp.where(sid >= 0, base[ssafe], 0.0),
-            jnp.where(sid >= 0, scale[ssafe], 0.0),
-            jnp.where(sid >= 0, norms[ssafe], INF),
+            jnp.where(mok, base[msafe], 0.0),
+            jnp.where(mok, scale[msafe], 0.0),
+            jnp.where(mok, norms[msafe], INF),
+            jax.lax.bitcast_convert_type(mem, jnp.float32),
         ],
         axis=-1,
     )
-    del ok
     return HnswServeState(
         nbr_codes=nbr_codes,
         nbr_meta=nbr_meta,
         centroids=cents,
         cnorms=cnorms,
-        seed_ids=sid,
-        seed_codes=codes[ssafe],
-        seed_meta=seed_meta,
+        cell_codes=cell_codes,
+        cell_meta=cell_meta,
         vectors=vectors,
         norms=norms,
     )

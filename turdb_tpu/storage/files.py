@@ -115,10 +115,22 @@ class FileManager:
 
     # -- table snapshots ---------------------------------------------------
 
-    def write_table_snapshot(self, schema: str, table: ColumnarTable):
+    def write_table_snapshot(self, schema: str, table: ColumnarTable,
+                             indices=None):
+        """Write a table snapshot. With `indices` (an int array of version
+        rows), only those versions are exported and their stamps are
+        normalized to the committed-bootstrap form (xmin=xmax=0) — the
+        filtered form checkpoint() uses while transactions are active."""
+        import numpy as _np
+
         path = self.table_path(schema, table.name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        n = table.nversions
+        if indices is None:
+            sel = slice(0, table.nversions)
+            n = table.nversions
+        else:
+            sel = _np.asarray(indices, _np.int64)
+            n = len(sel)
         meta = {
             "name": table.name,
             "table_id": table.table_id,
@@ -131,26 +143,32 @@ class FileManager:
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             _write_header(fh, MAGIC_TABLE, meta)
-            for arr in (table.xmin[:n], table.xmax[:n], table.rowids[:n]):
+            if indices is None:
+                stamp_arrs = (table.xmin[sel], table.xmax[sel])
+            else:
+                zero = _np.zeros(n, table.xmin.dtype)
+                stamp_arrs = (zero, zero)
+            for arr in (*stamp_arrs, table.rowids[sel]):
                 _write_buf(fh, arr.tobytes())
             for c in table.columns:
-                _write_buf(fh, table.nulls[c.name][:n].tobytes())
+                nulls = table.nulls[c.name][sel]
+                _write_buf(fh, nulls.tobytes())
                 col = table.cols[c.name]
                 sc = c.dtype.storage_class
                 if sc is StorageClass.DECIMAL:
-                    nulls = table.nulls[c.name][:n]
+                    sub = col[sel]
                     vals = [
-                        None if nulls[i] else str(col[i]) for i in range(n)
+                        None if nulls[i] else str(sub[i]) for i in range(n)
                     ]
                     _write_buf(fh, jsonb_encode(vals))
                 elif sc is StorageClass.OBJECT or col.dtype == object:
-                    nulls = table.nulls[c.name][:n]
+                    sub = col[sel]
                     vals = [
-                        None if nulls[i] else _jsonable(col[i]) for i in range(n)
+                        None if nulls[i] else _jsonable(sub[i]) for i in range(n)
                     ]
                     _write_buf(fh, jsonb_encode(vals))
                 else:
-                    _write_buf(fh, col[:n].tobytes())
+                    _write_buf(fh, col[sel].tobytes())
             from turdb_tpu.storage.toast import serialize_store
 
             _write_buf(fh, serialize_store(table.toast))
