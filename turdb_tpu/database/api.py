@@ -79,7 +79,11 @@ class TableInfo:
         self.schema = schema
         self.table = table
         self.btree: dict[str, SortedKeyIndex] = {}
-        self.btree_cols: dict[str, list[str]] = {}
+        # plain-column indexes: list of column names; expression indexes
+        # (reference ddl.rs CREATE INDEX ON t(expr)): None here, exprs in
+        # btree_exprs
+        self.btree_cols: dict[str, list[str] | None] = {}
+        self.btree_exprs: dict[str, list] = {}
         self.hnsw: dict[str, HnswTableIndex] = {}
         self.index_defs: dict[str, IndexDef] = {}
         self.checks: list = []          # table-level CHECK exprs
@@ -150,6 +154,19 @@ class Database:
     @classmethod
     def open(cls, path: str) -> "Database":
         return cls(path, create=False)
+
+    def handle(self) -> "Database":
+        """Second handle over the SAME shared state with its own active
+        transaction (reference SharedDatabase/Database split,
+        database.rs:95-143: handles are cloneable, per-handle
+        active_txn). Concurrent handles see each other's committed
+        writes through MVCC snapshots; row locks (FOR UPDATE / writes)
+        conflict across handles via the shared TransactionManager."""
+        h = object.__new__(Database)
+        h.__dict__ = self.__dict__.copy()
+        h._txn = None
+        h.engine = QueryEngine(h)
+        return h
 
     def _open_existing(self):
         meta = self.fm.read_meta()
@@ -435,6 +452,11 @@ class Database:
         rowids_vis = info.table.rowids[vis]
         for name, idx in info.btree.items():
             cols = info.btree_cols[name]
+            if cols is None:    # expression index: vectorized expr eval
+                idx.bulk_load(
+                    _expr_index_keys(self, info, name, vis), rowids_vis
+                )
+                continue
             keys = _batch_index_keys(info.table, cols, vis)
             if keys is not None:
                 idx.bulk_load(keys, rowids_vis)
@@ -833,32 +855,39 @@ class Database:
             info = self.resolve_table(ref)
         except SqlError:
             return None
-        # collect col = const conjuncts
+        # collect col = const conjuncts (+ expr = const for expression
+        # indexes, reference ddl.rs expression indexes)
         eqs: dict[str, object] = {}
+        expr_eqs: dict[str, object] = {}
+
+        def _const_val(b):
+            if isinstance(b, A.Literal):
+                return b.value
+            if isinstance(b, A.Param) and b.index <= len(ctx.params):
+                return ctx.params[b.index - 1]
+            return None
+
         def walk(e):
             if isinstance(e, A.BinaryOp) and e.op == "AND":
                 walk(e.left)
                 walk(e.right)
             elif isinstance(e, A.BinaryOp) and e.op == "=":
                 a, b = e.left, e.right
-                if not isinstance(a, A.ColumnRef):
-                    a, b = b, a
-                if isinstance(a, A.ColumnRef) and isinstance(
+                if isinstance(a, (A.Literal, A.Param)) and not isinstance(
                     b, (A.Literal, A.Param)
                 ):
-                    q = ref.alias or ref.name
+                    a, b = b, a          # constant on the right
+                if not isinstance(b, (A.Literal, A.Param)):
+                    return
+                v = _const_val(b)
+                if v is None:
+                    return
+                q = ref.alias or ref.name
+                if isinstance(a, A.ColumnRef):
                     if a.table in (None, q):
-                        v = (
-                            b.value
-                            if isinstance(b, A.Literal)
-                            else (
-                                ctx.params[b.index - 1]
-                                if b.index <= len(ctx.params)
-                                else None
-                            )
-                        )
-                        if v is not None:
-                            eqs[a.name] = v
+                        eqs[a.name] = v
+                elif not isinstance(a, (A.Literal, A.Param)):
+                    expr_eqs[A.render_expr(_strip_quals(a, q))] = v
         # range conjuncts: col {<,<=,>,>=} const (reference bounds.rs:50)
         ranges: dict[str, list] = {}
 
@@ -891,9 +920,22 @@ class Database:
 
         walk(where)
         walk_rng(where)
-        if eqs:
+        if eqs or expr_eqs:
             for name, idx in info.btree.items():
                 cols = info.btree_cols[name]
+                if cols is None:
+                    keys = [
+                        A.render_expr(_strip_quals(e, info.table.name))
+                        for e in info.btree_exprs[name]
+                    ]
+                    if all(k in expr_eqs for k in keys):
+                        key = idx.make_key(
+                            [_norm_probe(expr_eqs[k]) for k in keys]
+                        )
+                        return IndexChoice(
+                            info, name, "eq", tuple(keys), idx.find(key)
+                        )
+                    continue
                 if all(c in eqs for c in cols):
                     key = idx.make_key([_norm_probe(eqs[c]) for c in cols])
                     return IndexChoice(
@@ -904,7 +946,7 @@ class Database:
 
             for name, idx in info.btree.items():
                 cols = info.btree_cols[name]
-                if len(cols) == 1 and cols[0] in ranges:
+                if cols is not None and len(cols) == 1 and cols[0] in ranges:
                     lo = hi = None
                     lo_inc = hi_inc = True
                     for op, v in ranges[cols[0]]:
@@ -1093,9 +1135,17 @@ class Database:
             )
             info.hnsw[idef.name] = h
         else:
-            cols = [c.name for c, _ in idef.columns]
+            import turdb_tpu.sql.ast as A
+
+            if all(isinstance(c, A.ColumnRef) for c, _ in idef.columns):
+                cols = [c.name for c, _ in idef.columns]
+                info.btree_cols[idef.name] = cols
+            else:
+                # expression index (reference ddl.rs expression indexes)
+                cols = [A.render_expr(c) for c, _ in idef.columns]
+                info.btree_cols[idef.name] = None
+                info.btree_exprs[idef.name] = [c for c, _ in idef.columns]
             info.btree[idef.name] = SortedKeyIndex(idef.name, cols, idef.unique)
-            info.btree_cols[idef.name] = cols
 
 
 class CachedInsertPlan:
@@ -1265,6 +1315,56 @@ def _norm_probe(v):
     if isinstance(v, np.ndarray):
         return v.tobytes()
     return _py(v)
+
+
+def _strip_quals(e, q):
+    """Deep-copy an expr with ColumnRef qualifiers naming `q` removed, so
+    `t.lower(x)`-style WHERE exprs compare equal (via render_expr) to the
+    unqualified exprs stored in an expression index definition."""
+    import copy
+    import dataclasses as _dc
+
+    e = copy.deepcopy(e)
+
+    def walk(x):
+        if isinstance(x, A.ColumnRef):
+            if x.table == q:
+                x.table = None
+            return
+        if _dc.is_dataclass(x):
+            for f in _dc.fields(x):
+                v = getattr(x, f.name)
+                if isinstance(v, (list, tuple)):
+                    for i in v:
+                        if _dc.is_dataclass(i):
+                            walk(i)
+                elif _dc.is_dataclass(v):
+                    walk(v)
+
+    walk(e)
+    return e
+
+
+def _expr_index_keys(db, info, name, vidx):
+    """Key bytes for an expression index over version rows `vidx`:
+    one vectorized eval_expr per index expr + per-row key encode."""
+    idx = info.btree[name]
+    arr = np.asarray(vidx, np.int64)
+    b = Batch(len(arr))
+    for c in info.columns:
+        vals, nulls = info.table.column_batch(c.name, arr)
+        b.add(
+            info.table.name, c.name,
+            Col(_detoast_col(info.table, c.name, vals), nulls),
+        )
+    ctx = db._ctx([], None)
+    cols_out = [eval_expr(e, b, ctx) for e in info.btree_exprs[name]]
+    return [
+        idx.make_key(
+            [None if c.nulls[i] else _py(c.values[i]) for c in cols_out]
+        )
+        for i in range(len(arr))
+    ]
 
 
 def _cell(table: ColumnarTable, colname: str, idx: int):

@@ -83,6 +83,10 @@ def execute_ddl(db, stmt, txn):
             if isinstance(e, A.ColumnRef):
                 if not any(c.name == e.name for c in info.columns):
                     raise SqlError(f"no such column: {e.name}")
+            else:
+                for cn in _expr_columns([e]):
+                    if not any(c.name == cn for c in info.columns):
+                        raise SqlError(f"no such column: {cn}")
         if using in ("HNSW", "IVF"):
             col = stmt.columns[0][0]
             if not isinstance(col, A.ColumnRef):
@@ -159,6 +163,8 @@ def execute_ddl(db, stmt, txn):
             if not any(c.name == stmt.name for c in info.columns):
                 raise DatabaseError(f"no such column: {stmt.name}")
             for idx_name, cols in list(info.btree_cols.items()):
+                if cols is None:
+                    cols = _expr_columns(info.btree_exprs[idx_name])
                 if stmt.name in cols:
                     raise DatabaseError(
                         f"column {stmt.name} is indexed by {idx_name}; drop it first"
@@ -190,6 +196,11 @@ def execute_ddl(db, stmt, txn):
             t.cols[stmt.new_name] = t.cols.pop(stmt.name)
             t.nulls[stmt.new_name] = t.nulls.pop(stmt.name)
             for name, cols in info.btree_cols.items():
+                if cols is None:
+                    _rename_in_exprs(
+                        info.btree_exprs[name], stmt.name, stmt.new_name
+                    )
+                    continue
                 info.btree_cols[name] = [
                     stmt.new_name if cn == stmt.name else cn for cn in cols
                 ]
@@ -269,8 +280,67 @@ def _backfill_index(db, info, idef):
     else:
         idx = info.btree[idef.name]
         cols = info.btree_cols[idef.name]
+        if cols is None:     # expression index backfill
+            from turdb_tpu.database.api import _expr_index_keys
+
+            keys = _expr_index_keys(db, info, idef.name, vis)
+            if idef.unique and len(set(keys)) != len(keys):
+                info.btree.pop(idef.name, None)
+                info.btree_cols.pop(idef.name, None)
+                info.btree_exprs.pop(idef.name, None)
+                info.index_defs.pop(idef.name, None)
+                raise DatabaseError(
+                    f"cannot create unique index {idef.name}: duplicate keys"
+                )
+            idx.bulk_load(keys, info.table.rowids[vis])
+            return
         from turdb_tpu.database.api import _cell
 
         for i in vis:
             key = idx.make_key([_cell(info.table, c, int(i)) for c in cols])
             idx.insert(key, int(info.table.rowids[i]))
+def _expr_columns(exprs) -> set:
+    """Column names referenced by expression-index exprs."""
+    import dataclasses as _dc
+
+    out: set = set()
+
+    def walk(x):
+        if isinstance(x, A.ColumnRef):
+            out.add(x.name)
+            return
+        if _dc.is_dataclass(x):
+            for f in _dc.fields(x):
+                v = getattr(x, f.name)
+                if isinstance(v, (list, tuple)):
+                    for i in v:
+                        if _dc.is_dataclass(i):
+                            walk(i)
+                elif _dc.is_dataclass(v):
+                    walk(v)
+
+    for e in exprs:
+        walk(e)
+    return out
+
+
+def _rename_in_exprs(exprs, old: str, new: str):
+    import dataclasses as _dc
+
+    def walk(x):
+        if isinstance(x, A.ColumnRef):
+            if x.name == old:
+                x.name = new
+            return
+        if _dc.is_dataclass(x):
+            for f in _dc.fields(x):
+                v = getattr(x, f.name)
+                if isinstance(v, (list, tuple)):
+                    for i in v:
+                        if _dc.is_dataclass(i):
+                            walk(i)
+                elif _dc.is_dataclass(v):
+                    walk(v)
+
+    for e in exprs:
+        walk(e)

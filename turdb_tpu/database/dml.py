@@ -272,7 +272,10 @@ def _find_conflict(db, info, row: dict, ctx):
         if not idx.unique:
             continue
         cols = info.btree_cols[name]
-        vals = [row.get(c) for c in cols]
+        if cols is None:
+            vals = _expr_key_vals_row(db, info, name, row)
+        else:
+            vals = [row.get(c) for c in cols]
         if any(v is None for v in vals):
             continue  # NULLs never conflict
         key = idx.make_key([_norm_key(v) for v in vals])
@@ -283,9 +286,13 @@ def _find_conflict(db, info, row: dict, ctx):
             # index entries persist until vacuum (MVCC: older snapshots
             # must still find their versions), so re-verify the visible
             # version actually carries this key
-            cur = idx.make_key(
-                [_norm_key(_vis_cell(info.table, c, vidx)) for c in cols]
-            )
+            if cols is None:
+                cur_vals = _expr_key_vals_row(
+                    db, info, name, info.table.row_as_dict(vidx)
+                )
+            else:
+                cur_vals = [_vis_cell(info.table, c, vidx) for c in cols]
+            cur = idx.make_key([_norm_key(v) for v in cur_vals])
             if cur == key:
                 return rid
     return None
@@ -335,7 +342,7 @@ def _resolve_parent(db, info, ref_table):
 def _pk_cols(info):
     for name, d in info.index_defs.items():
         if name.startswith("__pk_"):
-            return info.btree_cols[name]
+            return info.btree_cols[name] or []
     return []
 
 
@@ -344,7 +351,8 @@ def _parent_has(db, parent, pcols, vals, ctx) -> bool:
     own = getattr(ctx, "own_txn", 0)
     # indexed probe when pcols matches a unique index
     for name, idx in parent.btree.items():
-        if parent.btree_cols[name] == list(pcols):
+        if parent.btree_cols[name] is not None and \
+                parent.btree_cols[name] == list(pcols):
             key = idx.make_key([_norm_key(v) for v in vals])
             for rid in idx.find(key):
                 vidx = parent.table.visible_version(db.mgr, rid, read_ts, own)
@@ -365,10 +373,76 @@ def _parent_has(db, parent, pcols, vals, ctx) -> bool:
     return False
 
 
+def _expr_key_vals_row(db, info, name, row: dict):
+    """Evaluate an expression index's exprs against one row dict
+    (reference ddl.rs expression indexes)."""
+    from turdb_tpu.storage.toast import detoast_value
+
+    b = Batch(1)
+    for cd in info.columns:
+        b.add(
+            info.table.name, cd.name,
+            Col.const(detoast_value(row.get(cd.name)), 1),
+        )
+    ctx = db._ctx([], None)
+    out = []
+    for e in info.btree_exprs[name]:
+        c = eval_expr(e, b, ctx)
+        out.append(None if c.nulls[0] else _py(c.values[0]))
+    return out
+
+
+def _batch_unique_check_expr(db, info, name, prepared: dict, n: int, ctx):
+    """Unique validation for an expression index over a columnar batch:
+    one vectorized eval over the batch, then per-row key probes."""
+    from turdb_tpu.database.indexes import SortedKeyIndex  # noqa: F401
+
+    idx = info.btree[name]
+    read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
+    own = getattr(ctx, "own_txn", 0)
+    b = Batch(n)
+    for cd in info.columns:
+        vals, nulls = prepared.get(cd.name, (None, None))
+        if vals is None:
+            b.add(info.table.name, cd.name, Col.const(None, n))
+        else:
+            b.add(info.table.name, cd.name, Col(vals, nulls))
+    ectx = db._ctx([], None)
+    cols_out = [eval_expr(e, b, ectx) for e in info.btree_exprs[name]]
+    seen = set()
+    for i in range(n):
+        vals = [
+            None if c.nulls[i] else _py(c.values[i]) for c in cols_out
+        ]
+        if any(v is None for v in vals):
+            continue
+        key = idx.make_key([_norm_key(v) for v in vals])
+        if key in seen:
+            raise _cv(db)(
+                f"UNIQUE constraint violated on {info.table.name}"
+            )
+        seen.add(key)
+        for rid in idx.find(key):
+            vidx = info.table.visible_version(db.mgr, rid, read_ts, own)
+            if vidx is None:
+                continue
+            cur_vals = _expr_key_vals_row(
+                db, info, name, info.table.row_as_dict(vidx)
+            )
+            if idx.make_key([_norm_key(v) for v in cur_vals]) == key:
+                raise _cv(db)(
+                    f"UNIQUE constraint violated on {info.table.name}"
+                )
+
+
 def _index_insert(db, info, rowid: int, row: dict, txn=None):
     for name, idx in info.btree.items():
         cols = info.btree_cols[name]
-        key = idx.make_key([_norm_key(row.get(c)) for c in cols])
+        if cols is None:     # expression index (reference ddl.rs)
+            vals = _expr_key_vals_row(db, info, name, row)
+            key = idx.make_key([_norm_key(v) for v in vals])
+        else:
+            key = idx.make_key([_norm_key(row.get(c)) for c in cols])
         idx.insert(key, rowid)
     for h in info.hnsw.values():
         v = row.get(h.column)
@@ -762,6 +836,9 @@ def _batch_unique_check(db, info, prepared: dict, n: int, ctx):
         if not idx.unique:
             continue
         cols = info.btree_cols[name]
+        if cols is None:
+            _batch_unique_check_expr(db, info, name, prepared, n, ctx)
+            continue
         if any(c not in prepared for c in cols):
             continue
         null_any = np.zeros(n, bool)

@@ -65,35 +65,53 @@ class SortedKeyIndex:
         self._deleted.add((key, rowid))
 
     def _flush(self):
+        dead = self._deleted
         if self._delta:
-            self._runs.append(sorted(set(self._delta)))
+            fresh = set(self._delta)
+            if dead:
+                fresh -= dead
+            self._runs.append(sorted(fresh))
             self._delta = []
             self._delta_by_key = {}
-        # size-tiered compaction
+        # size-tiered compaction; every merge drops tombstoned entries
+        # (round-2 weak #9: purge only happened when everything compacted
+        # into ONE run, so delete-heavy workloads scanned an ever-growing
+        # tombstone set on every probe)
         while (
             len(self._runs) >= 2
             and 2 * len(self._runs[-1]) >= len(self._runs[-2])
         ):
             b = self._runs.pop()
             a = self._runs.pop()
-            self._runs.append(self._merge_two(a, b))
-        # tombstones purge whenever everything compacted into one run
-        if self._deleted and len(self._runs) == 1:
-            dead = self._deleted
-            self._runs[0] = [e for e in self._runs[0] if e not in dead]
-            self._deleted = set()
+            self._runs.append(self._merge_two(a, b, dead))
+        self._gc_tombstones()
 
     @staticmethod
-    def _merge_two(a, b):
+    def _merge_two(a, b, dead=frozenset()):
         import heapq
 
         out: list[tuple[bytes, int]] = []
         last = None
         for e in heapq.merge(a, b):
-            if e != last:       # (key, rowid) may recur across runs
+            if e != last and e not in dead:  # (key, rowid) may recur
                 out.append(e)
                 last = e
         return out
+
+    def _gc_tombstones(self):
+        """Drop tombstones that no longer shadow any stored entry (after
+        merges purged the entries themselves). Threshold-gated: cost is
+        O(T · runs · log n) bisects."""
+        if len(self._deleted) < 1024:
+            return
+        still = set()
+        for t in self._deleted:
+            for run in self._runs:
+                lo = bisect.bisect_left(run, t)
+                if lo < len(run) and run[lo] == t:
+                    still.add(t)
+                    break
+        self._deleted = still
 
     def find(self, key: bytes) -> list[int]:
         """All rowids with exactly this key (deduplicated across runs)."""

@@ -21,9 +21,10 @@ behavioral contract; the layout is ours):
      fewer gathers, each contiguous — and feeds one int8 MXU einsum.
      This is the CAGRA-style trade: 32x adjacency-side memory (int8
      makes it 8x vs an f32 store) for block-contiguity.
-  2. **Fused neighbor metadata**: `nbr_meta[cap, M0, 4]` f32 packs
-     (dequant base, dequant scale, exact ‖x‖², bitcast int32 neighbor
-     id) so adjacency + dequant params + norms arrive in one gather.
+  2. **Fused neighbor metadata**: `nbr_meta[cap, M0, 4]` int32 packs
+     (bitcast f32 dequant base/scale, bitcast f32 exact ‖x‖², raw int32
+     neighbor id) so adjacency + dequant params + norms arrive in one
+     gather; int32 storage because TPU f32 gathers flush denormals.
   3. **Coarse-quantizer seeding**: the upper HNSW levels exist to find a
      good level-0 entry; a k-means centroid table does that job in ONE
      [B,d]x[d,C] matmul + a medoid lookup. The graph's upper levels
@@ -67,13 +68,38 @@ class HnswServeState(NamedTuple):
     """Device-resident serving pack (a pytree)."""
 
     nbr_codes: jax.Array   # [cap, M0, d] int8 centered codes of neighbors
-    nbr_meta: jax.Array    # [cap, M0, 4] f32 (base, scale, ‖x‖², bitcast id)
+    nbr_meta: jax.Array    # [cap, M0, 4] int32: bitcast f32 (base, scale,
+                           #   ‖x‖²) + raw id — int32 storage because TPU
+                           #   gathers FLUSH DENORMAL f32 (small ids bitcast
+                           #   into f32 are denormals and came back 0)
     centroids: jax.Array   # [C, d] f32
     cnorms: jax.Array      # [C] f32 (+inf for pad cells)
     cell_codes: jax.Array  # [C, L, d] int8 member codes, cell-packed
-    cell_meta: jax.Array   # [C, L, 4] f32 (base, scale, ‖x‖², bitcast id)
+    cell_meta: jax.Array   # [C, L, 4] int32 (same encoding as nbr_meta)
     vectors: jax.Array     # [cap, d] f32 rerank store
     norms: jax.Array       # [cap] f32
+
+
+def _meta_fields(meta):
+    """Unpack a gathered int32 meta block: (base, scale, norm) f32 + ids
+    int32. Floats ride as bit patterns inside the int32 array so the
+    gather path never touches them as f32 (TPU denormal flush)."""
+    base = jax.lax.bitcast_convert_type(meta[..., 0], jnp.float32)
+    scale = jax.lax.bitcast_convert_type(meta[..., 1], jnp.float32)
+    norm = jax.lax.bitcast_convert_type(meta[..., 2], jnp.float32)
+    return base, scale, norm, meta[..., 3]
+
+
+def _pack_meta(base, scale, norm, ids):
+    return jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(base, jnp.int32),
+            jax.lax.bitcast_convert_type(scale, jnp.int32),
+            jax.lax.bitcast_convert_type(norm, jnp.int32),
+            ids,
+        ],
+        axis=-1,
+    )
 
 
 def _quant_query(q: jax.Array):
@@ -151,19 +177,17 @@ def serve_search_impl(
     )
     p = min(nprobe, state.centroids.shape[0])
     _, top = jax.lax.top_k(-d2c, p)                    # [B, P]
-    cmeta = state.cell_meta[top]                       # [B, P, L, 4]
+    cb, cs, cn_, pids = _meta_fields(state.cell_meta[top])  # [B, P, L]
     doti = jnp.einsum(
         "bd,bpld->bpl", qc, state.cell_codes[top],
         preferred_element_type=jnp.int32,
     )
     pd = _approx_dist(
-        doti, cmeta[..., 0], cmeta[..., 1],
+        doti, cb, cs,
         qn[:, None, None], qsum[:, None, None], qs[:, None, None],
-        cmeta[..., 2], metric,
+        cn_, metric,
     ).reshape(b, -1)
-    pids = jax.lax.bitcast_convert_type(
-        cmeta[..., 3], jnp.int32
-    ).reshape(b, -1)
+    pids = pids.reshape(b, -1)
     pd = jnp.where(pids >= 0, pd, INF)
     s = min(nseed, ef, pd.shape[-1])
     seed_d, seed_i = topk_smallest(pd, pids, s)
@@ -198,18 +222,16 @@ def serve_search_impl(
         safe_sel = jnp.clip(sel_i, 0)
 
         # TWO gathers: codes block + fused meta block
-        meta = state.nbr_meta[safe_sel]                 # [B, E, deg, 4]
-        nbrs = jax.lax.bitcast_convert_type(
-            meta[..., 3], jnp.int32
-        ).reshape(b, -1)                                # [B, E*deg]
+        mb, ms, mn, nbrs = _meta_fields(state.nbr_meta[safe_sel])
+        nbrs = nbrs.reshape(b, -1)                      # [B, E*deg]
         doti = jnp.einsum(
             "bd,begd->beg", qc, state.nbr_codes[safe_sel],
             preferred_element_type=jnp.int32,
         )
         nd = _approx_dist(
-            doti, meta[..., 0], meta[..., 1],
+            doti, mb, ms,
             qn[:, None, None], qsum[:, None, None], qs[:, None, None],
-            meta[..., 2], metric,
+            mn, metric,
         ).reshape(b, -1)
 
         ok = (nbrs >= 0) & jnp.repeat(exp_ok, deg, axis=-1)
@@ -288,14 +310,11 @@ def _pack_block_chunk(nbr_codes, nbr_meta, rows, adj_rows, codes, base,
     safe = jnp.clip(adj_rows, 0)
     ok = adj_rows >= 0
     nbr_codes = nbr_codes.at[rows].set(codes[safe])
-    meta = jnp.stack(
-        [
-            jnp.where(ok, base[safe], 0.0),
-            jnp.where(ok, scale[safe], 0.0),
-            jnp.where(ok, norms[safe], INF),
-            jax.lax.bitcast_convert_type(adj_rows, jnp.float32),
-        ],
-        axis=-1,
+    meta = _pack_meta(
+        jnp.where(ok, base[safe], 0.0),
+        jnp.where(ok, scale[safe], 0.0),
+        jnp.where(ok, norms[safe], INF),
+        adj_rows,
     )
     nbr_meta = nbr_meta.at[rows].set(meta)
     return nbr_codes, nbr_meta
@@ -324,7 +343,7 @@ def pack_serving(
     codes, base, scale = _sq8_centered(vectors)
 
     nbr_codes = jnp.zeros((cap, m0, d), jnp.int8)
-    nbr_meta = jnp.zeros((cap, m0, 4), jnp.float32)
+    nbr_meta = jnp.full((cap, m0, 4), -1, jnp.int32)
     for s in range(0, size, chunk):
         e = min(size, s + chunk)
         rows = jnp.arange(s, s + chunk, dtype=jnp.int32)
@@ -380,14 +399,11 @@ def pack_serving(
     msafe = jnp.clip(mem, 0)
     mok = mem >= 0
     cell_codes = jnp.where(mok[..., None], codes[msafe], 0)
-    cell_meta = jnp.stack(
-        [
-            jnp.where(mok, base[msafe], 0.0),
-            jnp.where(mok, scale[msafe], 0.0),
-            jnp.where(mok, norms[msafe], INF),
-            jax.lax.bitcast_convert_type(mem, jnp.float32),
-        ],
-        axis=-1,
+    cell_meta = _pack_meta(
+        jnp.where(mok, base[msafe], 0.0),
+        jnp.where(mok, scale[msafe], 0.0),
+        jnp.where(mok, norms[msafe], INF),
+        mem,
     )
     return HnswServeState(
         nbr_codes=nbr_codes,
