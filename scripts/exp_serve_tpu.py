@@ -96,13 +96,13 @@ def main():
 
     grid = [
         # (ef, nprobe, nseed, expand, iters)
-        (64, 2, 32, 4, 48),
-        (64, 2, 32, 4, 96),
-        (48, 2, 32, 4, 32),
-        (48, 2, 24, 8, 32),
-        (64, 2, 32, 8, 64),
-        (96, 2, 48, 8, 96),
         (32, 2, 16, 4, 24),
+        (32, 2, 16, 4, 16),
+        (32, 2, 24, 4, 16),
+        (40, 2, 24, 4, 24),
+        (32, 4, 24, 4, 16),
+        (24, 2, 16, 4, 16),
+        (32, 2, 16, 8, 16),
     ]
     passing = []
     for ef, npr, ns, ex, iters in grid:
@@ -119,7 +119,7 @@ def main():
     # device-slope QPS on the best (fewest-iters) passing configs
     sv = idx.serve
     cfgm = idx.cfg.metric
-    for ef, npr, ns, ex, iters, r in passing[:3]:
+    for ef, npr, ns, ex, iters, r in passing[:5]:
         @jax.jit
         def _scan(st, qs):
             def step(_, qb):

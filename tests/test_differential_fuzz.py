@@ -1,0 +1,302 @@
+"""Large-scale differential fuzz vs SQLite (the oracle the reference
+benches against, benches/insertion.rs:181-760; scale per reference
+tests/integration_sql.rs 4k LoC + regression_smoke 1.7k).
+
+A seeded random generator builds a 3-table schema with FK-shaped data,
+then drives >1,000 compared statements through BOTH engines: filters,
+multi-way joins, aggregates/HAVING, scalar/IN/EXISTS subqueries, set
+ops, window functions, ORDER BY/LIMIT, and interleaved DML mutation
+rounds (UPDATE/DELETE/INSERT applied to both, with SELECT sweeps after
+every round).
+
+Dialect notes baked into the generator (differences that are by-design,
+PostgreSQL-leaning, not bugs): LIKE is case-sensitive here (SQLite's is
+ASCII-case-insensitive) -> all text data/patterns are lowercase; `%` of
+negative operands differs (C vs Python semantics) -> operands kept
+non-negative; ORDER BY NULL placement differs -> explicit NULLS FIRST
+is emitted on both sides.
+"""
+
+import random
+import sqlite3
+
+import pytest
+
+from turdb_tpu.database.api import Database
+
+
+def norm(rows):
+    out = []
+    for r in rows:
+        row = []
+        for v in r:
+            if isinstance(v, bool):
+                row.append(int(v))
+            elif isinstance(v, float):
+                row.append(round(v, 5))
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=repr)
+
+
+CITIES = ["oslo", "lima", "pune", "kyiv", None]
+STATUS = ["new", "paid", "sent", None]
+TAGS = ["red", "blue", "gold"]
+
+
+def _seed(db, lite, rng):
+    stmts = [
+        "CREATE TABLE users (id INTEGER, age INTEGER, city TEXT, score DOUBLE)",
+        "CREATE TABLE orders (oid INTEGER, uid INTEGER, amount DOUBLE, "
+        "status TEXT, qty INTEGER)",
+        "CREATE TABLE items (iid INTEGER, oid INTEGER, price DOUBLE, tag TEXT)",
+    ]
+    for s in stmts:
+        db.execute(s)
+        lite.execute(s)
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v + "'"
+        return str(v)
+
+    for i in range(150):
+        row = (i, rng.randint(18, 70), rng.choice(CITIES),
+               round(rng.uniform(0, 100), 2))
+        s = f"INSERT INTO users VALUES ({','.join(lit(v) for v in row)})"
+        db.execute(s)
+        lite.execute(s)
+    for o in range(300):
+        row = (o, rng.randint(0, 160), round(rng.uniform(1, 500), 2),
+               rng.choice(STATUS), rng.randint(1, 9))
+        s = f"INSERT INTO orders VALUES ({','.join(lit(v) for v in row)})"
+        db.execute(s)
+        lite.execute(s)
+    for t in range(450):
+        row = (t, rng.randint(0, 320), round(rng.uniform(0.5, 50), 2),
+               rng.choice(TAGS))
+        s = f"INSERT INTO items VALUES ({','.join(lit(v) for v in row)})"
+        db.execute(s)
+        lite.execute(s)
+
+
+NUM_COLS = {
+    "users": ["id", "age", "score"],
+    "orders": ["oid", "uid", "amount", "qty"],
+    "items": ["iid", "oid", "price"],
+}
+# strictly-typed engine (like the Rust reference) vs SQLite affinity:
+# updates must assign type-correct exprs, so int targets draw from ints
+INT_COLS = {
+    "users": ["id", "age"],
+    "orders": ["oid", "uid", "qty"],
+    "items": ["iid", "oid"],
+}
+TEXT_COLS = {"users": ["city"], "orders": ["status"], "items": ["tag"]}
+TEXT_VALS = {"city": CITIES, "status": STATUS, "tag": TAGS}
+
+
+class Gen:
+    def __init__(self, rng):
+        self.rng = rng
+
+    def num_expr(self, t, q="", int_only=False):
+        r = self.rng
+        c = q + r.choice(INT_COLS[t] if int_only else NUM_COLS[t])
+        pick = r.random()
+        if pick < 0.5:
+            return c
+        if pick < 0.7:
+            return f"({c} + {r.randint(1, 20)})"
+        if pick < 0.85:
+            return f"({c} * {r.randint(2, 5)})"
+        return f"abs({c} - {r.randint(0, 50)})"
+
+    def pred(self, t, q="", depth=0):
+        r = self.rng
+        pick = r.random()
+        if depth < 2 and pick < 0.25:
+            op = r.choice(["AND", "OR"])
+            return (f"({self.pred(t, q, depth + 1)} {op} "
+                    f"{self.pred(t, q, depth + 1)})")
+        if pick < 0.35:
+            tc = r.choice(TEXT_COLS[t])
+            return f"{q}{tc} IS {'NOT ' if r.random() < 0.5 else ''}NULL"
+        if pick < 0.45:
+            tc = r.choice(TEXT_COLS[t])
+            vals = [v for v in TEXT_VALS[tc] if v is not None]
+            sel = r.sample(vals, k=min(2, len(vals)))
+            return f"{q}{tc} IN ({', '.join(repr(v) for v in sel)})"
+        if pick < 0.55:
+            c = r.choice(NUM_COLS[t])
+            lo = r.randint(0, 50)
+            return f"{q}{c} BETWEEN {lo} AND {lo + r.randint(5, 60)}"
+        if pick < 0.62:
+            tc = r.choice(TEXT_COLS[t])
+            pat = r.choice(["'%a%'", "'%e_'", "'p%'", "'%d'"])
+            return f"{q}{tc} LIKE {pat}"
+        e = self.num_expr(t, q)
+        op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{e} {op} {r.randint(0, 120)}"
+
+    def agg(self, t, q=""):
+        r = self.rng
+        c = q + r.choice(NUM_COLS[t])
+        return r.choice([
+            "count(*)", f"count({c})", f"sum({c})", f"avg({c})",
+            f"min({c})", f"max({c})",
+        ])
+
+    # ---- statement families -------------------------------------------
+
+    def single_table(self):
+        r = self.rng
+        t = r.choice(list(NUM_COLS))
+        cols = ", ".join(
+            r.sample(NUM_COLS[t] + TEXT_COLS[t], k=r.randint(1, 3))
+        )
+        sql = f"SELECT {cols} FROM {t} WHERE {self.pred(t)}"
+        if r.random() < 0.3:
+            key = r.choice(NUM_COLS[t])
+            pk = NUM_COLS[t][0]   # unique tiebreak: LIMIT must cut
+            sql += (f" ORDER BY {key} NULLS FIRST, {pk}"
+                    f" LIMIT {r.randint(1, 20)}")   # deterministically
+        return sql
+
+    def join2(self):
+        r = self.rng
+        a, b, on = r.choice([
+            ("users", "orders", "users.id = orders.uid"),
+            ("orders", "items", "orders.oid = items.oid"),
+        ])
+        kind = r.choice(["JOIN", "LEFT JOIN"])
+        agg = self.agg(a, a + ".")
+        grp = r.choice(NUM_COLS[a] + TEXT_COLS[a])
+        sql = (f"SELECT {a}.{grp}, {agg} FROM {a} {kind} {b} ON {on} "
+               f"WHERE {self.pred(a, a + '.')} GROUP BY {a}.{grp}")
+        if r.random() < 0.4:
+            sql += f" HAVING count(*) > {r.randint(0, 3)}"
+        return sql
+
+    def join3(self):
+        r = self.rng
+        sql = (
+            "SELECT users.city, count(*), sum(items.price) FROM users "
+            "JOIN orders ON users.id = orders.uid "
+            "JOIN items ON orders.oid = items.oid "
+            f"WHERE {self.pred('users', 'users.')} GROUP BY users.city"
+        )
+        return sql
+
+    def subquery(self):
+        r = self.rng
+        pick = r.random()
+        if pick < 0.4:
+            return (
+                "SELECT id, age FROM users WHERE score > "
+                f"(SELECT avg(score) FROM users WHERE {self.pred('users')})"
+            )
+        if pick < 0.7:
+            return (
+                "SELECT oid FROM orders WHERE uid IN "
+                f"(SELECT id FROM users WHERE {self.pred('users')}) "
+                f"AND {self.pred('orders')}"
+            )
+        return (
+            "SELECT id FROM users WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE orders.uid = users.id AND "
+            f"orders.amount > {r.randint(50, 400)})"
+        )
+
+    def setop(self):
+        r = self.rng
+        op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT uid FROM orders WHERE {self.pred('orders')} "
+            f"{op} SELECT id FROM users WHERE {self.pred('users')}"
+        )
+
+    def window(self):
+        r = self.rng
+        fn = r.choice([
+            "row_number()", "rank()", "dense_rank()", "ntile(4)",
+            "sum(amount)", "count(*)",
+        ])
+        return (
+            f"SELECT oid, uid, {fn} OVER (PARTITION BY status "
+            "ORDER BY amount NULLS FIRST, oid) FROM orders "
+            f"WHERE {self.pred('orders')}"
+        )
+
+    def select(self):
+        r = self.rng.random()
+        if r < 0.35:
+            return self.single_table()
+        if r < 0.55:
+            return self.join2()
+        if r < 0.62:
+            return self.join3()
+        if r < 0.78:
+            return self.subquery()
+        if r < 0.88:
+            return self.setop()
+        return self.window()
+
+    def dml(self):
+        r = self.rng
+        pick = r.random()
+        if pick < 0.4:
+            t = r.choice(list(NUM_COLS))
+            c = r.choice(NUM_COLS[t])
+            if c in ("id", "oid", "iid"):
+                c = NUM_COLS[t][-1]
+            expr = self.num_expr(t, int_only=c in INT_COLS[t])
+            return f"UPDATE {t} SET {c} = {expr} WHERE {self.pred(t)}"
+        if pick < 0.7:
+            t = r.choice(list(NUM_COLS))
+            # bounded delete so data doesn't drain
+            key = NUM_COLS[t][0]
+            v = r.randint(0, 500)
+            return (f"DELETE FROM {t} WHERE {key} BETWEEN {v} AND {v + 3} "
+                    f"AND {self.pred(t)}")
+        i = r.randint(10_000, 99_999)
+        return (
+            f"INSERT INTO orders VALUES ({i}, {r.randint(0, 160)}, "
+            f"{round(r.uniform(1, 500), 2)}, "
+            f"{'NULL' if r.random() < 0.2 else repr(r.choice(['new', 'paid', 'sent']))}, "
+            f"{r.randint(1, 9)})"
+        )
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71])
+def test_differential_fuzz(tmp_path, seed):
+    rng = random.Random(seed)
+    db = Database.create(str(tmp_path / f"dz{seed}"))
+    lite = sqlite3.connect(":memory:")
+    try:
+        _seed(db, lite, rng)
+        g = Gen(rng)
+        executed = 0
+        for rnd in range(5):
+            for _ in range(40):
+                sql = g.select()
+                ours = norm(db.query(sql))
+                theirs = norm(lite.execute(sql).fetchall())
+                assert ours == theirs, (
+                    f"seed={seed} round={rnd}\nSQL: {sql}\n"
+                    f"ours({len(ours)})={ours[:4]}\n"
+                    f"sqlite({len(theirs)})={theirs[:4]}"
+                )
+                executed += 1
+            for _ in range(8):
+                sql = g.dml()
+                db.execute(sql)
+                lite.execute(sql)
+                executed += 1
+        assert executed >= 240
+    finally:
+        db.close()
+        lite.close()

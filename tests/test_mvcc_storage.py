@@ -272,7 +272,10 @@ class TestCheckpointConcurrency:
     transactions are active (its stamp normalization would corrupt their
     snapshots) and run cleanly afterwards."""
 
-    def test_checkpoint_skips_with_active_txn(self, tmp_path):
+    def test_checkpoint_with_active_txn_keeps_its_frames(self, tmp_path):
+        """Round-3 semantics (reference wal.rs:50-60): checkpoint under an
+        active txn snapshots the committed-visible state and keeps ONLY
+        the in-flight txn's WAL frames."""
         from turdb_tpu.database.api import Database
 
         path = str(tmp_path / "ckpt")
@@ -281,13 +284,11 @@ class TestCheckpointConcurrency:
         db.execute("INSERT INTO t VALUES (1)")
         db.execute("BEGIN")
         db.execute("INSERT INTO t VALUES (2)")
-        frames_before = db.wal.frame_count
-        db.checkpoint()                     # active txn -> must no-op
-        assert db.wal.frame_count == frames_before, "WAL truncated mid-txn"
-        # the open txn still sees its own write; a fresh reader doesn't
+        db.checkpoint()                     # runs; keeps active-txn frames
+        # the open txn still sees its own write
         assert db.query("SELECT COUNT(*) FROM t") == [(2,)]
         db.execute("COMMIT")
-        db.checkpoint()                     # now it runs
+        db.checkpoint()                     # full checkpoint now
         assert db.wal.frame_count == 0
         db.close()
         db2 = Database.open(path)

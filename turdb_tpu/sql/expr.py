@@ -418,9 +418,11 @@ def eval_expr(e, batch: Batch, ctx: EvalContext) -> Col:
         if e.op in ("->", "->>"):
             return _json_get(a, b, as_text=(e.op == "->>"))
         if e.op == "@>":
-            return _json_contains(a, b)
+            return _contains_op(a, b)
         if e.op == "<@":
-            return _json_contains(b, a)
+            return _contains_op(b, a)
+        if e.op == "&&":
+            return _overlaps_op(a, b)
         raise SqlError(f"unsupported operator {e.op}")
     if isinstance(e, A.UnaryOp):
         v = eval_expr(e.operand, batch, ctx)
@@ -605,6 +607,45 @@ def _json_get(a: Col, b: Col, as_text: bool) -> Col:
 
                 v = json.dumps(v)
             out[i] = v
+    return Col(out, nulls)
+
+
+def _contains_op(a: Col, b: Col) -> Col:
+    """`a @> b`: range/box/circle containment when `a` parses as one
+    (reference data_type.rs range/geometry types), else JSONB
+    containment (jsonb.rs)."""
+    from turdb_tpu.types.ranges import geo_contains
+
+    n = len(a)
+    out = np.zeros(n, bool)
+    nulls = a.nulls | b.nulls
+    geo_any = False
+    for i in range(n):
+        if nulls[i]:
+            continue
+        g = geo_contains(_py(a.values[i]), _py(b.values[i]))
+        if g is not None:
+            out[i] = g
+            geo_any = True
+    if geo_any:
+        return Col(out, nulls)
+    return _json_contains(a, b)
+
+
+def _overlaps_op(a: Col, b: Col) -> Col:
+    """`a && b`: range/geometry overlap."""
+    from turdb_tpu.types.ranges import geo_overlaps
+
+    n = len(a)
+    out = np.zeros(n, bool)
+    nulls = a.nulls | b.nulls
+    for i in range(n):
+        if nulls[i]:
+            continue
+        g = geo_overlaps(_py(a.values[i]), _py(b.values[i]))
+        if g is None:
+            raise SqlError("&& requires range/box/circle operands")
+        out[i] = g
     return Col(out, nulls)
 
 

@@ -66,7 +66,7 @@ KEYWORDS = {
 # multi-char operators, longest first (vector ops per reference
 # token.rs:89-160: <-> L2, <#> negative IP, <=> cosine)
 _OPS = [
-    "<->", "<#>", "<=>", "->>", "<@", "@>", "->", "||", "::", "<=", ">=",
+    "<->", "<#>", "<=>", "->>", "<@", "@>", "->", "||", "&&", "::", "<=", ">=",
     "<>", "!=", "=", "<", ">", "+", "-", "*", "/", "%", "|", "@", "#", "~",
 ]
 

@@ -19,7 +19,7 @@ _BP = {
     "AND": 20,
     # comparison
     "=": 40, "<>": 40, "<": 40, "<=": 40, ">": 40, ">=": 40,
-    "@>": 40, "<@": 40,
+    "@>": 40, "<@": 40, "&&": 40,
     "||": 50,
     "<->": 55, "<#>": 55, "<=>": 55,   # vector distances (parser.rs:907-909)
     "+": 60, "-": 60,

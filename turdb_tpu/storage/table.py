@@ -16,7 +16,7 @@ import numpy as np
 
 from turdb_tpu.mvcc.manager import Transaction, TransactionManager
 from turdb_tpu.types.column import ColumnDef
-from turdb_tpu.types.datatype import StorageClass
+from turdb_tpu.types.datatype import DataType, StorageClass
 
 _GROW0 = 256
 
@@ -272,6 +272,13 @@ class ColumnarTable:
 
             if isinstance(v, Toasted):
                 return v
+            if c.dtype in (
+                DataType.INT4RANGE, DataType.INT8RANGE, DataType.DATERANGE,
+                DataType.TSRANGE, DataType.BOX, DataType.CIRCLE,
+            ):
+                from turdb_tpu.types.ranges import canonical_text
+
+                return canonical_text(str(v), c.dtype.name)
             return v if isinstance(v, str) else str(v)
         return v
 

@@ -171,8 +171,13 @@ class Wal:
                 with open(path, "rb") as f:
                     data = f.read()
                 off = FILE_HEADER_SIZE
-                if data[:16] != MAGIC_WAL:
-                    raise WalCorruption(f"bad segment magic in {path}")
+                if len(data) < FILE_HEADER_SIZE or data[:16] != MAGIC_WAL:
+                    # torn/overwritten segment header: recovery stops at
+                    # the previous segment's frames — a clean PREFIX, not
+                    # a refused open (found by tests/test_crash_fuzz.py:
+                    # raising here made the whole database unopenable)
+                    self._torn = (no, 0)
+                    return
                 while off + WAL_FRAME_HEADER_SIZE <= len(data):
                     plen, ftype, _flags, table_id, lsn, txn_id = struct.unpack_from(
                         "<IBBHQQ", data, off

@@ -60,6 +60,14 @@ class DataType(enum.IntEnum):
     POINT = 27
     SERIAL = 28       # alias: INT w/ auto-increment default
     BIGSERIAL = 29
+    # ranges + geometry (reference data_type.rs:97-106); stored as
+    # canonical text (types/ranges.py)
+    INT4RANGE = 30
+    INT8RANGE = 31
+    DATERANGE = 32
+    TSRANGE = 33
+    BOX = 34
+    CIRCLE = 35
 
     @property
     def storage_class(self) -> StorageClass:
@@ -127,6 +135,12 @@ _STORAGE = {
     DataType.INET: StorageClass.TEXT,
     DataType.MACADDR: StorageClass.TEXT,
     DataType.POINT: StorageClass.OBJECT,
+    DataType.INT4RANGE: StorageClass.TEXT,
+    DataType.INT8RANGE: StorageClass.TEXT,
+    DataType.DATERANGE: StorageClass.TEXT,
+    DataType.TSRANGE: StorageClass.TEXT,
+    DataType.BOX: StorageClass.TEXT,
+    DataType.CIRCLE: StorageClass.TEXT,
 }
 
 _SQL_NAMES = {
@@ -170,4 +184,12 @@ _SQL_NAMES = {
     "POINT": DataType.POINT,
     "SERIAL": DataType.SERIAL,
     "BIGSERIAL": DataType.BIGSERIAL,
+    "INT4RANGE": DataType.INT4RANGE,
+    "INT8RANGE": DataType.INT8RANGE,
+    "DATERANGE": DataType.DATERANGE,
+    "TSRANGE": DataType.TSRANGE,
+    "TSTZRANGE": DataType.TSRANGE,
+    "TIMESTAMPRANGE": DataType.TSRANGE,
+    "BOX": DataType.BOX,
+    "CIRCLE": DataType.CIRCLE,
 }
