@@ -1,0 +1,90 @@
+"""OLTP perf-as-test gates (reference tests/single_insert_benchmark.rs
+pattern + design targets lib.rs:64-66). Thresholds are set well below
+the measured numbers (85k+ inserts/s, ~19µs point reads on an idle
+machine) so CI noise doesn't flake them; they exist to catch order-of-
+magnitude regressions of the fast lanes."""
+
+import tempfile
+import time
+
+import pytest
+
+from turdb_tpu.database.api import Database
+
+
+@pytest.fixture()
+def db():
+    d = Database.create(tempfile.mkdtemp() + "/perf")
+    yield d
+    d.close()
+
+
+def test_prepared_single_insert_rate(db):
+    db.execute("PRAGMA wal = off")
+    db.execute("CREATE TABLE t(id INT PRIMARY KEY, a INT, b TEXT, c DOUBLE)")
+    stmt = db.prepare("INSERT INTO t VALUES ($1, $2, $3, $4)")
+    for i in range(2000):
+        stmt.execute([i, i * 2, f"name{i}", i * 0.5])
+    n = 20000
+    t0 = time.perf_counter()
+    for i in range(2000, 2000 + n):
+        stmt.execute([i, i * 2, f"name{i}", i * 0.5])
+    rate = n / (time.perf_counter() - t0)
+    assert rate > 30_000, f"prepared single insert {rate:,.0f} rows/s"
+    assert db.query("SELECT count(*) FROM t") == [(n + 2000,)]
+
+
+def test_prepared_single_insert_wal_on_rate(db):
+    db.execute("CREATE TABLE t(id INT PRIMARY KEY, a INT)")
+    stmt = db.prepare("INSERT INTO t VALUES ($1, $2)")
+    for i in range(1000):
+        stmt.execute([i, i])
+    n = 10000
+    t0 = time.perf_counter()
+    for i in range(1000, 1000 + n):
+        stmt.execute([i, i])
+    rate = n / (time.perf_counter() - t0)
+    assert rate > 15_000, f"wal-on prepared insert {rate:,.0f} rows/s"
+
+
+def test_point_read_latency(db):
+    db.execute("CREATE TABLE t(id INT PRIMARY KEY, b TEXT)")
+    stmt = db.prepare("INSERT INTO t VALUES ($1, $2)")
+    for i in range(20000):
+        stmt.execute([i, f"v{i}"])
+    q = db.prepare("SELECT b FROM t WHERE id = $1")
+    for i in range(100):
+        q.query([i])
+    n = 5000
+    t0 = time.perf_counter()
+    for i in range(n):
+        q.query([i * 3 % 20000])
+    us = (time.perf_counter() - t0) / n * 1e6
+    # reference design target: <50µs disk (lib.rs:64); measured ~19µs
+    assert us < 80, f"point read {us:.1f} us"
+    assert q.query([7]) == [("v7",)]
+
+
+def test_fast_lane_equivalence(db):
+    """The fast insert lane must be semantically identical to the
+    generic pipeline: constraint errors, duplicate keys, NULLs,
+    reopen durability."""
+    db.execute("CREATE TABLE t(id INT PRIMARY KEY, a INT NOT NULL, b TEXT)")
+    stmt = db.prepare("INSERT INTO t VALUES ($1, $2, $3)")
+    stmt.execute([1, 10, "x"])
+    stmt.execute([2, 20, None])
+    with pytest.raises(Exception):
+        stmt.execute([1, 30, "dup"])       # duplicate pk
+    with pytest.raises(Exception):
+        stmt.execute([3, None, "nn"])      # NOT NULL
+    # big value: bails to generic path and TOASTs
+    stmt.execute([4, 40, "z" * 5000])
+    assert db.query("SELECT length(b) FROM t WHERE id = 4") == [(5000,)]
+    p = db.path
+    db.close()
+    db2 = Database.open(p)
+    assert sorted(db2.query("SELECT id, a FROM t")) == [
+        (1, 10), (2, 20), (4, 40)
+    ]
+    assert db2.query("SELECT b FROM t WHERE id = 2") == [(None,)]
+    db2.close()

@@ -94,7 +94,12 @@ class TableInfo:
         return self.table.columns
 
     def record_schema(self) -> RecordSchema:
-        return RecordSchema([c.dtype for c in self.columns])
+        # cached: rebuilt only when DDL changes the column list
+        key = tuple(id(c) for c in self.columns)
+        if getattr(self, "_rs_key", None) != key:
+            self._rs = RecordSchema([c.dtype for c in self.columns])
+            self._rs_key = key
+        return self._rs
 
 
 @dataclasses.dataclass
@@ -1161,6 +1166,7 @@ class CachedInsertPlan:
         self.schema = stmt.table.schema or "main"
         self.tname = stmt.table.name
         self._bind()
+        self._fast = self._build_fast()
 
     def _bind(self):
         db, stmt = self.db, self.stmt
@@ -1201,6 +1207,175 @@ class CachedInsertPlan:
         except (_NotCacheable, SqlError):
             return None
 
+    def _build_fast(self):
+        """Precompute the single-row FAST LANE (reference prepared.rs
+        insert_cached at 1,185 ns/row is the bar): one Python function
+        per insert, all byte work (key encode, record pack, WAL frames)
+        in C (native/oltp.c). Eligible when the row shape is simple —
+        plain typed columns, plain-column indexes, no FKs/CHECKs/vector
+        indexes/defaults; anything unusual bails to the generic path at
+        runtime (returning None), so semantics are identical."""
+        from turdb_tpu.native.build import oltp
+
+        info = self.info
+        nat = oltp()
+        if nat is None or len(self.binders) != 1:
+            return None
+        if info.fks or info.checks or info.hnsw or info.btree_exprs:
+            return None
+        if info.table.toast_cols:
+            return None
+        ok_sc = (
+            StorageClass.INT, StorageClass.FLOAT, StorageClass.FLOAT32,
+            StorageClass.BOOL, StorageClass.TEXT, StorageClass.BYTES,
+        )
+        for cd in info.columns:
+            if cd.check is not None or cd.has_default:
+                return None
+            if cd.dtype.storage_class not in ok_sc:
+                return None
+            if cd.dtype in (
+                DataType.INT4RANGE, DataType.INT8RANGE, DataType.DATERANGE,
+                DataType.TSRANGE, DataType.BOX, DataType.CIRCLE,
+                DataType.DATE, DataType.TIME, DataType.TIMESTAMP,
+                DataType.TIMESTAMPTZ,
+            ):
+                return None   # text-stored types with coercion semantics
+        binder = {cn: (isp, pay) for cn, isp, pay in self.binders[0]}
+        cols = []
+        for cd in info.columns:
+            cols.append((cd, binder.get(cd.name),
+                         cd.dtype.storage_class, cd.name))
+        name_pos = {cd.name: j for j, cd in enumerate(info.columns)}
+        sec = []
+        uniq = []
+        for name, idx in info.btree.items():
+            cl = info.btree_cols[name]
+            if cl is None:
+                return None
+            pos = tuple(name_pos[c] for c in cl)
+            sec.append((idx, pos))
+            if idx.unique:
+                uniq.append((idx, pos))
+        from turdb_tpu.config import TOAST_THRESHOLD
+
+        return {
+            "nat": nat, "cols": cols, "sec": sec, "uniq": uniq,
+            "blob": info.record_schema().schema_blob(),
+            "toast": TOAST_THRESHOLD,
+        }
+
+    def _fast_row(self, params) -> ExecuteResult | None:
+        """One prepared single-row autocommit insert; None = bail to the
+        generic path (which re-validates from scratch)."""
+        F = self._fast
+        nat = F["nat"]
+        db = self.db
+        info = self.info
+        t = info.table
+        cv = ConstraintViolation
+        vals = []
+        auto_bump = 0
+        for cd, src, sc, name in F["cols"]:
+            if src is None:
+                if cd.auto_increment:
+                    v = t.auto_increment + auto_bump
+                    auto_bump += 1
+                else:
+                    v = None
+            else:
+                v = params[src[1]] if src[0] else src[1]
+            if v is None:
+                if not cd.nullable:
+                    raise cv(
+                        f"NOT NULL constraint violated: {t.name}.{name}"
+                    )
+            elif sc is StorageClass.INT:
+                if type(v) is not int:
+                    return None
+            elif sc is StorageClass.FLOAT or sc is StorageClass.FLOAT32:
+                if type(v) is int:
+                    v = float(v)
+                elif type(v) is not float:
+                    return None
+            elif sc is StorageClass.TEXT:
+                if type(v) is not str:
+                    return None
+                if cd.max_len is not None and len(v) > cd.max_len:
+                    return None   # generic path raises the proper error
+                if len(v) > F["toast"] // 4:
+                    return None   # may need TOASTing (utf-8 <= 4 B/char)
+            elif sc is StorageClass.BYTES:
+                if type(v) is not bytes or len(v) > F["toast"] // 4:
+                    return None
+            elif sc is StorageClass.BOOL:
+                if type(v) is not bool:
+                    return None
+            vals.append(v)
+        # index keys once per index (the unique probe and the insert
+        # share the bytes); empty probe hit = no conflict; any hit bails
+        # (the generic path re-verifies against MVCC visibility)
+        keys = []
+        for idx, pos in F["sec"]:
+            kv = tuple(vals[p] for p in pos)
+            key = nat.encode_key(kv)
+            keys.append(key)
+            if idx.unique and None not in kv and idx.find(key):
+                return None
+        mgr = db.mgr
+        txn = mgr.begin()
+        try:
+            vi = t.nversions
+            if vi + 1 > t.capacity:
+                t._ensure(vi + 1)
+            rid = t.next_rowid
+            t.next_rowid = rid + 1
+            if auto_bump:
+                t.auto_increment += auto_bump
+            cols_d, nulls_d = t.cols, t.nulls
+            for j, (cd, src, sc, name) in enumerate(F["cols"]):
+                v = vals[j]
+                if v is None:
+                    nulls_d[name][vi] = True
+                else:
+                    nulls_d[name][vi] = False
+                    cols_d[name][vi] = v
+            t.xmin[vi] = txn.txn_id
+            t.xmax[vi] = 0
+            t.rowids[vi] = rid
+            t.prev[vi] = -1
+            t.latest[rid] = vi
+            txn.undo.append((t, "insert", vi, None))
+            t.nversions = vi + 1
+            for (idx, _), key in zip(F["sec"], keys):
+                idx.insert(key, rid)
+            if db.wal_enabled and not db._replaying:
+                rec = nat.pack_record(F["blob"], tuple(vals))
+                if rec is None:
+                    rec = pack_record(info.record_schema(), vals)
+                w = db.wal
+                lsn = w.next_lsn
+                w._buffer.append(nat.wal_frame(
+                    int(FrameType.INSERT), t.table_id, lsn, txn.txn_id,
+                    rid.to_bytes(8, "little") + rec,
+                ))
+                w._buffer.append(nat.wal_frame(
+                    int(FrameType.COMMIT), 0, lsn + 1, txn.txn_id, b"",
+                ))
+                w.next_lsn = lsn + 2
+                w.frame_count += 2
+                if db.wal_autoflush:
+                    w.flush()
+            mgr.commit(txn)
+        except Exception:
+            mgr.abort(txn)
+            raise
+        from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
+
+        if db.wal_enabled and db.wal.frame_count >= WAL_CHECKPOINT_FRAMES:
+            db.checkpoint()
+        return ExecuteResult(rows_affected=1, last_rowid=rid)
+
     def execute(self, params) -> ExecuteResult:
         from turdb_tpu.database import dml
 
@@ -1209,6 +1384,11 @@ class CachedInsertPlan:
         live = db.catalog.get(self.schema, {}).get(self.tname)
         if live is not self.info:     # DDL since prepare: re-resolve
             self._bind()
+            self._fast = self._build_fast()
+        if self._fast is not None and db._txn is None and db.mode == "rw":
+            res = self._fast_row(params)
+            if res is not None:
+                return res
         txn, own = db._begin_write()
         try:
             res = dml.insert_plan_rows(db, self.info, self.binders, params, txn)
@@ -1235,6 +1415,7 @@ class PreparedStatement:
         self.sql = sql
         self.stmt = _parse_stmt(sql)
         self._plan: CachedInsertPlan | None | bool = None
+        self._psel = self._build_point_select()
 
     def execute(self, params=None) -> ExecuteResult:
         params = list(params or [])
@@ -1247,9 +1428,143 @@ class PreparedStatement:
                 return self._plan.execute(params)
         return self.db._dispatch(self.stmt, params, self.sql)
 
+    def _build_point_select(self):
+        """Point-read fast lane (reference design target <50µs disk /
+        <1µs cached, lib.rs:64): a prepared `SELECT cols FROM t WHERE
+        unique-key = $n [AND ...]` resolves to one index probe + direct
+        column reads, skipping the whole engine pipeline. Built lazily
+        at first query() (the table must exist); None = generic path."""
+        s = self.stmt
+        if not isinstance(s, A.Select) or not isinstance(s.from_, A.TableRef):
+            return None
+        if (s.where is None or s.group_by or s.having or s.order_by
+                or s.limit is not None or s.offset is not None or s.distinct
+                or s.ctes or s.set_op or s.for_update):
+            return None
+        cols = []
+        for it in s.items:
+            if isinstance(it, A.Star):
+                cols.append("*")
+            elif isinstance(it, A.SelectItem) and isinstance(
+                it.expr, A.ColumnRef
+            ):
+                cols.append(it.expr.name)
+            else:
+                return None
+        eqs = {}
+
+        def walk(e):
+            if isinstance(e, A.BinaryOp) and e.op == "AND":
+                return walk(e.left) and walk(e.right)
+            if isinstance(e, A.BinaryOp) and e.op == "=":
+                a, b = e.left, e.right
+                if not isinstance(a, A.ColumnRef):
+                    a, b = b, a
+                if isinstance(a, A.ColumnRef) and isinstance(
+                    b, (A.Literal, A.Param)
+                ):
+                    eqs[a.name] = b
+                    return True
+            return False
+
+        if not walk(s.where):
+            return None
+        return {"cols": cols, "eqs": eqs, "ref": s.from_, "bound": None}
+
+    def _point_select(self, params):
+        """Returns rows or None (bail to generic engine)."""
+        from turdb_tpu.native.build import oltp
+        from turdb_tpu.storage.toast import detoast_value
+
+        db = self.db
+        P = self._psel
+        bound = P["bound"]
+        if bound is None or bound[0] is not db.catalog.get(
+            P["ref"].schema or "main", {}
+        ).get(P["ref"].name):
+            try:
+                info = db.resolve_table(P["ref"])
+            except SqlError:
+                return None
+            nat = oltp()
+            if nat is None:
+                return None
+            match = None
+            for name, idx in info.btree.items():
+                cl = info.btree_cols[name]
+                if (idx.unique and cl is not None
+                        and set(cl) == set(P["eqs"])):
+                    match = (idx, cl)
+                    break
+            if match is None:
+                self._psel = None   # no unique cover: generic forever
+                return None
+            out_cols = []
+            for c in P["cols"]:
+                if c == "*":
+                    out_cols.extend(cd.name for cd in info.columns)
+                elif any(cd.name == c for cd in info.columns):
+                    out_cols.append(c)
+                else:
+                    self._psel = None
+                    return None
+            bound = (info, match[0], match[1], out_cols, nat)
+            P["bound"] = bound
+        info, idx, keycols, out_cols, nat = bound
+        t = info.table
+        vals = []
+        for c in keycols:
+            b = P["eqs"][c]
+            v = (params[b.index - 1] if isinstance(b, A.Param) else b.value)
+            if v is None:
+                return []
+            vals.append(v)
+        try:
+            key = nat.encode_key(tuple(vals))
+        except TypeError:
+            return None
+        rids = idx.find(key)
+        if not rids:
+            return []
+        txn = db._txn
+        read_ts = txn.read_ts if txn is not None else db.mgr.snapshot_ts()
+        own = txn.txn_id if txn is not None else 0
+        out = []
+        toast = t.toast_cols
+        for rid in rids:
+            vi = t.visible_version(db.mgr, rid, read_ts, own)
+            if vi is None:
+                continue
+            # index entries persist until vacuum: re-verify key columns
+            ok = True
+            for c, want in zip(keycols, vals):
+                if t.nulls[c][vi]:
+                    ok = False
+                    break
+                got = t.cols[c][vi]
+                if _py(got) != want:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            row = []
+            for c in out_cols:
+                if t.nulls[c][vi]:
+                    row.append(None)
+                else:
+                    v = _py(t.cols[c][vi])
+                    row.append(detoast_value(v) if c in toast else v)
+            out.append(tuple(row))
+        return out
+
     def query(self, params=None) -> list[tuple]:
         if isinstance(self.stmt, A.Select):
-            ctx = self.db._ctx(list(params or []))
+            params = list(params or [])
+            if self._psel is not None:
+                rows = self._point_select(params)
+                if rows is not None:
+                    return rows
+            ctx = self.db._ctx(params)
             return _batch_to_rows(self.db.engine.run_select(self.stmt, ctx))[1]
         return self.execute(params).rows or []
 

@@ -101,3 +101,58 @@ def crc64(data: bytes, seed: int = 0) -> int:
 
 def crc64_available_native() -> bool:
     return bool(_get_lib())
+
+
+# ---------------------------------------------------------------------------
+# OLTP hot-path extension (oltp.c — CPython API module)
+# ---------------------------------------------------------------------------
+
+_OLTP = None
+
+
+def _build_oltp() -> str | None:
+    import sysconfig
+
+    src = os.path.join(_HERE, "oltp.c")
+    cache = os.environ.get(
+        "TURDB_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "turdb_native")
+    )
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "_turdb_oltp.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    inc = sysconfig.get_paths()["include"]
+    try:
+        subprocess.run(
+            ["g++", "-x", "c", "-O3", "-shared", "-fPIC",
+             f"-I{inc}", "-o", so + ".tmp", src],
+            check=True, capture_output=True, timeout=180,
+        )
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception:
+        return None
+
+
+def oltp():
+    """The _turdb_oltp extension module, or None (Python fallbacks)."""
+    global _OLTP
+    if _OLTP is None:
+        path = _build_oltp()
+        if path is None:
+            _OLTP = False
+        else:
+            try:
+                import importlib.machinery
+                import importlib.util
+
+                loader = importlib.machinery.ExtensionFileLoader(
+                    "_turdb_oltp", path
+                )
+                spec = importlib.util.spec_from_loader("_turdb_oltp", loader)
+                mod = importlib.util.module_from_spec(spec)
+                loader.exec_module(mod)
+                _OLTP = mod
+            except Exception:
+                _OLTP = False
+    return _OLTP if _OLTP else None

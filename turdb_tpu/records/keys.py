@@ -205,9 +205,30 @@ def decode_value(buf: bytes, offset: int = 0, desc: bool = False):
     raise ValueError(f"bad key tag 0x{tag:02x}")
 
 
+_NATIVE = None
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        from turdb_tpu.native.build import oltp
+
+        _NATIVE = oltp() or False
+    return _NATIVE
+
+
 def encode_key(values, desc_flags=None) -> bytes:
     """Composite key: concatenation of per-value encodings
-    (reference key.rs composite keys; DESC via byte inversion)."""
+    (reference key.rs composite keys; DESC via byte inversion).
+    Hot path runs in C (native/oltp.c, byte-identical — fuzz-compared
+    in tests/test_native_oltp.py); Decimal and big ints fall back."""
+    n = _native()
+    if n is not None and n is not False:
+        try:
+            return n.encode_key(tuple(values), None if desc_flags is None
+                                else tuple(desc_flags))
+        except TypeError:
+            pass
     if desc_flags is None:
         desc_flags = [False] * len(values)
     return b"".join(encode_value(v, d) for v, d in zip(values, desc_flags))

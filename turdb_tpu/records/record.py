@@ -55,6 +55,28 @@ class RecordSchema:
         self.header_len = 2 + self.bitmap_len
         self.offtab_at = self.header_len + self.fixed_len
         self.payload_at = self.offtab_at + 4 * (nvar + 1)
+        self._blob = None   # native/oltp.c pack_record schema (lazy)
+
+    def schema_blob(self) -> bytes:
+        """Native pack_record schema descriptor (see native/oltp.c)."""
+        if self._blob is None:
+            sc_code = {
+                StorageClass.INT: 0, StorageClass.FLOAT: 1,
+                StorageClass.FLOAT32: 2, StorageClass.BOOL: 3,
+                StorageClass.TEXT: 4, StorageClass.BYTES: 5,
+            }
+            parts = [struct.pack(
+                "<HHIH", self.n, self.bitmap_len, self.fixed_len, self.nvar
+            )]
+            for i, dt in enumerate(self.dtypes):
+                parts.append(struct.pack(
+                    "<BHh",
+                    sc_code.get(dt.storage_class, 255),
+                    self.fixed_off[i] or 0,
+                    -1 if self.var_index[i] is None else self.var_index[i],
+                ))
+            self._blob = b"".join(parts)
+        return self._blob
 
 
 def _var_bytes(dt: DataType, v) -> bytes:
@@ -111,8 +133,25 @@ def _var_value(dt: DataType, raw: bytes):
     raise TypeError(f"not a var-width class: {sc}")
 
 
+_NATIVE = None
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        from turdb_tpu.native.build import oltp
+
+        _NATIVE = oltp() or False
+    return _NATIVE
+
+
 def pack_record(schema: RecordSchema, values) -> bytes:
     assert len(values) == schema.n
+    n = _native()
+    if n is not None and n is not False:
+        out = n.pack_record(schema.schema_blob(), tuple(values))
+        if out is not None:
+            return out
     bitmap = bytearray(schema.bitmap_len)
     fixed = bytearray(schema.fixed_len)
     var_chunks: list[bytes] = [b""] * schema.nvar

@@ -54,6 +54,18 @@ class WalCorruption(Exception):
     pass
 
 
+_NOLTP = None
+
+
+def _native_oltp():
+    global _NOLTP
+    if _NOLTP is None:
+        from turdb_tpu.native.build import oltp
+
+        _NOLTP = oltp() or False
+    return _NOLTP if _NOLTP else None
+
+
 class Wal:
     def __init__(self, wal_dir: str, sync_mode: SyncMode = SyncMode.NORMAL):
         self.dir = wal_dir
@@ -77,13 +89,19 @@ class Wal:
                 # new frames are appended where replay WILL reach them
                 # (reference wal.rs torn-write handling :239-266).
                 torn_no, valid_end = self._torn
-                with open(self._seg_path(torn_no), "r+b") as f:
-                    f.truncate(valid_end)
+                if valid_end < FILE_HEADER_SIZE:
+                    # header itself torn: drop the whole segment (leaving a
+                    # headerless stub would hide frames appended later)
+                    os.remove(self._seg_path(torn_no))
+                else:
+                    with open(self._seg_path(torn_no), "r+b") as f:
+                        f.truncate(valid_end)
                 for no, path in self._segments():
                     if no > torn_no:
                         os.remove(path)
                 self._torn = None
-            self._open_segment(self._segments()[-1][0])
+            remaining = self._segments()
+            self._open_segment(remaining[-1][0] if remaining else 1)
         else:
             self._open_segment(1)
 
@@ -128,13 +146,20 @@ class Wal:
     ) -> int:
         lsn = self.next_lsn
         self.next_lsn += 1
-        head = bytearray(WAL_FRAME_HEADER_SIZE)
-        struct.pack_into(
-            "<IBBHQQ", head, 0, len(payload), int(ftype), 0, table_id, lsn, txn_id
-        )
-        crc = crc64(bytes(head[:24]) + payload)
-        struct.pack_into("<Q", head, 24, crc)
-        self._buffer.append(bytes(head) + payload)
+        n = _native_oltp()
+        if n is not None:
+            frame = n.wal_frame(int(ftype), table_id, lsn, txn_id,
+                                bytes(payload))
+        else:
+            head = bytearray(WAL_FRAME_HEADER_SIZE)
+            struct.pack_into(
+                "<IBBHQQ", head, 0, len(payload), int(ftype), 0, table_id,
+                lsn, txn_id,
+            )
+            crc = crc64(bytes(head[:24]) + payload)
+            struct.pack_into("<Q", head, 24, crc)
+            frame = bytes(head) + payload
+        self._buffer.append(frame)
         self.frame_count += 1
         return lsn
 
