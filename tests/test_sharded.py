@@ -154,3 +154,29 @@ def test_multihost_two_level_merge(data):
     pred2 = np.array([[lut2.get(g, -1) for g in row] for row in gi2])
     r2 = recall_at_k(pred2, true_ids)
     assert r2 >= 0.9, f"multihost ivf recall {r2:.3f}"
+
+
+def test_mesh_parallel_train_recall(data):
+    """Round-3: ShardedIvfIndex.train runs the k-means+assignment phase
+    as ONE stacked mesh program (was host-serial per shard, round-2 weak
+    #8) and per-shard finishing in threads; recall must match the
+    serial build."""
+    import time
+
+    from turdb_tpu.parallel.mesh import make_mesh
+    from turdb_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    x, q, truth_pos = data
+    mesh = make_mesh(n_db=4, n_data=2)
+    idx = ShardedIvfIndex(dim=32, mesh=mesh, nprobe=16)
+    gids = idx.add(x)
+    t0 = time.perf_counter()
+    idx.train()
+    build_s = time.perf_counter() - t0
+    d, g = idx.search(q, k=10)
+    truth_g = gids[truth_pos]
+    rec = np.mean([
+        len(set(g[i].tolist()) & set(truth_g[i].tolist())) / 10
+        for i in range(len(q))
+    ])
+    assert rec >= 0.9, f"mesh-parallel build recall {rec:.3f} (in {build_s:.1f}s)"

@@ -986,11 +986,16 @@ def _bulk_layer_adj(
         # fragmented L0 into cluster islands (measured: 0.83 recall at
         # 200k however wide the intra-cell pool). nprobe=8: probe recall
         # caps graph recall (nprobe=4 saturated search at 0.926).
+        # int8 probe codes (4x less gather traffic than the round-2 f32
+        # tmp index) with NO rerank: candidates only need approximate
+        # top-r membership — the diversity selection pass re-scores them
+        # exactly. keep_f32=False skips the f32 packed copy entirely.
         tmp = IvfIndex(
             dim=d,
             metric=Metric.IP if metric is Metric.IP else Metric.L2,
-            replicate=True, sq8=False,
+            replicate=True, sq8=True, keep_f32=False,
         )
+        tmp.rerank = 0
         tmp.add(x_sub)
         if tmp.state is None:
             tmp.train()

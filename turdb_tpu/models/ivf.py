@@ -70,6 +70,23 @@ class IvfState(NamedTuple):
 # ---------------------------------------------------------------------------
 
 _KM_CHUNK = 4096  # assignment tile: [chunk, C] distance block stays <~512MB
+_PAD_CENT = 1e15  # pad-centroid sentinel: finite (no inf*0 NaN in the
+                  # distance matmuls), far beyond any real data, and its
+                  # cnorm is masked to +inf so it never wins an argmin
+
+
+def _cpad(c: int) -> int:
+    """Centroid-count shape bucket: pow2 up to 8k, then multiples of 8k
+    (a pure pow2 ladder would inflate 156k cells at 10M rows to 262k)."""
+    return _pow2_at_least(c, floor=8) if c <= 8192 else -(-c // 8192) * 8192
+
+
+def _masked_cn(cents: jax.Array, c_real: int) -> jax.Array:
+    """Centroid norms with pad cells at +inf (never assigned)."""
+    cn = prep_norms(cents)
+    if cents.shape[0] > c_real:
+        cn = cn.at[c_real:].set(jnp.inf)
+    return cn
 
 
 def _assign_chunk(cents, cn, xc, xnc):
@@ -148,11 +165,13 @@ def _assign_all(x: jax.Array, centroids: jax.Array, cn: jax.Array | None = None)
 
 
 @jax.jit
-def _assign_top2_all(x: jax.Array, centroids: jax.Array):
+def _assign_top2_all(x: jax.Array, centroids: jax.Array,
+                     cn: jax.Array | None = None):
     """Chunked top-2 nearest-centroid assignment: ([n,2] ids, [n,2] d²)."""
     n = x.shape[0]
     assert n % _KM_CHUNK == 0
-    cn = prep_norms(centroids)
+    if cn is None:
+        cn = prep_norms(centroids)
     xs = x.reshape(n // _KM_CHUNK, _KM_CHUNK, x.shape[1])
     xns = prep_norms(x).reshape(n // _KM_CHUNK, _KM_CHUNK)
 
@@ -371,8 +390,14 @@ class IvfIndex:
             self.size += n
         return slots
 
-    def train(self, iters: int = 8):
-        """K-means + packed layout build over all staged vectors."""
+    def train(self, iters: int = 8, _pre=None):
+        """K-means + packed layout build over all staged vectors.
+
+        `_pre` (mesh-parallel builds, parallel/sharded_ivf.py): a
+        (cents_padded, assign, xpj) triple computed by the STACKED
+        per-shard k-means program — the per-shard finish (rebalance,
+        split, pack, replicas) then runs here against the provided
+        device arrays instead of re-running k-means."""
         import os
         import time as _t
 
@@ -396,6 +421,13 @@ class IvfIndex:
         # next-nearest cluster rather than inflating the cap
         c = self._n_clusters or max(8, n // 64)
         c = min(c, max(8, n // 4))
+        # pad the WORKING centroid count to the shape bucket up front:
+        # round-2 padded only the final packed state, so _kmeans and
+        # _assign_all compiled per-dataset shapes — measured 217s of a
+        # 310s 1M train was the assignment program compiling at a fresh
+        # C through the relay. Pad cells sit at 1e15 (finite: bf16/f32
+        # products stay non-NaN) with +inf cnorms so they never win.
+        c_work = _cpad(c)
         rng = np.random.default_rng(0)
         seed_idx = rng.choice(n, size=c, replace=False)
         # train on a sample (faiss-style), then assign everything chunked.
@@ -412,16 +444,34 @@ class IvfIndex:
         # ONE host->device upload (round-1 uploaded the full array three
         # times — train sample, assignment, packing — each a multi-second
         # relay transfer at 1M x 128); the train sample is a device gather
-        xpj = jnp.asarray(_pad_rows(x, _KM_CHUNK))
-        if n_train == n:
-            xtj = xpj
+        if _pre is not None:
+            cents, assign, xpj = _pre
+            cents = jnp.asarray(cents)
+            assign = np.asarray(assign)[:n]
+            if xpj is None:
+                xpj = jnp.asarray(_pad_rows(x, _KM_CHUNK))
+            c_work = cents.shape[0]
+            xtj = xpj if n_train == n else _pad_rows_dev(
+                xpj[jnp.asarray(tr_idx)], _KM_CHUNK
+            )
+            mark("pre")
         else:
-            xtj = _pad_rows_dev(xpj[jnp.asarray(tr_idx)], _KM_CHUNK)
-        cents = _kmeans(xtj, xpj[jnp.asarray(seed_idx)], iters=iters)
-        jax.block_until_ready(cents)
-        mark("kmeans")
-        assign = np.asarray(_assign_all(xpj, cents))[:n]
-        mark("assign")
+            xpj = jnp.asarray(_pad_rows(x, _KM_CHUNK))
+            if n_train == n:
+                xtj = xpj
+            else:
+                xtj = _pad_rows_dev(xpj[jnp.asarray(tr_idx)], _KM_CHUNK)
+            init = jnp.concatenate([
+                xpj[jnp.asarray(seed_idx)],
+                jnp.full((c_work - c, self.dim), _PAD_CENT, jnp.float32),
+            ]) if c_work > c else xpj[jnp.asarray(seed_idx)]
+            cents = _kmeans(xtj, init, iters=iters)
+            jax.block_until_ready(cents)
+            mark("kmeans")
+            assign = np.asarray(
+                _assign_all(xpj, cents, _masked_cn(cents, c))
+            )[:n]
+            mark("assign")
         cap = self._cluster_cap or _pow2_at_least(
             max(int(2.0 * n / c), 16), floor=8
         )
@@ -440,6 +490,7 @@ class IvfIndex:
                 break
             order = np.argsort(counts)
             starved = order[counts[order] < max(1, cap // 4)]
+            starved = starved[starved < c]
             if len(starved) == 0:
                 break
             cents_np = np.array(cents)
@@ -452,7 +503,7 @@ class IvfIndex:
                 rloc.standard_normal((len(donors), self.dim)).astype(np.float32)
             )
             cents = _kmeans(xtj, jnp.asarray(cents_np), iters=2)
-            assign = np.asarray(_assign_all(xpj, cents))[:n]
+            assign = np.asarray(_assign_all(xpj, cents, _masked_cn(cents, c)))[:n]
         mark("rebalance")
         # split oversized clusters (local 2-means) instead of spilling rows
         # to far clusters: a spilled row is invisible to centroid probing
@@ -460,10 +511,17 @@ class IvfIndex:
         # queries, capping recall at ~0.946 however many probes)
         c0 = c
         cents_np, assign = _split_oversized(
-            np.asarray(cents), assign, x, cap, xpj=xpj
+            np.asarray(cents)[:c], assign, x, cap, xpj=xpj
         )
-        cents = jnp.asarray(cents_np)
         c = cents_np.shape[0]
+        # re-pad the working set after the split changed C
+        c_work = _cpad(c)
+        if c_work > c:
+            cents_np = np.concatenate([
+                cents_np,
+                np.full((c_work - c, self.dim), _PAD_CENT, np.float32),
+            ])
+        cents = jnp.asarray(cents_np)
         mark(f"split({c0}->{c})")
         counts = np.bincount(assign, minlength=c)
         # balanced packing, fully vectorized: stable-sort by cluster, lane =
@@ -486,7 +544,8 @@ class IvfIndex:
         spill = order[~ok]
         if len(spill):
             self._place_spill(
-                np.asarray(spill), x, np.asarray(cents), members, occupancy, cap
+                np.asarray(spill), x, np.asarray(cents), members, occupancy,
+                cap,
             )
         self._occupancy = occupancy
         mark("pack+spill")
@@ -515,17 +574,13 @@ class IvfIndex:
         # centroid would turn q·c into inf*0 = NaN and poison the top-k);
         # members -1, occupancy full.
         c_real = c
-        # pow2 up to 8k, then multiples of 8k: a pure pow2 ladder would
-        # inflate 156k cells (10M rows) to 262k (+68% packed memory)
-        cpad = (
-            _pow2_at_least(c, floor=8) if c <= 8192
-            else -(-c // 8192) * 8192
-        )
+        cpad = _cpad(c)
         if cpad != c:
-            cents_np = np.concatenate([
-                cents_np,
-                np.zeros((cpad - c, self.dim), np.float32),
-            ])
+            # cents_np is already cpad rows (working pad); zero the pad
+            # rows for the stored state (cnorms force +inf below either
+            # way, but zeros keep snapshots tidy)
+            cents_np = np.array(cents_np[:cpad])
+            cents_np[c:] = 0.0
             cents = jnp.asarray(cents_np)
             members = np.concatenate([
                 members, np.full((cpad - c, cap), -1, np.int64)
@@ -631,6 +686,7 @@ class IvfIndex:
         c = len(occupancy)
         cents_dev = jnp.asarray(cents_np)
         base_cn = (cents_np**2).sum(1)
+        cw = len(cents_np)          # may exceed c by shape-bucket padding
         for _round in range(64):
             if len(remaining) == 0:
                 return
@@ -639,7 +695,9 @@ class IvfIndex:
                 raise RuntimeError("IVF packing overflow; raise cluster_cap")
             # nearest FREE cluster, computed on device in chunks (a host
             # [S, C] matrix would be tens of GB at 1M scale)
-            cn = np.where(free > 0, base_cn, np.inf).astype(np.float32)
+            free_w = np.zeros(cw, np.int64)
+            free_w[:c] = free
+            cn = np.where(free_w > 0, base_cn, np.inf).astype(np.float32)
             xs_pad = _pad_rows(x[remaining], _KM_CHUNK)
             pick = np.asarray(
                 _assign_all(jnp.asarray(xs_pad), cents_dev, jnp.asarray(cn))
@@ -679,7 +737,8 @@ class IvfIndex:
             return False
         if xpj is None:
             xpj = jnp.asarray(_pad_rows(x, _KM_CHUNK))
-        a12, d12 = _assign_top2_all(xpj, jnp.asarray(cents_np))
+        cents_j = jnp.asarray(cents_np)
+        a12, d12 = _assign_top2_all(xpj, cents_j, _masked_cn(cents_j, c))
         a12 = np.asarray(a12)[:n]
         d12 = np.asarray(d12)[:n]
         placed = self._slot_cluster[:n].astype(np.int64)

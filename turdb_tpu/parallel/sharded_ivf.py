@@ -96,6 +96,11 @@ class ShardedIvfIndex:
         return gids
 
     def train(self):
+        untrained = [s for s in self.shards if s.state is None]
+        if len(untrained) == self.n_shards and self.n_shards > 1:
+            self._train_mesh()
+            if self._stacked is not None:
+                return
         for s in self.shards:
             if s.state is None:
                 s.train()
@@ -117,6 +122,118 @@ class ShardedIvfIndex:
         )
         self._stacked = jax.device_put(
             stacked, NamedSharding(self.mesh, self._store_spec)
+        )
+
+    def _train_mesh(self):
+        """Mesh-parallel build (SURVEY §2.9 "sharded graph build"; round-2
+        weak #8 trained the 8 sub-indexes host-SERIALLY): the k-means +
+        assignment phase — the FLOP-dominant part of an IVF build — runs
+        as ONE stacked [S, ...] program laid out over the mesh's db axis
+        (every shard's Lloyd iterations execute simultaneously on its own
+        device); the light per-shard finish (rebalance/split/pack/
+        replicas) then runs in a thread pool, each thread pinned to its
+        shard's device."""
+        from concurrent.futures import ThreadPoolExecutor
+        from functools import partial
+
+        from turdb_tpu.models.ivf import (
+            _KM_CHUNK,
+            _PAD_CENT,
+            _cpad,
+            _kmeans,
+            _masked_cn,
+            _pad_rows,
+        )
+
+        S = self.n_shards
+        xs = []
+        ns = []
+        for s in self.shards:
+            x = (
+                np.concatenate(s._vectors_host)
+                if s._vectors_host
+                else np.zeros((0, self.dim), np.float32)
+            )
+            ns.append(len(x))
+            xs.append(x)
+        n_max = max(ns)
+        if n_max == 0:
+            return
+        npad = -(-n_max // _KM_CHUNK) * _KM_CHUNK
+        stacked = np.full((S, npad, self.dim), np.inf, np.float32)
+        for i, x in enumerate(xs):
+            stacked[i, : len(x)] = x
+        # shared geometry so the stacked program has ONE shape and the
+        # states stack without a retrain pass
+        c = max(8, min(n_max // 64, max(8, n_max // 4)))
+        for s in self.shards:
+            if s._n_clusters:
+                c = s._n_clusters
+                break
+        c_work = _cpad(c)
+        rng = np.random.default_rng(0)
+        init = np.full((S, c_work, self.dim), _PAD_CENT, np.float32)
+        for i, x in enumerate(xs):
+            k = min(c, max(len(x), 1))
+            sel = rng.choice(max(len(x), 1), size=k, replace=len(x) < k)
+            init[i, :k] = x[sel] if len(x) else 0.0
+        spec = NamedSharding(self.mesh, self._store_spec)
+        xd = jax.device_put(stacked, spec)
+        initd = jax.device_put(init, spec)
+
+        kmeans_s = jax.jit(
+            jax.vmap(partial(_kmeans, iters=8)),
+            in_shardings=(spec, spec), out_shardings=spec,
+        )
+        cents = kmeans_s(xd, initd)                    # [S, c_work, d]
+
+        from turdb_tpu.models.ivf import _assign_all
+
+        def _assign_one(x, cc):
+            return _assign_all(x, cc, _masked_cn(cc, c))
+
+        assign = np.asarray(
+            jax.jit(
+                jax.vmap(_assign_one),
+                in_shardings=(spec, spec), out_shardings=spec,
+            )(xd, cents)
+        )
+
+        cents_np = np.asarray(cents)
+        devices = list(self.mesh.devices.reshape(-1))
+
+        def finish(i):
+            s = self.shards[i]
+            dev = devices[i % len(devices)]
+            with jax.default_device(dev):
+                s._n_clusters = c
+                xpj = jax.device_put(stacked[i], dev)
+                s.train(_pre=(cents_np[i], assign[i, : ns[i]], xpj))
+
+        with ThreadPoolExecutor(max_workers=min(S, 8)) as pool:
+            list(pool.map(finish, range(S)))
+
+        caps = {(s.cfg.n_clusters, s.cfg.cluster_cap) for s in self.shards}
+        if len(caps) > 1:
+            cmax = max(s.cfg.n_clusters for s in self.shards)
+            lmax = max(s.cfg.cluster_cap for s in self.shards)
+            for s in self.shards:
+                if (s.cfg.n_clusters, s.cfg.cluster_cap) != (cmax, lmax):
+                    s._n_clusters = cmax
+                    s._cluster_cap = lmax
+                    s._retrain_with(
+                        np.zeros((0, self.dim), np.float32),
+                        np.zeros(0, np.int64),
+                    )
+        self._cfg = self.shards[0].cfg
+        # per-shard states live on their build devices: stack via host
+        # (same data volume the serial path moved through jnp.stack)
+        stacked_st = jax.tree.map(
+            lambda *leaves: np.stack([np.asarray(l) for l in leaves]),
+            *[s.state for s in self.shards],
+        )
+        self._stacked = jax.device_put(
+            stacked_st, NamedSharding(self.mesh, self._store_spec)
         )
 
     def search(self, queries, k: int, nprobe: int | None = None):
