@@ -180,3 +180,32 @@ def test_mesh_parallel_train_recall(data):
         for i in range(len(q))
     ])
     assert rec >= 0.9, f"mesh-parallel build recall {rec:.3f} (in {build_s:.1f}s)"
+
+
+def test_sharded_bulk_build_recall():
+    """Round-3: the fast BULK path runs under the mesh (per-shard bulk
+    derivation on device-pinned threads) with recall parity."""
+    from turdb_tpu.parallel.mesh import make_mesh
+    from turdb_tpu.parallel.sharded import ShardedHnswIndex
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((64, 32)).astype(np.float32) * 4.0
+    n = 4 * 8192
+    x = (centers[rng.integers(0, 64, n)]
+         + rng.standard_normal((n, 32)).astype(np.float32))
+    q = (centers[rng.integers(0, 64, 48)]
+         + rng.standard_normal((48, 32)).astype(np.float32))
+    flat = FlatIndex(dim=32, capacity=n)
+    flat.add(x)
+    _, truth = flat.search(q, k=10)
+    mesh = make_mesh(n_db=4, n_data=2)
+    idx = ShardedHnswIndex(dim=32, mesh=mesh, capacity_per_shard=8192 + 16)
+    gids = idx.add(x)
+    assert idx._descent_ef == 32            # bulk path ran
+    d, g = idx.search(q, k=10, ef=96)
+    truth_g = gids[truth]
+    rec = np.mean([
+        len(set(g[i].tolist()) & set(truth_g[i].tolist())) / 10
+        for i in range(len(q))
+    ])
+    assert rec >= 0.9, f"sharded bulk recall {rec:.3f}"

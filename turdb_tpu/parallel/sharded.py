@@ -92,6 +92,7 @@ class ShardedHnswIndex:
         self.sizes = np.zeros(self.n_shards, np.int64)
         self._alive = np.zeros((self.n_shards, self.capacity), bool)
         self._fn_cache: dict = {}
+        self._descent_ef = 1   # bulk-built shards raise this (see add)
 
     def __len__(self):
         return int(self.sizes.sum())
@@ -116,6 +117,12 @@ class ShardedHnswIndex:
             row_ids = np.arange(base, base + n, dtype=np.uint64)
         if self.cfg.metric is Metric.COSINE:
             vecs = np.asarray(normalize_rows(jnp.asarray(vecs)))
+
+        # initial load: per-shard BULK builds, each thread pinned to its
+        # shard's device (round-2 weak #8: the fast bulk path never ran
+        # under the mesh — only the slow waves were sharded)
+        if self.sizes.sum() == 0 and n >= self.n_shards * 8192:
+            return self._bulk_add_mesh(vecs, np.asarray(row_ids, np.uint64))
 
         # greedy balance: fill the smallest shards first
         order = np.argsort(self.sizes, kind="stable")
@@ -181,6 +188,60 @@ class ShardedHnswIndex:
         for s, idxs in pending.items():
             self._alive[s, out_slots[s]] = True
             self.sizes[s] += len(idxs)
+        return gids
+
+    def _bulk_add_mesh(self, vecs: np.ndarray, row_ids: np.ndarray):
+        """Initial load: each shard's graph is DERIVED with the bulk
+        pipeline (models/hnsw.py _bulk_add) on its own device in a
+        thread pool, then the per-shard states stack over the mesh.
+        Level selection stays deterministic from the global row ids."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from turdb_tpu.models.hnsw import HnswIndex
+
+        n = len(vecs)
+        S = self.n_shards
+        shard_of = np.arange(n) % S              # round-robin balance
+        per = [np.flatnonzero(shard_of == s) for s in range(S)]
+        self._ensure(max(len(p) for p in per))
+        devices = list(self.mesh.devices.reshape(-1))
+        built: list = [None] * S
+
+        def build(s):
+            dev = devices[s % len(devices)]
+            with jax.default_device(dev):
+                hx = HnswIndex(
+                    dim=self.cfg.dim, metric=self.cfg.metric,
+                    m=self.cfg.m,
+                    ef_construction=self.cfg.ef_construction,
+                    ef_search=self.cfg.ef_search,
+                    capacity=self.capacity - 1, bulk_threshold=1024,
+                )
+                hx.add(vecs[per[s]], row_ids=row_ids[per[s]])
+                jax.block_until_ready(hx.state.adj0)
+                built[s] = hx
+
+        with ThreadPoolExecutor(max_workers=min(S, 8)) as pool:
+            list(pool.map(build, range(S)))
+
+        # per-shard states live on their build devices: stack via host
+        stacked = jax.tree.map(
+            lambda *ls: np.stack([np.asarray(l) for l in ls]),
+            *[hx.state for hx in built],
+        )
+        self.state = jax.device_put(
+            HnswState(*stacked),
+            NamedSharding(self.mesh, self._store_spec),
+        )
+        gids = np.empty(n, np.int64)
+        for s in range(S):
+            k = len(per[s])
+            gids[per[s]] = self.pack_ids(
+                np.full(k, s), np.arange(k, dtype=np.int64)
+            )
+            self._alive[s, :k] = True
+            self.sizes[s] = k
+        self._descent_ef = 32   # bulk graphs need the wide descent beam
         return gids
 
     # -- query ------------------------------------------------------------
@@ -261,7 +322,8 @@ class ShardedHnswIndex:
         return fn
 
     def _search_fn(self, k: int, ef: int, iters: int, filtered: bool):
-        key = ("search", k, ef, iters, filtered, self.capacity)
+        dfe = self._descent_ef
+        key = ("search", k, ef, iters, filtered, dfe, self.capacity)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -273,7 +335,8 @@ class ShardedHnswIndex:
             state = jax.tree.map(lambda x: x[0], state)
             am = mask[0] if filtered else None
             d, i = hnsw_search_impl(
-                state, q, am, cfg=cfg, k=k, ef=ef, iters=iters, filtered=filtered
+                state, q, am, cfg=cfg, k=k, ef=ef, iters=iters,
+                filtered=filtered, descent_ef=dfe,
             )
             shard = jax.lax.axis_index(MESH_AXIS_DB)
             if multihost:
