@@ -181,3 +181,41 @@ class TestHnswPath:
             f"SELECT id FROM items ORDER BY emb <-> {vec_lit(far)} LIMIT 1"
         )
         assert rows[0][0] == 7
+
+
+def test_pragma_ann_pack_serving_path(tmp_path):
+    """PRAGMA ann_pack = 'table' builds the serving pack; ANN queries
+    then run the packed two-stage path with identical semantics."""
+    import numpy as np
+
+    from turdb_tpu.database.api import Database
+
+    rng = np.random.default_rng(4)
+    db = Database.create(str(tmp_path / "ap"))
+    db.execute("CREATE TABLE docs(id INT, v VECTOR(16))")
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 3.0
+    vecs = (centers[rng.integers(0, 8, 600)]
+            + rng.standard_normal((600, 16)).astype(np.float32))
+    db.bulk_insert("docs", [
+        {"id": i, "v": vecs[i]} for i in range(600)
+    ])
+    db.execute("CREATE INDEX iv ON docs USING HNSW (v)")
+    q = vecs[37]
+    qs = "[" + ",".join(f"{x:.5f}" for x in q) + "]"
+    before = db.query(
+        f"SELECT id FROM docs ORDER BY v <-> '{qs}' LIMIT 5"
+    )
+    r = db.execute("PRAGMA ann_pack = 'docs'")
+    assert r.rows and "iv" in r.rows[0][0]
+    info = db.catalog["main"]["docs"]
+    assert info.hnsw["iv"].index.serve is not None
+    after = db.query(
+        f"SELECT id FROM docs ORDER BY v <-> '{qs}' LIMIT 5"
+    )
+    assert after[0] == (37,)
+    assert set(a[0] for a in after) & set(b[0] for b in before)
+    # mutation invalidates; queries still correct via graph path
+    db.execute("INSERT INTO docs VALUES (600, '" + qs + "')")
+    res = db.query(f"SELECT id FROM docs ORDER BY v <-> '{qs}' LIMIT 2")
+    assert set(r[0] for r in res) == {37, 600}
+    db.close()

@@ -409,19 +409,29 @@ class HnswTableIndex(_SlotMap):
         if slot is not None:
             self.index.delete([slot])
 
+    def pack(self) -> None:
+        """Build the serving pack (PRAGMA ann_pack; models/hnsw_serve.py).
+        Queries then take the packed two-stage fast path until the next
+        graph mutation invalidates it."""
+        self.flush_pending()
+        self.index.pack_serving()
+
     def search(self, query: np.ndarray, k: int, ef: int | None = None,
                allowed_rowids=None):
         """Returns (dists, rowids). `allowed_rowids` (array or set):
         restrict results (MVCC visibility — search_filtered semantics,
-        reference hnsw/mod.rs:1176: invisible nodes traversed, excluded)."""
+        reference hnsw/mod.rs:1176: invisible nodes traversed, excluded).
+        Uses the serving pack when one is valid (PRAGMA ann_pack)."""
         self.flush_pending()
         allowed = (
             self._allowed_mask(allowed_rowids)
             if allowed_rowids is not None else None
         )
-        d, slots = self.index.search(
-            np.asarray(query, np.float32)[None], k=k, ef=ef, allowed=allowed
-        )
+        q = np.asarray(query, np.float32)[None]
+        if self.index.serve is not None:
+            d, slots = self.index.search_serve(q, k=k, ef=ef, allowed=allowed)
+        else:
+            d, slots = self.index.search(q, k=k, ef=ef, allowed=allowed)
         return d[0], self._slots_to_rowids(np.asarray(slots[0]))
 
 

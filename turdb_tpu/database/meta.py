@@ -131,6 +131,25 @@ def execute_pragma(db, p: A.Pragma):
     if name in ("checkpoint", "wal_checkpoint"):
         db.checkpoint()
         return show("ok")
+    if name == "ann_pack":
+        # PRAGMA ann_pack = 'table': build the serving pack (packed
+        # int8 neighbor blocks + cell probe + exact rerank — see
+        # models/hnsw_serve.py) for every HNSW index on the table;
+        # subsequent ANN queries take the packed fast path until the
+        # next graph mutation invalidates it.
+        if v is None:
+            return show(None)
+        tname = str(v).strip("'\"")
+        packed = []
+        for tables in db.catalog.values():
+            info = tables.get(tname)
+            if info is None:
+                continue
+            for iname, h in info.hnsw.items():
+                if hasattr(h, "pack"):
+                    h.pack()
+                    packed.append(iname)
+        return ExecuteResult(rows=[(",".join(packed),)], columns=[name])
     if name == "wal_frame_count":
         return show(db.wal.frame_count)
     if name == "wal_size":
