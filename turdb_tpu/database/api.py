@@ -64,6 +64,25 @@ class ExecuteResult:
 
 
 @dataclasses.dataclass
+class ViewDef:
+    """An executable view (reference ast.rs:544 CreateViewStmt — the
+    reference only parses these; here they run). The body is stored as
+    SQL text; the parsed AST is cached on first expansion."""
+
+    name: str
+    sql: str                          # the SELECT body
+    columns: list | None = None       # optional output column renames
+    _ast: object = None               # cached parsed Select
+
+    def select_ast(self):
+        if self._ast is None:
+            from turdb_tpu.sql.parser import parse_sql
+
+            self._ast = parse_sql(self.sql)
+        return self._ast
+
+
+@dataclasses.dataclass
 class IndexDef:
     name: str
     table: str
@@ -130,6 +149,7 @@ class Database:
         self.mgr = TransactionManager()
         self.engine = QueryEngine(self)
         self.catalog: dict[str, dict[str, TableInfo]] = {"main": {}}
+        self.views: dict[str, dict[str, ViewDef]] = {"main": {}}
         self._txn: Transaction | None = None
         self._next_table_id = 1
         self.mode = "rw"
@@ -232,7 +252,11 @@ class Database:
                         ],
                     }
                 )
-            doc["schemas"].append({"name": schema, "tables": ts})
+            vs = [
+                {"name": v.name, "sql": v.sql, "columns": v.columns}
+                for v in self.views.get(schema, {}).values()
+            ]
+            doc["schemas"].append({"name": schema, "tables": ts, "views": vs})
         return doc
 
     def _load_catalog(self):
@@ -240,6 +264,11 @@ class Database:
         for sc in doc.get("schemas", []):
             schema = sc["name"]
             self.catalog.setdefault(schema, {})
+            self.views.setdefault(schema, {})
+            for vd in sc.get("views", []):
+                self.views[schema][vd["name"]] = ViewDef(
+                    vd["name"], vd["sql"], vd.get("columns")
+                )
             for td in sc["tables"]:
                 try:
                     t = self.fm.read_table_snapshot(schema, td["name"])
@@ -625,7 +654,7 @@ class Database:
         if isinstance(stmt, A.Truncate):
             return dml.execute_truncate(self, stmt, txn)
         if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
-                             A.Drop, A.AlterTable)):
+                             A.CreateView, A.Drop, A.AlterTable)):
             res = ddl.execute_ddl(self, stmt, txn)
             if sql is not None:
                 self._log_ddl(sql, txn)
@@ -797,6 +826,10 @@ class Database:
         schema = ref.schema or "main"
         tables = self.catalog.get(schema)
         if tables is None or ref.name not in tables:
+            if ref.name in self.views.get(schema, {}):
+                raise SqlError(
+                    f"{schema}.{ref.name} is a view: views are read-only"
+                )
             raise SqlError(f"no such table: {schema}.{ref.name}")
         return tables[ref.name]
 

@@ -24,6 +24,35 @@ def execute_ddl(db, stmt, txn):
                 return ExecuteResult(0)
             raise DatabaseError(f"schema {stmt.name} already exists")
         db.catalog[stmt.name] = {}
+        db.views[stmt.name] = {}
+        return ExecuteResult(0)
+
+    if isinstance(stmt, A.CreateView):
+        from turdb_tpu.database.api import ViewDef
+
+        schema = stmt.schema or "main"
+        if schema not in db.catalog:
+            raise SqlError(f"no such schema: {schema}")
+        views = db.views.setdefault(schema, {})
+        if stmt.name in db.catalog[schema]:
+            raise DatabaseError(f"{stmt.name} is a table")
+        if stmt.name in views and not stmt.or_replace:
+            if stmt.if_not_exists:
+                return ExecuteResult(0)
+            raise DatabaseError(f"view {stmt.name} already exists")
+        vd = ViewDef(stmt.name, stmt.sql, list(stmt.columns or []) or None)
+        # validate now: the body must parse and run against the current
+        # catalog (expansion recursion guard catches self-reference)
+        views_backup = views.get(stmt.name)
+        views[stmt.name] = vd
+        try:
+            db.engine.run_select(vd.select_ast(), db._ctx([], txn))
+        except Exception:
+            if views_backup is None:
+                views.pop(stmt.name, None)
+            else:
+                views[stmt.name] = views_backup
+            raise
         return ExecuteResult(0)
 
     if isinstance(stmt, A.CreateTable):
@@ -34,6 +63,8 @@ def execute_ddl(db, stmt, txn):
             if stmt.if_not_exists:
                 return ExecuteResult(0)
             raise DatabaseError(f"table {stmt.table.name} already exists")
+        if stmt.table.name in db.views.get(schema, {}):
+            raise DatabaseError(f"{stmt.table.name} is a view")
         cols = [_column_from_spec(sp) for sp in stmt.columns]
         if not cols:
             raise SqlError("table needs at least one column")
@@ -112,6 +143,16 @@ def execute_ddl(db, stmt, txn):
             if stmt.name == "main":
                 raise DatabaseError("cannot drop schema main")
             del db.catalog[stmt.name]
+            db.views.pop(stmt.name, None)
+            return ExecuteResult(0)
+        if stmt.kind == "VIEW":
+            schema = stmt.schema or "main"
+            views = db.views.get(schema, {})
+            if stmt.name not in views:
+                if stmt.if_exists:
+                    return ExecuteResult(0)
+                raise DatabaseError(f"no such view: {stmt.name}")
+            del views[stmt.name]
             return ExecuteResult(0)
         if stmt.kind == "TABLE":
             schema = stmt.schema or "main"
@@ -119,6 +160,10 @@ def execute_ddl(db, stmt, txn):
             if stmt.name not in tables:
                 if stmt.if_exists:
                     return ExecuteResult(0)
+                if stmt.name in db.views.get(schema, {}):
+                    raise DatabaseError(
+                        f"{stmt.name} is a view; use DROP VIEW"
+                    )
                 raise DatabaseError(f"no such table: {stmt.name}")
             del tables[stmt.name]
             db.fm.drop_table_files(schema, stmt.name)

@@ -56,12 +56,23 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
                 read_ts = db.mgr.snapshot_ts()
                 nrows = len(info.table.visible_indices(db.mgr, read_ts))
                 rows.append(
-                    (schema, tname, info.table.table_id, nrows,
+                    (schema, tname, "table", info.table.table_id, nrows,
                      info.table.nversions)
                 )
+        for schema, views in db.views.items():
+            for vname in views:
+                rows.append((schema, vname, "view", None, None, None))
         return build(
-            ["schema", "name", "table_id", "row_count", "version_count"], rows
+            ["schema", "name", "kind", "table_id", "row_count",
+             "version_count"], rows
         )
+    if name == "views":
+        rows = [
+            (schema, v.name, v.sql)
+            for schema, views in db.views.items()
+            for v in views.values()
+        ]
+        return build(["schema", "name", "definition"], rows)
     if name == "columns":
         rows = []
         for schema, tables in db.catalog.items():

@@ -304,10 +304,27 @@ class CreateSchema:
 
 @dataclass
 class Drop:
-    kind: str                # TABLE | INDEX | SCHEMA
+    kind: str                # TABLE | INDEX | SCHEMA | VIEW
     name: str
     schema: Optional[str] = None
     if_exists: bool = False
+
+
+@dataclass
+class CreateView:
+    """CREATE [OR REPLACE] VIEW name [(cols)] AS select.
+
+    The reference parses views (ast.rs CreateViewStmt, parser.rs:2132)
+    but its executor bails "unsupported statement type"
+    (database.rs:4397); here views EXECUTE — stored as SQL text in the
+    catalog and expanded as subqueries at name resolution."""
+    name: str
+    query: Any               # parsed Select
+    sql: str                 # the SELECT body text (persisted verbatim)
+    schema: Optional[str] = None
+    columns: Optional[list] = None   # optional output column renames
+    or_replace: bool = False
+    if_not_exists: bool = False
 
 
 @dataclass

@@ -80,7 +80,8 @@ class QueryEngine:
         c = EvalContext(ctx.params, self._subquery_fn, outer=ctx.outer)
         c.ctes = ctes
         # propagate the MVCC snapshot (read_ts/own_txn ride on the context)
-        for attr in ("read_ts", "own_txn", "query_budget", "budget", "db"):
+        for attr in ("read_ts", "own_txn", "query_budget", "budget", "db",
+                     "view_depth"):
             if hasattr(ctx, attr):
                 setattr(c, attr, getattr(ctx, attr))
         return c
@@ -179,6 +180,11 @@ class QueryEngine:
                 for (_, nm), c in zip(b.names, b.cols):
                     out.add(q, nm, c)
                 return out
+            vd = getattr(self.db, "views", {}).get(
+                node.schema or "main", {}
+            ).get(node.name)
+            if vd is not None:
+                return self._expand_view(vd, node, ctx)
             return self.db._scan_batch(node, ctx)
         if isinstance(node, A.SubqueryRef):
             b = self.run_select(node.subquery, ctx)
@@ -189,6 +195,32 @@ class QueryEngine:
         if isinstance(node, A.Join):
             return self._join(node, ctx)
         raise SqlError(f"bad FROM node {type(node).__name__}")
+
+    def _expand_view(self, vd, node: A.TableRef, ctx: EvalContext) -> Batch:
+        """Run a view body as a subquery (reference parses views,
+        ast.rs:544, but bails executing them; here they run). The body
+        executes under a CHILD context: outer CTEs must not shadow names
+        inside the view, and pushdown state belongs to the outer join."""
+        depth = getattr(ctx, "view_depth", 0)
+        if depth >= 16:
+            raise SqlError(
+                f"view nesting too deep expanding {node.name!r} (cycle?)"
+            )
+        sub_ctx = self._child_ctx(ctx, {})
+        sub_ctx.view_depth = depth + 1
+        b = self.run_select(vd.select_ast(), sub_ctx)
+        q = node.alias or node.name
+        visible = [(nm, c) for (_, nm), c in zip(b.names, b.cols)
+                   if nm != ROWID]    # the hidden rowid is not view output
+        if vd.columns is not None and len(vd.columns) != len(visible):
+            raise SqlError(
+                f"view {vd.name}: {len(vd.columns)} column names for "
+                f"{len(visible)} output columns"
+            )
+        out = Batch(b.n)
+        for j, (nm, c) in enumerate(visible):
+            out.add(q, vd.columns[j] if vd.columns else nm, c)
+        return out
 
     def _join(self, j: A.Join, ctx: EvalContext) -> Batch:
         # cost-ordered join tree for pure INNER chains (reference

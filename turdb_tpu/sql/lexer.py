@@ -54,7 +54,8 @@ KEYWORDS = {
     "CREATE", "TABLE", "INDEX", "SCHEMA", "DROP", "ALTER", "ADD", "COLUMN",
     "RENAME", "TO", "IF", "UNIQUE", "PRIMARY", "KEY", "FOREIGN", "REFERENCES",
     "CHECK", "DEFAULT", "CONSTRAINT", "CASCADE", "RESTRICT", "ACTION",
-    "TRUNCATE", "VACUUM", "ANALYZE",
+    "TRUNCATE", "VACUUM", "ANALYZE", "VIEW", "REPLACE", "MATERIALIZED",
+    "SHOW", "SESSION", "LOCAL",
     # txn
     "BEGIN", "COMMIT", "ROLLBACK", "SAVEPOINT", "RELEASE", "TRANSACTION",
     "START", "WORK", "FOR",
@@ -77,6 +78,7 @@ class Token:
     value: str
     line: int
     col: int
+    off: int = 0       # byte offset of the token start in the source
 
     def is_kw(self, *names: str) -> bool:
         return self.type is T.KEYWORD and self.value in names
@@ -129,6 +131,12 @@ class Lexer:
 
     def next_token(self) -> Token:
         self._skip_ws()
+        off = self.i
+        t = self._lex_token()
+        t.off = off
+        return t
+
+    def _lex_token(self) -> Token:
         line, col = self.line, self.col
         if self.i >= self.n:
             return Token(T.EOF, "", line, col)

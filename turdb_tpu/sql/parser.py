@@ -30,6 +30,7 @@ _BP = {
 
 class Parser:
     def __init__(self, sql: str):
+        self.src = sql
         self.toks = tokenize(sql)
         self.pos = 0
         self._param_counter = 0
@@ -166,6 +167,18 @@ class Parser:
             if self.peek().type is T.IDENT:
                 name = self.ident()
             return A.Vacuum(name)
+        if t.is_kw("SET"):
+            # SET name { = | TO } value — executes via the PRAGMA
+            # machinery (reference database.rs execute_set)
+            self.next()
+            self.accept_kw("SESSION", "LOCAL")
+            name = self.ident()
+            if not self.accept(T.OP, "="):
+                self.expect_kw("TO")
+            return A.Pragma(name, self._pragma_value())
+        if t.is_kw("SHOW"):
+            self.next()
+            return A.Pragma(self.ident(), None)
         self.error("unknown statement")
 
     def _pragma_value(self):
@@ -512,6 +525,15 @@ class Parser:
         if self.accept_kw("SCHEMA"):
             ine = self._if_not_exists()
             return A.CreateSchema(self.ident(), ine)
+        or_replace = False
+        if self.accept_kw("OR"):
+            self.expect_kw("REPLACE")
+            or_replace = True
+        self.accept_kw("MATERIALIZED")   # executed as a plain view
+        if self.accept_kw("VIEW"):
+            return self._create_view(or_replace)
+        if or_replace:
+            self.error("expected VIEW after OR REPLACE")
         unique = self.accept_kw("UNIQUE")
         if self.accept_kw("INDEX"):
             ine = self._if_not_exists()
@@ -556,6 +578,29 @@ class Parser:
                 break
         self.expect(T.RPAREN)
         return A.CreateTable(table, columns, constraints, ine)
+
+    def _create_view(self, or_replace: bool) -> A.CreateView:
+        """CREATE [OR REPLACE] [MATERIALIZED] VIEW name [(cols)] AS select
+        (reference parser.rs:2132 parse_create_view; here views also
+        EXECUTE — the body text is sliced from the source via token
+        offsets and persisted in the catalog)."""
+        ine = self._if_not_exists()
+        name = self.ident()
+        schema = None
+        if self.accept(T.DOT):
+            schema, name = name, self.ident()
+        columns = None
+        if self.accept(T.LPAREN):
+            columns = [self.ident()]
+            while self.accept(T.COMMA):
+                columns.append(self.ident())
+            self.expect(T.RPAREN)
+        self.expect_kw("AS")
+        start = self.peek().off
+        query = self._select_stmt()
+        body = self.src[start:self.peek().off].rstrip().rstrip(";").rstrip()
+        return A.CreateView(name, query, body, schema, columns,
+                            or_replace, ine)
 
     def _if_not_exists(self) -> bool:
         if self.accept_kw("IF"):
@@ -709,8 +754,12 @@ class Parser:
             kind = "INDEX"
         elif self.accept_kw("SCHEMA"):
             kind = "SCHEMA"
+        elif self.accept_kw("VIEW") or (
+            self.accept_kw("MATERIALIZED") and self.expect_kw("VIEW") is None
+        ):
+            kind = "VIEW"
         else:
-            self.error("expected TABLE/INDEX/SCHEMA")
+            self.error("expected TABLE/INDEX/SCHEMA/VIEW")
         if_exists = False
         if self.accept_kw("IF"):
             self.expect_kw("EXISTS")
@@ -983,6 +1032,8 @@ _SOFT_IDENT = {
 _SOFT_IDENT |= {"DELETE", "UPDATE"}
 # statement keywords that also name scalar functions (TRUNCATE(n, d))
 _SOFT_IDENT |= {"TRUNCATE"}
+# view/config keywords stay usable as identifiers
+_SOFT_IDENT |= {"VIEW", "REPLACE", "MATERIALIZED", "SHOW", "SESSION", "LOCAL"}
 
 
 def _num(text: str):
