@@ -30,7 +30,8 @@ def test_prepared_single_insert_rate(db):
     for i in range(2000, 2000 + n):
         stmt.execute([i, i * 2, f"name{i}", i * 0.5])
     rate = n / (time.perf_counter() - t0)
-    assert rate > 30_000, f"prepared single insert {rate:,.0f} rows/s"
+    # codegen fast lane measures ~100-120k rows/s; gate leaves CI headroom
+    assert rate > 50_000, f"prepared single insert {rate:,.0f} rows/s"
     assert db.query("SELECT count(*) FROM t") == [(n + 2000,)]
 
 

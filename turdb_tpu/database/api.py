@@ -1292,11 +1292,154 @@ class CachedInsertPlan:
                 uniq.append((idx, pos))
         from turdb_tpu.config import TOAST_THRESHOLD
 
-        return {
+        F = {
             "nat": nat, "cols": cols, "sec": sec, "uniq": uniq,
             "blob": info.record_schema().schema_blob(),
             "toast": TOAST_THRESHOLD,
         }
+        try:
+            F["fn"] = self._compile_fast(F)
+        except Exception:
+            F["fn"] = None        # interpreted _fast_row still applies
+        return F
+
+    def _compile_fast(self, F):
+        """Generate a per-statement specialized insert function (the
+        reference's own trick: prepared.rs insert_cached specializes the
+        row path per statement at 1,185 ns/row). The generated source
+        unrolls the column loop — no per-column tuple unpacking, dict
+        lookups, or storage-class dispatch at call time. Falls back to
+        the interpreted _fast_row when generation fails; bail semantics
+        (return None -> generic path) are identical."""
+        info = self.info
+        t = info.table
+        consts: list = []
+        L: list[str] = []
+        names = [cd.name for cd, _, _, _ in F["cols"]]
+        n_auto = 0
+        emit = L.append
+        for i, (cd, src, sc, name) in enumerate(F["cols"]):
+            if src is None:
+                if cd.auto_increment:
+                    emit(f"    v{i} = t.auto_increment + {n_auto}")
+                    n_auto += 1
+                    continue
+                emit(f"    v{i} = None")
+            elif src[0]:
+                emit(f"    v{i} = params[{src[1]}]")
+            else:
+                consts.append(src[1])
+                emit(f"    v{i} = CONSTS[{len(consts) - 1}]")
+            null_action = (
+                "raise cv('NOT NULL constraint violated: "
+                f"{t.name}.{name}')"
+                if not cd.nullable else "pass"
+            )
+            emit(f"    if v{i} is None:")
+            emit(f"        {null_action}")
+            if sc is StorageClass.INT:
+                emit(f"    elif type(v{i}) is not int:")
+                emit("        return None")
+            elif sc in (StorageClass.FLOAT, StorageClass.FLOAT32):
+                emit(f"    elif type(v{i}) is int:")
+                emit(f"        v{i} = float(v{i})")
+                emit(f"    elif type(v{i}) is not float:")
+                emit("        return None")
+            elif sc is StorageClass.TEXT:
+                lim = F["toast"] // 4
+                if cd.max_len is not None:
+                    lim = min(lim, cd.max_len)
+                emit(f"    elif type(v{i}) is not str or len(v{i}) > {lim}:")
+                emit("        return None")
+            elif sc is StorageClass.BYTES:
+                emit(f"    elif type(v{i}) is not bytes or "
+                     f"len(v{i}) > {F['toast'] // 4}:")
+                emit("        return None")
+            elif sc is StorageClass.BOOL:
+                emit(f"    elif type(v{i}) is not bool:")
+                emit("        return None")
+            else:
+                raise _NotCacheable()
+        # index keys + unique probes (shared bytes for probe and insert)
+        name_pos = {nm: j for j, nm in enumerate(names)}
+        for j, (idx, pos) in enumerate(F["sec"]):
+            kv = ", ".join(f"v{p}" for p in pos)
+            emit(f"    k{j} = encode_key(({kv},))")
+            if idx.unique:
+                notnull = " and ".join(f"v{p} is not None" for p in pos)
+                emit(f"    if ({notnull}) and SEC[{j}].probe_hit(k{j}):")
+                emit("        return None")
+        emit("    txn = mgr.begin()")
+        emit("    try:")
+        emit("        vi = t.nversions")
+        emit("        if vi + 1 > t.capacity:")
+        emit("            t._ensure(vi + 1)")
+        emit("        arrs = F.get('arrs')")
+        emit(f"        if arrs is None or arrs[0][0] is not t.cols[{names[0]!r}]:")
+        emit("            arrs = F['arrs'] = "
+             "[(t.cols[n], t.nulls[n]) for n in NAMES]")
+        emit("        rid = t.next_rowid")
+        emit("        t.next_rowid = rid + 1")
+        if n_auto:
+            emit(f"        t.auto_increment += {n_auto}")
+        for i, nm in enumerate(names):
+            emit(f"        a{i}, nl{i} = arrs[{i}]")
+            emit(f"        if v{i} is None:")
+            emit(f"            nl{i}[vi] = True")
+            emit("        else:")
+            emit(f"            nl{i}[vi] = False")
+            emit(f"            a{i}[vi] = v{i}")
+        emit("        t.xmin[vi] = txn.txn_id")
+        emit("        t.xmax[vi] = 0")
+        emit("        t.rowids[vi] = rid")
+        emit("        t.prev[vi] = -1")
+        emit("        t.latest[rid] = vi")
+        emit("        txn.undo.append((t, 'insert', vi, None))")
+        emit("        t.nversions = vi + 1")
+        for j in range(len(F["sec"])):
+            emit(f"        SEC[{j}].insert(k{j}, rid)")
+        vals_t = ", ".join(f"v{i}" for i in range(len(names)))
+        emit("        if db.wal_enabled and not db._replaying:")
+        emit(f"            rec = nat.pack_record(blob, ({vals_t},))")
+        emit("            if rec is None:")
+        emit(f"                rec = pack_record(info.record_schema(), "
+             f"[{vals_t}])")
+        emit("            w = db.wal")
+        emit("            lsn = w.next_lsn")
+        emit("            w._buffer.append(nat.wal_frame(")
+        emit("                FT_I, t.table_id, lsn, txn.txn_id,")
+        emit("                rid.to_bytes(8, 'little') + rec,")
+        emit("            ))")
+        emit("            w._buffer.append(nat.wal_frame(")
+        emit("                FT_C, 0, lsn + 1, txn.txn_id, b'',")
+        emit("            ))")
+        emit("            w.next_lsn = lsn + 2")
+        emit("            w.frame_count += 2")
+        emit("            if db.wal_autoflush:")
+        emit("                w.flush()")
+        emit("        mgr.commit(txn)")
+        emit("    except Exception:")
+        emit("        mgr.abort(txn)")
+        emit("        raise")
+        emit("    if db.wal_enabled and db.wal.frame_count >= CKPT:")
+        emit("        db.checkpoint()")
+        emit("    return ER(rows_affected=1, last_rowid=rid)")
+        from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
+
+        src = "def _fi(params):\n" + "\n".join(L) + "\n"
+        ns = {
+            "t": t, "db": self.db, "info": info, "F": F,
+            "mgr": self.db.mgr, "cv": ConstraintViolation,
+            "ER": ExecuteResult, "nat": F["nat"],
+            "encode_key": F["nat"].encode_key, "blob": F["blob"],
+            "pack_record": pack_record,
+            "SEC": [idx for idx, _ in F["sec"]],
+            "NAMES": names, "CONSTS": consts,
+            "FT_I": int(FrameType.INSERT), "FT_C": int(FrameType.COMMIT),
+            "CKPT": WAL_CHECKPOINT_FRAMES,
+        }
+        exec(compile(src, "<fast-insert>", "exec"), ns)
+        return ns["_fi"]
 
     def _fast_row(self, params) -> ExecuteResult | None:
         """One prepared single-row autocommit insert; None = bail to the
@@ -1353,7 +1496,7 @@ class CachedInsertPlan:
             kv = tuple(vals[p] for p in pos)
             key = nat.encode_key(kv)
             keys.append(key)
-            if idx.unique and None not in kv and idx.find(key):
+            if idx.unique and None not in kv and idx.probe_hit(key):
                 return None
         mgr = db.mgr
         txn = mgr.begin()
@@ -1410,8 +1553,6 @@ class CachedInsertPlan:
         return ExecuteResult(rows_affected=1, last_rowid=rid)
 
     def execute(self, params) -> ExecuteResult:
-        from turdb_tpu.database import dml
-
         db = self.db
         db._check_writable()
         live = db.catalog.get(self.schema, {}).get(self.tname)
@@ -1419,9 +1560,12 @@ class CachedInsertPlan:
             self._bind()
             self._fast = self._build_fast()
         if self._fast is not None and db._txn is None and db.mode == "rw":
-            res = self._fast_row(params)
+            fn = self._fast.get("fn")
+            res = fn(params) if fn is not None else self._fast_row(params)
             if res is not None:
                 return res
+        from turdb_tpu.database import dml
+
         txn, own = db._begin_write()
         try:
             res = dml.insert_plan_rows(db, self.info, self.binders, params, txn)

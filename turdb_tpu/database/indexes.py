@@ -46,6 +46,12 @@ class SortedKeyIndex:
         # the per-row prepared-insert cost (unique checks probe per row)
         self._delta_by_key: dict[bytes, list[int]] = {}
         self._deleted: set[tuple[bytes, int]] = set()
+        # unique indexes keep an O(1) whole-index entry count per key:
+        # the prepared-insert fast lane's per-row conflict probe was ~4µs
+        # of run bisects; a dict membership test is ~0.1µs. Conservative
+        # by construction — any hit bails to the generic path, which
+        # re-verifies against MVCC visibility.
+        self._count: dict[bytes, int] | None = {} if unique else None
 
     def make_key(self, values) -> bytes:
         return encode_key(list(values))
@@ -53,16 +59,37 @@ class SortedKeyIndex:
     def clear(self):
         self._runs, self._delta, self._deleted = [], [], set()
         self._delta_by_key = {}
+        if self._count is not None:
+            self._count = {}
 
     def insert(self, key: bytes, rowid: int):
         self._deleted.discard((key, rowid))
         self._delta.append((key, rowid))
         self._delta_by_key.setdefault(key, []).append(rowid)
+        c = self._count
+        if c is not None:
+            c[key] = c.get(key, 0) + 1
         if len(self._delta) >= _MERGE_THRESHOLD:
             self._flush()
 
     def delete(self, key: bytes, rowid: int):
+        if (key, rowid) not in self._deleted:   # idempotent decrement
+            c = self._count
+            if c is not None:
+                left = c.get(key, 0) - 1
+                if left > 0:
+                    c[key] = left
+                else:
+                    c.pop(key, None)
         self._deleted.add((key, rowid))
+
+    def probe_hit(self, key: bytes) -> bool:
+        """O(1) 'any entry with this key?' for unique-conflict checks.
+        May overcount transiently (duplicate (key, rowid) re-inserts);
+        callers treat a hit as 'maybe' and re-verify."""
+        if self._count is not None:
+            return key in self._count
+        return bool(self.find(key))
 
     def _flush(self):
         dead = self._deleted
@@ -88,14 +115,16 @@ class SortedKeyIndex:
 
     @staticmethod
     def _merge_two(a, b, dead=frozenset()):
-        import heapq
-
-        out: list[tuple[bytes, int]] = []
-        last = None
-        for e in heapq.merge(a, b):
-            if e != last and e not in dead:  # (key, rowid) may recur
-                out.append(e)
-                last = e
+        # concat + timsort: timsort detects the two pre-sorted runs and
+        # galloping-merges them (~6x faster than the per-element
+        # heapq.merge generator at 100k entries, measured). Duplicate
+        # (key, rowid) recurrences are left in place — find()/range()
+        # dedup rowids at probe time — so the common no-tombstone merge
+        # has no per-element Python pass at all.
+        out = a + b
+        out.sort()
+        if dead:
+            out = [e for e in out if e not in dead]
         return out
 
     def _gc_tombstones(self):
@@ -135,6 +164,11 @@ class SortedKeyIndex:
         self._delta = []
         self._delta_by_key = {}
         self._deleted = set()
+        if self._count is not None:
+            c: dict[bytes, int] = {}
+            for k in keys:
+                c[k] = c.get(k, 0) + 1
+            self._count = c
 
     def key_set(self) -> set:
         """All live key byte-strings (bulk unique probes: one O(K) set
