@@ -1152,7 +1152,10 @@ class Database:
                 n_clusters=int(nc) if nc else None,
                 nprobe=int(idef.options.get("nprobe", 8)),
                 sq8=bool(idef.options.get("sq8", False)),
-                rerank=int(idef.options.get("rerank", 0)),
+                # rerank omitted -> engine default; WITH (rerank = 0)
+                # explicitly selects the probe-only store
+                rerank=(int(idef.options["rerank"])
+                        if "rerank" in idef.options else None),
                 # WITH (compact = true): int8 probe + SQ16 rerank store
                 compact=bool(idef.options.get("compact", False)),
             )

@@ -308,7 +308,7 @@ class IvfTableIndex(_SlotMap):
 
     def __init__(self, name: str, column: str, dim: int,
                  metric: Metric = Metric.L2, n_clusters: int | None = None,
-                 nprobe: int = 8, sq8: bool = False, rerank: int = 0,
+                 nprobe: int = 8, sq8: bool = False, rerank: int | None = None,
                  compact: bool = False):
         self.name = name
         self.column = column

@@ -332,7 +332,7 @@ class IvfIndex:
         cluster_cap: int | None = None,
         nprobe: int = 8,
         sq8: bool = False,
-        rerank: int = 0,
+        rerank: int | None = None,
         replicate: bool = True,
         keep_f32: bool = True,
     ):
@@ -350,8 +350,11 @@ class IvfIndex:
         # 0.785, bf16 rerank 0.884 — both saturate below the 0.95 gate;
         # f32-grade rerank 0.964).
         self.keep_f32 = keep_f32 or not sq8
-        if sq8 and rerank == 0:
-            rerank = 64
+        # rerank=None -> auto (exact rerank is what keeps sq8 at the
+        # recall gate); an EXPLICIT rerank=0 under sq8 selects the
+        # probe-only store (no row copy at all — int8 codes only).
+        if rerank is None:
+            rerank = 64 if sq8 else 0
         self.rerank = rerank
         self.replicate = replicate
         self.cfg: IvfConfig | None = None
@@ -616,7 +619,16 @@ class IvfIndex:
         mlj = jnp.asarray(ml)
         mslj = jnp.asarray(mslots)
         nm = len(mslots)
-        if self.keep_f32:
+        # probe-only: sq8 probe with no rerank never reads pvecs (the
+        # search trace under cfg.rerank == 0 touches codes/mins/scales/
+        # pnorms only) — skip the rerank row store entirely. This is the
+        # HNSW bulk build's candidate-generation index: measured 1M x
+        # 128d, packing + materializing the uint16 store was ~25s of a
+        # 126s train.
+        probe_only = self.sq8 and not self.keep_f32 and not self.rerank
+        if probe_only:
+            jp = jnp.zeros((1, 1, 1), jnp.uint16)
+        elif self.keep_f32:
             jp = jnp.zeros((c, cap, self.dim), jnp.float32)
         else:
             jp = jnp.zeros((c, cap, self.dim), jnp.uint16)
@@ -643,6 +655,7 @@ class IvfIndex:
                 jp, codes, mins, scales, pnorms,
                 xb, mcj[s:e], mlj[s:e],
                 sq8=self.sq8, keep_f32=self.keep_f32,
+                probe_only=probe_only,
             )
         alive = np.zeros((c, cap), bool)
         alive[mc, ml] = self._alive_host[mslots]
@@ -786,6 +799,11 @@ class IvfIndex:
         with a free lane (device assignment, host scatter bookkeeping)."""
         st = self.state
         cfg = self.cfg
+        if st.pvecs.shape == (1, 1, 1) and self.sq8 and not self.keep_f32:
+            raise RuntimeError(
+                "probe-only IVF index (sq8, rerank=0, no row store) does "
+                "not support incremental appends; rebuild with train()"
+            )
         d2c = np.asarray(
             prep_norms(jnp.asarray(vecs))[:, None]
             + st.cnorms[None, :]
@@ -1080,15 +1098,16 @@ def _split_oversized(cents: np.ndarray, assign: np.ndarray, x: np.ndarray,
 
 @partial(
     jax.jit,
-    static_argnames=("sq8", "keep_f32"),
+    static_argnames=("sq8", "keep_f32", "probe_only"),
     donate_argnums=(0, 1, 2, 3, 4),
 )
 def _pack_chunk(jp, codes, mins, scales, pnorms, xb, mc_, ml_,
-                *, sq8: bool, keep_f32: bool):
+                *, sq8: bool, keep_f32: bool, probe_only: bool = False):
     """One packing chunk: quantize the gathered rows (when sq8) and
     scatter into the donated packed buffers. Donation keeps the big
     accumulators in-place — eager .at[].set would copy the multi-GB
-    arrays per chunk."""
+    arrays per chunk. probe_only skips the rerank row store entirely
+    (int8 probe codes are the only consumer when rerank == 0)."""
     pnorms = pnorms.at[mc_, ml_].set(prep_norms(xb))
     if sq8:
         cu8, m8, s8 = sq8_encode(xb)
@@ -1097,7 +1116,9 @@ def _pack_chunk(jp, codes, mins, scales, pnorms, xb, mc_, ml_,
         )
         mins = mins.at[mc_, ml_].set(m8 + 128.0 * s8)
         scales = scales.at[mc_, ml_].set(s8)
-    if keep_f32:
+    if probe_only:
+        pass
+    elif keep_f32:
         jp = jp.at[mc_, ml_].set(xb)
     else:
         s16 = s8 * (255.0 / 65535.0)

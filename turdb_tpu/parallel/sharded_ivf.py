@@ -29,7 +29,7 @@ class ShardedIvfIndex:
     shard * stride + slot."""
 
     def __init__(self, dim: int, mesh, metric: Metric = Metric.L2,
-                 nprobe: int = 8, sq8: bool = False, rerank: int = 0,
+                 nprobe: int = 8, sq8: bool = False, rerank: int | None = None,
                  n_clusters: int | None = None, cluster_cap: int | None = None,
                  keep_f32: bool = True):
         self.mesh = mesh
