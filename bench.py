@@ -66,6 +66,12 @@ def qps_device_slope(scan_fn, queries, batch=1024, m_lo=4, m_hi=16):
     (T(m_hi)-T(m_lo))/(m_hi-m_lo) cancels dispatch/transfer overheads."""
     import jax.numpy as jnp
 
+    if len(queries) < 2 * m_hi * batch:
+        # smoke configs pass fewer queries than one slope pair needs;
+        # reshape(-1) would silently fold rows into the feature dim
+        reps = (2 * m_hi * batch) // len(queries) + 1
+        queries = np.tile(queries, (reps, 1))
+
     def timed(m):
         qs = jnp.asarray(queries[: m * batch].reshape(m, batch, -1))
         for attempt in (0, 1):

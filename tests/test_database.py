@@ -207,6 +207,41 @@ class TestSubqueries:
         )
         assert rows == [(2,)]
 
+    def test_recursive_cte(self, db):
+        # arithmetic series (UNION ALL) + dedup fixpoint (UNION)
+        assert db.query(
+            "WITH RECURSIVE c(n) AS (SELECT 1 UNION ALL "
+            "SELECT n+1 FROM c WHERE n < 5) SELECT sum(n) FROM c"
+        ) == [(15,)]
+        assert db.query(
+            "WITH RECURSIVE c(n) AS (SELECT 1 UNION "
+            "SELECT (n+1) % 7 FROM c) "
+            "SELECT count(*), min(n), max(n) FROM c"
+        ) == [(7, 0, 6)]
+        # multi-column recursion
+        assert db.query(
+            "WITH RECURSIVE f(a, b) AS (SELECT 0, 1 UNION ALL "
+            "SELECT b, a+b FROM f WHERE b < 100) SELECT max(b) FROM f"
+        ) == [(144,)]
+        # joins against a real table: transitive closure
+        db.execute("CREATE TABLE edges(src INT, dst INT)")
+        db.execute("INSERT INTO edges VALUES (1,2),(2,3),(3,4),(5,6)")
+        assert db.query(
+            "WITH RECURSIVE r(v) AS (SELECT 1 UNION "
+            "SELECT e.dst FROM edges e JOIN r ON e.src = r.v) "
+            "SELECT v FROM r ORDER BY v"
+        ) == [(1,), (2,), (3,), (4,)]
+        # ORDER BY/LIMIT bind to the finished fixpoint, not per-iteration
+        assert db.query(
+            "WITH RECURSIVE c(n) AS (SELECT 1 UNION ALL "
+            "SELECT n+1 FROM c WHERE n < 50 ORDER BY n DESC LIMIT 10) "
+            "SELECT min(n), max(n), count(*) FROM c"
+        ) == [(41, 50, 10)]
+        # non-recursive member under WITH RECURSIVE still evaluates once
+        assert db.query(
+            "WITH RECURSIVE base(x) AS (SELECT 7) SELECT x FROM base"
+        ) == [(7,)]
+
     def test_union(self, db):
         seed(db)
         rows = db.query(

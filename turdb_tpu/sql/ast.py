@@ -203,6 +203,7 @@ class CTE:
     name: str
     query: "Select"
     columns: Optional[list] = None
+    recursive: bool = False       # WITH RECURSIVE (reference ast.rs:172)
 
 
 @dataclass

@@ -32,6 +32,7 @@ from turdb_tpu.sql.lexer import SqlError
 
 ROWID = "#rowid"
 MAX_NESTED_LOOP = 10_000_000
+MAX_RECURSIVE_ITERS = 100_000  # WITH RECURSIVE runaway guard
 
 # observability counters (PRAGMA spill_stats; reference group-commit/lock
 # stats analogs, group_commit.rs:126)
@@ -54,7 +55,14 @@ class QueryEngine:
     def run_select(self, sel: A.Select, ctx: EvalContext) -> Batch:
         ctes = dict(ctx.__dict__.get("ctes", {}) or {})
         for cte in sel.ctes:
-            b = self.run_select(cte.query, self._child_ctx(ctx, ctes))
+            if (
+                cte.recursive
+                and cte.query.set_op is not None
+                and _refs_cte(cte.query.set_op[2], cte.name)
+            ):
+                b = self._recursive_cte(cte, self._child_ctx(ctx, ctes))
+            else:
+                b = self.run_select(cte.query, self._child_ctx(ctx, ctes))
             if cte.columns:
                 if len(cte.columns) != len(b.names):
                     raise SqlError("CTE column count mismatch")
@@ -75,6 +83,60 @@ class QueryEngine:
             out = self._order(out, sel.order_by, ctx, sel)
         out = self._limit(out, sel, ctx)
         return out
+
+    def _recursive_cte(self, cte: A.CTE, ctx: EvalContext) -> Batch:
+        """WITH RECURSIVE fixpoint (reference ast.rs:172 carries the
+        flag; semantics per the SQL standard: evaluate the base term,
+        then re-evaluate the recursive term against the PREVIOUS
+        iteration's rows until it produces nothing new. UNION (without
+        ALL) dedups each iteration against everything accumulated."""
+        import dataclasses as dc
+
+        from turdb_tpu.sql.factorize import joint_codes
+
+        q = cte.query
+        op, all_, rec = q.set_op
+        if op != "UNION":
+            raise SqlError("recursive CTE requires <base> UNION [ALL] <step>")
+        base = dc.replace(q, set_op=None, order_by=[], limit=None,
+                          offset=None)
+        acc = _strip_hidden(self.run_select(base, ctx))
+        if not all_:
+            acc = _distinct(acc)
+        colnames = cte.columns or [nm for (_, nm) in acc.names]
+        if len(colnames) != len(acc.names):
+            raise SqlError("CTE column count mismatch")
+        work = acc
+        for _ in range(MAX_RECURSIVE_ITERS):
+            if work.n == 0:
+                break
+            wb = Batch(work.n)
+            for nm, c in zip(colnames, work.cols):
+                wb.add(cte.name, nm, c)
+            sub = dict(getattr(ctx, "ctes", {}) or {})
+            sub[cte.name] = wb
+            new = _strip_hidden(self.run_select(rec, self._child_ctx(ctx, sub)))
+            if len(new.cols) != len(acc.cols):
+                raise SqlError(
+                    "recursive term must match the base term's column count"
+                )
+            if not all_:
+                new = _distinct(new)
+                lc, rc = joint_codes(new.cols, acc.cols, null_matches=True)
+                new = new.take(np.flatnonzero(~np.isin(lc, rc)))
+            if new.n == 0:
+                break
+            new.names = list(acc.names)
+            acc = acc.concat(new)
+            work = new
+        else:
+            raise SqlError(
+                f"recursive CTE exceeded {MAX_RECURSIVE_ITERS} iterations"
+            )
+        acc.names = [(cte.name, nm) for nm in colnames]
+        if q.order_by:
+            acc = self._order(acc, q.order_by, ctx, q)
+        return self._limit(acc, q, ctx)
 
     def _child_ctx(self, ctx: EvalContext, ctes) -> EvalContext:
         c = EvalContext(ctx.params, self._subquery_fn, outer=ctx.outer)
@@ -605,6 +667,25 @@ def _children(e):
                     for y in x:
                         if isinstance(y, A.Expr):
                             yield y
+
+
+def _refs_cte(node, name: str) -> bool:
+    """True if any unqualified TableRef in the (sub)tree names the CTE —
+    decides whether a WITH RECURSIVE member actually self-references."""
+    import dataclasses
+
+    stack = [node]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, A.TableRef):
+            if x.schema is None and x.name == name:
+                return True
+        elif isinstance(x, (list, tuple)):
+            stack.extend(x)
+        elif dataclasses.is_dataclass(x) and not isinstance(x, type):
+            for f in dataclasses.fields(x):
+                stack.append(getattr(x, f.name))
+    return False
 
 
 def _split_conjuncts(e) -> list:

@@ -205,7 +205,7 @@ class Parser:
     def _select_stmt(self) -> A.Select:
         ctes = []
         if self.accept_kw("WITH"):
-            self.accept_kw("RECURSIVE")
+            recursive = self.accept_kw("RECURSIVE")
             while True:
                 name = self.ident()
                 cols = None
@@ -218,7 +218,7 @@ class Parser:
                 self.expect(T.LPAREN)
                 q = self._select_stmt()
                 self.expect(T.RPAREN)
-                ctes.append(A.CTE(name, q, cols))
+                ctes.append(A.CTE(name, q, cols, recursive))
                 if not self.accept(T.COMMA):
                     break
         sel = self._select_core()
