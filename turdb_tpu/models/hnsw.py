@@ -836,6 +836,20 @@ def _topr_vs_subset(xc, xcn, sub_vecs, sub_norms, r: int, metric):
 
 
 @partial(jax.jit, static_argnames=("r", "metric"))
+def _topr_subset_scan(qx, qn, sub_vecs, sub_norms, *, r, metric):
+    """[M, B, d] query chunks vs one subset, scanned in ONE program
+    (the per-chunk dispatch loop cost ~0.5s of relay round-trip per
+    chunk — 16 chunks at the 63k layer was ~8s of pure dispatch)."""
+
+    def step(_, inp):
+        xc, xcn = inp
+        return 0, _topr_vs_subset(xc, xcn, sub_vecs, sub_norms, r, metric)
+
+    _, out = jax.lax.scan(step, 0, (qx, qn))
+    return out
+
+
+@partial(jax.jit, static_argnames=("r", "metric"))
 def _brute_topr(x, xn, valid, r: int, metric):
     """All-pairs top-R for small subsets (padded). Returns local ids."""
     dots = jnp.einsum(
@@ -953,25 +967,23 @@ def _bulk_layer_adj(
         )
     elif n <= _BULK_EXACT:
         # chunked exact kNN against the whole (padded) subset: each chunk
-        # is one [B, S] distance tile on the MXU
+        # is one [B, S] distance tile on the MXU, all chunks scanned in
+        # ONE program; chunk count padded to pow2 so (m, spad) shapes
+        # bucket and compiles are shared across layers/datasets
         spad = _pow2_at_least(n, floor=4096)
         sv = jnp.zeros((spad, d), jnp.float32)
         sv = sv.at[:n].set(jnp.asarray(x_sub))
         sn = jnp.full((spad,), jnp.inf, jnp.float32).at[:n].set(prep_norms(sv)[:n])
         rr = min(r, n - 1)
         qb = 4096
-        parts = []
-        for s in range(0, n, qb):
-            ridx = jnp.clip(
-                jnp.arange(s, s + qb), 0, n - 1
-            )
-            rows = sslots[ridx]
-            parts.append(
-                _topr_vs_subset(
-                    vec_dev[rows], norm_dev[rows], sv, sn, rr, metric
-                )
-            )
-        pos = jnp.concatenate(parts)[:n]
+        m = _pow2_at_least((n + qb - 1) // qb, floor=1)
+        ridx = jnp.clip(jnp.arange(m * qb), 0, n - 1)
+        rows = sslots[ridx]
+        qx = vec_dev[rows].reshape(m, qb, d)
+        qn = norm_dev[rows].reshape(m, qb)
+        pos = _topr_subset_scan(
+            qx, qn, sv, sn, r=rr, metric=metric
+        ).reshape(m * qb, rr)[:n]
         cand = jnp.where(
             pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
         )
@@ -1014,9 +1026,12 @@ def _bulk_layer_adj(
         del tmp
     jax.block_until_ready(cand)
     _mark("candidates")
-    # forward diversity selection, scanned inside ONE program
+    # forward diversity selection, scanned inside ONE program. Chunk
+    # count padded to pow2 (floor 4) so the (mm, chunk, w) program shapes
+    # bucket: every upper layer (n <= 128k) shares ONE select and ONE
+    # union compile instead of recompiling per layer size.
     w = cand.shape[1]
-    mm = (n + chunk - 1) // chunk
+    mm = _pow2_at_least((n + chunk - 1) // chunk, floor=4 if n > 1 else 1)
     pidx = jnp.clip(jnp.arange(mm * chunk), 0, n - 1)
     rows_pad = sslots[pidx].astype(jnp.int32).reshape(mm, chunk)
     cand_pad = cand[pidx].reshape(mm, chunk, w)
@@ -1039,10 +1054,14 @@ def _bulk_layer_adj(
     # variant (see git history) hung the relay compiler >20min at 200k;
     # one 32M-entry numpy lexsort is ~10s at 1M and the download/upload
     # it needs is one adj+seld round-trip
-    rev = jnp.asarray(_bulk_reverse_lists(
-        np.asarray(sub_slots, np.int64), np.asarray(adj),
-        np.asarray(seld), rcap,
-    ))
+    adj_h = np.asarray(adj)
+    seld_h = np.asarray(seld)
+    _mark("rev.download")
+    rev_h = _bulk_reverse_lists(
+        np.asarray(sub_slots, np.int64), adj_h, seld_h, rcap,
+    )
+    _mark("rev.host")
+    rev = jnp.asarray(rev_h)
     keep = max(deg - rcap, deg // 2)
     merged = jnp.concatenate([adj[:, :keep], rev, adj[:, keep:]], axis=1)
     w2 = merged.shape[1]
