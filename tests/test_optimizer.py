@@ -137,3 +137,45 @@ class TestProjectionPruning:
         assert db.query(
             "SELECT b FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.a = t.a)"
         ) == [(20,)]
+
+
+class TestConstantFolding:
+    def test_fold_shapes(self):
+        from turdb_tpu.sql import ast as A
+        from turdb_tpu.sql.fold import fold_statement
+        from turdb_tpu.sql.parser import parse_sql
+
+        s = fold_statement(parse_sql(
+            "SELECT 1 + 2 * 3, upper('ab') || 'c', a + (2 + 3) "
+            "FROM t WHERE x > 10 / 2 AND 1 = 1"
+        ))
+        assert s.items[0].expr == A.Literal(7)
+        assert s.items[1].expr == A.Literal("ABc")
+        # maximal constant child folds inside a non-constant parent
+        assert s.items[2].expr.right == A.Literal(5)
+        assert s.where.left.right == A.Literal(5)
+        assert s.where.right == A.Literal(True)
+
+    def test_volatile_and_params_stay(self):
+        from turdb_tpu.sql import ast as A
+        from turdb_tpu.sql.fold import fold_statement
+        from turdb_tpu.sql.parser import parse_sql
+
+        s = fold_statement(parse_sql("SELECT random() + 0, now(), abs($1)"))
+        assert not isinstance(s.items[0].expr, A.Literal)
+        assert not isinstance(s.items[1].expr, A.Literal)
+        assert not isinstance(s.items[2].expr, A.Literal)
+        # CASE over constants folds; subqueries never do
+        s2 = fold_statement(parse_sql(
+            "SELECT CASE WHEN 1 < 2 THEN 'y' ELSE 'n' END, (SELECT 1)"
+        ))
+        assert s2.items[0].expr == A.Literal("y")
+        assert not isinstance(s2.items[1].expr, A.Literal)
+
+    def test_folded_results_match(self, db):
+        db.execute("CREATE TABLE ft (a INT)")
+        db.execute("INSERT INTO ft VALUES (1), (2), (3)")
+        assert db.query(
+            "SELECT a + 2 * 3 FROM ft WHERE a < 10 / 2 ORDER BY a"
+        ) == [(7,), (8,), (9,)]
+        assert db.query("SELECT count(*) FROM ft WHERE 1 = 0") == [(0,)]

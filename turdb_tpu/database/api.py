@@ -76,9 +76,10 @@ class ViewDef:
 
     def select_ast(self):
         if self._ast is None:
+            from turdb_tpu.sql.fold import fold_statement
             from turdb_tpu.sql.parser import parse_sql
 
-            self._ast = parse_sql(self.sql)
+            self._ast = fold_statement(parse_sql(self.sql))
         return self._ast
 
 
@@ -1768,7 +1769,9 @@ _PARSE_CACHE: dict[str, object] = {}
 def _parse_stmt(sql: str):
     stmt = _PARSE_CACHE.get(sql)
     if stmt is None:
-        stmt = Parser(sql).parse_statement()
+        from turdb_tpu.sql.fold import fold_statement
+
+        stmt = fold_statement(Parser(sql).parse_statement())
         if len(_PARSE_CACHE) > 512:
             _PARSE_CACHE.clear()
         _PARSE_CACHE[sql] = stmt
