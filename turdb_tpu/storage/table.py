@@ -336,9 +336,9 @@ class ColumnarTable:
         `latest` when a concurrent txn committed an UPDATE/DELETE."""
         i = self.latest.get(rowid)
         while i is not None and i >= 0:
-            if mgr.visible_mask(
-                self.xmin[i : i + 1], self.xmax[i : i + 1], read_ts, own_txn
-            )[0]:
+            if mgr.visible_one(
+                int(self.xmin[i]), int(self.xmax[i]), read_ts, own_txn
+            ):
                 return i
             i = int(self.prev[i])
         return None
