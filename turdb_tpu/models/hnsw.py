@@ -849,24 +849,6 @@ def _topr_subset_scan(qx, qn, sub_vecs, sub_norms, *, r, metric):
     return out
 
 
-@partial(jax.jit, static_argnames=("r", "metric"))
-def _brute_topr(x, xn, valid, r: int, metric):
-    """All-pairs top-R for small subsets (padded). Returns local ids."""
-    dots = jnp.einsum(
-        "ld,md->lm", x, x,
-        preferred_element_type=jnp.float32, precision=PRECISE,
-    )
-    if metric is Metric.IP:
-        pair = -dots
-    else:
-        pair = xn[:, None] + xn[None, :] - 2.0 * dots
-    m = x.shape[0]
-    pair = jnp.where(valid[None, :], pair, INF)
-    pair = jnp.where(jnp.eye(m, dtype=bool), INF, pair)
-    nd, pos = jax.lax.top_k(-pair, r)
-    return jnp.where(jnp.isinf(nd), NIL, pos.astype(jnp.int32))
-
-
 _bulk_select_jit = jax.jit(
     _select_from_candidates, static_argnames=("deg", "metric", "alpha")
 )
@@ -901,7 +883,17 @@ def _bulk_reverse_lists(sub_slots, adj, seld, rcap: int):
         return rev
     pos_arr = np.full(int(sub_slots.max()) + 1, -1, np.int64)
     pos_arr[sub_slots] = np.arange(ns)
-    order = np.lexsort((dist, tgt))
+    # (tgt, dist) two-key sort as ONE radix argsort over a packed uint64
+    # (slot << 32 | order-preserving f32 bits): 2.5x lexsort at the 1M
+    # build's 32M entries (7.9s vs 19.8s measured)
+    u = np.ascontiguousarray(dist, np.float32).view(np.uint32)
+    flip = np.where(
+        (u >> 31) != 0, np.uint32(0xFFFFFFFF), np.uint32(0x80000000)
+    )
+    key = (tgt.astype(np.uint64) << np.uint64(32)) | (u ^ flip).astype(
+        np.uint64
+    )
+    order = np.argsort(key, kind="stable")
     t_s, s_s = tgt[order], src[order]
     first = np.zeros(len(t_s), bool)
     first[0] = True
@@ -913,6 +905,74 @@ def _bulk_reverse_lists(sub_slots, adj, seld, rcap: int):
     keep = rank < rcap
     rev[pos_arr[t_s[keep]], rank[keep]] = s_s[keep]
     return rev
+
+
+def _bulk_layer_adj_host(sub_slots, x_sub, deg: int, metric,
+                         rcap: int = 16, r_mult: int = 2,
+                         alpha: float = 1.0):
+    """Host mirror of the device layer build for TINY layers (n <= 4096,
+    the upper navigating layers): at this size each device stage costs
+    more in eager-dispatch round-trips through the relay (~0.5s each,
+    ~10-15s per layer measured at n=52..790) than the whole layer costs
+    in numpy (<0.2s). Same candidate rule, diversity heuristic
+    (reference operations.rs:181-233 + alpha relaxation), reverse quota,
+    and union priority as the device path."""
+    n = len(sub_slots)
+    slots = np.asarray(sub_slots, np.int64)
+    if n <= 1:
+        return np.full((n, deg), NIL, np.int32)
+    x = np.asarray(x_sub, np.float32)
+    dots = x @ x.T
+    if metric is Metric.COSINE:
+        D = 1.0 - dots               # rows pre-normalized upstream
+    elif metric is Metric.IP:
+        D = -dots
+    else:
+        nrm = np.einsum("ij,ij->i", x, x)
+        D = np.maximum(nrm[:, None] + nrm[None, :] - 2.0 * dots, 0.0)
+    np.fill_diagonal(D, np.inf)
+    r = min(r_mult * deg, n - 1)
+    pos = np.argpartition(D, r - 1, axis=1)[:, :r]
+    dr = np.take_along_axis(D, pos, axis=1).astype(np.float32)
+    o = np.argsort(dr, axis=1, kind="stable")
+    pos = np.take_along_axis(pos, o, axis=1)          # ascending by dist
+    dr = np.take_along_axis(dr, o, axis=1)
+    pair = D[pos[:, :, None], pos[:, None, :]]        # [n, r, r]
+    # masked scan of the diversity rule, vectorized over rows
+    min_sel = np.full((n, r), np.inf, np.float32)
+    count = np.zeros(n, np.int64)
+    sel = np.zeros((n, r), bool)
+    for j in range(r):
+        take = (dr[:, j] < alpha * min_sel[:, j]) & (count < deg)
+        sel[:, j] = take
+        min_sel = np.where(
+            take[:, None], np.minimum(min_sel, pair[:, :, j]), min_sel
+        )
+        count += take
+    # selected (asc dist) first, skipped backfill (asc dist) after
+    key = dr + np.where(sel, np.float32(0.0), np.float32(1e30))
+    order = np.argsort(key, axis=1, kind="stable")[:, :deg]
+    adj = slots[np.take_along_axis(pos, order, axis=1)].astype(np.int32)
+    seld = np.take_along_axis(dr, order, axis=1)
+    if r < deg:
+        adj = np.concatenate(
+            [adj, np.full((n, deg - r), NIL, np.int32)], axis=1
+        )
+        seld = np.concatenate(
+            [seld, np.full((n, deg - r), np.inf, np.float32)], axis=1
+        )
+    rev = _bulk_reverse_lists(slots, adj, seld, rcap)
+    keep = max(deg - rcap, deg // 2)
+    merged = np.concatenate([adj[:, :keep], rev, adj[:, keep:]], axis=1)
+    w2 = merged.shape[1]
+    eq = merged[:, :, None] == merged[:, None, :]
+    earlier = np.tril(np.ones((w2, w2), bool), k=-1)
+    dup = (eq & earlier).any(-1) | (merged < 0)
+    keyu = np.where(dup, w2 + 1, np.arange(w2))
+    orderu = np.argsort(keyu, axis=1, kind="stable")[:, :deg]
+    out = np.take_along_axis(merged, orderu, axis=1)
+    kept = np.take_along_axis(keyu, orderu, axis=1) <= w2
+    return np.where(kept, out, NIL).astype(np.int32)
 
 
 def _bulk_layer_adj(
@@ -953,19 +1013,13 @@ def _bulk_layer_adj(
     # round-2b host pipeline downloaded/re-uploaded every stage: ~140s of
     # the 1M build was relay traffic + dispatch storms).
     if n <= _BULK_BRUTE:
-        npad = _BULK_BRUTE
-        xp = np.zeros((npad, d), np.float32)
-        xp[:n] = x_sub
-        valid = np.zeros(npad, bool)
-        valid[:n] = True
-        pos = _brute_topr(
-            jnp.asarray(xp), prep_norms(jnp.asarray(xp)),
-            jnp.asarray(valid), min(r, npad - 1), metric,
-        )[:n]
-        cand = jnp.where(
-            pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
+        rows = _bulk_layer_adj_host(
+            sub_slots, x_sub, deg, metric,
+            rcap=rcap, r_mult=r_mult, alpha=alpha,
         )
-    elif n <= _BULK_EXACT:
+        _mark("host-layer")
+        return rows
+    if n <= _BULK_EXACT:
         # chunked exact kNN against the whole (padded) subset: each chunk
         # is one [B, S] distance tile on the MXU, all chunks scanned in
         # ONE program; chunk count padded to pow2 so (m, spad) shapes
