@@ -322,6 +322,26 @@ class TestDml:
 
 
 class TestConstraints:
+    def test_fast_lane_unique_lifecycle(self, db):
+        # the prepared-insert fast lane's O(1) unique probe must track
+        # rollback-restored rows, committed deletes, and key moves
+        db.execute("CREATE TABLE fl(id INT PRIMARY KEY, a INT)")
+        st = db.prepare("INSERT INTO fl VALUES ($1, $2)")
+        for i in range(10):
+            st.execute([i, i])
+        db.execute("BEGIN")
+        db.execute("DELETE FROM fl WHERE id = 5")
+        db.execute("ROLLBACK")
+        with pytest.raises(ConstraintViolation):
+            st.execute([5, 99])
+        db.execute("DELETE FROM fl WHERE id = 7")
+        st.execute([7, 77])          # committed delete frees the key
+        db.execute("UPDATE fl SET id = 100 WHERE id = 3")
+        st.execute([3, 33])          # moved key frees the old value
+        with pytest.raises(ConstraintViolation):
+            st.execute([100, 1])     # ...and occupies the new one
+        assert db.query("SELECT count(*) FROM fl") == [(11,)]
+
     def test_not_null(self, db):
         seed(db)
         with pytest.raises(ConstraintViolation):
