@@ -231,6 +231,33 @@ class Gen:
             f"WHERE {self.pred('orders')}"
         )
 
+    def rec_cte(self):
+        r = self.rng
+        pick = r.random()
+        if pick < 0.5:
+            a, s, b = r.randint(0, 5), r.randint(1, 3), r.randint(20, 150)
+            return (
+                f"WITH RECURSIVE c(n) AS (SELECT {a} UNION ALL "
+                f"SELECT n + {s} FROM c WHERE n < {b}) "
+                "SELECT count(*), sum(n), max(n) FROM c"
+            )
+        if pick < 0.8:
+            # bounded graph walk over the orders table (UNION fixpoint)
+            m = r.choice([37, 53, 97])
+            return (
+                f"WITH RECURSIVE w(u) AS (SELECT {r.randint(0, 30)} "
+                f"UNION SELECT o.uid % {m} FROM orders o "
+                f"JOIN w ON o.oid % {m} = w.u) "
+                "SELECT count(*), min(u), max(u) FROM w"
+            )
+        a, b = r.randint(1, 4), r.randint(30, 80)
+        return (
+            f"WITH RECURSIVE c(n) AS (SELECT {a} UNION ALL "
+            f"SELECT n + 1 FROM c WHERE n < {b}) "
+            "SELECT u.city, count(*) FROM c JOIN users u ON u.id = c.n "
+            f"WHERE {self.pred('users', 'u.')} GROUP BY u.city"
+        )
+
     def select(self):
         r = self.rng.random()
         if r < 0.35:
@@ -241,9 +268,11 @@ class Gen:
             return self.join3()
         if r < 0.78:
             return self.subquery()
-        if r < 0.88:
+        if r < 0.87:
             return self.setop()
-        return self.window()
+        if r < 0.94:
+            return self.window()
+        return self.rec_cte()
 
     def dml(self):
         r = self.rng
