@@ -45,6 +45,30 @@ def test_sharded_recall_4shards(data):
     assert (d[:, 0] <= d[:, -1]).all()
 
 
+def test_sharded_serve_pack(data):
+    """Mesh serving pack: per-shard packed-block serve + two-level merge
+    must match the graph path's recall and respect tombstones."""
+    x, q, true_ids = data
+    mesh = make_mesh(n_db=4, n_data=2)
+    idx = ShardedHnswIndex(dim=32, mesh=mesh, ef_construction=64)
+    gids = idx.add(x)
+    idx.pack_serving()
+    d, gi = idx.search_serve(q, k=10, ef=48)
+    lut = {int(g): orig for orig, g in enumerate(gids)}
+    pred = np.array([[lut.get(int(v), -1) for v in row] for row in gi])
+    r = recall_at_k(pred, true_ids)
+    assert r >= 0.9, f"mesh serve recall {r:.3f}"
+    assert (d[:, 0] <= d[:, -1]).all()
+    # tombstoned rows never surface through the filtered serve path
+    idx.delete(gids[:1500])
+    _, gi2 = idx.search_serve(q, k=10, ef=48)
+    dead = set(int(g) for g in gids[:1500])
+    assert not any(int(v) in dead for row in gi2 for v in row if v >= 0)
+    # graph mutation invalidates the pack
+    idx.add(x[:8])
+    assert idx._serve is None
+
+
 def test_sharded_balances(data):
     x, _, _ = data
     mesh = make_mesh(n_db=8, n_data=1)

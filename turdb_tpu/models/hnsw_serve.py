@@ -328,6 +328,7 @@ def pack_serving(
     metric: Metric,
     n_centroids: int | None = None,
     chunk: int = 1 << 16,
+    lane_cap: int | None = None,
 ) -> HnswServeState:
     """Build the serving pack from a built graph's L0 + vector store.
 
@@ -379,7 +380,9 @@ def pack_serving(
     # cell's sorted run; rows past the lane cap are dropped — seeding has
     # no completeness requirement (the beam recovers them via the graph)
     counts = np.bincount(assign, minlength=c)
-    lcap = _pow2_at_least(max(int(2 * size / max(c, 1)), 8), floor=8)
+    # lane_cap override: mesh callers pin one cap across shards whose
+    # sizes differ by +-1 so the per-shard packs stack into one pytree
+    lcap = lane_cap or _pow2_at_least(max(int(2 * size / max(c, 1)), 8), floor=8)
     members = np.full((c, lcap), -1, np.int64)
     order = np.argsort(assign, kind="stable")
     sa = assign[order]

@@ -212,7 +212,15 @@ def ivf_search_impl(
         q, state.centroids, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    _, top = jax.lax.top_k(-d2c, nprobe)            # [B, P]
+    if d2c.shape[-1] >= 4096:
+        # TPU-native approximate top-k for the cell probe: 2.7x the exact
+        # sort at C=32k (measured), and cell selection is already the
+        # approximate stage of IVF — boundary replicas + nprobe slack
+        # absorb a 0.999-recall bin partition. Exact top-k below 4096
+        # cells where the sort is cheap.
+        _, top = jax.lax.approx_max_k(-d2c, nprobe, recall_target=0.999)
+    else:
+        _, top = jax.lax.top_k(-d2c, nprobe)        # [B, P]
 
     mem = state.members[top]                        # [B, P, L]
     live = (mem >= 0) & state.alive[top]

@@ -36,6 +36,25 @@ from turdb_tpu.ops.distance import Metric, normalize_rows
 from turdb_tpu.ops.topk import topk_smallest
 
 
+def _two_level_merge(d, gi, k: int, multihost: bool):
+    """Cross-shard top-k reduction inside shard_map: level 1 merges the
+    db axis over ICI; level 2 (multi-host) merges the per-host [B, k]
+    reductions over DCN — only [B, k] ever crosses the host axis."""
+    b = d.shape[0]
+    ad = jax.lax.all_gather(d, MESH_AXIS_DB)              # [S, Bl, k]
+    ai = jax.lax.all_gather(gi, MESH_AXIS_DB)
+    ad = jnp.moveaxis(ad, 0, 1).reshape(b, -1)
+    ai = jnp.moveaxis(ai, 0, 1).reshape(b, -1)
+    md, mi = topk_smallest(ad, ai, k)
+    if not multihost:
+        return md, mi
+    hd = jax.lax.all_gather(md, MESH_AXIS_HOST)
+    hi = jax.lax.all_gather(mi, MESH_AXIS_HOST)
+    hd = jnp.moveaxis(hd, 0, 1).reshape(b, -1)
+    hi = jnp.moveaxis(hi, 0, 1).reshape(b, -1)
+    return topk_smallest(hd, hi, k)
+
+
 def _init_stacked(cfg: HnswConfig, n_shards: int, capacity: int) -> HnswState:
     one = init_state(cfg, capacity)
     return jax.tree.map(
@@ -92,6 +111,7 @@ class ShardedHnswIndex:
         self.sizes = np.zeros(self.n_shards, np.int64)
         self._alive = np.zeros((self.n_shards, self.capacity), bool)
         self._fn_cache: dict = {}
+        self._serve = None     # mesh serving pack (derived state)
         self._descent_ef = 1   # bulk-built shards raise this (see add)
 
     def __len__(self):
@@ -110,6 +130,7 @@ class ShardedHnswIndex:
 
     def add(self, vecs: np.ndarray, row_ids: np.ndarray | None = None) -> np.ndarray:
         """Insert vectors, balancing shard sizes; returns packed global ids."""
+        self._serve = None     # graph mutation invalidates the pack
         vecs = np.atleast_2d(np.asarray(vecs, np.float32))
         n = vecs.shape[0]
         if row_ids is None:
@@ -278,6 +299,146 @@ class ShardedHnswIndex:
         )
         return np.asarray(d)[:b0], np.asarray(gi, np.int64)[:b0]
 
+    # -- serving pack (round-3 redesign, models/hnsw_serve.py) ------------
+
+    def pack_serving(self, n_centroids: int | None = None) -> None:
+        """Per-shard serving packs (packed int8 neighbor blocks +
+        cell-probe seeding + exact rerank) built on device-pinned
+        threads, stacked into ONE mesh-sharded pytree. The c / lane-cap
+        geometry is pinned from the LARGEST shard so packs stack even
+        when round-robin sizes differ by one."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from turdb_tpu.models.hnsw_serve import (
+            HnswServeState,
+            _pow2_at_least as _p2,
+            pack_serving as _pack,
+        )
+
+        if len(self) == 0:
+            self._serve = None
+            return
+        size_hint = int(self.sizes.max())
+        c = n_centroids or max(64, min(8192, size_hint // 256))
+        c = _p2(min(c, max(1, size_hint)), floor=64)
+        lcap = _p2(max(int(2 * size_hint / max(c, 1)), 8), floor=8)
+        S = self.n_shards
+        devices = list(self.mesh.devices.reshape(-1))
+        packs: list = [None] * S
+        # slice the mesh-sharded state to host SERIALLY before threading:
+        # slicing a sharded array is itself a multi-device program, and
+        # concurrent multi-device programs from several threads deadlock
+        # the in-process communicator's collective rendezvous
+        subs = [
+            (
+                np.asarray(self.state.vectors[s]),
+                np.asarray(self.state.norms[s]),
+                np.asarray(self.state.adj0[s]),
+            )
+            for s in range(S)
+        ]
+
+        def build(s):
+            dev = devices[s % len(devices)]
+            vec, nrm, adj = subs[s]
+            with jax.default_device(dev):
+                p = _pack(
+                    jnp.asarray(vec), jnp.asarray(nrm), jnp.asarray(adj),
+                    int(self.sizes[s]),
+                    self.cfg.metric, n_centroids=c, lane_cap=lcap,
+                )
+                jax.block_until_ready(p.nbr_codes)
+                packs[s] = p
+
+        with ThreadPoolExecutor(max_workers=min(S, 8)) as pool:
+            list(pool.map(build, range(S)))
+        stacked = jax.tree.map(
+            lambda *ls: np.stack([np.asarray(x) for x in ls]), *packs
+        )
+        self._serve = jax.device_put(
+            HnswServeState(*stacked),
+            NamedSharding(self.mesh, self._store_spec),
+        )
+
+    def search_serve(self, queries: np.ndarray, k: int,
+                     ef: int | None = None,
+                     allowed: np.ndarray | None = None,
+                     iters: int | None = None,
+                     nprobe: int = 2, nseed: int = 32, expand: int = 4):
+        """Serving-path mesh k-NN: shard-local packed-block beam + the
+        same two-level top-k merge as `search`. Packs on first use;
+        distances returned are EXACT (rerank stage)."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if len(self) == 0:
+            return (
+                np.full((q.shape[0], k), np.inf, np.float32),
+                np.full((q.shape[0], k), -1, np.int64),
+            )
+        if self._serve is None:
+            self.pack_serving()
+        if self.cfg.metric is Metric.COSINE:
+            q = np.asarray(normalize_rows(jnp.asarray(q)))
+        ef = max(ef or max(self.cfg.ef_search, k), k)
+        iters = iters or (ef + ef // 2)
+        b0 = q.shape[0]
+        bpad = -(-b0 // self.n_data) * self.n_data
+        if bpad != b0:
+            q = np.concatenate(
+                [q, np.zeros((bpad - b0, q.shape[1]), np.float32)]
+            )
+        filtered = allowed is not None or not self._all_alive()
+        mask = None
+        if filtered:
+            m = self._alive.copy()
+            if allowed is not None:
+                m &= np.asarray(allowed, bool)
+            mask = jnp.asarray(m)
+        d, gi = self._serve_fn(
+            k, ef, iters, filtered, nprobe, nseed, expand
+        )(self._serve, jnp.asarray(q), mask)
+        return np.asarray(d)[:b0], np.asarray(gi, np.int64)[:b0]
+
+    def _serve_fn(self, k, ef, iters, filtered, nprobe, nseed, expand):
+        key = ("serve", k, ef, iters, filtered, nprobe, nseed, expand,
+               self.capacity)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        from turdb_tpu.models.hnsw_serve import serve_search_impl
+
+        metric = self.cfg.metric
+        stride = self.id_stride
+        multihost = self.n_host > 1
+        n_db = self.n_db
+
+        def local(sv, q, mask):
+            sv = jax.tree.map(lambda x: x[0], sv)
+            am = mask[0] if filtered else None
+            d, i = serve_search_impl(
+                sv, q, am, metric=metric, k=k, ef=ef, iters=iters,
+                expand=expand, nprobe=nprobe, nseed=nseed,
+            )
+            shard = jax.lax.axis_index(MESH_AXIS_DB)
+            if multihost:
+                shard = shard + jax.lax.axis_index(MESH_AXIS_HOST) * n_db
+            gi = jnp.where(i >= 0, shard.astype(jnp.int32) * stride + i, -1)
+            return _two_level_merge(d, gi, k, multihost)
+
+        if filtered:
+            in_specs = (self._store_spec, P(MESH_AXIS_DATA), self._store_spec)
+        else:
+            in_specs = (self._store_spec, P(MESH_AXIS_DATA), P())
+        fn = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=(P(MESH_AXIS_DATA), P(MESH_AXIS_DATA)),
+                check_vma=False,
+            )
+        )
+        self._fn_cache[key] = fn
+        return fn
+
     def delete(self, gids) -> None:
         sh, sl = self.unpack_ids(gids)
         self._alive[sh, sl] = False
@@ -343,20 +504,7 @@ class ShardedHnswIndex:
                 shard = shard + jax.lax.axis_index(MESH_AXIS_HOST) * n_db
             # int32 packing is alias-free: n_shards*stride <= 2^31 (init)
             gi = jnp.where(i >= 0, shard.astype(jnp.int32) * stride + i, -1)
-            # level 1: ICI merge over db
-            ad = jax.lax.all_gather(d, MESH_AXIS_DB)          # [S, Bl, k]
-            ai = jax.lax.all_gather(gi, MESH_AXIS_DB)
-            ad = jnp.moveaxis(ad, 0, 1).reshape(q.shape[0], -1)
-            ai = jnp.moveaxis(ai, 0, 1).reshape(q.shape[0], -1)
-            md, mi = topk_smallest(ad, ai, k)
-            if not multihost:
-                return md, mi
-            # level 2: DCN merge of the per-host [B, k] reductions
-            hd = jax.lax.all_gather(md, MESH_AXIS_HOST)
-            hi = jax.lax.all_gather(mi, MESH_AXIS_HOST)
-            hd = jnp.moveaxis(hd, 0, 1).reshape(q.shape[0], -1)
-            hi = jnp.moveaxis(hi, 0, 1).reshape(q.shape[0], -1)
-            return topk_smallest(hd, hi, k)
+            return _two_level_merge(d, gi, k, multihost)
 
         if filtered:
             in_specs = (self._store_spec, P(MESH_AXIS_DATA), self._store_spec)
