@@ -855,16 +855,25 @@ _bulk_select_jit = jax.jit(
 
 
 @partial(jax.jit, static_argnames=("cfg", "k", "nprobe"))
-def _self_probe_scan(state, xs, *, cfg, k, nprobe):
-    """[M, B, d] queries -> [M, B, k] local ids, scanned inside ONE
-    program (state rides as a pytree argument, not captured constants)."""
+def _self_probe_scan(state, vec_dev, sslots_dev, ridx, *, cfg, k, nprobe):
+    """Self-probe candidates fully in ONE program: [M, B] row-index
+    chunks gather their query rows from the resident store, probe the
+    temp IVF index, and map local ids back to global slots — the
+    eager-op version materialized a 512MB query copy plus three
+    [n, r]-sized mapping temps through separate dispatches."""
     from turdb_tpu.models.ivf import ivf_search_impl
 
-    def step(_, qb):
+    def step(_, rchunk):
+        qb = vec_dev[sslots_dev[rchunk]]
         _, ids = ivf_search_impl(state, qb, None, cfg=cfg, k=k, nprobe=nprobe)
-        return 0, ids
+        cand = jnp.where(
+            ids >= 0,
+            sslots_dev[jnp.clip(ids, 0)].astype(jnp.int32),
+            NIL,
+        )
+        return 0, cand
 
-    _, out = jax.lax.scan(step, 0, xs)
+    _, out = jax.lax.scan(step, 0, ridx)
     return out
 
 
@@ -1067,16 +1076,12 @@ def _bulk_layer_adj(
             tmp.train()
         qb = 4096
         m = (n + qb - 1) // qb
-        ridx = jnp.clip(jnp.arange(m * qb), 0, n - 1)
-        xs = vec_dev[sslots[ridx]].reshape(m, qb, d)
-        pos = _self_probe_scan(
-            tmp.state, xs, cfg=tmp.cfg, k=r, nprobe=8
+        ridx = jnp.clip(jnp.arange(m * qb), 0, n - 1).reshape(m, qb)
+        # self hits come back as cand == target; the selection pass
+        # masks them
+        cand = _self_probe_scan(
+            tmp.state, vec_dev, sslots, ridx, cfg=tmp.cfg, k=r, nprobe=8
         ).reshape(m * qb, r)[:n]
-        # pos are positions into x_sub; self hits are masked by the
-        # selection pass (cand == target)
-        cand = jnp.where(
-            pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
-        )
         del tmp
     jax.block_until_ready(cand)
     _mark("candidates")

@@ -129,6 +129,9 @@ def _kmeans(x: jax.Array, centroids: jax.Array, iters: int):
             xc, xnc, vc = inp
             a = _assign_chunk(cents, cn, xc, xnc)
             w = vc.astype(jnp.float32)
+            # segment_sum (scatter-add) beats the one-hot-matmul trick
+            # here: the [chunk, C] one-hot materializes 0.5GB of HBM
+            # traffic per tile at C=32k (measured 7x slower end-to-end)
             counts = counts + jax.ops.segment_sum(w, a, num_segments=c)
             sums = sums + jax.ops.segment_sum(
                 xc * w[:, None], a, num_segments=c
