@@ -71,8 +71,11 @@ def _plan_select(db, sel: A.Select, ctx) -> Plan:
     if sel.ctes:
         known = set(getattr(ctx, "plan_ctes", ()) or ())
         for cte in sel.ctes:
+            rec = " (recursive fixpoint)" if getattr(
+                cte, "recursive", False
+            ) and cte.query.set_op is not None else ""
             root_children.append(
-                Plan(f"CTE {cte.name}",
+                Plan(f"CTE {cte.name}{rec}",
                      [_plan_select(db, sel=cte.query, ctx=ctx)],
                      op="CTE", detail={"name": cte.name})
             )
