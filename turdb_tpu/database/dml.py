@@ -491,7 +491,14 @@ def execute_update(db, stmt: A.Update, params, txn):
 
     info = db.resolve_table(stmt.table)
     ctx = db._ctx(params, txn)
-    src = db._scan_batch(stmt.table, ctx)
+    # point/range UPDATE takes the same index probe SELECT uses (the
+    # reference plans DML scans through index_selection.rs too); the
+    # WHERE is re-applied below, so a superset candidate batch is safe
+    src = None
+    if stmt.from_ is None and stmt.where is not None:
+        src = db._try_index_scan(stmt.table, stmt.where, ctx)
+    if src is None:
+        src = db._scan_batch(stmt.table, ctx)
     if stmt.from_ is not None:
         right = db.engine._from(stmt.from_, ctx)
         from turdb_tpu.sql.engine import _cross_join, _hash_join, _split_equi
@@ -575,7 +582,12 @@ def execute_delete(db, stmt: A.Delete, params, txn):
 
     info = db.resolve_table(stmt.table)
     ctx = db._ctx(params, txn)
-    src = db._scan_batch(stmt.table, ctx)
+    src = None
+    if stmt.where is not None:
+        # index point/range probe before falling back to a full scan
+        src = db._try_index_scan(stmt.table, stmt.where, ctx)
+    if src is None:
+        src = db._scan_batch(stmt.table, ctx)
     if stmt.where is not None:
         c = eval_expr(stmt.where, src, ctx)
         src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
