@@ -60,8 +60,12 @@ from turdb_tpu.ops.topk import (
     topk_smallest,
 )
 
-NIL = jnp.int32(-1)
-INF = jnp.float32(jnp.inf)
+# plain Python scalars: jnp scalars at module scope would initialize
+# the device backend at import time (importing the package must not
+# touch the TPU relay); weak typing anchors them to the surrounding
+# dtype inside traced code
+NIL = -1
+INF = float("inf")
 
 
 class HnswServeState(NamedTuple):

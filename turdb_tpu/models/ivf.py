@@ -37,8 +37,12 @@ from turdb_tpu.ops.distance import PRECISE, Metric, normalize_rows, prep_norms
 from turdb_tpu.ops.quantize import sq8_encode
 from turdb_tpu.ops.topk import mask_duplicates, topk_smallest
 
-NIL = jnp.int32(-1)
-INF = jnp.float32(jnp.inf)
+# plain Python scalars: jnp scalars at module scope would initialize
+# the device backend at import time (importing the package must not
+# touch the TPU relay); weak typing anchors them to the surrounding
+# dtype inside traced code
+NIL = -1
+INF = float("inf")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,7 +12,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
+# plain float: a jnp scalar here would initialize the device backend at
+# import time (importing turdb_tpu must not touch the TPU relay); jnp
+# coerces it to f32 inside traced code where it's used
+INF = float("inf")
 
 
 def topk_smallest(dists: jax.Array, ids: jax.Array, k: int):
