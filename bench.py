@@ -271,7 +271,40 @@ def bench_oltp():
         log(f"oltp FAILED: {str(e)[:120]}")
 
 
+def wait_for_backend(budget_s=900.0):
+    """The axon relay can drop for minutes at a time; jax.devices() then
+    blocks in make_c_api_client with no timeout, which would hang the
+    whole bench. Probe in a SUBPROCESS (the hang is in C, not
+    interruptible in-process) with bounded retries before committing."""
+    import subprocess
+
+    t0 = time.perf_counter()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.perf_counter() - t0
+        if waited > budget_s:
+            return False
+        log(f"device backend unreachable {waited:.0f}s in; retrying")
+        time.sleep(30)
+
+
 def main():
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": f"vector_qps_{N//1000}k_{DIM}d_recall{RECALL_GATE}@{K}",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+            "extra": {"error": "device backend unreachable for 900s"},
+        }))
+        return
+
     import jax
 
     from turdb_tpu.utils.datasets import emb_pool, hard_pool, sift_dataset
