@@ -267,3 +267,24 @@ class TestPreparedPlans:
             ps.execute([i, i + 0.5, f"r{i}"])
         prep = time.perf_counter() - t0
         assert prep < raw, f"prepared {prep:.3f}s !< raw {raw:.3f}s"
+
+
+class TestImportHygiene:
+    def test_import_does_not_initialize_backend(self):
+        """Importing the package (incl. the vector engines) must not
+        create a device backend: module-scope jnp scalars would dial the
+        TPU relay at import time and hang every CPU-only process when
+        the tunnel is down (ops/topk.py INF regression)."""
+        import subprocess
+        import sys
+
+        code = (
+            "import turdb_tpu, turdb_tpu.models.ivf, turdb_tpu.models.hnsw,"
+            "turdb_tpu.models.hnsw_serve, turdb_tpu.ops.topk\n"
+            "from jax._src import xla_bridge\n"
+            "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
