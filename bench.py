@@ -278,6 +278,11 @@ def wait_for_backend(budget_s=900.0):
     interruptible in-process) with bounded retries before committing."""
     import subprocess
 
+    import jax
+
+    if (jax.config.jax_platforms or "").startswith("cpu"):
+        return True   # CPU smoke runs: nothing remote to probe
+
     t0 = time.perf_counter()
     while True:
         try:
@@ -335,8 +340,13 @@ def main():
         xh, qh = hard_pool(rng, N_HARD, DIM, n_queries=N_QUERIES)
         th = truth_for(xh, qh[:256])
         log("hard_pool truth ready")
-        r = bench_ivf("ivf_hard", xh, qh, th,
-                      probes=(8, 16, 32, 64, 128))
+        # sq8 probe on the hard row: anisotropic Zipf cells defeat
+        # centroid ranking, so the gate needs ~3% of cells probed
+        # (scripts/exp_hard_data.py); int8 codes move 4x fewer bytes,
+        # buying the wider sweep at equal HBM cost, and sq8+exact-rerank
+        # recall matches f32 exactly on this data (measured at 100k).
+        r = bench_ivf("ivf_hard", xh, qh, th, sq8=True, rerank=4 * K,
+                      probes=(64, 128, 192, 256, 384, 512))
         if r:
             results.append(("ivf_hard", *r))
         del xh, qh, th

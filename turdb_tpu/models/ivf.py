@@ -219,12 +219,16 @@ def ivf_search_impl(
         q, state.centroids, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if d2c.shape[-1] >= 4096:
-        # TPU-native approximate top-k for the cell probe: 2.7x the exact
-        # sort at C=32k (measured), and cell selection is already the
-        # approximate stage of IVF — boundary replicas + nprobe slack
-        # absorb a 0.999-recall bin partition. Exact top-k below 4096
-        # cells where the sort is cheap.
+    if d2c.shape[-1] >= 32768:
+        # TPU-native approximate top-k for the cell probe at 10M-class
+        # cell counts: 2.7x the exact sort at C=32k in isolation
+        # (measured), and cell selection is already the approximate
+        # stage of IVF — boundary replicas + nprobe slack absorb a
+        # 0.999-recall bin partition. Kept EXACT below 32k cells: with
+        # approx in the fused probe at C=16k (the 1M default) the
+        # end-to-end QPS regressed 188k -> 114k between the r2 and r3
+        # bench runs, so approx applies only where the sort itself
+        # dominates and its win was actually measured.
         _, top = jax.lax.approx_max_k(-d2c, nprobe, recall_target=0.999)
     else:
         _, top = jax.lax.top_k(-d2c, nprobe)        # [B, P]
