@@ -320,6 +320,29 @@ class TestDml:
             (1, "a"), (2, "b"),
         ]
 
+    def test_auto_increment(self, db):
+        # reference README column attribute; counter persists in the
+        # table header (file_manager.rs:49-60) and advances past
+        # explicit values so later auto-fills never collide
+        db.execute(
+            "CREATE TABLE u (id BIGINT PRIMARY KEY AUTO_INCREMENT, n TEXT)"
+        )
+        db.execute("INSERT INTO u (n) VALUES ('a')")
+        db.execute("INSERT INTO u VALUES (10, 'b')")
+        db.execute("INSERT INTO u (n) VALUES ('c')")
+        db.execute("INSERT INTO u VALUES (NULL, 'd')")  # NULL = auto-fill
+        st = db.prepare("INSERT INTO u VALUES ($1, $2)")
+        st.execute([50, "e"])
+        db.execute("INSERT INTO u (n) VALUES ('f')")
+        assert db.query("SELECT id, n FROM u ORDER BY id") == [
+            (1, "a"), (10, "b"), (11, "c"), (12, "d"), (50, "e"), (51, "f"),
+        ]
+
+    def test_keyword_named_functions(self, db):
+        assert db.query(
+            "SELECT IF(1 > 0, 'y', 'n'), LEFT('hello', 2), RIGHT('hello', 2)"
+        ) == [("y", "he", "lo")]
+
 
 class TestConstraints:
     def test_fast_lane_unique_lifecycle(self, db):

@@ -1279,6 +1279,11 @@ class CachedInsertPlan:
             ):
                 return None   # text-stored types with coercion semantics
         binder = {cn: (isp, pay) for cn, isp, pay in self.binders[0]}
+        for cd in info.columns:
+            if cd.auto_increment and binder.get(cd.name) is not None:
+                # explicit values must advance the counter (and NULL means
+                # auto-fill) — generic-path semantics, not worth inlining
+                return None
         cols = []
         for cd in info.columns:
             cols.append((cd, binder.get(cd.name),

@@ -283,6 +283,10 @@ def _column_from_spec(sp: A.ColumnSpec) -> ColumnDef:
     if dt in (DataType.SERIAL, DataType.BIGSERIAL):
         cd.auto_increment = True
         cd.dtype = DataType.BIGINT if dt is DataType.BIGSERIAL else DataType.INT
+    if sp.auto_increment:
+        if cd.dtype not in (DataType.INT, DataType.BIGINT, DataType.SMALLINT):
+            raise SqlError("AUTO_INCREMENT requires an integer column")
+        cd.auto_increment = True
     return cd
 
 

@@ -172,6 +172,11 @@ def _prepare_row(db, info, row: dict, ctx) -> dict:
             if cd.has_default:
                 out[cd.name] = eval_default(db, cd)
                 continue
+        elif cd.auto_increment and isinstance(v, int):
+            # explicit value: advance the counter past it so later
+            # auto-fills never collide (MySQL semantics)
+            if v >= info.table.auto_increment:
+                info.table.auto_increment = v + 1
     for cd in info.columns:
         v = out.get(cd.name)
         if v is None and not cd.nullable:

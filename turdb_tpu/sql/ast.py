@@ -264,6 +264,7 @@ class ColumnSpec:
     default: Optional[Expr] = None
     check: Optional[Expr] = None
     references: Optional[tuple] = None   # (table, col, on_delete, on_update)
+    auto_increment: bool = False         # AUTO_INCREMENT attribute (ref README)
 
 
 @dataclass

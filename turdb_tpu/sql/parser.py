@@ -678,6 +678,12 @@ class Parser:
                 spec.references = (rt, rc, od, ou)
             elif self.accept_kw("COLLATE"):
                 self.ident()
+            elif self.peek().type is T.IDENT and self.peek().value.upper() in (
+                    "AUTO_INCREMENT", "AUTOINCREMENT"):
+                # MySQL/SQLite spellings; reference persists the counter in
+                # its TableFileHeader (file_manager.rs:49-60)
+                self.next()
+                spec.auto_increment = True
             else:
                 break
         return spec
@@ -956,6 +962,10 @@ class Parser:
             e = self._expr()
             self.expect(T.RPAREN)
             return e
+        if t.is_kw("IF", "LEFT", "RIGHT") and self.peek().type is T.LPAREN:
+            # keyword-named scalar functions: IF(c,a,b), LEFT/RIGHT(s,n);
+            # unambiguous because no keyword use of these precedes '('
+            return self._func_call(t.value.lower())
         if t.type is T.IDENT or (t.type is T.KEYWORD and t.value in _SOFT_IDENT):
             name = t.value.lower() if t.type is T.KEYWORD else t.value
             # function call
