@@ -525,6 +525,26 @@ class TestMeta:
         assert db.wal_autoflush is False
         assert db.execute("PRAGMA database_mode").rows == [("ReadWrite",)]
 
+    def test_join_memory_budget_pragma(self, db):
+        # reference pragma.rs: join_memory_budget caps the query pool;
+        # joins above it take the Grace (spilling) path and stay correct
+        assert db.execute("PRAGMA memory_budget").rows[0][0] > 0
+        db.execute("CREATE TABLE l (id INT)")
+        db.execute("CREATE TABLE r (id INT)")
+        sl = db.prepare("INSERT INTO l VALUES ($1)")
+        sr = db.prepare("INSERT INTO r VALUES ($1)")
+        for i in range(500):
+            sl.execute([i])
+            sr.execute([i])
+        assert db.execute("PRAGMA join_memory_budget = 2048").rows == [(2048,)]
+        from turdb_tpu.sql.engine import STATS
+
+        before = STATS["grace_joins"]
+        assert db.query(
+            "SELECT count(*) FROM l JOIN r ON l.id = r.id"
+        ) == [(500,)]
+        assert STATS["grace_joins"] == before + 1
+
     def test_explain(self, db):
         seed(db)
         cols, rows = db.query_with_columns(

@@ -161,6 +161,7 @@ class Database:
         self.sync_mode = SyncMode.NORMAL
         self.ann_enabled = True
         self.ann_overfetch = 4
+        self.join_budget_override = None   # PRAGMA join_memory_budget
         self._replaying = False
 
         exists = os.path.exists(self.fm.meta_path())
@@ -847,7 +848,7 @@ class Database:
         else:
             ctx.read_ts = self.mgr.snapshot_ts()
             ctx.own_txn = 0
-        ctx.query_budget = self.budget.pool("query")
+        ctx.query_budget = self.join_budget_override or self.budget.pool("query")
         ctx.budget = self.budget
         ctx.db = self  # decorrelation needs catalog scope resolution
         return ctx

@@ -170,6 +170,15 @@ def execute_pragma(db, p: A.Pragma):
             rows=db.budget.stats(),
             columns=["pool", "budget_bytes", "used_bytes"],
         )
+    if name == "memory_budget":
+        return show(db.budget.total)
+    if name == "join_memory_budget":
+        # reference pragma.rs: caps the join/query operator pool; spills
+        # (Grace partitioning) kick in above it
+        if v is None:
+            return show(db.join_budget_override or db.budget.pool("query"))
+        db.join_budget_override = max(int(v), 0) or None
+        return show(db.join_budget_override or db.budget.pool("query"))
     if name == "database_mode":
         return show("ReadWrite" if db.mode == "rw" else "ReadOnlyDegraded")
     if name == "recover_wal":
