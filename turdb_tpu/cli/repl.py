@@ -183,13 +183,31 @@ class Repl:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="turdb-tpu", description="turdb-tpu CLI")
-    ap.add_argument("database", help="database directory (created if missing)")
+    ap.add_argument("database", nargs="?", help="database directory "
+                    "(created if missing)")
     ap.add_argument("-c", "--command", help="execute one SQL statement and exit")
+    ap.add_argument("--create", action="store_true",
+                    help="create a new database (error if it exists)")
+    ap.add_argument("--version", action="store_true", help="show version")
     args = ap.parse_args(argv)
 
-    from turdb_tpu.database.api import connect
+    if args.version:
+        from turdb_tpu import __version__
 
-    db = connect(args.database)
+        print(f"turdb-tpu {__version__}")
+        return 0
+    if not args.database:
+        ap.error("the following arguments are required: database")
+
+    from turdb_tpu.database.api import Database, connect
+
+    if args.create:
+        if os.path.exists(args.database):
+            print(f"error: {args.database} already exists", file=sys.stderr)
+            return 1
+        db = Database.create(args.database)
+    else:
+        db = connect(args.database)
     try:
         if args.command:
             repl = Repl(db)
