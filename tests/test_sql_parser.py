@@ -231,3 +231,41 @@ class TestDdl:
             parse_sql("INSERT INTO t")
         with pytest.raises(SqlError):
             parse_sql("SELECT 1 extra garbage ,")
+
+
+class TestReferenceDialectGaps:
+    """Statements lifted from the reference's own test corpus
+    (integration_sql.rs and friends) that round-3 parity fixes cover."""
+
+    def test_blob_literal(self):
+        s = parse_sql("INSERT INTO binaries VALUES (x'DEADBEEF')")
+        assert s.values[0][0].value == b"\xde\xad\xbe\xef"
+        with pytest.raises(SqlError):
+            parse_sql("SELECT x'ABC'")   # odd digit count
+
+    def test_bare_derived_table(self):
+        s = parse_sql("SELECT id FROM (SELECT id FROM t ORDER BY id LIMIT 1)")
+        assert s.from_.alias.startswith("_subquery")
+
+    def test_keyword_alias_after_as(self):
+        s = parse_sql(
+            "SELECT * FROM (SELECT * FROM (SELECT v FROM d) AS inner) AS outer"
+        )
+        assert s.from_.alias == "outer"
+        assert s.from_.subquery.from_.alias == "inner"
+
+    def test_truncate_restart_identity(self):
+        assert parse_sql("TRUNCATE items RESTART IDENTITY").restart_identity
+        assert not parse_sql("TRUNCATE items CONTINUE IDENTITY").restart_identity
+        assert not parse_sql("TRUNCATE TABLE items").restart_identity
+
+    def test_pragma_bare_value(self):
+        p = parse_sql("PRAGMA WAL ON")
+        assert p.name == "WAL" and p.value is True
+        assert parse_sql("PRAGMA synchronous NORMAL").value == "NORMAL"
+
+    def test_anon_alias_does_not_shift_params(self):
+        s = parse_sql("SELECT * FROM (SELECT a FROM t) WHERE b = ?")
+        # the synthesized subquery alias must not consume ?-numbering
+        w = s.where
+        assert w.right.index == 1

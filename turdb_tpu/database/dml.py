@@ -694,6 +694,8 @@ def execute_truncate(db, stmt: A.Truncate, txn):
             db._log_delete(info, rowid, txn)
             _index_delete(db, info, rowid, row)
             count += 1
+    if stmt.restart_identity:
+        info.table.auto_increment = 1
     return ExecuteResult(rows_affected=count)
 
 

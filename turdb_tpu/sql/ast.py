@@ -341,6 +341,7 @@ class AlterTable:
 @dataclass
 class Truncate:
     table: TableRef
+    restart_identity: bool = False
 
 
 @dataclass

@@ -23,6 +23,7 @@ class T(enum.Enum):
     KEYWORD = "kw"
     IDENT = "ident"
     STRING = "str"
+    BLOB = "blob"         # x'ABCD' hex literal (value = hex digits)
     NUMBER = "num"
     PARAM = "param"       # ? or $n
     OP = "op"
@@ -150,6 +151,21 @@ class Lexer:
                 self._adv()
             word = self.sql[start : self.i]
             up = word.upper()
+            if up == "X" and self.i < self.n and self.sql[self.i] == "'":
+                # hex blob literal x'DEADBEEF' (reference literal.rs)
+                self._adv()
+                hstart = self.i
+                while self.i < self.n and self.sql[self.i] != "'":
+                    self._adv()
+                if self.i >= self.n:
+                    self.error("unterminated blob literal")
+                hexs = self.sql[hstart : self.i]
+                self._adv()
+                if len(hexs) % 2 or any(
+                    ch not in "0123456789abcdefABCDEF" for ch in hexs
+                ):
+                    self.error("invalid hex blob literal")
+                return Token(T.BLOB, hexs, line, col)
             if up in KEYWORDS:
                 return Token(T.KEYWORD, up, line, col)
             return Token(T.IDENT, word, line, col)

@@ -34,6 +34,7 @@ class Parser:
         self.toks = tokenize(sql)
         self.pos = 0
         self._param_counter = 0
+        self._anon_counter = 0
 
     # -- token helpers -----------------------------------------------------
 
@@ -82,6 +83,16 @@ class Parser:
             return self.next().value.lower()
         self.error("expected identifier")
 
+    def ident_any(self) -> str:
+        # after an explicit AS, ANY keyword works as an alias (the
+        # reference accepts "AS inner"/"AS outer"); no ambiguity exists
+        # because AS was already consumed
+        t = self.peek()
+        if t.type in (T.IDENT, T.KEYWORD):
+            v = self.next().value
+            return v.lower() if t.type is T.KEYWORD else v
+        self.error("expected identifier")
+
     # -- entry points ------------------------------------------------------
 
     def parse_statement(self):
@@ -123,7 +134,16 @@ class Parser:
         if t.is_kw("TRUNCATE"):
             self.next()
             self.accept_kw("TABLE")
-            return A.Truncate(self._table_ref())
+            ref = self._table_ref()
+            restart = False
+            if self.peek().type is T.IDENT and \
+                    self.peek().value.upper() in ("RESTART", "CONTINUE"):
+                w = self.next().value.upper()
+                nx = self.next()
+                if not (nx.type is T.IDENT and nx.value.upper() == "IDENTITY"):
+                    self.error("expected IDENTITY")
+                restart = w == "RESTART"
+            return A.Truncate(ref, restart)
         if t.is_kw("BEGIN", "START"):
             self.next()
             self.accept_kw("TRANSACTION", "WORK")
@@ -160,6 +180,10 @@ class Parser:
             elif self.accept(T.LPAREN):
                 value = self._pragma_value()
                 self.expect(T.RPAREN)
+            elif self.peek().type in (T.NUMBER, T.STRING, T.IDENT) or \
+                    self.peek().is_kw("ON", "TRUE", "FALSE"):
+                # bare-value form: PRAGMA WAL ON (reference pragma.rs)
+                value = self._pragma_value()
             return A.Pragma(name, value)
         if t.is_kw("VACUUM"):
             self.next()
@@ -409,8 +433,17 @@ class Parser:
             if self.peek().is_kw("SELECT", "WITH"):
                 sub = self._select_stmt()
                 self.expect(T.RPAREN)
-                self.accept_kw("AS")
-                alias = self.ident()
+                if self.accept_kw("AS"):
+                    alias = self.ident_any()
+                elif self.peek().type is T.IDENT or (
+                        self.peek().type is T.KEYWORD and
+                        self.peek().value in _SOFT_IDENT):
+                    alias = self.ident()
+                else:
+                    # alias optional (reference accepts bare derived
+                    # tables); synthesize a per-statement unique name
+                    self._anon_counter += 1
+                    alias = f"_subquery{self._anon_counter}"
                 return A.SubqueryRef(sub, alias)
             inner = self._table_expr()
             self.expect(T.RPAREN)
@@ -425,7 +458,7 @@ class Parser:
         alias = None
         if allow_alias:
             if self.accept_kw("AS"):
-                alias = self.ident()
+                alias = self.ident_any()
             elif self.peek().type is T.IDENT:
                 alias = self.ident()
         return A.TableRef(name, schema, alias)
@@ -908,6 +941,8 @@ class Parser:
             return A.Literal(_num(t.value))
         if t.type is T.STRING:
             return A.Literal(t.value)
+        if t.type is T.BLOB:
+            return A.Literal(bytes.fromhex(t.value))
         if t.type is T.PARAM:
             if t.value == "?":
                 self._param_counter += 1
