@@ -33,7 +33,11 @@ def norm(rows):
             if isinstance(v, bool):
                 row.append(int(v))
             elif isinstance(v, float):
-                row.append(round(v, 5))
+                # 6 significant digits: SUM/AVG accumulate in a different
+                # order than SQLite (pairwise vs serial), so the last ulp
+                # can differ; fixed decimal rounding still flips at the
+                # boundary (seen: avg 203.466875 ± 1 ulp)
+                row.append(float(f"{v:.6g}"))
             else:
                 row.append(v)
         out.append(tuple(row))
@@ -107,13 +111,40 @@ class Gen:
         r = self.rng
         c = q + r.choice(INT_COLS[t] if int_only else NUM_COLS[t])
         pick = r.random()
-        if pick < 0.5:
+        if pick < 0.4:
             return c
-        if pick < 0.7:
+        if pick < 0.55:
             return f"({c} + {r.randint(1, 20)})"
-        if pick < 0.85:
+        if pick < 0.65:
             return f"({c} * {r.randint(2, 5)})"
+        if pick < 0.73 and int_only:
+            # truncating integer division / dividend-sign modulo (kept
+            # int-only and negative-capable: -x/2 flushed a floor-div bug)
+            op = r.choice(["/", "%"])
+            sgn = "-" if r.random() < 0.3 else ""
+            return f"(({sgn}{c}) {op} {r.randint(2, 7)})"
+        if pick < 0.8:
+            c2 = q + r.choice(INT_COLS[t] if int_only else NUM_COLS[t])
+            return f"({c} - {c2})"
+        if pick < 0.9:
+            w = f"{c} > {r.randint(10, 80)}"
+            return (f"(CASE WHEN {w} THEN {c} ELSE "
+                    f"{r.randint(0, 9)} END)")
         return f"abs({c} - {r.randint(0, 50)})"
+
+    def text_expr(self, t, q=""):
+        r = self.rng
+        c = q + r.choice(TEXT_COLS[t])
+        pick = r.random()
+        if pick < 0.4:
+            return c
+        if pick < 0.55:
+            return f"upper({c})"
+        if pick < 0.7:
+            return f"substr({c}, {r.randint(1, 3)})"
+        if pick < 0.85:
+            return f"({c} || '{r.choice(['x', '_t'])}')"
+        return f"coalesce({c}, '{r.choice(['zz', 'mm'])}')"
 
     def pred(self, t, q="", depth=0):
         r = self.rng
@@ -129,7 +160,16 @@ class Gen:
             tc = r.choice(TEXT_COLS[t])
             vals = [v for v in TEXT_VALS[tc] if v is not None]
             sel = r.sample(vals, k=min(2, len(vals)))
-            return f"{q}{tc} IN ({', '.join(repr(v) for v in sel)})"
+            neg = "NOT " if r.random() < 0.3 else ""
+            return f"{q}{tc} {neg}IN ({', '.join(repr(v) for v in sel)})"
+        if pick < 0.5:
+            # column-to-column comparison + text-function predicates
+            if r.random() < 0.5:
+                a = q + r.choice(NUM_COLS[t])
+                b = q + r.choice(NUM_COLS[t])
+                return f"{a} {r.choice(['<', '>=', '<>'])} {b}"
+            return (f"length({self.text_expr(t, q)}) "
+                    f"{r.choice(['>', '<='])} {r.randint(2, 6)}")
         if pick < 0.55:
             c = r.choice(NUM_COLS[t])
             lo = r.randint(0, 50)
@@ -155,9 +195,12 @@ class Gen:
     def single_table(self):
         r = self.rng
         t = r.choice(list(NUM_COLS))
-        cols = ", ".join(
-            r.sample(NUM_COLS[t] + TEXT_COLS[t], k=r.randint(1, 3))
-        )
+        parts = r.sample(NUM_COLS[t] + TEXT_COLS[t], k=r.randint(1, 3))
+        if r.random() < 0.4:
+            parts.append(self.num_expr(t, int_only=True))
+        if r.random() < 0.3:
+            parts.append(self.text_expr(t))
+        cols = ", ".join(parts)
         sql = f"SELECT {cols} FROM {t} WHERE {self.pred(t)}"
         if r.random() < 0.3:
             key = r.choice(NUM_COLS[t])

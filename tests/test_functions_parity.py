@@ -67,3 +67,37 @@ def test_function_count_at_least_90():
             dispatch |= set(re.findall(r'"([a-z_0-9]+)"', m.group(3)))
     dispatch |= set(F._ALIASES)
     assert len(dispatch) >= 90, sorted(dispatch)
+
+
+class TestArithmeticSemantics:
+    """Integer division truncates toward zero and % carries the dividend's
+    sign (Rust/SQLite semantics; a floor-division bug here was found by
+    the differential fuzzer). substr follows reference string.rs:
+    negative pos counts from the end, pos 0 and negative len give ''."""
+
+    def test_integer_division_truncates(self, db):
+        assert db.query("SELECT -7 / 2, 7 / -2, -7 / -2, 7 / 2") == [
+            (-3, -3, 3, 3)
+        ]
+
+    def test_modulo_dividend_sign(self, db):
+        assert db.query("SELECT -7 % 3, 7 % -3, -7 % -3, 7 % 3") == [
+            (-1, 1, -1, 1)
+        ]
+
+    def test_division_by_zero_is_null(self, db):
+        assert db.query("SELECT 1 / 0, 1 % 0") == [(None, None)]
+
+    def test_column_division(self, db):
+        db.execute("CREATE TABLE nn (a INT, b INT)")
+        db.execute("INSERT INTO nn VALUES (-9, 4), (9, -4)")
+        assert db.query("SELECT a / b, a % b FROM nn") == [
+            (-2, -1), (-2, 1)
+        ]
+
+    def test_substr_negative_pos(self, db):
+        assert db.query(
+            "SELECT substr('hello', -2), substr('hello', -2, 1), "
+            "substr('hello', 0), substr('hello', 2, -1), "
+            "substr('hello', -99, 3)"
+        ) == [("lo", "l", "", "", "hel")]

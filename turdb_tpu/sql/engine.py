@@ -1536,20 +1536,23 @@ def _running_aggregate(fc, src, ctx, ordered, og, new_part, new_key, pos,
     w = np.where(sn, 0.0, sv)
     cnt1 = (~sn).astype(np.int64)
 
-    # cumulative with per-partition reset: subtract the running value at
-    # each partition's first row - 1 (baseline)
-    csum = np.cumsum(w)
+    # counts: global cumsum minus per-partition baseline (integers, exact)
     ccnt = np.cumsum(cnt1)
-    base_sum = np.where(start > 0, csum[np.maximum(start - 1, 0)], 0.0)
     base_cnt = np.where(start > 0, ccnt[np.maximum(start - 1, 0)], 0)
-    run_sum = csum - base_sum
     run_cnt = ccnt - base_cnt
+    # float sums: cumsum PER PARTITION SLICE, not global-minus-baseline —
+    # the subtraction trick leaves ~1e-11 cancellation residue that shows
+    # up against engines that sum serially (found by differential fuzz)
+    run_sum = np.empty(n, np.float64)
+    starts_idx = np.flatnonzero(new_part)
+    for i, s in enumerate(starts_idx):
+        e = starts_idx[i + 1] if i + 1 < len(starts_idx) else n
+        run_sum[s:e] = np.cumsum(w[s:e])
 
     if name in ("min", "max"):
         ident = np.inf if name == "min" else -np.inf
         mvals = np.where(sn, ident, sv)
         run_mm = np.empty(n, np.float64)
-        starts_idx = np.flatnonzero(new_part)
         op = np.minimum if name == "min" else np.maximum
         for i, s in enumerate(starts_idx):
             e = starts_idx[i + 1] if i + 1 < len(starts_idx) else n

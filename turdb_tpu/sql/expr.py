@@ -204,16 +204,22 @@ def _binary_numeric(op, a: Col, b: Col) -> Col:
             out = va * vb
         elif op == "/":
             if both_int:
+                # SQL integer division truncates toward zero (Rust/SQLite
+                # semantics, e.g. -7/2 = -3); numpy // floors
                 safe = np.where(vb == 0, 1, vb)
-                out = va // safe
+                out = np.abs(va) // np.abs(safe)
+                neg = (va < 0) != (safe < 0)
+                out = np.where(neg, -out, out)
                 nulls = nulls | (vb == 0)
             else:
                 safe = np.where(vb == 0, 1.0, vb)
                 out = va / safe
                 nulls = nulls | (vb == 0)
         elif op == "%":
+            # remainder carries the DIVIDEND's sign (C/Rust/SQLite);
+            # np.mod would carry the divisor's
             safe = np.where(vb == 0, 1, vb)
-            out = np.mod(va, safe)
+            out = np.fmod(va, safe)
             nulls = nulls | (vb == 0)
         else:
             raise SqlError(f"bad numeric op {op}")

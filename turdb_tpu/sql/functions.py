@@ -252,14 +252,27 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
     if name == "initcap":
         want(1)
         return _map(lambda s: str(s).title(), args[0])
-    if name in ("substr", "substring"):
+    if name in ("substr", "substring", "mid"):
         want(2, 3)
+
+        def _substr(s, a, ln=None):
+            # reference string.rs eval_substr: pos>0 is 1-based, pos<0
+            # counts from the end (saturating), pos==0 -> '', len<0 -> ''
+            s, a = str(s), int(a)
+            if a > 0:
+                start = a - 1
+            elif a < 0:
+                start = max(len(s) + a, 0)
+            else:
+                return ""
+            if ln is None:
+                return s[start:]
+            ln = int(ln)
+            return s[start:start + ln] if ln >= 0 else ""
+
         if len(args) == 2:
-            return _map(lambda s, a: str(s)[max(int(a) - 1, 0):], args[0], args[1])
-        return _map(
-            lambda s, a, ln: str(s)[max(int(a) - 1, 0): max(int(a) - 1, 0) + int(ln)],
-            args[0], args[1], args[2],
-        )
+            return _map(_substr, args[0], args[1])
+        return _map(_substr, args[0], args[1], args[2])
     if name == "trim":
         want(1, 2)
         if len(args) == 1:
