@@ -101,3 +101,34 @@ class TestArithmeticSemantics:
             "substr('hello', 0), substr('hello', 2, -1), "
             "substr('hello', -99, 3)"
         ) == [("lo", "l", "", "", "hel")]
+
+    def test_round_half_away_from_zero(self, db):
+        # reference numeric.rs eval_round (Rust f64::round); np.round
+        # would give banker's 2.0 / -2.0
+        assert db.query(
+            "SELECT round(2.5), round(-2.5), round(3.5), round(0.5)"
+        ) == [(3.0, -3.0, 4.0, 1.0)]
+        assert db.query("SELECT round(123.456, 1)") == [(123.5,)]
+        # negative digits round to tens/hundreds (reference semantics;
+        # SQLite instead treats d<0 as 0)
+        assert db.query("SELECT round(1234.5678, -2)") == [(1200.0,)]
+
+    def test_typeof_real(self, db):
+        assert db.query("SELECT typeof(1.5), typeof(1), typeof('s')") == [
+            ("real", "integer", "text")
+        ]
+
+    def test_group_by_position_and_alias(self, db):
+        db.execute("CREATE TABLE g (a INT, b TEXT)")
+        db.execute(
+            "INSERT INTO g VALUES (1,'x'),(2,'y'),(2,'x'),(NULL,'z')"
+        )
+        assert db.query(
+            "SELECT a, count(*) FROM g GROUP BY 1 ORDER BY 1"
+        ) == [(1, 1), (2, 2), (None, 1)]
+        assert db.query(
+            "SELECT a * 2 AS d2, count(*) FROM g GROUP BY d2 ORDER BY d2"
+        ) == [(2, 1), (4, 2), (None, 1)]
+        assert db.query(
+            "SELECT upper(b) AS ub, count(*) FROM g GROUP BY ub ORDER BY ub"
+        ) == [("X", 2), ("Y", 1), ("Z", 1)]

@@ -479,7 +479,35 @@ class QueryEngine:
     def _aggregate(self, sel: A.Select, src: Batch, ctx: EvalContext) -> Batch:
         from turdb_tpu.sql.factorize import renumber_first_occurrence, row_codes
 
-        keys = [eval_expr(g, src, ctx) for g in sel.group_by]
+        # GROUP BY resolves positions (GROUP BY 1) and select-list aliases
+        # (GROUP BY d2) like the executors it mirrors; real source columns
+        # win over aliases (SQL standard precedence)
+        gexprs = []
+        keys = []
+        for g in sel.group_by:
+            if isinstance(g, A.Literal) and isinstance(g.value, int) and \
+                    not isinstance(g.value, bool):
+                pos = g.value - 1
+                if not (0 <= pos < len(sel.items)):
+                    raise SqlError(f"GROUP BY position {g.value} out of range")
+                g = sel.items[pos].expr
+                if isinstance(g, A.Star):
+                    raise SqlError("GROUP BY position refers to *")
+            try:
+                kcol = eval_expr(g, src, ctx)
+            except SqlError:
+                alias_expr = None
+                if isinstance(g, A.ColumnRef) and g.table is None:
+                    for it in sel.items:
+                        if isinstance(it, A.SelectItem) and it.alias == g.name:
+                            alias_expr = it.expr
+                            break
+                if alias_expr is None:
+                    raise
+                g = alias_expr
+                kcol = eval_expr(g, src, ctx)
+            gexprs.append(g)
+            keys.append(kcol)
         n = src.n
         if keys:
             # vectorized grouping: factorize key columns to dense codes
@@ -522,12 +550,12 @@ class QueryEngine:
         post = Batch(ngroups)
         if n == 0 and ngroups == 1:
             # global aggregate over empty input: key columns are all-NULL
-            for gexpr, kcol in zip(sel.group_by, keys):
+            for gexpr, kcol in zip(gexprs, keys):
                 post.add(None, A.render_expr(gexpr), Col.const(None, 1))
             for (q, nm), c in zip(src.names, src.cols):
                 post.add(q, nm, Col.const(None, 1))
         else:
-            for gexpr, kcol in zip(sel.group_by, keys):
+            for gexpr, kcol in zip(gexprs, keys):
                 post.add(
                     None, A.render_expr(gexpr),
                     Col(kcol.values[rep], kcol.nulls[rep]),
@@ -539,7 +567,7 @@ class QueryEngine:
             post.add(None, key, col)
 
         if sel.having is not None:
-            hv = _eval_postagg(sel.having, post, ctx, sel.group_by)
+            hv = _eval_postagg(sel.having, post, ctx, gexprs)
             keep = np.flatnonzero(hv.values.astype(bool) & ~hv.nulls)
             post = post.take(keep)
 
@@ -548,11 +576,11 @@ class QueryEngine:
             expr = it.expr
             if isinstance(expr, A.Star):
                 raise SqlError("SELECT * with GROUP BY is not supported")
-            col = _eval_postagg(expr, post, ctx, sel.group_by)
+            col = _eval_postagg(expr, post, ctx, gexprs)
             out.add(None, it.alias or _output_name(expr), col)
         # stash post-agg batch for ORDER BY over aggregate exprs
         out._postagg = post  # type: ignore[attr-defined]
-        out._group_by = sel.group_by  # type: ignore[attr-defined]
+        out._group_by = gexprs  # type: ignore[attr-defined]
         return out
 
     # ------------------------------------------------------------------

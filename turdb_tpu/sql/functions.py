@@ -205,7 +205,7 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
             if isinstance(v, int):
                 return "integer"
             if isinstance(v, float):
-                return "double"
+                return "real"   # reference system.rs: Float -> "real"
             if isinstance(v, str):
                 return "text"
             if isinstance(v, bytes):
@@ -424,13 +424,22 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
         want(1)
         return _mapnum(lambda x: np.floor(x), args[0])
     if name == "round":
+        # half AWAY from zero (reference numeric.rs eval_round uses Rust
+        # f64::round; SQLite agrees: round(2.5)=3, round(-2.5)=-3) —
+        # np.round would do banker's rounding
         want(1, 2)
+
+        def _r(x, d=0):
+            m = 10.0 ** int(d)
+            return np.copysign(np.floor(np.abs(x) * m + 0.5), x) / m
+
         if len(args) == 1:
-            return _mapnum(lambda x: np.round(x), args[0])
+            return _mapnum(_r, args[0])
         return _mapnum(
-            lambda x, d: np.round(x, 0) if d is None else np.array(
-                [np.round(xx, int(dd)) for xx, dd in zip(np.atleast_1d(x), np.atleast_1d(d))]
-            ),
+            lambda x, d: np.array([
+                _r(xx, dd if dd is not None else 0)
+                for xx, dd in zip(np.atleast_1d(x), np.atleast_1d(d))
+            ]),
             args[0], args[1],
         )
     if name == "trunc":
