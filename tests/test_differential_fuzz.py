@@ -17,6 +17,7 @@ non-negative; ORDER BY NULL placement differs -> explicit NULLS FIRST
 is emitted on both sides.
 """
 
+import math
 import random
 import sqlite3
 
@@ -26,22 +27,39 @@ from turdb_tpu.database.api import Database
 
 
 def norm(rows):
-    out = []
-    for r in rows:
-        row = []
-        for v in r:
-            if isinstance(v, bool):
-                row.append(int(v))
-            elif isinstance(v, float):
-                # 6 significant digits: SUM/AVG accumulate in a different
-                # order than SQLite (pairwise vs serial), so the last ulp
-                # can differ; fixed decimal rounding still flips at the
-                # boundary (seen: avg 203.466875 ± 1 ulp)
-                row.append(float(f"{v:.6g}"))
-            else:
-                row.append(v)
-        out.append(tuple(row))
-    return sorted(out, key=repr)
+    """Sort rows into a canonical order with floats COARSELY rounded in
+    the sort key only — raw values are preserved for rows_match's
+    tolerance compare (SUM/AVG accumulate in a different order than
+    SQLite, so the tail of the mantissa can differ; any fixed rounding
+    flips at half boundaries — seen: avg 203.466875 ± 1 ulp)."""
+    def key(r):
+        return repr(tuple(
+            float(f"{v:.5g}") if isinstance(v, float) else
+            int(v) if isinstance(v, bool) else v
+            for v in r
+        ))
+
+    return sorted(
+        [tuple(int(v) if isinstance(v, bool) else v for v in r)
+         for r in rows],
+        key=key,
+    )
+
+
+def rows_match(ours, theirs, rel=1e-6):
+    a, b = norm(ours), norm(theirs)
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if not math.isclose(va, vb, rel_tol=rel, abs_tol=1e-9):
+                    return False
+            elif va != vb:
+                return False
+    return True
 
 
 CITIES = ["oslo", "lima", "pune", "kyiv", None]
@@ -357,7 +375,7 @@ def test_differential_fuzz(tmp_path, seed):
                 sql = g.select()
                 ours = norm(db.query(sql))
                 theirs = norm(lite.execute(sql).fetchall())
-                assert ours == theirs, (
+                assert rows_match(ours, theirs), (
                     f"seed={seed} round={rnd}\nSQL: {sql}\n"
                     f"ours({len(ours)})={ours[:4]}\n"
                     f"sqlite({len(theirs)})={theirs[:4]}"
