@@ -730,3 +730,48 @@ class TestQuantifiedSubqueries:
             "SELECT a FROM t WHERE a >= ALL "
             "(SELECT b FROM s WHERE s.b <= t.a) ORDER BY a"
         ) == [(1,), (2,), (3,)]
+
+
+class TestCreateType:
+    """CREATE TYPE .. AS ENUM / AS (...) — the reference parses this
+    (parser.rs parse_create_type) but never executes it; here it does."""
+
+    def test_enum_lifecycle(self, db):
+        db.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+        db.execute("CREATE TABLE m (id INT, mo mood)")
+        db.execute("INSERT INTO m VALUES (1, 'happy')")
+        assert db.query("SELECT mo FROM m") == [("happy",)]
+        with pytest.raises(Exception, match="invalid value for enum"):
+            db.execute("INSERT INTO m VALUES (2, 'angry')")
+        with pytest.raises(Exception, match="invalid value for enum"):
+            db.execute("UPDATE m SET mo = 'zzz' WHERE id = 1")
+        with pytest.raises(Exception, match="in use"):
+            db.execute("DROP TYPE mood")
+        db.execute("DROP TABLE m")
+        db.execute("DROP TYPE mood")
+        db.execute("DROP TYPE IF EXISTS mood")
+        with pytest.raises(Exception, match="no such type"):
+            db.execute("DROP TYPE mood")
+
+    def test_inline_enum_column(self, db):
+        db.execute("CREATE TABLE m2 (e ENUM('a', 'b'))")
+        db.execute("INSERT INTO m2 VALUES ('a')")
+        with pytest.raises(Exception, match="invalid value"):
+            db.execute("INSERT INTO m2 VALUES ('c')")
+
+    def test_type_persistence(self, tmp_path):
+        from turdb_tpu.database.api import Database
+
+        p = str(tmp_path / "ty")
+        db = Database.create(p)
+        db.execute("CREATE TYPE mood AS ENUM ('x', 'y')")
+        db.execute("CREATE TYPE pt2 AS (x DOUBLE, y DOUBLE)")
+        db.execute("CREATE TABLE t (mo mood)")
+        db.close()
+        db = Database.open(p)
+        assert sorted(db.types["main"]) == ["mood", "pt2"]
+        with pytest.raises(Exception, match="invalid value"):
+            db.execute("INSERT INTO t VALUES ('z')")
+        db.execute("INSERT INTO t VALUES ('y')")
+        assert db.query("SELECT mo FROM t") == [("y",)]
+        db.close()

@@ -162,6 +162,7 @@ class Database:
         self.ann_enabled = True
         self.ann_overfetch = 4
         self.join_budget_override = None   # PRAGMA join_memory_budget
+        self.types = {"main": {}}          # user types (CREATE TYPE)
         self._replaying = False
 
         exists = os.path.exists(self.fm.meta_path())
@@ -258,7 +259,13 @@ class Database:
                 {"name": v.name, "sql": v.sql, "columns": v.columns}
                 for v in self.views.get(schema, {}).values()
             ]
-            doc["schemas"].append({"name": schema, "tables": ts, "views": vs})
+            tys = [
+                {"name": nm, **td}
+                for nm, td in self.types.get(schema, {}).items()
+            ]
+            doc["schemas"].append(
+                {"name": schema, "tables": ts, "views": vs, "types": tys}
+            )
         return doc
 
     def _load_catalog(self):
@@ -271,6 +278,10 @@ class Database:
                 self.views[schema][vd["name"]] = ViewDef(
                     vd["name"], vd["sql"], vd.get("columns")
                 )
+            self.types.setdefault(schema, {})
+            for td in sc.get("types", []):
+                td = dict(td)
+                self.types[schema][td.pop("name")] = td
             for td in sc["tables"]:
                 try:
                     t = self.fm.read_table_snapshot(schema, td["name"])
@@ -656,7 +667,8 @@ class Database:
         if isinstance(stmt, A.Truncate):
             return dml.execute_truncate(self, stmt, txn)
         if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
-                             A.CreateView, A.Drop, A.AlterTable)):
+                             A.CreateView, A.CreateType, A.Drop,
+                             A.AlterTable)):
             res = ddl.execute_ddl(self, stmt, txn)
             if sql is not None:
                 self._log_ddl(sql, txn)

@@ -25,6 +25,26 @@ def execute_ddl(db, stmt, txn):
             raise DatabaseError(f"schema {stmt.name} already exists")
         db.catalog[stmt.name] = {}
         db.views[stmt.name] = {}
+        db.types.setdefault(stmt.name, {})
+        return ExecuteResult(0)
+
+    if isinstance(stmt, A.CreateType):
+        schema = stmt.schema or "main"
+        if schema not in db.catalog:
+            raise SqlError(f"no such schema: {schema}")
+        types = db.types.setdefault(schema, {})
+        tname = stmt.name.lower()   # SQL type names are case-insensitive
+        if tname in types:
+            raise DatabaseError(f"type {stmt.name} already exists")
+        if stmt.kind == "enum":
+            if len(set(stmt.values)) != len(stmt.values):
+                raise DatabaseError("duplicate enum label")
+            types[tname] = {"kind": "enum", "values": list(stmt.values)}
+        else:
+            types[tname] = {
+                "kind": "composite",
+                "fields": [[fn, tn, list(tp)] for fn, tn, tp in stmt.values],
+            }
         return ExecuteResult(0)
 
     if isinstance(stmt, A.CreateView):
@@ -65,7 +85,7 @@ def execute_ddl(db, stmt, txn):
             raise DatabaseError(f"table {stmt.table.name} already exists")
         if stmt.table.name in db.views.get(schema, {}):
             raise DatabaseError(f"{stmt.table.name} is a view")
-        cols = [_column_from_spec(sp) for sp in stmt.columns]
+        cols = [_column_from_spec(sp, db, schema) for sp in stmt.columns]
         if not cols:
             raise SqlError("table needs at least one column")
         table = ColumnarTable(stmt.table.name, cols, table_id=db._next_table_id)
@@ -144,6 +164,25 @@ def execute_ddl(db, stmt, txn):
                 raise DatabaseError("cannot drop schema main")
             del db.catalog[stmt.name]
             db.views.pop(stmt.name, None)
+            db.types.pop(stmt.name, None)
+            return ExecuteResult(0)
+        if stmt.kind == "TYPE":
+            schema = stmt.schema or "main"
+            types = db.types.get(schema, {})
+            tname = stmt.name.lower()
+            if tname not in types:
+                if stmt.if_exists:
+                    return ExecuteResult(0)
+                raise DatabaseError(f"no such type: {stmt.name}")
+            for tables in db.catalog.values():
+                for info in tables.values():
+                    for c in info.columns:
+                        if c.type_name == tname:
+                            raise DatabaseError(
+                                f"type {stmt.name} is in use by "
+                                f"{info.table.name}.{c.name}"
+                            )
+            del types[tname]
             return ExecuteResult(0)
         if stmt.kind == "VIEW":
             schema = stmt.schema or "main"
@@ -185,7 +224,8 @@ def execute_ddl(db, stmt, txn):
         info = db.resolve_table(stmt.table)
         t = info.table
         if stmt.action == "ADD_COLUMN":
-            cd = _column_from_spec(stmt.column)
+            cd = _column_from_spec(stmt.column, db,
+                                   stmt.table.schema or "main")
             if any(c.name == cd.name for c in info.columns):
                 raise DatabaseError(f"column {cd.name} already exists")
             t.columns.append(cd)
@@ -257,8 +297,34 @@ def execute_ddl(db, stmt, txn):
     raise DatabaseError(f"unsupported DDL {type(stmt).__name__}")
 
 
-def _column_from_spec(sp: A.ColumnSpec) -> ColumnDef:
-    dt = DataType.from_sql(sp.type_name)
+def _column_from_spec(sp: A.ColumnSpec, db=None, schema="main") -> ColumnDef:
+    try:
+        dt = DataType.from_sql(sp.type_name)
+    except ValueError:
+        # user-defined type (CREATE TYPE .. AS ENUM / AS (...))
+        td = None
+        tname = sp.type_name.lower()
+        if db is not None:
+            td = db.types.get(schema, {}).get(tname) or \
+                db.types.get("main", {}).get(tname)
+        if td is None:
+            raise SqlError(f"unknown type: {sp.type_name}")
+        cd = ColumnDef(
+            name=sp.name,
+            dtype=(DataType.ENUM if td["kind"] == "enum"
+                   else DataType.COMPOSITE),
+            nullable=not (sp.not_null or sp.primary_key),
+            primary_key=sp.primary_key,
+            unique=sp.unique,
+            default=sp.default,
+            has_default=sp.default is not None,
+            check=sp.check,
+            references=sp.references,
+        )
+        cd.type_name = tname
+        if td["kind"] == "enum":
+            cd.enum_values = list(td["values"])
+        return cd
     cd = ColumnDef(
         name=sp.name,
         dtype=dt,
@@ -280,6 +346,8 @@ def _column_from_spec(sp: A.ColumnSpec) -> ColumnDef:
         cd.precision = int(sp.type_params[0])
         if len(sp.type_params) > 1:
             cd.scale = int(sp.type_params[1])
+    if dt is DataType.ENUM and sp.type_params:
+        cd.enum_values = [str(p) for p in sp.type_params]
     if dt in (DataType.SERIAL, DataType.BIGSERIAL):
         cd.auto_increment = True
         cd.dtype = DataType.BIGINT if dt is DataType.BIGSERIAL else DataType.INT

@@ -187,6 +187,11 @@ def _prepare_row(db, info, row: dict, ctx) -> dict:
             raise _cv(db)(
                 f"value too long for {cd.name} (max {cd.max_len})"
             )
+        if v is not None and cd.enum_values is not None and \
+                v not in cd.enum_values:
+            raise _cv(db)(
+                f"invalid value for enum {cd.type_name or cd.name}: {v!r}"
+            )
         if v is not None and cd.dtype is DataType.VECTOR:
             arr = np.asarray(
                 v if not isinstance(v, str) else _parse_vec(v), np.float32

@@ -305,6 +305,17 @@ class CreateSchema:
 
 
 @dataclass
+class CreateType:
+    """CREATE TYPE name AS ENUM (...) | AS (field type, ...) — the
+    reference parses this (parser.rs parse_create_type) but never wired
+    execution; here it executes."""
+    name: str
+    schema: Optional[str]
+    kind: str                       # "enum" | "composite"
+    values: list                    # enum labels | (field, type, params)
+
+
+@dataclass
 class Drop:
     kind: str                # TABLE | INDEX | SCHEMA | VIEW
     name: str

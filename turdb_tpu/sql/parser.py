@@ -567,6 +567,32 @@ class Parser:
             return self._create_view(or_replace)
         if or_replace:
             self.error("expected VIEW after OR REPLACE")
+        if self.peek().type is T.IDENT and self.peek().value.upper() == "TYPE":
+            self.next()
+            name = self.ident()
+            schema = None
+            if self.accept(T.DOT):
+                schema, name = name, self.ident()
+            self.expect_kw("AS")
+            if self.peek().type is T.IDENT and \
+                    self.peek().value.upper() == "ENUM":
+                self.next()
+                self.expect(T.LPAREN)
+                vals = [self.expect(T.STRING).value]
+                while self.accept(T.COMMA):
+                    vals.append(self.expect(T.STRING).value)
+                self.expect(T.RPAREN)
+                return A.CreateType(name, schema, "enum", vals)
+            self.expect(T.LPAREN)
+            fields = []
+            while True:
+                fn = self.ident()
+                tn, tp = self._type_name()
+                fields.append((fn, tn, tp))
+                if not self.accept(T.COMMA):
+                    break
+            self.expect(T.RPAREN)
+            return A.CreateType(name, schema, "composite", fields)
         unique = self.accept_kw("UNIQUE")
         if self.accept_kw("INDEX"):
             ine = self._if_not_exists()
@@ -668,7 +694,11 @@ class Parser:
         params = []
         if self.accept(T.LPAREN):
             while True:
-                params.append(_num(self.expect(T.NUMBER).value))
+                if self.peek().type is T.STRING:
+                    # inline enum labels: ENUM('a','b','c')
+                    params.append(self.next().value)
+                else:
+                    params.append(_num(self.expect(T.NUMBER).value))
                 if not self.accept(T.COMMA):
                     break
             self.expect(T.RPAREN)
@@ -797,8 +827,11 @@ class Parser:
             self.accept_kw("MATERIALIZED") and self.expect_kw("VIEW") is None
         ):
             kind = "VIEW"
+        elif self.peek().type is T.IDENT and self.peek().value.upper() == "TYPE":
+            self.next()
+            kind = "TYPE"
         else:
-            self.error("expected TABLE/INDEX/SCHEMA/VIEW")
+            self.error("expected TABLE/INDEX/SCHEMA/VIEW/TYPE")
         if_exists = False
         if self.accept_kw("IF"):
             self.expect_kw("EXISTS")

@@ -26,6 +26,8 @@ class ColumnDef:
     precision: int | None = None    # DECIMAL(p, s)
     scale: int | None = None
     auto_increment: bool = False    # SERIAL / BIGSERIAL
+    enum_values: list | None = None   # ENUM labels (CREATE TYPE .. AS ENUM)
+    type_name: str | None = None      # user-defined type name, if any
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
