@@ -109,6 +109,14 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
             for t in db.mgr.active.values()
         ]
         return build(["txn_id", "read_ts", "write_set_size"], rows)
+    if name == "types":
+        rows = []
+        for schema, types in db.types.items():
+            for tname, td in types.items():
+                detail = (",".join(td["values"]) if td["kind"] == "enum"
+                          else ",".join(f[0] for f in td["fields"]))
+                rows.append((schema, tname, td["kind"], detail))
+        return build(["schema", "name", "kind", "detail"], rows)
     raise SqlError(f"no such system table: turdb_catalog.{name}")
 
 
