@@ -163,6 +163,7 @@ class Database:
         self.ann_overfetch = 4
         self.join_budget_override = None   # PRAGMA join_memory_budget
         self.types = {"main": {}}          # user types (CREATE TYPE)
+        self.last_insert_id = 0            # LAST_INSERT_ID()
         self._replaying = False
 
         exists = os.path.exists(self.fm.meta_path())
@@ -1403,6 +1404,7 @@ class CachedInsertPlan:
         emit("        rid = t.next_rowid")
         emit("        t.next_rowid = rid + 1")
         if n_auto:
+            emit(f"        db.last_insert_id = t.auto_increment + {n_auto - 1}")
             emit(f"        t.auto_increment += {n_auto}")
         for i, nm in enumerate(names):
             emit(f"        a{i}, nl{i} = arrs[{i}]")
@@ -1529,6 +1531,7 @@ class CachedInsertPlan:
             rid = t.next_rowid
             t.next_rowid = rid + 1
             if auto_bump:
+                db.last_insert_id = t.auto_increment + auto_bump - 1
                 t.auto_increment += auto_bump
             cols_d, nulls_d = t.cols, t.nulls
             for j, (cd, src, sc, name) in enumerate(F["cols"]):

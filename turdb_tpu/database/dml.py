@@ -166,7 +166,7 @@ def _prepare_row(db, info, row: dict, ctx) -> dict:
         v = out.get(cd.name)
         if v is None:
             if cd.auto_increment:
-                out[cd.name] = info.table.auto_increment
+                out[cd.name] = db.last_insert_id = info.table.auto_increment
                 info.table.auto_increment += 1
                 continue
             if cd.has_default:

@@ -60,6 +60,14 @@ class IsNull(Expr):
 
 
 @dataclass
+class IsDistinct(Expr):
+    """IS [NOT] DISTINCT FROM — null-safe comparison, never NULL."""
+    left: Expr
+    right: Expr
+    negated: bool = False
+
+
+@dataclass
 class Like(Expr):
     operand: Expr
     pattern: Expr

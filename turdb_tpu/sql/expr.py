@@ -447,6 +447,17 @@ def eval_expr(e, batch: Batch, ctx: EvalContext) -> Col:
         v = eval_expr(e.operand, batch, ctx)
         out = v.nulls.copy()
         return Col(~out if e.negated else out)
+    if isinstance(e, A.IsDistinct):
+        a = eval_expr(e.left, batch, ctx)
+        b = eval_expr(e.right, batch, ctx)
+        eq = _compare("=", a, b)
+        # null-safe: NULL vs NULL = not distinct; NULL vs value = distinct
+        same = np.where(
+            a.nulls | b.nulls,
+            a.nulls & b.nulls,
+            eq.values.astype(bool) & ~eq.nulls,
+        )
+        return Col(same if e.negated else ~same)
     if isinstance(e, A.Like):
         v = eval_expr(e.operand, batch, ctx)
         p = eval_expr(e.pattern, batch, ctx)

@@ -31,7 +31,8 @@ _VOLATILE = {
     "random", "rand", "uuid", "gen_random_uuid",
     # stable-per-statement: folding into the parse cache would freeze them
     "now", "current_timestamp", "current_date", "current_time",
-    "curdate", "curtime", "localtime", "localtimestamp",
+    "curdate", "curtime", "localtime", "localtimestamp", "sysdate",
+    "last_insert_id",
 }
 
 

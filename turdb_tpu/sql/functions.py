@@ -92,9 +92,38 @@ def _parse_dt(v) -> _dt.datetime:
     try:
         if len(s) == 10:
             return _dt.datetime.fromisoformat(s)
+        if ":" in s and "-" not in s and " " not in s:
+            # time-only input (HOUR('10:30:00')): dummy epoch date
+            t = _dt.time.fromisoformat(s)
+            return _dt.datetime(1970, 1, 1, t.hour, t.minute, t.second,
+                                t.microsecond)
         return _dt.datetime.fromisoformat(s.replace("T", " "))
     except ValueError:
         raise SqlError(f"bad timestamp: {s!r}")
+
+
+def _time_secs(v) -> float:
+    """'[-]H:MM:SS[.f]' (may exceed 24h) -> signed seconds."""
+    s = str(v).strip()
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    parts = s.split(":")
+    if len(parts) != 3:
+        raise SqlError(f"bad time: {v!r}")
+    secs = int(parts[0]) * 3600 + int(parts[1]) * 60 + float(parts[2])
+    return -secs if neg else secs
+
+
+def _secs_time(total: float) -> str:
+    sign = "-" if total < 0 else ""
+    total = abs(total)
+    h = int(total // 3600)
+    m = int(total % 3600 // 60)
+    s = total % 60
+    if s == int(s):
+        return f"{sign}{h:02d}:{m:02d}:{int(s):02d}"
+    return f"{sign}{h:02d}:{m:02d}:{s:09.6f}".rstrip("0")
 
 
 def _map(fn, *cols: Col, out_dtype=object) -> Col:
@@ -135,6 +164,20 @@ _ALIASES = {
     "curtime": "current_time",
     "rand": "random",
     "truncate": "trunc",
+    # MySQL-family aliases (reference datetime.rs/system.rs dispatch)
+    "adddate": "date_add",
+    "subdate": "date_sub",
+    "dayofmonth": "day",
+    "sysdate": "now",
+    "localtime": "now",
+    "localtimestamp": "now",
+    "weekofyear": "week",
+    "current_database": "database",
+    "nvl": "ifnull",
+    "session_user": "user",
+    "system_user": "user",
+    "current_user": "user",
+    "mid": "substr",
 }
 
 
@@ -716,5 +759,234 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
             lambda v: len(v) if isinstance(v, (list, tuple, np.ndarray)) else None,
             args[0],
         )
+
+    # ---- MySQL-family tail (reference string.rs/numeric.rs/datetime.rs/
+    # system.rs dispatch names) --------------------------------------------
+    if name == "space":
+        want(1)
+        return _map(lambda k: " " * max(int(k), 0), args[0])
+    if name == "field":
+        # 1-based index of args[0] among the rest; 0 when absent/NULL
+        want(2, 99)
+        first, rest = args[0], args[1:]
+        out = np.zeros(n, np.int64)
+        for j, c in enumerate(rest):
+            hit = np.zeros(n, bool)
+            for i in range(n):
+                if (not first.nulls[i] and not c.nulls[i] and out[i] == 0
+                        and str(first.values[i]) == str(c.values[i])):
+                    hit[i] = True
+            out[hit] = j + 1
+        return Col(out, np.zeros(n, bool))
+    if name == "find_in_set":
+        want(2)
+
+        def _fis(s, lst):
+            parts = str(lst).split(",")
+            return parts.index(str(s)) + 1 if str(s) in parts else 0
+
+        return _map(_fis, args[0], args[1])
+    if name == "substring_index":
+        want(3)
+
+        def _si(s, d, c):
+            s, d, c = str(s), str(d), int(c)
+            if not d:
+                return ""
+            parts = s.split(d)
+            if c > 0:
+                return d.join(parts[:c])
+            if c < 0:
+                return d.join(parts[max(len(parts) + c, 0):])
+            return ""
+
+        return _map(_si, args[0], args[1], args[2])
+    if name == "insert":
+        want(4)
+
+        def _ins(s, pos, ln, new):
+            s, pos, ln = str(s), int(pos), int(ln)
+            if pos < 1 or pos > len(s):
+                return s
+            return s[: pos - 1] + str(new) + s[pos - 1 + max(ln, 0):]
+
+        return _map(_ins, args[0], args[1], args[2], args[3])
+    if name == "bin":
+        want(1)
+        return _map(lambda x: format(int(x), "b"), args[0])
+    if name == "hex":
+        want(1)
+        return _map(
+            lambda v: (v.hex() if isinstance(v, bytes)
+                       else format(v, "X") if isinstance(v, int)
+                       else str(v).encode().hex()).upper(),
+            args[0],
+        )
+    if name == "unhex":
+        want(1)
+        return _map(lambda s: bytes.fromhex(str(s)), args[0])
+    if name == "lcm":
+        want(2)
+        return _map(lambda a, b: math.lcm(int(a), int(b)), args[0], args[1])
+    if name == "conv":
+        want(3)
+
+        def _conv(s, fb, tb):
+            v = int(str(s), int(fb))
+            tb = int(tb)
+            if tb == 10:
+                return str(v)
+            digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            out = ""
+            x = abs(v)
+            while x:
+                out = digits[x % tb] + out
+                x //= tb
+            return ("-" if v < 0 else "") + (out or "0")
+
+        return _map(_conv, args[0], args[1], args[2])
+    if name == "cot":
+        want(1)
+        return _mapnum(lambda x: 1.0 / np.tan(x), args[0])
+    if name == "div":
+        # integer division, truncating toward zero (MySQL DIV)
+        want(2)
+
+        def _div(a, b):
+            b = int(b)
+            if b == 0:
+                return None
+            q = abs(int(a)) // abs(b)
+            return -q if (int(a) < 0) != (b < 0) else q
+
+        return _map(_div, args[0], args[1])
+    if name == "isnull":
+        want(1)
+        return Col(args[0].nulls.astype(bool).copy(), np.zeros(n, bool))
+    if name == "user":
+        return Col.const("turdb", n)
+    if name == "connection_id":
+        return Col.const(0, n)
+    if name == "last_insert_id":
+        db = getattr(ctx, "db", None)
+        return Col.const(getattr(db, "last_insert_id", 0) if db else 0, n)
+    if name == "to_days":
+        want(1)
+        return _map(lambda v: _parse_dt(v).date().toordinal() + 365, args[0])
+    if name == "from_days":
+        want(1)
+        return _map(
+            lambda d: _dt.date.fromordinal(max(int(d) - 365, 1)).isoformat(),
+            args[0],
+        )
+    if name == "makedate":
+        want(2)
+
+        def _md(y, doy):
+            doy = int(doy)
+            if doy < 1:
+                return None
+            return (_dt.date(int(y), 1, 1)
+                    + _dt.timedelta(days=doy - 1)).isoformat()
+
+        return _map(_md, args[0], args[1])
+    if name == "maketime":
+        want(3)
+        return _map(
+            lambda h, m, s: f"{int(h):02d}:{int(m):02d}:{int(s):02d}",
+            args[0], args[1], args[2],
+        )
+    if name == "microsecond":
+        want(1)
+        return _map(lambda v: _parse_dt(v).microsecond, args[0])
+    if name == "period_add":
+        want(2)
+
+        def _pa(p, m):
+            p, m = int(p), int(m)
+            months = (p // 100) * 12 + (p % 100) - 1 + m
+            return (months // 12) * 100 + months % 12 + 1
+
+        return _map(_pa, args[0], args[1])
+    if name == "period_diff":
+        want(2)
+        return _map(
+            lambda a, b: ((int(a) // 100) * 12 + int(a) % 100)
+            - ((int(b) // 100) * 12 + int(b) % 100),
+            args[0], args[1],
+        )
+    if name == "sec_to_time":
+        want(1)
+        return _map(lambda s: _secs_time(float(s)), args[0])
+    if name == "time_to_sec":
+        want(1)
+        return _map(lambda t: int(_time_secs(t)), args[0])
+    if name == "str_to_date":
+        want(2)
+        _tok = {"%i": "%M", "%s": "%S", "%e": "%d"}
+
+        def _std(s, fmt):
+            f = str(fmt)
+            for k, v in _tok.items():
+                f = f.replace(k, v)
+            d = _dt.datetime.strptime(str(s), f)
+            if "%H" in f or "%M" in f or "%S" in f:
+                return d.strftime("%Y-%m-%d %H:%M:%S")
+            return d.date().isoformat()
+
+        return _map(_std, args[0], args[1])
+    if name in ("timediff", "subtime", "addtime"):
+        want(2)
+        sign = 1 if name == "addtime" else -1
+
+        def _td(a, b):
+            def secs(v):
+                try:
+                    return _time_secs(v)
+                except (SqlError, ValueError):
+                    return _parse_dt(v).timestamp()
+
+            if name in ("addtime", "subtime") and "-" in str(a):
+                # timestamp ± time -> timestamp
+                d = _parse_dt(a) + _dt.timedelta(seconds=sign * secs(b))
+                return d.strftime("%Y-%m-%d %H:%M:%S")
+            return _secs_time(secs(a) + sign * secs(b))
+
+        return _map(_td, args[0], args[1])
+    if name == "timestamp":
+        want(1)
+        return _map(
+            lambda v: _parse_dt(v).strftime("%Y-%m-%d %H:%M:%S"), args[0]
+        )
+    if name == "time_format":
+        want(2)
+        _tok = {"%i": "%M", "%s": "%S", "%H": "%H", "%h": "%I"}
+
+        def _tf(t, fmt):
+            f = str(fmt)
+            out, i = "", 0
+            while i < len(f):
+                if f[i] == "%" and i + 1 < len(f):
+                    out += _tok.get(f[i:i + 2], f[i:i + 2])
+                    i += 2
+                else:
+                    out += f[i]
+                    i += 1
+            return _parse_dt(t).strftime(out)
+
+        return _map(_tf, args[0], args[1])
+    if name == "weekday":
+        # Monday = 0 (MySQL WEEKDAY)
+        want(1)
+        return _map(lambda v: _parse_dt(v).weekday(), args[0])
+    if name == "yearweek":
+        want(1)
+
+        def _yw(v):
+            d = _parse_dt(v)
+            iso = d.isocalendar()
+            return iso[0] * 100 + iso[1]
+
+        return _map(_yw, args[0])
 
     raise SqlError(f"unknown function: {name}()")

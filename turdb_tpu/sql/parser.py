@@ -884,8 +884,13 @@ class Parser:
                 elif self.accept_kw("FALSE"):
                     cmp = A.BinaryOp("=", lhs, A.Literal(False))
                     lhs = A.UnaryOp("NOT", cmp) if neg else cmp
+                elif self.accept_kw("DISTINCT"):
+                    # IS [NOT] DISTINCT FROM: null-safe comparison
+                    self.expect_kw("FROM")
+                    rhs = self._expr(_BP["="] + 1)
+                    lhs = A.IsDistinct(lhs, rhs, negated=neg)
                 else:
-                    self.error("expected NULL/TRUE/FALSE after IS")
+                    self.error("expected NULL/TRUE/FALSE/DISTINCT after IS")
                 continue
             negated = False
             if t.is_kw("NOT") and self.peek(1).is_kw("LIKE", "ILIKE", "IN", "BETWEEN"):
@@ -1030,10 +1035,16 @@ class Parser:
             e = self._expr()
             self.expect(T.RPAREN)
             return e
-        if t.is_kw("IF", "LEFT", "RIGHT") and self.peek().type is T.LPAREN:
-            # keyword-named scalar functions: IF(c,a,b), LEFT/RIGHT(s,n);
-            # unambiguous because no keyword use of these precedes '('
+        if t.is_kw("IF", "LEFT", "RIGHT", "INSERT") and \
+                self.peek().type is T.LPAREN:
+            # keyword-named scalar functions: IF(c,a,b), LEFT/RIGHT(s,n),
+            # INSERT(s,pos,len,new) — unambiguous because no keyword use
+            # of these precedes '(' in expression position
             return self._func_call(t.value.lower())
+        if t.type is T.IDENT and t.value.upper() in _NILADIC and \
+                self.peek().type is not T.LPAREN:
+            # SQL-standard niladic forms: CURRENT_DATE, CURRENT_USER, ...
+            return A.FuncCall(t.value.lower())
         if t.type is T.IDENT or (t.type is T.KEYWORD and t.value in _SOFT_IDENT):
             name = t.value.lower() if t.type is T.KEYWORD else t.value
             # function call
@@ -1076,7 +1087,16 @@ class Parser:
         elif self.peek().type is not T.RPAREN:
             if self.accept_kw("DISTINCT"):
                 fc.distinct = True
-            fc.args = [self._expr()]
+            if fc.name == "position":
+                # POSITION(substr IN str) = LOCATE(substr, str): parse the
+                # first operand ABOVE comparison bp so IN stays a keyword
+                first = self._expr(_BP["="] + 1)
+                if self.accept_kw("IN"):
+                    fc = A.FuncCall("locate", [first, self._expr()])
+                else:
+                    fc.args = [first]
+            else:
+                fc.args = [self._expr()]
             while self.accept(T.COMMA):
                 fc.args.append(self._expr())
         self.expect(T.RPAREN)
@@ -1101,6 +1121,12 @@ class Parser:
 
 
 # keywords that may double as identifiers/function names
+# SQL-standard niladic functions: bare identifiers that evaluate as calls
+_NILADIC = {
+    "CURRENT_DATE", "CURRENT_TIME", "CURRENT_TIMESTAMP", "CURRENT_USER",
+    "SESSION_USER", "SYSTEM_USER", "LOCALTIME", "LOCALTIMESTAMP",
+}
+
 _SOFT_IDENT = {
     "DATE", "TIME", "TIMESTAMP", "INTERVAL", "VECTOR", "FIRST", "LAST",
     "KEY", "ACTION", "SCHEMA", "WORK", "FILTER", "ANY", "SOME", "DO",
