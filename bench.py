@@ -231,13 +231,28 @@ def bench_hnsw(tag, x, queries, truth):
 
 def bench_oltp():
     """Single-row prepared inserts + point reads (reference
-    TARGET_BENCH.md:27-33 / lib.rs:64-66) — host-side, no TPU."""
+    TARGET_BENCH.md:27-33 / lib.rs:64-66) — host-side, no TPU. Also runs
+    the same loop against the bundled sqlite3 (the reference's criterion
+    benches compare against bundled rusqlite, benches/insertion.rs)."""
+    import sqlite3
     import tempfile
 
     from turdb_tpu.database.api import Database
 
     try:
         out = {}
+        lite = sqlite3.connect(tempfile.mkdtemp() + "/lite.db")
+        lite.execute("PRAGMA journal_mode = off")
+        lite.execute(
+            "CREATE TABLE t(id INT PRIMARY KEY, a INT, b TEXT, c DOUBLE)"
+        )
+        n = 30000
+        t0 = time.perf_counter()
+        for i in range(n):
+            lite.execute("INSERT INTO t VALUES (?, ?, ?, ?)",
+                         (i, i * 2, f"name{i}", i * 0.5))
+        out["sqlite_insert_rps"] = round(n / (time.perf_counter() - t0))
+        lite.close()
         for wal in (False, True):
             db = Database.create(tempfile.mkdtemp() + f"/oltp{wal}")
             if not wal:
