@@ -77,6 +77,16 @@ class Batch:
             where = f"{qualifier}.{name}" if qualifier else name
             raise SqlError(f"column not found: {where}")
         if len(hits) > 1 and qualifier is None:
+            # a group-key/output column (qualifier None) shadowing a
+            # source column of the same name is NOT ambiguous — the
+            # post-aggregate batch carries both and they hold the same
+            # per-group values; genuine t1.a/t2.a ambiguity still errors
+            unq = [
+                c for (q, n), c in zip(self.names, self.cols)
+                if n == name and q is None
+            ]
+            if len(unq) == 1:
+                return unq[0]
             raise SqlError(f"ambiguous column: {name}")
         return hits[0]
 
