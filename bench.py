@@ -286,7 +286,9 @@ def bench_oltp():
         log(f"oltp FAILED: {str(e)[:120]}")
 
 
-def wait_for_backend(budget_s=900.0):
+def wait_for_backend(
+    budget_s=float(os.environ.get("TURDB_BENCH_WAIT_S", 900.0)),
+):
     """The axon relay can drop for minutes at a time; jax.devices() then
     blocks in make_c_api_client with no timeout, which would hang the
     whole bench. Probe in a SUBPROCESS (the hang is in C, not
