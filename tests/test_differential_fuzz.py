@@ -390,3 +390,46 @@ def test_differential_fuzz(tmp_path, seed):
     finally:
         db.close()
         lite.close()
+
+
+@pytest.mark.parametrize("seed", [7, 42, 99])
+def test_differential_txn_fuzz(tmp_path, seed):
+    """Transactional differential fuzz: random DML bursts inside
+    BEGIN..COMMIT / BEGIN..ROLLBACK, mirrored into SQLite
+    (isolation_level=None = explicit txns), asserting identical
+    post-burst state — exercises the MVCC undo path against an oracle."""
+    rng = random.Random(seed)
+    db = Database.create(str(tmp_path / f"tz{seed}"))
+    lite = sqlite3.connect(":memory:", isolation_level=None)
+    try:
+        _seed(db, lite, rng)
+        g = Gen(rng)
+        state_sql = [
+            "SELECT * FROM users",
+            "SELECT * FROM orders",
+            "SELECT count(*), sum(qty) FROM orders",
+        ]
+        for rnd in range(12):
+            commit = rng.random() < 0.5
+            db.execute("BEGIN")
+            lite.execute("BEGIN")
+            for _ in range(rng.randint(1, 6)):
+                sql = g.dml()
+                db.execute(sql)
+                lite.execute(sql)
+            if commit:
+                db.execute("COMMIT")
+                lite.execute("COMMIT")
+            else:
+                db.execute("ROLLBACK")
+                lite.execute("ROLLBACK")
+            for sql in state_sql:
+                ours = norm(db.query(sql))
+                theirs = norm(lite.execute(sql).fetchall())
+                assert rows_match(ours, theirs), (
+                    f"seed={seed} rnd={rnd} commit={commit}\nSQL: {sql}\n"
+                    f"ours({len(ours)}) vs sqlite({len(theirs)})"
+                )
+    finally:
+        db.close()
+        lite.close()
