@@ -166,3 +166,32 @@ def test_expression_indexes(db):
     db.execute("INSERT INTO v VALUES ('DUP@z.com')")
     with pytest.raises(Exception):
         db.execute("CREATE UNIQUE INDEX uq2 ON v(upper(s))")
+
+
+def test_cross_handle_snapshot_isolation(tmp_path):
+    """SQL-level SI across handles (reference SharedDatabase semantics):
+    a transaction keeps reading its snapshot while another handle
+    commits; new statements after COMMIT see the new data."""
+    db = Database.create(str(tmp_path / "si"))
+    db.execute("CREATE TABLE t(id INT, v INT)")
+    db.execute("INSERT INTO t VALUES (1, 10)")
+    h2 = db.handle()
+
+    db.execute("BEGIN")
+    assert db.query("SELECT v FROM t WHERE id = 1") == [(10,)]
+    h2.execute("BEGIN")
+    h2.execute("UPDATE t SET v = 11 WHERE id = 1")
+    h2.execute("COMMIT")
+    # reader still sees its snapshot
+    assert db.query("SELECT v FROM t WHERE id = 1") == [(10,)]
+    db.execute("COMMIT")
+    assert db.query("SELECT v FROM t WHERE id = 1") == [(11,)]
+
+    # writes inside a txn are visible to that txn only
+    db.execute("BEGIN")
+    db.execute("UPDATE t SET v = 12 WHERE id = 1")
+    assert db.query("SELECT v FROM t WHERE id = 1") == [(12,)]
+    assert h2.query("SELECT v FROM t WHERE id = 1") == [(11,)]
+    db.execute("ROLLBACK")
+    assert db.query("SELECT v FROM t WHERE id = 1") == [(11,)]
+    db.close()
