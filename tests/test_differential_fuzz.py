@@ -433,3 +433,52 @@ def test_differential_txn_fuzz(tmp_path, seed):
     finally:
         db.close()
         lite.close()
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_differential_savepoint_fuzz(tmp_path, seed):
+    """Nested savepoint differential fuzz vs SQLite: random DML at each
+    nesting level with random ROLLBACK TO / RELEASE, state compared
+    after the outer COMMIT."""
+    rng = random.Random(seed)
+    db = Database.create(str(tmp_path / f"sp{seed}"))
+    lite = sqlite3.connect(":memory:", isolation_level=None)
+    try:
+        _seed(db, lite, rng)
+        g = Gen(rng)
+        for rnd in range(8):
+            db.execute("BEGIN")
+            lite.execute("BEGIN")
+            for _ in range(rng.randint(1, 3)):
+                sql = g.dml()
+                db.execute(sql)
+                lite.execute(sql)
+            for sp in ("s1", "s2"):
+                db.execute(f"SAVEPOINT {sp}")
+                lite.execute(f"SAVEPOINT {sp}")
+                for _ in range(rng.randint(1, 3)):
+                    sql = g.dml()
+                    db.execute(sql)
+                    lite.execute(sql)
+            for sp in ("s2", "s1"):
+                action = rng.choice(["rollback", "release", "none"])
+                if action == "rollback":
+                    db.execute(f"ROLLBACK TO {sp}")
+                    lite.execute(f"ROLLBACK TO {sp}")
+                elif action == "release":
+                    db.execute(f"RELEASE {sp}")
+                    lite.execute(f"RELEASE {sp}")
+                if action != "none":
+                    break   # releasing/rolling s2 may consume s1's scope
+            db.execute("COMMIT")
+            lite.execute("COMMIT")
+            for sql in ("SELECT * FROM orders", "SELECT * FROM users"):
+                ours = norm(db.query(sql))
+                theirs = norm(lite.execute(sql).fetchall())
+                assert rows_match(ours, theirs), (
+                    f"seed={seed} rnd={rnd}\nSQL: {sql}\n"
+                    f"ours({len(ours)}) vs sqlite({len(theirs)})"
+                )
+    finally:
+        db.close()
+        lite.close()
