@@ -297,6 +297,11 @@ def wait_for_backend(
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU smoke runs: the axon sitecustomize overrides jax_platforms
+        # to "axon,cpu" at import in every process, so re-pin explicitly
+        jax.config.update("jax_platforms", "cpu")
+        return True
     if (jax.config.jax_platforms or "").startswith("cpu"):
         return True   # CPU smoke runs: nothing remote to probe
 

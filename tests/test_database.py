@@ -775,3 +775,76 @@ class TestCreateType:
         db.execute("INSERT INTO t VALUES ('y')")
         assert db.query("SELECT mo FROM t") == [("y",)]
         db.close()
+
+
+class TestAlterColumnAndConstraints:
+    """ALTER COLUMN / ADD CONSTRAINT / DROP CONSTRAINT — the reference
+    parses these (ast.rs AlterTableAction) but never executes them;
+    here they execute (same completion pattern as CREATE TYPE)."""
+
+    def test_alter_column_default_and_null(self, db):
+        db.execute("CREATE TABLE t (id INT, v INT, s TEXT)")
+        db.execute("INSERT INTO t VALUES (1, 5, 'aa')")
+        db.execute("ALTER TABLE t ALTER COLUMN v SET DEFAULT 42")
+        db.execute("INSERT INTO t (id, s) VALUES (2, 'bb')")
+        assert db.query("SELECT v FROM t WHERE id = 2") == [(42,)]
+        db.execute("ALTER TABLE t ALTER COLUMN v DROP DEFAULT")
+        db.execute("ALTER TABLE t ALTER COLUMN s SET NOT NULL")
+        with pytest.raises(Exception, match="NOT NULL"):
+            db.execute("INSERT INTO t (id, v) VALUES (3, 1)")
+        db.execute("ALTER TABLE t ALTER COLUMN s DROP NOT NULL")
+        db.execute("INSERT INTO t (id, v) VALUES (3, 1)")
+        # SET NOT NULL must reject when NULLs exist
+        with pytest.raises(Exception, match="contains NULLs"):
+            db.execute("ALTER TABLE t ALTER COLUMN s SET NOT NULL")
+
+    def test_alter_column_type(self, db):
+        db.execute("CREATE TABLE t (id INT, v INT)")
+        db.execute("INSERT INTO t VALUES (1, 5)")
+        db.execute("ALTER TABLE t ALTER COLUMN v SET DATA TYPE DOUBLE")
+        assert db.query("SELECT v FROM t") == [(5.0,)]
+        db.execute("ALTER TABLE t ALTER COLUMN v TYPE TEXT")
+        assert db.query("SELECT v FROM t") == [("5.0",)]
+        db.execute("CREATE TABLE t2 (s TEXT)")
+        db.execute("INSERT INTO t2 VALUES ('abc')")
+        with pytest.raises(Exception, match="cannot convert"):
+            db.execute("ALTER TABLE t2 ALTER COLUMN s TYPE INT")
+
+    def test_add_drop_constraints(self, db):
+        db.execute("CREATE TABLE parent (id INT PRIMARY KEY)")
+        db.execute("INSERT INTO parent VALUES (1)")
+        db.execute("CREATE TABLE t (id INT, pid INT)")
+        db.execute("INSERT INTO t VALUES (1, 1)")
+        db.execute("ALTER TABLE t ADD CONSTRAINT c CHECK (id > 0)")
+        db.execute("ALTER TABLE t ADD CONSTRAINT u UNIQUE (id)")
+        db.execute(
+            "ALTER TABLE t ADD CONSTRAINT f FOREIGN KEY (pid) "
+            "REFERENCES parent (id)"
+        )
+        for bad in ["INSERT INTO t VALUES (-1, 1)",
+                    "INSERT INTO t VALUES (1, 1)",
+                    "INSERT INTO t VALUES (2, 99)"]:
+            with pytest.raises(Exception):
+                db.execute(bad)
+        # adding a CHECK existing rows violate must fail
+        with pytest.raises(Exception, match="existing rows violate"):
+            db.execute("ALTER TABLE t ADD CONSTRAINT c2 CHECK (id > 10)")
+        for name in ("c", "u", "f"):
+            db.execute(f"ALTER TABLE t DROP CONSTRAINT {name}")
+        db.execute("INSERT INTO t VALUES (-1, 99)")   # all constraints gone
+        db.execute("ALTER TABLE t DROP CONSTRAINT IF EXISTS missing")
+        with pytest.raises(Exception, match="no such constraint"):
+            db.execute("ALTER TABLE t DROP CONSTRAINT missing")
+
+    def test_named_constraints_persist(self, tmp_path):
+        p = str(tmp_path / "nc")
+        db = Database.create(p)
+        db.execute("CREATE TABLE t (id INT)")
+        db.execute("ALTER TABLE t ADD CONSTRAINT pos CHECK (id >= 0)")
+        db.close()
+        db = Database.open(p)
+        with pytest.raises(Exception, match="CHECK"):
+            db.execute("INSERT INTO t VALUES (-1)")
+        db.execute("ALTER TABLE t DROP CONSTRAINT pos")
+        db.execute("INSERT INTO t VALUES (-1)")
+        db.close()

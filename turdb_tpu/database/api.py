@@ -107,7 +107,9 @@ class TableInfo:
         self.hnsw: dict[str, HnswTableIndex] = {}
         self.index_defs: dict[str, IndexDef] = {}
         self.checks: list = []          # table-level CHECK exprs
+        self.check_names: list = []     # parallel names (ADD/DROP CONSTRAINT)
         self.fks: list = []             # (cols, ref_table, ref_cols, on_delete, on_update)
+        self.fk_names: list = []        # parallel names (None = unnamed)
 
     @property
     def columns(self) -> list[ColumnDef]:
@@ -241,7 +243,9 @@ class Database:
                         "table_id": info.table.table_id,
                         "columns": [c.to_dict() for c in info.columns],
                         "checks": [str(e) for e in info.checks],
+                        "check_names": list(info.check_names),
                         "fks": [list(map(_jsonable_fk, fk)) for fk in info.fks],
+                        "fk_names": list(info.fk_names),
                         "indexes": [
                             {
                                 "name": d.name,
@@ -294,6 +298,12 @@ class Database:
                     info.checks.append(_parse_expr(e))
                 for fk in td.get("fks", []):
                     info.fks.append(tuple(fk))
+                info.check_names = list(
+                    td.get("check_names") or [None] * len(info.checks)
+                )
+                info.fk_names = list(
+                    td.get("fk_names") or [None] * len(info.fks)
+                )
                 for idx in td.get("indexes", []):
                     cols = [(_parse_expr(c), bool(d)) for c, d in idx["columns"]]
                     idef = IndexDef(

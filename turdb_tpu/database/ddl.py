@@ -102,11 +102,13 @@ def execute_ddl(db, stmt, txn):
                 _auto_index(db, info, tc.columns, unique=True)
             elif tc.kind == "CHECK":
                 info.checks.append(tc.expr)
+                info.check_names.append(tc.name)
             elif tc.kind == "FOREIGN KEY":
                 info.fks.append(
                     (tc.columns, tc.ref_table, tc.ref_columns or [],
                      tc.on_delete, tc.on_update)
                 )
+                info.fk_names.append(tc.name)
         if pk_cols:
             for cn in pk_cols:
                 _col(cols, cn).nullable = False
@@ -120,6 +122,7 @@ def execute_ddl(db, stmt, txn):
                      [c.references[1]] if c.references[1] else [],
                      c.references[2], c.references[3])
                 )
+                info.fk_names.append(None)
         db.catalog[schema][stmt.table.name] = info
         return ExecuteResult(0)
 
@@ -293,8 +296,231 @@ def execute_ddl(db, stmt, txn):
                 if h.column == stmt.name:
                     h.column = stmt.new_name
             return ExecuteResult(0)
+        if stmt.action == "ALTER_COLUMN":
+            # reference ast.rs AlterColumnAction — parsed there, executed
+            # here (like CREATE TYPE / the ANN wiring)
+            return _alter_column(db, info, stmt)
+        if stmt.action == "ADD_CONSTRAINT":
+            return _add_constraint(db, info, stmt.constraint)
+        if stmt.action == "DROP_CONSTRAINT":
+            return _drop_constraint(db, info, stmt)
 
     raise DatabaseError(f"unsupported DDL {type(stmt).__name__}")
+
+
+def _visible_values(db, info, cname):
+    """(values, nulls) of the latest committed versions of one column."""
+    t = info.table
+    vis = t.visible_indices(db.mgr, db.mgr.snapshot_ts())
+    import numpy as np
+
+    vis = np.asarray(vis, np.int64)
+    return t.cols[cname][vis], t.nulls[cname][vis], vis
+
+
+def _alter_column(db, info, stmt):
+    from turdb_tpu.database.api import DatabaseError, ExecuteResult
+
+    import numpy as np
+
+    t = info.table
+    cd = _col(info.columns, stmt.name)
+    act = stmt.col_action
+    if act == "SET_DEFAULT":
+        cd.default = stmt.expr
+        cd.has_default = True
+        return ExecuteResult(0)
+    if act == "DROP_DEFAULT":
+        cd.default = None
+        cd.has_default = False
+        return ExecuteResult(0)
+    if act == "SET_NOT_NULL":
+        _, nulls, _ = _visible_values(db, info, cd.name)
+        if nulls.any():
+            raise DatabaseError(
+                f"column {cd.name} contains NULLs; cannot SET NOT NULL"
+            )
+        cd.nullable = False
+        return ExecuteResult(0)
+    if act == "DROP_NOT_NULL":
+        if cd.primary_key:
+            raise DatabaseError("cannot DROP NOT NULL on a primary key")
+        cd.nullable = True
+        return ExecuteResult(0)
+    # SET DATA TYPE: convert the stored column; reject lossy failures
+    new_dt = DataType.from_sql(stmt.type_name)
+    old_sc = cd.dtype.storage_class
+    new_sc = new_dt.storage_class
+    from turdb_tpu.types.datatype import StorageClass
+
+    if new_sc is not old_sc:
+        old_arr = t.cols[cd.name]
+        n = t.nversions
+        nulls = t.nulls[cd.name]
+        new_arr = None
+        if new_sc is StorageClass.TEXT or new_sc is StorageClass.OBJECT:
+            new_arr = np.empty(t.capacity, object)
+            for i in range(n):
+                if not nulls[i]:
+                    v = old_arr[i]
+                    new_arr[i] = str(_pyval(v))
+        elif new_sc is StorageClass.INT and old_sc in (
+                StorageClass.FLOAT, StorageClass.FLOAT32, StorageClass.BOOL):
+            new_arr = np.zeros(t.capacity, np.int64)
+            new_arr[:n] = old_arr[:n].astype(np.int64)
+        elif new_sc in (StorageClass.FLOAT, StorageClass.FLOAT32) and \
+                old_sc in (StorageClass.INT, StorageClass.BOOL,
+                           StorageClass.FLOAT, StorageClass.FLOAT32):
+            ty = np.float64 if new_sc is StorageClass.FLOAT else np.float32
+            new_arr = np.zeros(t.capacity, ty)
+            new_arr[:n] = old_arr[:n].astype(ty)
+        elif old_sc in (StorageClass.TEXT, StorageClass.OBJECT) and \
+                new_sc in (StorageClass.INT, StorageClass.FLOAT,
+                           StorageClass.FLOAT32):
+            ty = (np.int64 if new_sc is StorageClass.INT else
+                  np.float64 if new_sc is StorageClass.FLOAT else np.float32)
+            new_arr = np.zeros(t.capacity, ty)
+            for i in range(n):
+                if not nulls[i]:
+                    try:
+                        new_arr[i] = (int(old_arr[i])
+                                      if new_sc is StorageClass.INT
+                                      else float(old_arr[i]))
+                    except (TypeError, ValueError):
+                        raise DatabaseError(
+                            f"cannot convert {old_arr[i]!r} to "
+                            f"{stmt.type_name}"
+                        )
+        if new_arr is None:
+            raise DatabaseError(
+                f"unsupported type conversion {cd.dtype.name} -> "
+                f"{stmt.type_name}"
+            )
+        t.cols[cd.name] = new_arr
+    cd.dtype = new_dt
+    cd.max_len = None
+    if new_dt in (DataType.VARCHAR, DataType.CHAR) and stmt.type_params:
+        cd.max_len = int(stmt.type_params[0])
+        _, nulls, vis = _visible_values(db, info, cd.name)
+        vals = t.cols[cd.name][vis]
+        for v, isnull in zip(vals, nulls):
+            if not isnull and len(str(v)) > cd.max_len:
+                raise DatabaseError(
+                    f"existing value too long for {stmt.type_name}"
+                    f"({cd.max_len})"
+                )
+    return ExecuteResult(0)
+
+
+def _pyval(v):
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _add_constraint(db, info, tc):
+    from turdb_tpu.database.api import DatabaseError, ExecuteResult
+    from turdb_tpu.sql.expr import Batch, Col, EvalContext, eval_expr
+
+    import numpy as np
+
+    if tc.kind == "CHECK":
+        # validate existing rows first
+        vis_rows = []
+        t = info.table
+        vis = t.visible_indices(db.mgr, db.mgr.snapshot_ts())
+        vis = np.asarray(vis, np.int64)
+        b = Batch(len(vis))
+        for c in info.columns:
+            from turdb_tpu.sql.expr import _densify
+
+            b.add(None, c.name,
+                  _densify(Col(t.cols[c.name][vis].astype(object),
+                               t.nulls[c.name][vis].copy())))
+        ctx = EvalContext([], db.engine._subquery_fn)
+        res = eval_expr(tc.expr, b, ctx)
+        bad = (~res.nulls) & ~res.values.astype(bool)
+        if bad.any():
+            raise DatabaseError("existing rows violate CHECK constraint")
+        info.checks.append(tc.expr)
+        info.check_names.append(tc.name)
+        return ExecuteResult(0)
+    if tc.kind in ("UNIQUE", "PRIMARY KEY"):
+        name = tc.name or (
+            f"__uc_{info.table.name}_{'_'.join(tc.columns)}"
+        )
+        if name in info.index_defs:
+            raise DatabaseError(f"index {name} already exists")
+        from turdb_tpu.database.api import IndexDef
+        from turdb_tpu.sql import ast as AA
+
+        cols = [(AA.ColumnRef(c), False) for c in tc.columns]
+        idef = IndexDef(name, info.table.name, info.schema, cols, True,
+                        "BTREE", {})
+        info.index_defs[name] = idef
+        db._instantiate_index(info, idef)
+        try:
+            _backfill_index(db, info, idef)
+        except Exception:
+            info.index_defs.pop(name, None)
+            info.btree.pop(name, None)
+            info.btree_cols.pop(name, None)
+            raise
+        if tc.kind == "PRIMARY KEY":
+            for cn in tc.columns:
+                _col(info.columns, cn).nullable = False
+        return ExecuteResult(0)
+    if tc.kind == "FOREIGN KEY":
+        ref_info = db.catalog.get(info.schema, {}).get(tc.ref_table) or \
+            db.catalog.get("main", {}).get(tc.ref_table)
+        if ref_info is None:
+            raise DatabaseError(f"no such table: {tc.ref_table}")
+        fk = (tc.columns, tc.ref_table, tc.ref_columns or [],
+              tc.on_delete, tc.on_update)
+        info.fks.append(fk)
+        info.fk_names.append(tc.name)
+        # validate existing rows reference existing parents (ALTER is
+        # rare: per-row revalidation through the DML FK checker)
+        from turdb_tpu.database.dml import _check_fks
+
+        t = info.table
+        ctx = db._ctx([], None)
+        try:
+            for vi in t.visible_indices(db.mgr, db.mgr.snapshot_ts()):
+                _check_fks(db, info, t.row_as_dict(int(vi)), ctx)
+        except Exception:
+            info.fks.pop()
+            info.fk_names.pop()
+            raise
+        return ExecuteResult(0)
+    raise DatabaseError(f"unsupported constraint kind {tc.kind}")
+
+
+def _drop_constraint(db, info, stmt):
+    from turdb_tpu.database.api import DatabaseError, ExecuteResult
+
+    name = stmt.name
+    if name in info.index_defs and info.index_defs[name].unique:
+        info.index_defs.pop(name)
+        info.btree.pop(name, None)
+        info.btree_cols.pop(name, None)
+        info.btree_exprs.pop(name, None)
+        return ExecuteResult(0)
+    if name in info.check_names:
+        i = info.check_names.index(name)
+        info.check_names.pop(i)
+        info.checks.pop(i)
+        return ExecuteResult(0)
+    if name in info.fk_names:
+        i = info.fk_names.index(name)
+        info.fk_names.pop(i)
+        info.fks.pop(i)
+        return ExecuteResult(0)
+    if stmt.col_action == "IF_EXISTS":
+        return ExecuteResult(0)
+    raise DatabaseError(f"no such constraint: {name}")
 
 
 def _column_from_spec(sp: A.ColumnSpec, db=None, schema="main") -> ColumnDef:

@@ -351,10 +351,19 @@ class CreateView:
 @dataclass
 class AlterTable:
     table: TableRef
-    action: str              # ADD_COLUMN/DROP_COLUMN/RENAME_TABLE/RENAME_COLUMN
+    action: str              # ADD_COLUMN/DROP_COLUMN/RENAME_TABLE/
+                             # RENAME_COLUMN/ALTER_COLUMN/ADD_CONSTRAINT/
+                             # DROP_CONSTRAINT
     column: Optional[ColumnSpec] = None
     name: Optional[str] = None
     new_name: Optional[str] = None
+    # ALTER COLUMN payload (reference ast.rs AlterColumnAction)
+    col_action: Optional[str] = None   # SET_TYPE/SET_DEFAULT/DROP_DEFAULT/
+                                       # SET_NOT_NULL/DROP_NOT_NULL
+    expr: Optional[Expr] = None        # SET DEFAULT value
+    type_name: Optional[str] = None    # SET DATA TYPE
+    type_params: Optional[list] = None
+    constraint: Optional["TableConstraint"] = None   # ADD CONSTRAINT
 
 
 @dataclass

@@ -782,6 +782,9 @@ class Parser:
         name = None
         if self.accept_kw("CONSTRAINT"):
             name = self.ident()
+        return self._table_constraint_body(name)
+
+    def _table_constraint_body(self, name) -> A.TableConstraint:
         if self.accept_kw("PRIMARY"):
             self.expect_kw("KEY")
             cols = self._paren_idents()
@@ -848,9 +851,65 @@ class Parser:
         self.expect_kw("TABLE")
         table = self._table_ref()
         if self.accept_kw("ADD"):
+            if self.accept_kw("CONSTRAINT"):
+                name = self.ident()
+                tc = self._table_constraint_body(name)
+                return A.AlterTable(table, "ADD_CONSTRAINT", constraint=tc)
+            if self.peek().is_kw("PRIMARY", "UNIQUE", "CHECK", "FOREIGN"):
+                tc = self._table_constraint_body(None)
+                return A.AlterTable(table, "ADD_CONSTRAINT", constraint=tc)
             self.accept_kw("COLUMN")
             return A.AlterTable(table, "ADD_COLUMN", column=self._column_spec())
+        if self.accept_kw("ALTER"):
+            self.accept_kw("COLUMN")
+            cname = self.ident()
+            if self.accept_kw("SET"):
+                if self.accept_kw("DEFAULT"):
+                    return A.AlterTable(table, "ALTER_COLUMN", name=cname,
+                                        col_action="SET_DEFAULT",
+                                        expr=self._expr())
+                if self.accept_kw("NOT"):
+                    self.expect_kw("NULL")
+                    return A.AlterTable(table, "ALTER_COLUMN", name=cname,
+                                        col_action="SET_NOT_NULL")
+                if self.peek().type is T.IDENT and \
+                        self.peek().value.upper() == "DATA":
+                    self.next()
+                if self.peek().type is T.IDENT and \
+                        self.peek().value.upper() == "TYPE":
+                    self.next()
+                tn, tp = self._type_name()
+                return A.AlterTable(table, "ALTER_COLUMN", name=cname,
+                                    col_action="SET_TYPE", type_name=tn,
+                                    type_params=tp)
+            if self.accept_kw("DROP"):
+                if self.accept_kw("DEFAULT"):
+                    return A.AlterTable(table, "ALTER_COLUMN", name=cname,
+                                        col_action="DROP_DEFAULT")
+                self.expect_kw("NOT")
+                self.expect_kw("NULL")
+                return A.AlterTable(table, "ALTER_COLUMN", name=cname,
+                                    col_action="DROP_NOT_NULL")
+            # bare TYPE form: ALTER COLUMN c TYPE T
+            if self.peek().type is T.IDENT and \
+                    self.peek().value.upper() == "TYPE":
+                self.next()
+                tn, tp = self._type_name()
+                return A.AlterTable(table, "ALTER_COLUMN", name=cname,
+                                    col_action="SET_TYPE", type_name=tn,
+                                    type_params=tp)
+            self.error("expected SET/DROP/TYPE after ALTER COLUMN")
         if self.accept_kw("DROP"):
+            if self.accept_kw("CONSTRAINT"):
+                if_exists = False
+                if self.accept_kw("IF"):
+                    self.expect_kw("EXISTS")
+                    if_exists = True
+                nm = self.ident()
+                self.accept_kw("CASCADE")
+                a = A.AlterTable(table, "DROP_CONSTRAINT", name=nm)
+                a.col_action = "IF_EXISTS" if if_exists else None
+                return a
             self.accept_kw("COLUMN")
             return A.AlterTable(table, "DROP_COLUMN", name=self.ident())
         if self.accept_kw("RENAME"):
