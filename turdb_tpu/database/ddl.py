@@ -398,6 +398,19 @@ def _alter_column(db, info, stmt):
             )
         t.cols[cd.name] = new_arr
     cd.dtype = new_dt
+    # indexes on this column hold keys encoded under the OLD type:
+    # re-instantiate and backfill them against the converted column
+    for iname, idef in list(info.index_defs.items()):
+        cols = info.btree_cols.get(iname)
+        touched = (cols is not None and cd.name in cols) or (
+            cols is None and iname in info.btree_exprs and any(
+                cd.name in _expr_columns([e])
+                for e in info.btree_exprs[iname]
+            )
+        )
+        if touched:
+            db._instantiate_index(info, idef)
+            _backfill_index(db, info, idef)
     cd.max_len = None
     if new_dt in (DataType.VARCHAR, DataType.CHAR) and stmt.type_params:
         cd.max_len = int(stmt.type_params[0])
