@@ -801,6 +801,14 @@ def bulk_insert_columns(db, info, data: dict, txn):
             for x, nu in zip(vals, nulls):
                 if not nu and len(str(x)) > cd.max_len:
                     raise _cv(db)(f"value too long for {cd.name} (max {cd.max_len})")
+        if cd.enum_values is not None and n:
+            ok = set(cd.enum_values)
+            for x, nu in zip(vals, nulls):
+                if not nu and x not in ok:
+                    raise _cv(db)(
+                        f"invalid value for enum "
+                        f"{cd.type_name or cd.name}: {x!r}"
+                    )
         prepared[cd.name] = (vals, nulls)
 
     checks = [
