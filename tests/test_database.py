@@ -848,3 +848,55 @@ class TestAlterColumnAndConstraints:
         db.execute("ALTER TABLE t DROP CONSTRAINT pos")
         db.execute("INSERT INTO t VALUES (-1)")
         db.close()
+
+
+def test_catalog_roundtrip_all_features(tmp_path):
+    """Catalog persistence property: a schema exercising every catalog
+    field (user types, enum columns, named constraints, expression
+    indexes, defaults, FKs, auto-increment, views) survives
+    checkpoint + reopen with identical behavior."""
+    p = str(tmp_path / "cat")
+    db = Database.create(p)
+    db.execute("CREATE TYPE mood AS ENUM ('a', 'b')")
+    db.execute("CREATE SCHEMA aux")
+    db.execute("CREATE TABLE parent (id INT PRIMARY KEY)")
+    db.execute("INSERT INTO parent VALUES (1), (2)")
+    db.execute("""
+        CREATE TABLE t (
+            id BIGINT PRIMARY KEY AUTO_INCREMENT,
+            m mood,
+            email TEXT UNIQUE,
+            n INT DEFAULT 7,
+            pid INT REFERENCES parent(id)
+        )
+    """)
+    db.execute("ALTER TABLE t ADD CONSTRAINT pos CHECK (n >= 0)")
+    db.execute("CREATE INDEX ie ON t (lower(email))")
+    db.execute("CREATE VIEW v AS SELECT id, m FROM t WHERE n > 0")
+    db.execute("INSERT INTO t (m, email, pid) VALUES ('a', 'X@y.z', 1)")
+    db.execute("PRAGMA wal_checkpoint")
+    db.close()
+
+    db = Database.open(p)
+    # auto-increment continues
+    db.execute("INSERT INTO t (m, email, pid) VALUES ('b', 'q@y.z', 2)")
+    assert db.query("SELECT id FROM t ORDER BY id") == [(1,), (2,)]
+    # every constraint class still enforced
+    for bad in [
+        "INSERT INTO t (m) VALUES ('zz')",                  # enum
+        "INSERT INTO t (m, email) VALUES ('a', 'X@y.z')",   # unique
+        "INSERT INTO t (m, n) VALUES ('a', -5)",            # named check
+        "INSERT INTO t (m, pid) VALUES ('a', 99)",          # fk
+    ]:
+        with pytest.raises(Exception):
+            db.execute(bad)
+    # default + expression index + view still work
+    assert db.query("SELECT n FROM t WHERE id = 2") == [(7,)]
+    assert db.query("SELECT id FROM t WHERE lower(email) = 'x@y.z'") == [(1,)]
+    assert len(db.query("SELECT * FROM v")) == 2
+    assert db.query(
+        "SELECT kind FROM turdb_catalog.types WHERE name = 'mood'"
+    ) == [("enum",)]
+    db.execute("ALTER TABLE t DROP CONSTRAINT pos")
+    db.execute("INSERT INTO t (m, n) VALUES ('a', -5)")
+    db.close()

@@ -32,10 +32,18 @@ class ColumnDef:
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
         d["dtype"] = int(self.dtype)
-        # AST nodes aren't JSON-serializable; persist their SQL rendering
+        # AST nodes aren't JSON-serializable; persist their SQL rendering.
+        # Render from the LIVE attribute: asdict() already recursed the
+        # dataclass expr into a plain dict (str() of that gave
+        # "{'value': 7}", which broke defaults after reopen)
         for k in ("default", "check"):
-            if d[k] is not None and not isinstance(d[k], (int, float, str, bool)):
-                d[k] = str(d[k])
+            v = getattr(self, k)
+            if v is not None and not isinstance(v, (int, float, str, bool)):
+                from turdb_tpu.sql.ast import render_expr
+
+                d[k] = render_expr(v)
+            else:
+                d[k] = v
         return d
 
     @classmethod
