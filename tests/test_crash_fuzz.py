@@ -133,3 +133,31 @@ def test_parser_fuzz_mutated_sql():
             Parser("".join(s)).parse_statement()
         except (SqlError, RecursionError):
             pass
+
+
+def test_wal_replay_new_ddl_surface(tmp_path):
+    """Crash (no checkpoint) after CREATE TYPE / ALTER COLUMN /
+    ADD CONSTRAINT DDL: WAL replay on reopen must restore the full
+    catalog state and keep enforcing everything."""
+    p = str(tmp_path / "ddlwal")
+    db = Database.create(p)
+    db.execute("CREATE TYPE mood AS ENUM ('a', 'b')")
+    db.execute("CREATE TABLE t (id INT PRIMARY KEY AUTO_INCREMENT, "
+               "m mood, n INT)")
+    db.execute("ALTER TABLE t ALTER COLUMN n SET DEFAULT 5")
+    db.execute("ALTER TABLE t ADD CONSTRAINT pos CHECK (n >= 0)")
+    db.execute("INSERT INTO t (m) VALUES ('a')")
+    db.wal.flush()
+    db.wal.close()   # crash: no checkpoint, no snapshot
+
+    db2 = Database.open(p)
+    assert db2.query("SELECT id, m, n FROM t") == [(1, "a", 5)]
+    db2.execute("INSERT INTO t (m) VALUES ('b')")
+    assert db2.query("SELECT id FROM t ORDER BY id") == [(1,), (2,)]
+    with pytest.raises(Exception):
+        db2.execute("INSERT INTO t (m) VALUES ('zz')")       # enum
+    with pytest.raises(Exception):
+        db2.execute("INSERT INTO t (m, n) VALUES ('a', -1)")  # check
+    db2.execute("ALTER TABLE t DROP CONSTRAINT pos")
+    db2.execute("INSERT INTO t (m, n) VALUES ('a', -1)")
+    db2.close()

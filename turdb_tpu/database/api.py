@@ -417,6 +417,19 @@ class Database:
             elif ftype is FrameType.ABORT:
                 pending.pop(txn_id, None)
         # uncommitted leftovers are dropped (crash before commit)
+        # the auto-increment counter lives in snapshots only: advance it
+        # past every replayed value so post-recovery inserts don't collide
+        for tables in self.catalog.values():
+            for info in tables.values():
+                t = info.table
+                for cd in info.columns:
+                    if cd.auto_increment and t.nversions:
+                        col = t.cols[cd.name][: t.nversions]
+                        nn = ~t.nulls[cd.name][: t.nversions]
+                        if nn.any():
+                            t.auto_increment = max(
+                                t.auto_increment, int(col[nn].max()) + 1
+                            )
 
     def _apply_replay(self, ops):
         self._replaying = True
