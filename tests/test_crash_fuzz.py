@@ -161,3 +161,42 @@ def test_wal_replay_new_ddl_surface(tmp_path):
     db2.execute("ALTER TABLE t DROP CONSTRAINT pos")
     db2.execute("INSERT INTO t (m, n) VALUES ('a', -1)")
     db2.close()
+
+
+def test_wal_replay_savepoint_rollback(tmp_path):
+    """Frames appended then undone by ROLLBACK TO must NOT replay: the
+    SPABORT compensation frame drops the txn's undone tail (found by a
+    recovery probe: replay resurrected the rolled-back insert)."""
+    p = str(tmp_path / "spwal")
+    db = Database.create(p)
+    db.execute("CREATE TABLE t (id INT)")
+    db.execute("BEGIN")
+    db.execute("INSERT INTO t VALUES (1)")
+    db.execute("SAVEPOINT s1")
+    db.execute("INSERT INTO t VALUES (2)")
+    db.execute("SAVEPOINT s2")
+    db.execute("INSERT INTO t VALUES (22)")
+    db.execute("ROLLBACK TO s1")
+    db.execute("INSERT INTO t VALUES (3)")
+    db.execute("COMMIT")
+    live = db.query("SELECT id FROM t ORDER BY id")
+    assert live == [(1,), (3,)]
+    db.wal.flush()
+    db.wal.close()   # crash, no checkpoint
+
+    db2 = Database.open(p)
+    assert db2.query("SELECT id FROM t ORDER BY id") == live
+    # checkpoint under an in-flight txn with savepoints keeps working
+    db2.execute("BEGIN")
+    db2.execute("INSERT INTO t VALUES (10)")
+    db2.execute("SAVEPOINT a")
+    db2.execute("INSERT INTO t VALUES (11)")
+    h2 = db2.handle()
+    h2.checkpoint()
+    db2.execute("ROLLBACK TO a")
+    db2.execute("COMMIT")
+    db2.wal.flush()
+    db2.wal.close()
+    db3 = Database.open(p)
+    assert db3.query("SELECT id FROM t ORDER BY id") == [(1,), (3,), (10,)]
+    db3.close()

@@ -411,6 +411,12 @@ class Database:
                            FrameType.DDL, FrameType.BULK_INSERT,
                            FrameType.TOAST):
                 pending.setdefault(txn_id, []).append((ftype, table_id, payload))
+            elif ftype is FrameType.SPABORT:
+                # ROLLBACK TO savepoint: drop the undone tail
+                drop = int.from_bytes(payload[:8], "little")
+                lst = pending.get(txn_id)
+                if lst and drop:
+                    del lst[max(len(lst) - drop, 0):]
             elif ftype is FrameType.COMMIT:
                 ops = pending.pop(txn_id, [])
                 self._apply_replay(ops)
@@ -734,13 +740,31 @@ class Database:
             self._txn = None
             return ExecuteResult(0)
         if k == "SAVEPOINT":
-            self._require_txn().savepoint(stmt.name)
+            txn = self._require_txn()
+            txn.savepoint(stmt.name)
+            if self.wal_enabled:
+                marks = getattr(txn, "wal_marks", None)
+                if marks is None:
+                    marks = txn.wal_marks = {}
+                marks[stmt.name] = self.wal.txn_frames(txn.txn_id)
             return ExecuteResult(0)
         if k == "RELEASE":
             self._require_txn().release_savepoint(stmt.name)
             return ExecuteResult(0)
         if k == "ROLLBACK_TO":
-            self._require_txn().rollback_to(stmt.name)
+            txn = self._require_txn()
+            txn.rollback_to(stmt.name)
+            if self.wal_enabled:
+                # compensate the WAL: replay must drop this txn's frames
+                # appended since the savepoint (they were just undone)
+                mark = getattr(txn, "wal_marks", {}).get(stmt.name, 0)
+                drop = self.wal.txn_frames(txn.txn_id) - mark
+                if drop > 0:
+                    self.wal.append(
+                        FrameType.SPABORT, drop.to_bytes(8, "little"),
+                        txn_id=txn.txn_id,
+                    )
+                    self.wal.set_txn_frames(txn.txn_id, mark)
             return ExecuteResult(0)
         raise DatabaseError(f"bad txn statement {k}")
 

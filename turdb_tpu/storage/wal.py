@@ -48,6 +48,8 @@ class FrameType(enum.IntEnum):
     CHECKPOINT = 8
     BULK_INSERT = 9  # columnar payload: npz of arrays + null masks + rowids
     TOAST = 10       # out-of-line chunks: 17B pointer + raw value bytes
+    SPABORT = 11     # ROLLBACK TO savepoint: payload = u64 count of this
+                     # txn's preceding logical frames to drop at replay
 
 
 class WalCorruption(Exception):
@@ -77,6 +79,8 @@ class Wal:
         self._segment_size = 0
         self.next_lsn = 1
         self.frame_count = 0
+        # logical frames appended per open txn (savepoint SPABORT marks)
+        self._txn_counts: dict[int, int] = {}
         self._torn: tuple[int, int] | None = None  # (segment_no, valid_end)
         segs = self._segments()
         if segs:
@@ -146,6 +150,11 @@ class Wal:
     ) -> int:
         lsn = self.next_lsn
         self.next_lsn += 1
+        if ftype in (FrameType.INSERT, FrameType.DELETE, FrameType.UPDATE,
+                     FrameType.DDL, FrameType.BULK_INSERT, FrameType.TOAST):
+            self._txn_counts[txn_id] = self._txn_counts.get(txn_id, 0) + 1
+        elif ftype in (FrameType.COMMIT, FrameType.ABORT):
+            self._txn_counts.pop(txn_id, None)
         n = _native_oltp()
         if n is not None:
             frame = n.wal_frame(int(ftype), table_id, lsn, txn_id,
@@ -162,6 +171,12 @@ class Wal:
         self._buffer.append(frame)
         self.frame_count += 1
         return lsn
+
+    def txn_frames(self, txn_id: int) -> int:
+        return self._txn_counts.get(txn_id, 0)
+
+    def set_txn_frames(self, txn_id: int, n: int):
+        self._txn_counts[txn_id] = n
 
     def flush(self):
         """Group-commit flush: one write + (per sync mode) one fsync for
@@ -242,6 +257,9 @@ class Wal:
         if self._fh:
             self._fh.close()
             self._fh = None
+        # the checkpoint rewrite re-appends surviving active-txn frames,
+        # which rebuilds these counts; without the reset they'd double
+        self._txn_counts.clear()
         for _, path in self._segments():
             os.remove(path)
         self._buffer.clear()
