@@ -200,3 +200,34 @@ def test_wal_replay_savepoint_rollback(tmp_path):
     db3 = Database.open(p)
     assert db3.query("SELECT id FROM t ORDER BY id") == [(1,), (3,), (10,)]
     db3.close()
+
+
+def test_wal_replay_ddl_survives_rollback(tmp_path):
+    """DDL is non-transactional (live effects survive ROLLBACK); its WAL
+    frames must too. DDL inside an explicit txn logs as its own committed
+    unit, so recovery matches live semantics."""
+    p = str(tmp_path / "ddlroll")
+    db = Database.create(p)
+    db.execute("BEGIN")
+    db.execute("CREATE TABLE x (id INT)")
+    db.execute("INSERT INTO x VALUES (1)")
+    db.execute("ROLLBACK")
+    assert db.query("SELECT * FROM x") == []    # table stays, row gone
+    db.execute("BEGIN")
+    db.execute("SAVEPOINT s")
+    db.execute("CREATE TABLE y (id INT)")
+    db.execute("INSERT INTO y VALUES (5)")
+    db.execute("ROLLBACK TO s")
+    db.execute("COMMIT")
+    db.execute("BEGIN")
+    db.execute("CREATE TABLE z (id INT)")
+    db.execute("INSERT INTO z VALUES (9)")
+    db.execute("COMMIT")
+    db.wal.flush()
+    db.wal.close()
+
+    db2 = Database.open(p)
+    assert db2.query("SELECT * FROM x") == []
+    assert db2.query("SELECT * FROM y") == []
+    assert db2.query("SELECT * FROM z") == [(9,)]
+    db2.close()

@@ -876,6 +876,18 @@ class Database:
     def _log_ddl(self, sql: str, txn):
         if not self.wal_enabled or self._replaying:
             return
+        if self._txn is not None and txn is self._txn:
+            # DDL is non-transactional (its live effects survive ROLLBACK
+            # / ROLLBACK TO): log it as its own committed unit so crash
+            # recovery matches live semantics instead of dropping the DDL
+            # with the enclosing txn's frames
+            tid = (1 << 62) + self.wal.next_lsn
+            self.wal.append(FrameType.BEGIN, txn_id=tid)
+            self.wal.append(
+                FrameType.DDL, jsonb_encode({"sql": sql}), txn_id=tid
+            )
+            self.wal.append(FrameType.COMMIT, txn_id=tid)
+            return
         self.wal.append(
             FrameType.DDL, jsonb_encode({"sql": sql}), txn_id=txn.txn_id
         )
