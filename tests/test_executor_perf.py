@@ -239,3 +239,36 @@ class TestUniqueBulkLoad:
                 "s", {"k": np.array(["key7"], object), "v": np.array([1])}
             )
         d.close()
+
+
+def test_window_1m_rows_perf(db):
+    """Vectorized windows (round-3): a 1M-row ranked/running query must
+    not crawl (the round-2 per-row eval was ~100x slower). Loose gate
+    for CI noise on this burst-throttled box."""
+    import time
+
+    import numpy as np
+
+    db.execute("CREATE TABLE w (id INT, grp INT, v DOUBLE)")
+    n = 1_000_000
+    rng = np.random.default_rng(0)
+    db.bulk_insert("w", {
+        "id": np.arange(n),
+        "grp": rng.integers(0, 1000, n),
+        "v": rng.random(n),
+    })
+    t0 = time.perf_counter()
+    r = db.query(
+        "SELECT max(rn) FROM (SELECT row_number() OVER "
+        "(PARTITION BY grp ORDER BY v) AS rn FROM w)"
+    )
+    assert r[0][0] > 900
+    t_rank = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    db.query(
+        "SELECT count(*) FROM (SELECT sum(v) OVER "
+        "(PARTITION BY grp ORDER BY v) AS s FROM w) WHERE s > 1"
+    )
+    t_sum = time.perf_counter() - t0
+    assert t_rank < 15, f"row_number over 1M took {t_rank:.1f}s"
+    assert t_sum < 30, f"running sum over 1M took {t_sum:.1f}s"
