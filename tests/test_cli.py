@@ -45,3 +45,38 @@ def test_main_command(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "2" in out
+
+
+def test_schema_renders_executable_create(tmp_path):
+    """.schema emits a CREATE statement (reference cli/commands.rs) that
+    round-trips: executing the rendered SQL reproduces the table."""
+    from turdb_tpu.cli.repl import render_create_table
+    from turdb_tpu.database.api import Database
+
+    db = Database.create(str(tmp_path / "a"))
+    db.execute("CREATE TYPE mood AS ENUM ('a', 'b')")
+    db.execute("""CREATE TABLE users (
+        id BIGINT PRIMARY KEY AUTO_INCREMENT,
+        name VARCHAR(50) NOT NULL,
+        age INT DEFAULT 0 CHECK (age >= 0),
+        m mood,
+        emb VECTOR(8))""")
+    db.execute("ALTER TABLE users ADD CONSTRAINT adult CHECK (age < 200)")
+    db.execute("CREATE INDEX iann ON users USING HNSW (emb)")
+    sql = render_create_table(db.catalog["main"]["users"])
+    assert "AUTO_INCREMENT" in sql and "VARCHAR(50)" in sql
+    assert "CONSTRAINT adult" in sql and "USING HNSW" in sql
+
+    db2 = Database.create(str(tmp_path / "b"))
+    db2.execute("CREATE TYPE mood AS ENUM ('a', 'b')")
+    for stmt in sql.split(";"):
+        if stmt.strip():
+            db2.execute(stmt)
+    db2.execute("INSERT INTO users (name, m) VALUES ('x', 'a')")
+    assert db2.query("SELECT id, age FROM users") == [(1, 0)]
+    import pytest
+
+    with pytest.raises(Exception):
+        db2.execute("INSERT INTO users (name, age) VALUES ('y', 500)")
+    db.close()
+    db2.close()

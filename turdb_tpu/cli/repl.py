@@ -13,6 +13,89 @@ import sys
 import time
 
 
+def render_create_table(info) -> str:
+    """Reconstruct the CREATE TABLE statement from the catalog
+    (reference .schema shows CREATE statements, cli/commands.rs)."""
+    from turdb_tpu.types.datatype import DataType
+
+    lines = []
+    for c in info.columns:
+        ty = c.dtype.name
+        if c.dtype in (DataType.VARCHAR, DataType.CHAR) and c.max_len:
+            ty = f"{ty}({c.max_len})"
+        elif c.dtype is DataType.VECTOR and c.vector_dim:
+            ty = f"VECTOR({c.vector_dim})"
+        elif c.dtype is DataType.DECIMAL and c.precision:
+            ty = (f"DECIMAL({c.precision}, {c.scale})"
+                  if c.scale is not None else f"DECIMAL({c.precision})")
+        elif c.type_name:
+            ty = c.type_name
+        bits = [c.name, ty]
+        if c.primary_key:
+            bits.append("PRIMARY KEY")
+        if c.auto_increment:
+            bits.append("AUTO_INCREMENT")
+        if not c.nullable and not c.primary_key:
+            bits.append("NOT NULL")
+        if c.unique and not c.primary_key:
+            bits.append("UNIQUE")
+        if c.has_default:
+            from turdb_tpu.sql.ast import Expr, render_expr
+
+            d = c.default
+            if isinstance(d, Expr):
+                d = render_expr(d)
+            elif isinstance(d, str) and not d[:1].isdigit():
+                d = d if d.upper().startswith(("CURRENT", "NOW")) else d
+            bits.append(f"DEFAULT {d}")
+        if c.check is not None:
+            from turdb_tpu.sql.ast import Expr, render_expr
+
+            ce = c.check
+            bits.append(f"CHECK ({render_expr(ce) if isinstance(ce, Expr) else ce})")
+        if c.references is not None:
+            rt, rc, od, ou = c.references
+            r = f"REFERENCES {rt}" + (f"({rc})" if rc else "")
+            if od:
+                r += f" ON DELETE {od}"
+            if ou:
+                r += f" ON UPDATE {ou}"
+            bits.append(r)
+        lines.append("    " + " ".join(bits))
+    for nm, chk in zip(info.check_names, info.checks):
+        from turdb_tpu.sql.ast import Expr, render_expr
+
+        body = render_expr(chk) if isinstance(chk, Expr) else str(chk)
+        pre = f"CONSTRAINT {nm} " if nm else ""
+        lines.append(f"    {pre}CHECK ({body})")
+    for (cols, rt, rcols, od, ou), nm in zip(info.fks, info.fk_names):
+        pre = f"CONSTRAINT {nm} " if nm else ""
+        fk = (f"    {pre}FOREIGN KEY ({', '.join(cols)}) REFERENCES {rt}"
+              + (f" ({', '.join(rcols)})" if rcols else ""))
+        if od:
+            fk += f" ON DELETE {od}"
+        if ou:
+            fk += f" ON UPDATE {ou}"
+        # column-level REFERENCES already rendered inline above
+        if not (len(cols) == 1 and any(
+                c.name == cols[0] and c.references for c in info.columns)):
+            lines.append(fk)
+    out = f"CREATE TABLE {info.table.name} (\n" + ",\n".join(lines) + "\n);"
+    for idef in info.index_defs.values():
+        if idef.name.startswith("__"):
+            continue   # auto-created PK/unique indexes render inline
+        from turdb_tpu.sql.ast import render_expr as _re
+
+        cols = ", ".join(
+            _re(e) + (" DESC" if desc else "") for e, desc in idef.columns
+        )
+        uq = "UNIQUE " if idef.unique else ""
+        using = f" USING {idef.using}" if idef.using != "BTREE" else ""
+        out += (f"\nCREATE {uq}INDEX {idef.name} ON "
+                f"{info.table.name}{using} ({cols});")
+    return out
+
+
 def format_table(columns: list[str], rows: list[tuple]) -> str:
     """ASCII table (reference cli/table.rs:63)."""
     if not columns:
@@ -90,20 +173,15 @@ class Repl:
             if len(parts) < 2:
                 self.write("usage: .schema <table>")
             else:
-                rows = self.db.query(
-                    "SELECT name, type, nullable, primary_key FROM "
-                    f"turdb_catalog.columns WHERE \"table\" = '{parts[1]}' "
-                    "ORDER BY position"
-                )
-                if not rows:
+                info = None
+                for schema, tables in self.db.catalog.items():
+                    if parts[1] in tables:
+                        info = tables[parts[1]]
+                        break
+                if info is None:
                     self.write(f"no such table: {parts[1]}")
-                for name, ty, nullable, pk in rows:
-                    bits = [name, ty]
-                    if pk:
-                        bits.append("PRIMARY KEY")
-                    elif not nullable:
-                        bits.append("NOT NULL")
-                    self.write("  " + " ".join(str(b) for b in bits))
+                else:
+                    self.write(render_create_table(info))
         elif cmd == ".indexes":
             sql = (
                 "SELECT \"table\", name, using, is_unique, entries FROM "
