@@ -900,3 +900,30 @@ def test_catalog_roundtrip_all_features(tmp_path):
     db.execute("ALTER TABLE t DROP CONSTRAINT pos")
     db.execute("INSERT INTO t (m, n) VALUES ('a', -5)")
     db.close()
+
+
+def test_open_with_recovery_and_checkpoint_info(tmp_path):
+    """Reference public API shapes: open_with_recovery -> RecoveryInfo
+    (database.rs:217, mod.rs:202) and checkpoint -> CheckpointInfo
+    (mod.rs:208); PRAGMA wal_checkpoint surfaces the counts."""
+    from turdb_tpu.database.api import CheckpointInfo, RecoveryInfo
+
+    p = str(tmp_path / "ri")
+    db = Database.create(p)
+    db.execute("CREATE TABLE t (id INT)")
+    db.execute("INSERT INTO t VALUES (1), (2)")
+    ci = db.checkpoint()
+    assert isinstance(ci, CheckpointInfo)
+    assert ci.frames_checkpointed > 0 and ci.wal_truncated
+    db.execute("INSERT INTO t VALUES (3)")
+    db.wal.flush()
+    db.wal.close()    # crash
+
+    db2, ri = Database.open_with_recovery(p)
+    assert isinstance(ri, RecoveryInfo)
+    assert ri.frames_recovered > 0 and ri.mode == "rw"
+    assert ri.wal_size_bytes > 0
+    assert db2.query("SELECT count(*) FROM t") == [(3,)]
+    row = db2.execute("PRAGMA wal_checkpoint").rows[0]
+    assert row[1] is True
+    db2.close()

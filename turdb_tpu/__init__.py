@@ -41,14 +41,15 @@ _enable_compile_cache()
 
 from turdb_tpu.ops.distance import Metric  # noqa: F401
 
-__all__ = ["Metric", "Database", "connect", "__version__"]
+__all__ = ["Metric", "Database", "connect", "RecoveryInfo",
+           "CheckpointInfo", "__version__"]
 
 
 def __getattr__(name):
     # Lazy: importing the SQL/database stack pulls in the full engine; keep
     # `import turdb_tpu` cheap for kernel-only users (ops/, models/).
-    if name in ("Database", "connect"):
-        from turdb_tpu.database.api import Database, connect
+    if name in ("Database", "connect", "RecoveryInfo", "CheckpointInfo"):
+        from turdb_tpu.database import api
 
-        return {"Database": Database, "connect": connect}[name]
+        return getattr(api, name)
     raise AttributeError(f"module 'turdb_tpu' has no attribute {name!r}")

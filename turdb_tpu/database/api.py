@@ -64,6 +64,23 @@ class ExecuteResult:
 
 
 @dataclasses.dataclass
+class RecoveryInfo:
+    """Reference RecoveryInfo (database/mod.rs:202)."""
+
+    frames_recovered: int = 0
+    wal_size_bytes: int = 0
+    mode: str = "rw"                  # "rw" | "ro_degraded"
+
+
+@dataclasses.dataclass
+class CheckpointInfo:
+    """Reference CheckpointInfo (database/mod.rs:208)."""
+
+    frames_checkpointed: int = 0
+    wal_truncated: bool = True
+
+
+@dataclasses.dataclass
 class ViewDef:
     """An executable view (reference ast.rs:544 CreateViewStmt — the
     reference only parses these; here they run). The body is stored as
@@ -186,6 +203,17 @@ class Database:
     def open(cls, path: str) -> "Database":
         return cls(path, create=False)
 
+    @classmethod
+    def open_with_recovery(cls, path: str) -> "tuple[Database, RecoveryInfo]":
+        """Open and report what crash recovery did (reference
+        database.rs:217 open_with_recovery)."""
+        db = cls(path, create=False)
+        return db, RecoveryInfo(
+            frames_recovered=getattr(db, "_recovered_frames", 0),
+            wal_size_bytes=getattr(db, "_recovered_wal_bytes", 0),
+            mode=db.mode,
+        )
+
     def handle(self) -> "Database":
         """Second handle over the SAME shared state with its own active
         transaction (reference SharedDatabase/Database split,
@@ -206,6 +234,7 @@ class Database:
             self._load_catalog()
         # recovery gate (reference recovery.rs:90 estimate + degraded mode)
         wal_bytes = self.wal.size_bytes
+        self._recovered_wal_bytes = wal_bytes
         if wal_bytes > self.budget.pool("recovery"):
             self.mode = "ro_degraded"
             return
@@ -336,6 +365,7 @@ class Database:
             raise ReadOnlyError("database is read-only (degraded)")
         if self.mgr.active:
             return self._checkpoint_with_active()
+        frames = self.wal.frame_count
         self.wal.flush()
         for schema, tables in self.catalog.items():
             for info in tables.values():
@@ -358,7 +388,7 @@ class Database:
             {"version": 1, "next_table_id": self._next_table_id}
         )
         self.wal.truncate()
-        return ExecuteResult(0)
+        return CheckpointInfo(frames_checkpointed=frames, wal_truncated=True)
 
     def _checkpoint_with_active(self):
         """Checkpoint while transactions are in flight: export the
@@ -366,6 +396,7 @@ class Database:
         then rewrite the WAL with only the active transactions' frames —
         their eventual COMMIT replays them on top of the snapshot, their
         ABORT (or a crash) discards them."""
+        frames = self.wal.frame_count
         self.wal.flush()
         read_ts = self.mgr.snapshot_ts()
         for schema, tables in self.catalog.items():
@@ -395,7 +426,9 @@ class Database:
         for ftype, payload, txn_id, table_id in keep:
             self.wal.append(ftype, payload, txn_id=txn_id, table_id=table_id)
         self.wal.flush()
-        return ExecuteResult(0)
+        return CheckpointInfo(
+            frames_checkpointed=frames - len(keep), wal_truncated=not keep
+        )
 
     # ------------------------------------------------------------------
     # recovery (reference recovery.rs single-pass replay)
@@ -403,8 +436,10 @@ class Database:
 
     def _replay_wal(self):
         self._replay_touched: set = set()
+        self._recovered_frames = 0
         pending: dict[int, list] = {}
         for lsn, ftype, txn_id, table_id, payload in self.wal.replay():
+            self._recovered_frames += 1
             if ftype is FrameType.BEGIN:
                 pending[txn_id] = []
             elif ftype in (FrameType.INSERT, FrameType.DELETE, FrameType.UPDATE,

@@ -148,8 +148,11 @@ def execute_pragma(db, p: A.Pragma):
         db.wal.sync_mode = db.sync_mode
         return show(db.sync_mode.value)
     if name in ("checkpoint", "wal_checkpoint"):
-        db.checkpoint()
-        return show("ok")
+        ci = db.checkpoint()
+        return ExecuteResult(
+            rows=[(ci.frames_checkpointed, ci.wal_truncated)],
+            columns=["frames_checkpointed", "wal_truncated"],
+        )
     if name == "ann_pack":
         # PRAGMA ann_pack = 'table': build the serving pack (packed
         # int8 neighbor blocks + cell probe + exact rerank — see
