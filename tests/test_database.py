@@ -927,3 +927,27 @@ def test_open_with_recovery_and_checkpoint_info(tmp_path):
     row = db2.execute("PRAGMA wal_checkpoint").rows[0]
     assert row[1] is True
     db2.close()
+
+
+def test_array_columns_end_to_end(tmp_path):
+    """T[] columns: literals, indexing, containment/overlap operators,
+    concat, persistence (reference README ARRAY type + array.rs)."""
+    p = str(tmp_path / "arr")
+    db = Database.create(p)
+    db.execute("CREATE TABLE a (id INT, xs INT[], ts TEXT[])")
+    db.execute("INSERT INTO a VALUES (1, ARRAY[1, 2, 3], ARRAY['x', 'y'])")
+    db.execute("INSERT INTO a VALUES (2, ARRAY[9], NULL)")
+    assert db.query("SELECT xs[1], xs[3], ts[2] FROM a WHERE id = 1") == [
+        (1, 3, "y")
+    ]
+    assert db.query(
+        "SELECT array_length(xs), cardinality(ts) FROM a WHERE id = 1"
+    ) == [(3, 2)]
+    assert db.query("SELECT id FROM a WHERE xs @> ARRAY[2]") == [(1,)]
+    assert db.query("SELECT id FROM a WHERE xs && ARRAY[3, 9] ORDER BY id") \
+        == [(1,), (2,)]
+    assert db.query("SELECT xs || ARRAY[4] FROM a WHERE id = 2") == [([9, 4],)]
+    db.close()
+    db2 = Database.open(p)
+    assert db2.query("SELECT xs FROM a WHERE id = 1") == [([1, 2, 3],)]
+    db2.close()

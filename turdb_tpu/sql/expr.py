@@ -669,9 +669,14 @@ def _overlaps_op(a: Col, b: Col) -> Col:
     for i in range(n):
         if nulls[i]:
             continue
-        g = geo_overlaps(_py(a.values[i]), _py(b.values[i]))
+        av, bv = _py(a.values[i]), _py(b.values[i])
+        if isinstance(av, (list, tuple)) and isinstance(bv, (list, tuple)):
+            # array overlap: any shared element (PostgreSQL &&)
+            out[i] = bool(set(av) & set(bv))
+            continue
+        g = geo_overlaps(av, bv)
         if g is None:
-            raise SqlError("&& requires range/box/circle operands")
+            raise SqlError("&& requires array/range/box/circle operands")
         out[i] = g
     return Col(out, nulls)
 

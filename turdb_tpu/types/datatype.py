@@ -179,6 +179,7 @@ _SQL_NAMES = {
     "JSONB": DataType.JSONB,
     "VECTOR": DataType.VECTOR,
     "ENUM": DataType.ENUM,
+    "ARRAY": DataType.ARRAY,   # T[] columns (element type in ColumnDef)
     "INET": DataType.INET,
     "MACADDR": DataType.MACADDR,
     "POINT": DataType.POINT,
