@@ -951,3 +951,30 @@ def test_array_columns_end_to_end(tmp_path):
     db2 = Database.open(p)
     assert db2.query("SELECT xs FROM a WHERE id = 1") == [([1, 2, 3],)]
     db2.close()
+
+
+def test_natural_and_using_joins(db):
+    """NATURAL JOIN / USING: join on shared columns, expose each join
+    column ONCE, coalesced across sides for RIGHT/FULL (SQL standard;
+    the reference parses these but bails 'not yet implemented',
+    planner/select.rs:399)."""
+    db.execute("CREATE TABLE a (id INT, v TEXT)")
+    db.execute("CREATE TABLE b (id INT, w TEXT)")
+    db.execute("INSERT INTO a VALUES (1, 'x'), (2, 'y')")
+    db.execute("INSERT INTO b VALUES (1, 'p'), (3, 'q')")
+    assert db.query("SELECT * FROM a NATURAL JOIN b") == [(1, "x", "p")]
+    assert db.query("SELECT * FROM a JOIN b USING (id)") == [(1, "x", "p")]
+    assert db.query(
+        "SELECT * FROM a NATURAL LEFT JOIN b ORDER BY id"
+    ) == [(1, "x", "p"), (2, "y", None)]
+    assert db.query(
+        "SELECT id, v, w FROM a FULL OUTER JOIN b USING (id) ORDER BY id"
+    ) == [(1, "x", "p"), (2, "y", None), (3, None, "q")]
+
+
+def test_like_escape(db):
+    assert db.query(r"SELECT 'a%b' LIKE 'a\%b' ESCAPE '\'") == [(True,)]
+    assert db.query(r"SELECT 'axb' LIKE 'a\%b' ESCAPE '\'") == [(False,)]
+    assert db.query(r"SELECT 'a_b' LIKE 'a!_b' ESCAPE '!'") == [(True,)]
+    assert db.query(r"SELECT 'a!b' LIKE 'a!!b' ESCAPE '!'") == [(True,)]
+    assert db.query(r"SELECT 'A%B' ILIKE 'a\%b' ESCAPE '\'") == [(True,)]

@@ -73,6 +73,7 @@ class Like(Expr):
     pattern: Expr
     negated: bool = False
     case_insensitive: bool = False   # ILIKE
+    escape: Optional[Expr] = None    # ESCAPE 'c'
 
 
 @dataclass
@@ -204,6 +205,7 @@ class Join:
     kind: str             # INNER/LEFT/RIGHT/FULL/CROSS
     on: Optional[Expr] = None
     using: Optional[list] = None
+    natural: bool = False  # NATURAL JOIN: using = shared column names
 
 
 @dataclass

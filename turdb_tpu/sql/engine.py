@@ -320,8 +320,14 @@ class QueryEngine:
                     )
                     push[idx] = None
         cond = j.on
-        if j.using:
-            for name in j.using:
+        using = j.using
+        if getattr(j, "natural", False) and using is None:
+            # NATURAL JOIN: shared unqualified column names of both sides
+            lnames = [nm for (_, nm) in left.names if not nm.startswith("#")]
+            rset = {nm for (_, nm) in right.names if not nm.startswith("#")}
+            using = [nm for nm in dict.fromkeys(lnames) if nm in rset]
+        if using:
+            for name in using:
                 eq = A.BinaryOp(
                     "=",
                     _qualified_ref(left, name),
@@ -333,10 +339,14 @@ class QueryEngine:
 
         equis, residual = _split_equi(cond, left, right)
         if equis:
-            return _hash_join(left, right, equis, residual, j.kind, ctx)
-        if j.kind == "INNER":
-            return _cross_join(left, right, cond, ctx)
-        return _nl_outer_join(left, right, cond, j.kind, ctx)
+            out = _hash_join(left, right, equis, residual, j.kind, ctx)
+        elif j.kind == "INNER":
+            out = _cross_join(left, right, cond, ctx)
+        else:
+            out = _nl_outer_join(left, right, cond, j.kind, ctx)
+        if using:
+            out = _coalesce_using(out, using, len(left.cols), j.kind)
+        return out
 
     def _join_reordered(self, leaves, conjuncts, ctx: EvalContext) -> Batch:
         """Greedy cost-ordered INNER-join chain: start at the smallest
@@ -832,6 +842,33 @@ def _output_name(e) -> str:
     if isinstance(e, A.Cast):
         return _output_name(e.operand)
     return A.render_expr(e)
+
+
+def _coalesce_using(out: Batch, using: list, left_ncols: int, kind: str):
+    """USING/NATURAL joins expose each join column ONCE (SQL standard):
+    keep the left instance (coalesced with the right for RIGHT/FULL,
+    whose unmatched rows null-pad the left side), drop the right one."""
+    drop = set()
+    for name in using:
+        li = ri = None
+        for i, (_, nm) in enumerate(out.names):
+            if nm != name:
+                continue
+            if li is None and i < left_ncols:
+                li = i
+            elif i >= left_ncols and ri is None:
+                ri = i
+        if li is None or ri is None:
+            continue
+        if kind in ("RIGHT", "FULL"):
+            lc, rc = out.cols[li], out.cols[ri]
+            vals = np.where(lc.nulls, rc.values, lc.values)
+            out.cols[li] = Col(vals, lc.nulls & rc.nulls)
+        drop.add(ri)
+    if drop:
+        out.names = [nm for i, nm in enumerate(out.names) if i not in drop]
+        out.cols = [c for i, c in enumerate(out.cols) if i not in drop]
+    return out
 
 
 def _qualified_ref(batch: Batch, name: str) -> A.ColumnRef:

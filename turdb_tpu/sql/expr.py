@@ -343,13 +343,18 @@ def _vector_distance(op, a: Col, b: Col) -> Col:
     return Col(out.astype(np.float64), nulls)
 
 
-def _like_to_regex(pattern: str) -> "re.Pattern":
+def _like_to_regex(pattern: str, esc: str | None = None) -> "re.Pattern":
     import re
 
     out = []
     i = 0
     while i < len(pattern):
         c = pattern[i]
+        if esc is not None and c == esc and i + 1 < len(pattern):
+            # ESCAPE 'c': the next char is literal (incl. % _ and esc)
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if c == "%":
             out.append(".*")
         elif c == "_":
@@ -471,6 +476,13 @@ def eval_expr(e, batch: Batch, ctx: EvalContext) -> Col:
     if isinstance(e, A.Like):
         v = eval_expr(e.operand, batch, ctx)
         p = eval_expr(e.pattern, batch, ctx)
+        esc = None
+        if e.escape is not None:
+            ec = eval_expr(e.escape, batch, ctx)
+            if not ec.nulls[0]:
+                esc = str(ec.values[0])
+                if len(esc) != 1:
+                    raise SqlError("ESCAPE must be a single character")
         nulls = v.nulls | p.nulls
         out = np.zeros(n, bool)
         pat_cache = {}
@@ -481,7 +493,9 @@ def eval_expr(e, batch: Batch, ctx: EvalContext) -> Col:
             key = (ptxt, e.case_insensitive)
             rex = pat_cache.get(key)
             if rex is None:
-                rex = _like_to_regex(ptxt.lower() if e.case_insensitive else ptxt)
+                rex = _like_to_regex(
+                    ptxt.lower() if e.case_insensitive else ptxt, esc
+                )
                 pat_cache[key] = rex
             s = str(v.values[i])
             out[i] = bool(rex.match(s.lower() if e.case_insensitive else s))

@@ -426,7 +426,7 @@ class Parser:
                     while self.accept(T.COMMA):
                         using.append(self.ident())
                     self.expect(T.RPAREN)
-            left = A.Join(left, right, kind, on, using)
+            left = A.Join(left, right, kind, on, using, natural)
 
     def _table_factor(self):
         if self.accept(T.LPAREN):
@@ -964,9 +964,10 @@ class Parser:
                 ci = t.value == "ILIKE"
                 self.next()
                 pat = self._expr(_BP["="] + 1)
+                esc = None
                 if self.accept_kw("ESCAPE"):
-                    self._expr(_BP["="] + 1)
-                lhs = A.Like(lhs, pat, negated, ci)
+                    esc = self._expr(_BP["="] + 1)
+                lhs = A.Like(lhs, pat, negated, ci, esc)
                 continue
             if t.is_kw("IN"):
                 if _BP["="] < min_bp:
