@@ -978,3 +978,19 @@ def test_like_escape(db):
     assert db.query(r"SELECT 'a_b' LIKE 'a!_b' ESCAPE '!'") == [(True,)]
     assert db.query(r"SELECT 'a!b' LIKE 'a!!b' ESCAPE '!'") == [(True,)]
     assert db.query(r"SELECT 'A%B' ILIKE 'a\%b' ESCAPE '\'") == [(True,)]
+
+
+def test_insert_default_values(db):
+    """INSERT INTO t DEFAULT VALUES (reference parser.rs:1602)."""
+    db.execute(
+        "CREATE TABLE dv (id INT PRIMARY KEY AUTO_INCREMENT, "
+        "s TEXT DEFAULT 'hi', n INT)"
+    )
+    db.execute("INSERT INTO dv DEFAULT VALUES")
+    db.execute("INSERT INTO dv DEFAULT VALUES")
+    assert db.query("SELECT * FROM dv ORDER BY id") == [
+        (1, "hi", None), (2, "hi", None),
+    ]
+    db.execute("CREATE TABLE nn (a INT NOT NULL)")
+    with pytest.raises(Exception, match="NOT NULL"):
+        db.execute("INSERT INTO nn DEFAULT VALUES")

@@ -482,10 +482,17 @@ class Parser:
             values = [self._value_row()]
             while self.accept(T.COMMA):
                 values.append(self._value_row())
+        elif self.accept_kw("DEFAULT"):
+            # INSERT INTO t DEFAULT VALUES (reference parser.rs:1602)
+            self.expect_kw("VALUES")
+            if cols:
+                self.error("DEFAULT VALUES takes no column list")
+            cols = []
+            values = [[]]
         elif self.peek().is_kw("SELECT", "WITH"):
             query = self._select_stmt()
         else:
-            self.error("expected VALUES or SELECT")
+            self.error("expected VALUES, DEFAULT VALUES, or SELECT")
         on_conflict = None
         if self.accept_kw("ON"):
             self.expect_kw("CONFLICT")
