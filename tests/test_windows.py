@@ -95,3 +95,38 @@ def test_large_partition_fast(pair):
     dt = time.perf_counter() - t0
     assert len(rows) == 50000
     assert dt < 2.5, f"window eval too slow: {dt:.2f}s"
+
+
+def test_rows_frames_vs_sqlite(tmp_path):
+    """ROWS frame aggregates (the reference parses frames, parser.rs:1419,
+    but never executes them; here they execute) — compared against
+    SQLite on every bound shape incl. NULLs and empty frames."""
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "wf"))
+    lite = sqlite3.connect(":memory:")
+    for s in ["CREATE TABLE wt (id INT, g INT, v DOUBLE)",
+              "INSERT INTO wt VALUES (1,1,10),(2,1,20),(3,1,30),"
+              "(4,2,5),(5,2,15),(6,2,NULL)"]:
+        db.execute(s)
+        lite.execute(s)
+    frames = [
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        "ROWS 2 PRECEDING",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ]
+    for fn in ("sum", "avg", "min", "max", "count"):
+        for fr in frames:
+            for part in ("", "PARTITION BY g "):
+                sql = (f"SELECT id, {fn}(v) OVER ({part}ORDER BY id {fr}) "
+                       f"FROM wt ORDER BY id")
+                assert repr(db.query(sql)) == \
+                    repr(lite.execute(sql).fetchall()), sql
+    lite.close()
+    db.close()

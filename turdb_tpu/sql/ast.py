@@ -134,6 +134,10 @@ class FuncCall(Expr):
 class WindowSpec:
     partition_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)   # [OrderItem]
+    # ("ROWS"|"RANGE", lo, hi); bounds: "up" = UNBOUNDED PRECEDING,
+    # "uf" = UNBOUNDED FOLLOWING, int = offset (0 CURRENT ROW, -k
+    # PRECEDING, +k FOLLOWING). None = no explicit frame (SQL default).
+    frame: Optional[tuple] = None
 
 
 @dataclass

@@ -1546,7 +1546,31 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         return _densify(Col(out_f, out_fn))
 
     if name in AGGREGATES:
-        if spec.order_by and name in ("count", "sum", "avg", "min", "max"):
+        frame = getattr(spec, "frame", None)
+        framable = name in ("count", "sum", "avg", "min", "max")
+        if frame is not None and framable:
+            mode, lo, hi = frame
+            if mode == "ROWS":
+                return _frame_aggregate(
+                    fc, src, ctx, ordered, new_part, pos, start, lo, hi
+                )
+            # RANGE: the default frame and the whole-partition frame are
+            # the only value-based frames here (offset RANGE needs
+            # order-key distances; reference parses frames but never
+            # executes them, parser.rs:1419)
+            if (lo, hi) == ("up", 0):
+                if spec.order_by:
+                    return _running_aggregate(
+                        fc, src, ctx, ordered, og, new_part, new_key, pos,
+                        start,
+                    )
+            elif (lo, hi) != ("up", "uf"):
+                raise SqlError(
+                    "RANGE frames with numeric offsets are not supported; "
+                    "use ROWS"
+                )
+            # ("up","uf") or no order_by: whole-partition path below
+        elif spec.order_by and framable:
             return _running_aggregate(
                 fc, src, ctx, ordered, og, new_part, new_key, pos, start
             )
@@ -1565,6 +1589,110 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         return _densify(Col(out_f, out_fn))
 
     raise SqlError(f"unknown window function {name}")
+
+
+def _frame_aggregate(fc, src, ctx, ordered, new_part, pos, start, lo, hi):
+    """ROWS frame aggregate (ROWS BETWEEN lo AND hi, bounds in rows,
+    clipped to the partition): count/sum/avg via prefix differences;
+    min/max via directional accumulates (one unbounded side) or a
+    sliding window (both sides finite)."""
+    n = src.n
+    name = fc.name
+    star = bool(fc.args) and isinstance(fc.args[0], A.Star)
+    is_int = False
+    if star or not fc.args:
+        vals = np.ones(n, np.float64)
+        nulls = np.zeros(n, bool)
+    else:
+        c = eval_expr(fc.args[0], src, ctx)
+        nulls = c.nulls.copy()
+        if c.values.dtype == object:
+            vals = np.zeros(n, np.float64)
+            for i in np.flatnonzero(~nulls):
+                vals[i] = float(c.values[i])
+        else:
+            is_int = c.values.dtype.kind in "iub"
+            vals = np.where(nulls, 0.0, c.values.astype(np.float64))
+    sv = vals[ordered]
+    sn = nulls[ordered]
+    w = np.where(sn, 0.0, sv)
+
+    starts_idx = np.flatnonzero(new_part)
+    sizes = np.diff(np.append(starts_idx, n))
+    end = (np.repeat(starts_idx + sizes, sizes) - 1 if n
+           else np.zeros(0, np.int64))
+    LO = -n - 1 if lo == "up" else int(lo)
+    HI = n + 1 if hi == "uf" else int(hi)
+    a = np.maximum(pos + LO, start)
+    b = np.minimum(pos + HI, end)
+    empty = a > b
+
+    csum = np.concatenate([[0.0], np.cumsum(w)])
+    ccnt = np.concatenate([[0], np.cumsum((~sn).astype(np.int64))])
+    ac = np.clip(np.where(empty, 0, a), 0, n)
+    bc = np.clip(np.where(empty, -1, b) + 1, 0, n)
+    fsum = csum[bc] - csum[ac]
+    fcnt = ccnt[bc] - ccnt[ac]
+
+    out_f = np.empty(n, object)
+    out_fn = np.ones(n, bool)
+    if name == "count":
+        out_f[ordered] = np.where(empty, 0, fcnt)
+        out_fn[ordered] = False
+        return _densify(Col(out_f, out_fn))
+    if name == "sum":
+        out_f[ordered] = fsum.astype(np.int64) if is_int else fsum
+        out_fn[ordered] = empty | (fcnt == 0)
+        return _densify(Col(out_f, out_fn))
+    if name == "avg":
+        out_f[ordered] = fsum / np.maximum(fcnt, 1)
+        out_fn[ordered] = empty | (fcnt == 0)
+        return _densify(Col(out_f, out_fn))
+
+    ident = np.inf if name == "min" else -np.inf
+    op = np.minimum if name == "min" else np.maximum
+    mv = np.where(sn, ident, sv)
+    res = np.full(n, ident, np.float64)
+    for k, s in enumerate(starts_idx):
+        e = s + sizes[k]
+        seg = mv[s:e]
+        m = len(seg)
+        ix = np.arange(m)
+        if lo == "up" and hi == "uf":
+            res[s:e] = op.reduce(seg) if m else ident
+        elif lo == "up":
+            acc = op.accumulate(seg)
+            j = np.clip(ix + HI, 0, m - 1)
+            res[s:e] = np.where(ix + HI < 0, ident, acc[j])
+        elif hi == "uf":
+            racc = op.accumulate(seg[::-1])[::-1]
+            j = np.clip(ix + LO, 0, m - 1)
+            res[s:e] = np.where(ix + LO > m - 1, ident, racc[j])
+        else:
+            wlen = HI - LO + 1
+            if wlen <= 0 or m == 0:
+                continue
+            padl, padr = max(0, -LO), max(0, HI)
+            padded = np.concatenate(
+                [np.full(padl, ident), seg, np.full(padr, ident)]
+            )
+            if len(padded) < wlen:
+                padded = np.concatenate(
+                    [padded, np.full(wlen - len(padded), ident)]
+                )
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            swv = sliding_window_view(padded, wlen)
+            sw_start = ix + LO + padl
+            ok = (sw_start >= 0) & (sw_start < len(swv))
+            j = np.clip(sw_start, 0, len(swv) - 1)
+            r = op.reduce(swv[j], axis=1)
+            res[s:e] = np.where(ok, r, ident)
+    isect = empty | (fcnt == 0) | ~np.isfinite(res)
+    res = np.where(isect, 0.0, res)
+    out_f[ordered] = res.astype(np.int64) if is_int else res
+    out_fn[ordered] = isect
+    return _densify(Col(out_f, out_fn))
 
 
 def _running_aggregate(fc, src, ctx, ordered, og, new_part, new_key, pos,

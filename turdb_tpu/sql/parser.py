@@ -1182,6 +1182,36 @@ class Parser:
                     spec.partition_by.append(self._expr())
             if self.peek().is_kw("ORDER"):
                 spec.order_by = self._order_by()
+            if self.peek().type is T.IDENT and \
+                    self.peek().value.upper() in ("ROWS", "RANGE"):
+                mode = self.next().value.upper()
+
+                def _bound():
+                    tk = self.peek()
+                    if tk.type is T.IDENT and tk.value.upper() == "UNBOUNDED":
+                        self.next()
+                        w = self.ident().upper()
+                        if w not in ("PRECEDING", "FOLLOWING"):
+                            self.error("expected PRECEDING/FOLLOWING")
+                        return "up" if w == "PRECEDING" else "uf"
+                    if tk.type is T.IDENT and tk.value.upper() == "CURRENT":
+                        self.next()
+                        if self.ident().upper() != "ROW":
+                            self.error("expected ROW after CURRENT")
+                        return 0
+                    k = int(_num(self.expect(T.NUMBER).value))
+                    w = self.ident().upper()
+                    if w not in ("PRECEDING", "FOLLOWING"):
+                        self.error("expected PRECEDING/FOLLOWING")
+                    return -k if w == "PRECEDING" else k
+
+                if self.accept_kw("BETWEEN"):
+                    lo = _bound()
+                    self.expect_kw("AND")
+                    hi = _bound()
+                else:
+                    lo, hi = _bound(), 0
+                spec.frame = (mode, lo, hi)
             self.expect(T.RPAREN)
             fc.over = spec
         return fc
