@@ -286,9 +286,16 @@ class Gen:
             "row_number()", "rank()", "dense_rank()", "ntile(4)",
             "sum(amount)", "count(*)",
         ])
+        frame = ""
+        if fn.startswith(("sum", "count")) and r.random() < 0.5:
+            lo = r.choice(["UNBOUNDED PRECEDING", "2 PRECEDING",
+                           "1 PRECEDING", "CURRENT ROW"])
+            hi = r.choice(["CURRENT ROW", "1 FOLLOWING",
+                           "UNBOUNDED FOLLOWING"])
+            frame = f" ROWS BETWEEN {lo} AND {hi}"
         return (
             f"SELECT oid, uid, {fn} OVER (PARTITION BY status "
-            "ORDER BY amount NULLS FIRST, oid) FROM orders "
+            f"ORDER BY amount NULLS FIRST, oid{frame}) FROM orders "
             f"WHERE {self.pred('orders')}"
         )
 
