@@ -994,3 +994,59 @@ def test_insert_default_values(db):
     db.execute("CREATE TABLE nn (a INT NOT NULL)")
     with pytest.raises(Exception, match="NOT NULL"):
         db.execute("INSERT INTO nn DEFAULT VALUES")
+
+
+class TestMerge:
+    """MERGE INTO .. USING .. ON (reference ast.rs:635 MergeStmt —
+    parsed there, executed here)."""
+
+    def test_merge_upsert(self, db):
+        db.execute("CREATE TABLE tgt (id INT PRIMARY KEY, v INT, s TEXT)")
+        db.execute("CREATE TABLE src (id INT, v INT)")
+        db.execute("INSERT INTO tgt VALUES (1,10,'a'),(2,20,'b'),(3,30,'c')")
+        db.execute("INSERT INTO src VALUES (2,99),(3,77),(4,44)")
+        r = db.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET v = src.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v, s) "
+            "VALUES (src.id, src.v, 'new')"
+        )
+        assert r.rows_affected == 3
+        assert db.query("SELECT * FROM tgt ORDER BY id") == [
+            (1, 10, "a"), (2, 99, "b"), (3, 77, "c"), (4, 44, "new"),
+        ]
+
+    def test_merge_delete_and_subquery_source(self, db):
+        db.execute("CREATE TABLE tgt (id INT PRIMARY KEY, v INT)")
+        db.execute("INSERT INTO tgt VALUES (1, 1), (2, 2)")
+        db.execute(
+            "MERGE INTO tgt AS t USING (SELECT 2 AS sid) AS s "
+            "ON t.id = s.sid WHEN MATCHED THEN DELETE"
+        )
+        assert db.query("SELECT id FROM tgt") == [(1,)]
+
+    def test_merge_multi_match_errors(self, db):
+        db.execute("CREATE TABLE tgt (id INT, v INT)")
+        db.execute("CREATE TABLE dup (id INT)")
+        db.execute("INSERT INTO tgt VALUES (5, 0)")
+        db.execute("INSERT INTO dup VALUES (5), (5)")
+        with pytest.raises(Exception, match="more than one source row"):
+            db.execute(
+                "MERGE INTO tgt USING dup ON tgt.id = dup.id "
+                "WHEN MATCHED THEN UPDATE SET v = 1"
+            )
+
+    def test_merge_rollback(self, db):
+        db.execute("CREATE TABLE tgt (id INT, v INT)")
+        db.execute("CREATE TABLE src (id INT)")
+        db.execute("INSERT INTO tgt VALUES (1, 1)")
+        db.execute("INSERT INTO src VALUES (1), (9)")
+        db.execute("BEGIN")
+        db.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET v = 100 "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, 0)"
+        )
+        assert db.query("SELECT count(*) FROM tgt") == [(2,)]
+        db.execute("ROLLBACK")
+        assert db.query("SELECT * FROM tgt") == [(1, 1)]

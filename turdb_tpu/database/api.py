@@ -731,6 +731,8 @@ class Database:
             return dml.execute_delete(self, stmt, params, txn)
         if isinstance(stmt, A.Truncate):
             return dml.execute_truncate(self, stmt, txn)
+        if isinstance(stmt, A.Merge):
+            return dml.execute_merge(self, stmt, params, txn)
         if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
                              A.CreateView, A.CreateType, A.Drop,
                              A.AlterTable)):

@@ -958,3 +958,108 @@ def bulk_insert_rows(db, info, rows: list[dict], txn):
         rows_affected=len(rowids),
         last_rowid=rowids[-1] if rowids else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (reference ast.rs:635 MergeStmt — parsed there, executed here)
+# ---------------------------------------------------------------------------
+
+
+def execute_merge(db, stmt, params, txn):
+    """MERGE INTO target USING source ON cond: equi-join target x source,
+    apply the FIRST matching WHEN MATCHED clause per matched target row
+    (UPDATE/DELETE; a target row matched by MULTIPLE source rows errors,
+    PostgreSQL semantics), then WHEN NOT MATCHED THEN INSERT for source
+    rows with no match (values evaluate against the source row)."""
+    from turdb_tpu.database.api import ExecuteResult
+    from turdb_tpu.sql.engine import (
+        ROWID,
+        _cross_join,
+        _hash_join,
+        _split_equi,
+    )
+    from turdb_tpu.sql.expr import Col
+
+    info = db.resolve_table(stmt.target)
+    ctx = db._ctx(params, txn)
+    tgt = db._scan_batch(stmt.target, ctx)
+    srcb = db.engine._from(stmt.source, ctx)
+    srcb.add(None, "#mergesrc", Col(np.arange(srcb.n, dtype=np.int64)))
+
+    equis, residual = _split_equi(stmt.on, tgt, srcb)
+    if equis:
+        joined = _hash_join(tgt, srcb, equis, residual, "INNER", ctx)
+    else:
+        joined = _cross_join(tgt, srcb, stmt.on, ctx)
+
+    q = stmt.target.alias or stmt.target.name
+    rid_col = joined.resolve(ROWID, q)
+    src_col = joined.resolve("#mergesrc")
+    rowids = [int(r) for r in rid_col.values]
+    matched_src = {int(s) for s in src_col.values}
+
+    has_matched = any(c[0] in ("update", "delete") for c in stmt.clauses)
+    if has_matched and len(set(rowids)) != len(rowids):
+        raise _cv(db)(
+            "MERGE: a target row matched more than one source row"
+        )
+
+    affected = 0
+    matched_clause = next(
+        (c for c in stmt.clauses if c[0] in ("update", "delete")), None
+    )
+    if matched_clause is not None and joined.n:
+        if matched_clause[0] == "update":
+            assign_cols = {}
+            for cn, e in matched_clause[1]:
+                if not any(c.name == cn for c in info.columns):
+                    raise SqlError(f"no such column: {cn}")
+                assign_cols[cn] = eval_expr(e, joined, ctx)
+            for i, rowid in enumerate(rowids):
+                changes = {
+                    cn: (None if c.nulls[i] else _py(c.values[i]))
+                    for cn, c in assign_cols.items()
+                }
+                _do_update_row(db, info, rowid, changes, ctx, txn)
+                affected += 1
+        else:
+            for rowid in rowids:
+                vidx = info.table.latest.get(rowid)
+                if vidx is None:
+                    continue
+                row = info.table.row_as_dict(vidx)
+                _enforce_child_fks(db, info, row, ctx, txn)
+                if info.table.delete_row(rowid, txn):
+                    db._log_delete(info, rowid, txn)
+                    _index_delete(db, info, rowid, row)
+                    affected += 1
+
+    ins_clause = next((c for c in stmt.clauses if c[0] == "insert"), None)
+    if ins_clause is not None:
+        _, cols, val_exprs = ins_clause
+        target_cols = cols or [c.name for c in info.columns]
+        if len(val_exprs) != len(target_cols):
+            raise SqlError(
+                f"MERGE INSERT has {len(val_exprs)} values for "
+                f"{len(target_cols)} columns"
+            )
+        unmatched = [i for i in range(srcb.n) if i not in matched_src]
+        if unmatched:
+            vcols = [eval_expr(e, srcb, ctx) for e in val_exprs]
+            for i in unmatched:
+                row = {
+                    cn: (None if c.nulls[i] else _py(c.values[i]))
+                    for cn, c in zip(target_cols, vcols)
+                }
+                prepared = _prepare_row(db, info, row, ctx)
+                if _find_conflict(db, info, prepared, ctx) is not None:
+                    raise _cv(db)(
+                        f"UNIQUE constraint violated on {info.table.name}"
+                    )
+                _check_fks(db, info, prepared, ctx)
+                (rowid,) = info.table.insert_rows([prepared], txn)
+                db._log_insert(info, rowid, prepared, txn)
+                _index_insert(db, info, rowid, prepared)
+                affected += 1
+
+    return ExecuteResult(rows_affected=affected)

@@ -373,6 +373,18 @@ class AlterTable:
 
 
 @dataclass
+class Merge:
+    """MERGE INTO target USING source ON cond WHEN [NOT] MATCHED THEN ...
+    (reference ast.rs:635 MergeStmt — parsed there, executed here).
+    Clauses: ("update", assignments) | ("delete",) |
+    ("insert", cols_or_None, value_exprs)."""
+    target: TableRef
+    source: Any            # TableRef | SubqueryRef
+    on: Expr
+    clauses: list = field(default_factory=list)
+
+
+@dataclass
 class Truncate:
     table: TableRef
     restart_identity: bool = False

@@ -203,7 +203,52 @@ class Parser:
         if t.is_kw("SHOW"):
             self.next()
             return A.Pragma(self.ident(), None)
+        if t.type is T.IDENT and t.value.upper() == "MERGE":
+            return self._merge()
         self.error("unknown statement")
+
+    def _merge(self) -> A.Merge:
+        self.next()                       # MERGE (identifier keyword)
+        self.expect_kw("INTO")
+        target = self._table_ref(allow_alias=True)
+        self.expect_kw("USING")
+        source = self._table_factor()     # table [alias] or (SELECT...) alias
+        self.expect_kw("ON")
+        on = self._expr()
+        clauses = []
+        while self.accept_kw("WHEN"):
+            neg = self.accept_kw("NOT")
+            if self.ident().upper() != "MATCHED":
+                self.error("expected MATCHED")
+            self.expect_kw("THEN")
+            if neg:
+                self.expect_kw("INSERT")
+                cols = None
+                if self.accept(T.LPAREN):
+                    cols = [self.ident()]
+                    while self.accept(T.COMMA):
+                        cols.append(self.ident())
+                    self.expect(T.RPAREN)
+                self.expect_kw("VALUES")
+                self.expect(T.LPAREN)
+                vals = [self._expr()]
+                while self.accept(T.COMMA):
+                    vals.append(self._expr())
+                self.expect(T.RPAREN)
+                clauses.append(("insert", cols, vals))
+            elif self.accept_kw("UPDATE"):
+                self.expect_kw("SET")
+                sets = [self._assignment()]
+                while self.accept(T.COMMA):
+                    sets.append(self._assignment())
+                clauses.append(("update", sets))
+            elif self.accept_kw("DELETE"):
+                clauses.append(("delete",))
+            else:
+                self.error("expected UPDATE/DELETE/INSERT in MERGE clause")
+        if not clauses:
+            self.error("MERGE requires at least one WHEN clause")
+        return A.Merge(target, source, on, clauses)
 
     def _pragma_value(self):
         t = self.peek()
