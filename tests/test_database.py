@@ -1050,3 +1050,54 @@ class TestMerge:
         assert db.query("SELECT count(*) FROM tgt") == [(2,)]
         db.execute("ROLLBACK")
         assert db.query("SELECT * FROM tgt") == [(1, 1)]
+
+
+class TestCreateFunction:
+    """CREATE [OR REPLACE] FUNCTION ... LANGUAGE SQL (reference
+    ast.rs:555 — parsed there, executed here as scalar SQL functions)."""
+
+    def test_function_lifecycle(self, db):
+        db.execute(
+            "CREATE FUNCTION add_one(x INT) RETURNS INT AS 'x + 1' "
+            "LANGUAGE SQL"
+        )
+        db.execute(
+            "CREATE FUNCTION taxed(a DOUBLE, r DOUBLE) RETURNS DOUBLE "
+            "AS 'SELECT a * (1 + r)'"
+        )
+        assert db.query("SELECT add_one(41), taxed(100.0, 0.2)") == \
+            [(42, 120.0)]
+        db.execute("CREATE TABLE t (v INT)")
+        db.execute("INSERT INTO t VALUES (1), (2), (3)")
+        assert db.query("SELECT sum(add_one(v)) FROM t") == [(9,)]
+        # nesting + OR REPLACE + duplicate rejection
+        db.execute(
+            "CREATE FUNCTION add_two(x INT) RETURNS INT "
+            "AS 'add_one(add_one(x))'"
+        )
+        assert db.query("SELECT add_two(1)") == [(3,)]
+        db.execute(
+            "CREATE OR REPLACE FUNCTION add_one(x INT) RETURNS INT "
+            "AS 'x + 10'"
+        )
+        assert db.query("SELECT add_one(1)") == [(11,)]
+        with pytest.raises(Exception, match="already exists"):
+            db.execute("CREATE FUNCTION add_one(x INT) RETURNS INT AS 'x'")
+        db.execute("DROP FUNCTION add_two")
+        with pytest.raises(Exception, match="unknown function"):
+            db.query("SELECT add_two(1)")
+        db.execute("DROP FUNCTION IF EXISTS add_two")
+
+    def test_function_recursion_guard(self, db):
+        db.execute("CREATE FUNCTION boom(x INT) RETURNS INT AS 'boom(x)'")
+        with pytest.raises(Exception, match="recursion too deep"):
+            db.query("SELECT boom(1)")
+
+    def test_function_persistence(self, tmp_path):
+        p = str(tmp_path / "fp")
+        db = Database.create(p)
+        db.execute("CREATE FUNCTION sq(x INT) RETURNS INT AS 'x * x'")
+        db.close()
+        db = Database.open(p)
+        assert db.query("SELECT sq(7)") == [(49,)]
+        db.close()

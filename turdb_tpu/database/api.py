@@ -182,6 +182,7 @@ class Database:
         self.ann_overfetch = 4
         self.join_budget_override = None   # PRAGMA join_memory_budget
         self.types = {"main": {}}          # user types (CREATE TYPE)
+        self.functions = {"main": {}}      # SQL functions (CREATE FUNCTION)
         self.last_insert_id = 0            # LAST_INSERT_ID()
         self._replaying = False
 
@@ -297,8 +298,14 @@ class Database:
                 {"name": nm, **td}
                 for nm, td in self.types.get(schema, {}).items()
             ]
+            fns = [
+                {"name": nm,
+                 **{k: v for k, v in fd.items() if not k.startswith("_")}}
+                for nm, fd in self.functions.get(schema, {}).items()
+            ]
             doc["schemas"].append(
-                {"name": schema, "tables": ts, "views": vs, "types": tys}
+                {"name": schema, "tables": ts, "views": vs, "types": tys,
+                 "functions": fns}
             )
         return doc
 
@@ -316,6 +323,10 @@ class Database:
             for td in sc.get("types", []):
                 td = dict(td)
                 self.types[schema][td.pop("name")] = td
+            self.functions.setdefault(schema, {})
+            for fd in sc.get("functions", []):
+                fd = dict(fd)
+                self.functions[schema][fd.pop("name")] = fd
             for td in sc["tables"]:
                 try:
                     t = self.fm.read_table_snapshot(schema, td["name"])
@@ -734,8 +745,8 @@ class Database:
         if isinstance(stmt, A.Merge):
             return dml.execute_merge(self, stmt, params, txn)
         if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
-                             A.CreateView, A.CreateType, A.Drop,
-                             A.AlterTable)):
+                             A.CreateView, A.CreateType, A.CreateFunction,
+                             A.Drop, A.AlterTable)):
             res = ddl.execute_ddl(self, stmt, txn)
             if sql is not None:
                 self._log_ddl(sql, txn)

@@ -47,6 +47,29 @@ def execute_ddl(db, stmt, txn):
             }
         return ExecuteResult(0)
 
+    if isinstance(stmt, A.CreateFunction):
+        schema = stmt.schema or "main"
+        if schema not in db.catalog:
+            raise SqlError(f"no such schema: {schema}")
+        if stmt.language not in ("sql",):
+            raise DatabaseError(
+                f"unsupported function language: {stmt.language}"
+            )
+        fns = db.functions.setdefault(schema, {})
+        fname = stmt.name.lower()
+        if fname in fns and not stmt.or_replace:
+            raise DatabaseError(f"function {stmt.name} already exists")
+        from turdb_tpu.sql.functions import parse_function_body
+
+        parse_function_body(stmt.body)   # validate now, cache at call time
+        fns[fname] = {
+            "params": [p[0] for p in stmt.params],
+            "param_types": [p[1] for p in stmt.params],
+            "returns": stmt.return_type,
+            "body": stmt.body,
+        }
+        return ExecuteResult(0)
+
     if isinstance(stmt, A.CreateView):
         from turdb_tpu.database.api import ViewDef
 
@@ -168,6 +191,16 @@ def execute_ddl(db, stmt, txn):
             del db.catalog[stmt.name]
             db.views.pop(stmt.name, None)
             db.types.pop(stmt.name, None)
+            return ExecuteResult(0)
+        if stmt.kind == "FUNCTION":
+            schema = stmt.schema or "main"
+            fns = db.functions.get(schema, {})
+            fname = stmt.name.lower()
+            if fname not in fns:
+                if stmt.if_exists:
+                    return ExecuteResult(0)
+                raise DatabaseError(f"no such function: {stmt.name}")
+            del fns[fname]
             return ExecuteResult(0)
         if stmt.kind == "TYPE":
             schema = stmt.schema or "main"

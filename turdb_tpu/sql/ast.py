@@ -319,6 +319,21 @@ class CreateSchema:
 
 
 @dataclass
+class CreateFunction:
+    """CREATE [OR REPLACE] FUNCTION f(x INT, ...) RETURNS T AS 'body'
+    LANGUAGE SQL (reference ast.rs:555 — parsed there, executed here).
+    The body is a scalar expression or a single-item SELECT without
+    FROM."""
+    name: str
+    schema: Optional[str]
+    params: list                    # [(name, type_name)]
+    return_type: str
+    body: str
+    language: str = "sql"
+    or_replace: bool = False
+
+
+@dataclass
 class CreateType:
     """CREATE TYPE name AS ENUM (...) | AS (field type, ...) — the
     reference parses this (parser.rs parse_create_type) but never wired

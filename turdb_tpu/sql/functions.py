@@ -989,4 +989,51 @@ def eval_function(e: A.FuncCall, batch: Batch, ctx: EvalContext) -> Col:
 
         return _map(_yw, args[0])
 
+    # ---- user-defined SQL functions (CREATE FUNCTION) ---------------------
+    db = getattr(ctx, "db", None)
+    if db is not None:
+        fdef = db.functions.get("main", {}).get(name)
+        if fdef is not None:
+            if len(args) != len(fdef["params"]):
+                raise SqlError(
+                    f"{name}() takes {len(fdef['params'])} arguments, "
+                    f"got {len(args)}"
+                )
+            body_ast = fdef.get("_ast")
+            if body_ast is None:
+                body_ast = fdef["_ast"] = parse_function_body(fdef["body"])
+            depth = getattr(ctx, "_udf_depth", 0)
+            if depth > 16:
+                raise SqlError(f"{name}(): user function recursion too deep")
+            sub = Batch(n)
+            for pn, c in zip(fdef["params"], args):
+                sub.add(None, pn, c)
+            ctx._udf_depth = depth + 1
+            try:
+                return eval_expr(body_ast, sub, ctx)
+            finally:
+                ctx._udf_depth = depth
+
     raise SqlError(f"unknown function: {name}()")
+
+
+def parse_function_body(body: str):
+    """A function body is a scalar expression or a single-item SELECT
+    without FROM (reference parse_function_body takes the string form)."""
+    from turdb_tpu.sql.parser import Parser, parse_sql
+
+    text = body.strip().rstrip(";")
+    if text[:6].upper() == "SELECT":
+        sel = parse_sql(text)
+        if (not isinstance(sel, A.Select) or sel.from_ is not None
+                or len(sel.items) != 1 or sel.where is not None):
+            raise SqlError(
+                "function bodies must be a scalar expression or a "
+                "single-item SELECT without FROM"
+            )
+        return sel.items[0].expr
+    p = Parser(text)
+    e = p._expr()
+    if p.peek().type.value != "eof":
+        raise SqlError("function body has trailing input")
+    return e

@@ -207,6 +207,37 @@ class Parser:
             return self._merge()
         self.error("unknown statement")
 
+    def _create_function(self, or_replace: bool) -> A.CreateFunction:
+        self.next()                         # FUNCTION (identifier keyword)
+        name = self.ident()
+        schema = None
+        if self.accept(T.DOT):
+            schema, name = name, self.ident()
+        self.expect(T.LPAREN)
+        params = []
+        if self.peek().type is not T.RPAREN:
+            while True:
+                pn = self.ident()
+                tn, _tp = self._type_name()
+                params.append((pn, tn))
+                if not self.accept(T.COMMA):
+                    break
+        self.expect(T.RPAREN)
+        if self.peek().type is not T.IDENT or \
+                self.peek().value.upper() != "RETURNS":
+            self.error("expected RETURNS")
+        self.next()
+        rt, _ = self._type_name()
+        self.expect_kw("AS")
+        body = self.expect(T.STRING).value
+        lang = "sql"
+        if self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "LANGUAGE":
+            self.next()
+            lang = self.ident().lower()
+        return A.CreateFunction(name, schema, params, rt, body, lang,
+                                or_replace)
+
     def _merge(self) -> A.Merge:
         self.next()                       # MERGE (identifier keyword)
         self.expect_kw("INTO")
@@ -617,8 +648,11 @@ class Parser:
         self.accept_kw("MATERIALIZED")   # executed as a plain view
         if self.accept_kw("VIEW"):
             return self._create_view(or_replace)
+        if self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "FUNCTION":
+            return self._create_function(or_replace)
         if or_replace:
-            self.error("expected VIEW after OR REPLACE")
+            self.error("expected VIEW or FUNCTION after OR REPLACE")
         if self.peek().type is T.IDENT and self.peek().value.upper() == "TYPE":
             self.next()
             name = self.ident()
@@ -885,8 +919,12 @@ class Parser:
         elif self.peek().type is T.IDENT and self.peek().value.upper() == "TYPE":
             self.next()
             kind = "TYPE"
+        elif self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "FUNCTION":
+            self.next()
+            kind = "FUNCTION"
         else:
-            self.error("expected TABLE/INDEX/SCHEMA/VIEW/TYPE")
+            self.error("expected TABLE/INDEX/SCHEMA/VIEW/TYPE/FUNCTION")
         if_exists = False
         if self.accept_kw("IF"):
             self.expect_kw("EXISTS")
