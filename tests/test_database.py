@@ -1101,3 +1101,19 @@ class TestCreateFunction:
         db = Database.open(p)
         assert db.query("SELECT sq(7)") == [(49,)]
         db.close()
+
+
+def test_create_domain_and_reset(db):
+    """CREATE DOMAIN (reference parse_create_domain -> CreateType) and
+    RESET name | RESET ALL (parser.rs:3069) — executed here."""
+    db.execute("CREATE DOMAIN email AS VARCHAR(50)")
+    db.execute("CREATE TABLE u (e email)")
+    db.execute("INSERT INTO u VALUES ('x@y.z')")
+    assert db.query("SELECT e FROM u") == [("x@y.z",)]
+    with pytest.raises(Exception, match="too long"):
+        db.execute(f"INSERT INTO u VALUES ('{'a' * 60}')")
+    db.execute("SET ann_overfetch = 9")
+    assert db.ann_overfetch == 9
+    db.execute("RESET ann_overfetch")
+    assert db.ann_overfetch == 4
+    db.execute("RESET ALL")

@@ -40,6 +40,12 @@ def execute_ddl(db, stmt, txn):
             if len(set(stmt.values)) != len(stmt.values):
                 raise DatabaseError("duplicate enum label")
             types[tname] = {"kind": "enum", "values": list(stmt.values)}
+        elif stmt.kind == "domain":
+            base, params = stmt.values
+            DataType.from_sql(base)   # base must be a real type
+            types[tname] = {
+                "kind": "domain", "base": base, "params": list(params),
+            }
         else:
             types[tname] = {
                 "kind": "composite",
@@ -581,6 +587,16 @@ def _column_from_spec(sp: A.ColumnSpec, db=None, schema="main") -> ColumnDef:
                 db.types.get("main", {}).get(tname)
         if td is None:
             raise SqlError(f"unknown type: {sp.type_name}")
+        if td["kind"] == "domain":
+            # resolve through the base type, keep the domain's name
+            import dataclasses as _dc
+
+            base_sp = _dc.replace(
+                sp, type_name=td["base"], type_params=list(td["params"])
+            )
+            cd = _column_from_spec(base_sp, db, schema)
+            cd.type_name = tname
+            return cd
         cd = ColumnDef(
             name=sp.name,
             dtype=(DataType.ENUM if td["kind"] == "enum"

@@ -10,6 +10,7 @@ from turdb_tpu.sql.engine import ROWID
 from turdb_tpu.sql.expr import Batch, Col
 from turdb_tpu.sql.lexer import SqlError
 from turdb_tpu.storage.wal import SyncMode
+from turdb_tpu.storage.wal import SyncMode
 
 
 def system_table_batch(db, ref: A.TableRef) -> Batch:
@@ -113,8 +114,12 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
         rows = []
         for schema, types in db.types.items():
             for tname, td in types.items():
-                detail = (",".join(td["values"]) if td["kind"] == "enum"
-                          else ",".join(f[0] for f in td["fields"]))
+                if td["kind"] == "enum":
+                    detail = ",".join(td["values"])
+                elif td["kind"] == "domain":
+                    detail = td["base"]
+                else:
+                    detail = ",".join(f[0] for f in td["fields"])
                 rows.append((schema, tname, td["kind"], detail))
         return build(["schema", "name", "kind", "detail"], rows)
     raise SqlError(f"no such system table: turdb_catalog.{name}")
@@ -181,6 +186,26 @@ def execute_pragma(db, p: A.Pragma):
             rows=db.budget.stats(),
             columns=["pool", "budget_bytes", "used_bytes"],
         )
+    if name in ("__reset", "__reset_all"):
+        # RESET <knob> | RESET ALL (reference parser.rs:3069): restore
+        # session-settable knobs to their defaults
+        defaults = {
+            "wal_autoflush": ("wal_autoflush", True),
+            "synchronous": ("sync_mode", SyncMode.NORMAL),
+            "ann": ("ann_enabled", True),
+            "ann_overfetch": ("ann_overfetch", 4),
+            "join_memory_budget": ("join_budget_override", None),
+        }
+        if name == "__reset_all":
+            for attr, dv in defaults.values():
+                setattr(db, attr, dv)
+            return show("ok")
+        knob = str(v)
+        if knob not in defaults:
+            raise SqlError(f"unknown setting: {knob}")
+        attr, dv = defaults[knob]
+        setattr(db, attr, dv)
+        return show("ok")
     if name == "memory_budget":
         return show(db.budget.total)
     if name == "join_memory_budget":

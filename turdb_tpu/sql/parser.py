@@ -205,6 +205,12 @@ class Parser:
             return A.Pragma(self.ident(), None)
         if t.type is T.IDENT and t.value.upper() == "MERGE":
             return self._merge()
+        if t.type is T.IDENT and t.value.upper() == "RESET":
+            # RESET name | RESET ALL (reference parser.rs:3069)
+            self.next()
+            if self.accept_kw("ALL"):
+                return A.Pragma("__reset_all", None)
+            return A.Pragma("__reset", self.ident())
         self.error("unknown statement")
 
     def _create_function(self, or_replace: bool) -> A.CreateFunction:
@@ -653,13 +659,21 @@ class Parser:
             return self._create_function(or_replace)
         if or_replace:
             self.error("expected VIEW or FUNCTION after OR REPLACE")
-        if self.peek().type is T.IDENT and self.peek().value.upper() == "TYPE":
+        if self.peek().type is T.IDENT and \
+                self.peek().value.upper() in ("TYPE", "DOMAIN"):
             self.next()
             name = self.ident()
             schema = None
             if self.accept(T.DOT):
                 schema, name = name, self.ident()
             self.expect_kw("AS")
+            if self.peek().type is not T.LPAREN and not (
+                    self.peek().type is T.IDENT and
+                    self.peek().value.upper() == "ENUM"):
+                # CREATE DOMAIN-shaped: AS <base type> (reference
+                # parse_create_domain maps to CreateType too)
+                tn, tp = self._type_name()
+                return A.CreateType(name, schema, "domain", [tn, tp])
             if self.peek().type is T.IDENT and \
                     self.peek().value.upper() == "ENUM":
                 self.next()
