@@ -1117,3 +1117,98 @@ def test_create_domain_and_reset(db):
     db.execute("RESET ann_overfetch")
     assert db.ann_overfetch == 4
     db.execute("RESET ALL")
+
+
+class TestTriggers:
+    """CREATE TRIGGER (reference ast.rs:582 — parsed there, fired here):
+    SQLite-style BEGIN..END bodies with NEW./OLD. references, WHEN
+    conditions, BEFORE/AFTER on INSERT/UPDATE/DELETE."""
+
+    def test_trigger_audit_vs_sqlite(self, db):
+        import sqlite3
+
+        lite = sqlite3.connect(":memory:")
+        ddl = [
+            "CREATE TABLE orders (id INT PRIMARY KEY, amount DOUBLE, "
+            "status TEXT)",
+            "CREATE TABLE audit (event TEXT, oid INT, amt DOUBLE)",
+            "CREATE TRIGGER log_ins AFTER INSERT ON orders FOR EACH ROW "
+            "BEGIN INSERT INTO audit VALUES ('ins', NEW.id, NEW.amount); END",
+            "CREATE TRIGGER log_del AFTER DELETE ON orders FOR EACH ROW "
+            "WHEN (OLD.amount > 50) BEGIN INSERT INTO audit VALUES "
+            "('del', OLD.id, OLD.amount); END",
+            "CREATE TRIGGER log_upd AFTER UPDATE ON orders FOR EACH ROW "
+            "BEGIN INSERT INTO audit VALUES "
+            "('upd', NEW.id, NEW.amount - OLD.amount); END",
+        ]
+        dml = [
+            "INSERT INTO orders VALUES (1, 10.0, 'new'), (2, 100.0, 'new')",
+            "UPDATE orders SET amount = amount + 5 WHERE id = 1",
+            "DELETE FROM orders WHERE id = 2",
+            "DELETE FROM orders WHERE id = 1",
+        ]
+        for s in ddl + dml:
+            db.execute(s)
+            lite.execute(s)
+        q = "SELECT * FROM audit ORDER BY oid, event"
+        assert repr(db.query(q)) == repr(lite.execute(q).fetchall())
+        lite.close()
+
+    def test_trigger_rollback_and_prepared(self, db):
+        db.execute("CREATE TABLE t (v INT)")
+        db.execute("CREATE TABLE log (v INT)")
+        db.execute(
+            "CREATE TRIGGER tr AFTER INSERT ON t FOR EACH ROW "
+            "BEGIN INSERT INTO log VALUES (NEW.v); END"
+        )
+        st = db.prepare("INSERT INTO t VALUES ($1)")
+        st.execute([1])
+        assert db.query("SELECT v FROM log") == [(1,)]
+        db.execute("BEGIN")
+        db.execute("INSERT INTO t VALUES (2)")
+        assert db.query("SELECT count(*) FROM log") == [(2,)]
+        db.execute("ROLLBACK")
+        assert db.query("SELECT count(*) FROM log") == [(1,)]
+
+    def test_trigger_recursion_guard(self, db):
+        db.execute("CREATE TABLE t (v INT)")
+        db.execute(
+            "CREATE TRIGGER loop AFTER INSERT ON t FOR EACH ROW "
+            "BEGIN INSERT INTO t VALUES (NEW.v + 1); END"
+        )
+        with pytest.raises(Exception, match="recursion too deep"):
+            db.execute("INSERT INTO t VALUES (1)")
+
+    def test_trigger_persistence_and_drop(self, tmp_path):
+        p = str(tmp_path / "tp")
+        db = Database.create(p)
+        db.execute("CREATE TABLE t (v INT)")
+        db.execute("CREATE TABLE log (v INT)")
+        db.execute(
+            "CREATE TRIGGER tr BEFORE INSERT ON t FOR EACH ROW "
+            "BEGIN INSERT INTO log VALUES (NEW.v * 10); END"
+        )
+        db.close()
+        db = Database.open(p)
+        db.execute("INSERT INTO t VALUES (4)")
+        assert db.query("SELECT v FROM log") == [(40,)]
+        db.execute("DROP TRIGGER tr")
+        db.execute("INSERT INTO t VALUES (5)")
+        assert db.query("SELECT count(*) FROM log") == [(1,)]
+        with pytest.raises(Exception, match="no such trigger"):
+            db.execute("DROP TRIGGER tr")
+        db.execute("DROP TRIGGER IF EXISTS tr")
+        db.close()
+
+    def test_trigger_execute_function_form(self, db):
+        # the reference's EXECUTE FUNCTION form calls a user SQL function
+        db.execute("CREATE TABLE t (v INT)")
+        db.execute(
+            "CREATE FUNCTION noop() RETURNS INT AS '1' LANGUAGE SQL"
+        )
+        db.execute(
+            "CREATE TRIGGER tr AFTER INSERT ON t FOR EACH ROW "
+            "EXECUTE FUNCTION noop()"
+        )
+        db.execute("INSERT INTO t VALUES (1)")   # fires without error
+        assert db.query("SELECT v FROM t") == [(1,)]

@@ -183,6 +183,9 @@ class Database:
         self.join_budget_override = None   # PRAGMA join_memory_budget
         self.types = {"main": {}}          # user types (CREATE TYPE)
         self.functions = {"main": {}}      # SQL functions (CREATE FUNCTION)
+        self.triggers = {"main": {}}       # row triggers (CREATE TRIGGER)
+        self.trigger_epoch = 0             # bumps invalidate fast lanes
+        self._trigger_tables = set()       # tables with any trigger
         self.last_insert_id = 0            # LAST_INSERT_ID()
         self._replaying = False
 
@@ -303,9 +306,14 @@ class Database:
                  **{k: v for k, v in fd.items() if not k.startswith("_")}}
                 for nm, fd in self.functions.get(schema, {}).items()
             ]
+            trs = [
+                {"name": nm,
+                 **{k: v for k, v in td.items() if not k.startswith("_")}}
+                for nm, td in self.triggers.get(schema, {}).items()
+            ]
             doc["schemas"].append(
                 {"name": schema, "tables": ts, "views": vs, "types": tys,
-                 "functions": fns}
+                 "functions": fns, "triggers": trs}
             )
         return doc
 
@@ -327,6 +335,12 @@ class Database:
             for fd in sc.get("functions", []):
                 fd = dict(fd)
                 self.functions[schema][fd.pop("name")] = fd
+            self.triggers.setdefault(schema, {})
+            for td2 in sc.get("triggers", []):
+                td2 = dict(td2)
+                self.triggers[schema][td2.pop("name")] = td2
+                self._trigger_tables.add(td2["table"])
+                self.trigger_epoch += 1
             for td in sc["tables"]:
                 try:
                     t = self.fm.read_table_snapshot(schema, td["name"])
@@ -746,7 +760,7 @@ class Database:
             return dml.execute_merge(self, stmt, params, txn)
         if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
                              A.CreateView, A.CreateType, A.CreateFunction,
-                             A.Drop, A.AlterTable)):
+                             A.CreateTrigger, A.Drop, A.AlterTable)):
             res = ddl.execute_ddl(self, stmt, txn)
             if sql is not None:
                 self._log_ddl(sql, txn)
@@ -1580,6 +1594,8 @@ class CachedInsertPlan:
         db = self.db
         info = self.info
         t = info.table
+        if t.name in db._trigger_tables:
+            return None   # triggers fire on the generic path only
         cv = ConstraintViolation
         vals = []
         auto_bump = 0
@@ -1691,7 +1707,8 @@ class CachedInsertPlan:
         if live is not self.info:     # DDL since prepare: re-resolve
             self._bind()
             self._fast = self._build_fast()
-        if self._fast is not None and db._txn is None and db.mode == "rw":
+        if self._fast is not None and db._txn is None and db.mode == "rw" \
+                and self.tname not in db._trigger_tables:
             fn = self._fast.get("fn")
             res = fn(params) if fn is not None else self._fast_row(params)
             if res is not None:

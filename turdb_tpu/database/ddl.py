@@ -53,6 +53,35 @@ def execute_ddl(db, stmt, txn):
             }
         return ExecuteResult(0)
 
+    if isinstance(stmt, A.CreateTrigger):
+        schema = "main"
+        if stmt.table not in db.catalog.get(schema, {}):
+            found = None
+            for sc, tables in db.catalog.items():
+                if stmt.table in tables:
+                    found = sc
+                    break
+            if found is None:
+                raise DatabaseError(f"no such table: {stmt.table}")
+            schema = found
+        trigs = db.triggers.setdefault(schema, {})
+        if stmt.name in trigs and not stmt.or_replace:
+            raise DatabaseError(f"trigger {stmt.name} already exists")
+        from turdb_tpu.database.api import _parse_stmt
+
+        for sql in stmt.body:            # validate the body parses now
+            _parse_stmt(sql)
+        trigs[stmt.name] = {
+            "table": stmt.table,
+            "timing": stmt.timing,
+            "events": list(stmt.events),
+            "when": stmt.when,
+            "body": list(stmt.body),
+        }
+        db._trigger_tables.add(stmt.table)
+        db.trigger_epoch += 1
+        return ExecuteResult(0)
+
     if isinstance(stmt, A.CreateFunction):
         schema = stmt.schema or "main"
         if schema not in db.catalog:
@@ -198,6 +227,19 @@ def execute_ddl(db, stmt, txn):
             db.views.pop(stmt.name, None)
             db.types.pop(stmt.name, None)
             return ExecuteResult(0)
+        if stmt.kind == "TRIGGER":
+            for trigs in db.triggers.values():
+                if stmt.name in trigs:
+                    del trigs[stmt.name]
+                    db._trigger_tables = {
+                        t["table"] for tr in db.triggers.values()
+                        for t in tr.values()
+                    }
+                    db.trigger_epoch += 1
+                    return ExecuteResult(0)
+            if stmt.if_exists:
+                return ExecuteResult(0)
+            raise DatabaseError(f"no such trigger: {stmt.name}")
         if stmt.kind == "FUNCTION":
             schema = stmt.schema or "main"
             fns = db.functions.get(schema, {})

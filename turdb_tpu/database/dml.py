@@ -101,9 +101,15 @@ def execute_insert(db, stmt: A.Insert, params, txn):
             out_rowids.append(conflict_rowid)
             continue
         _check_fks(db, info, prepared, ctx)
+        if info.table.name in db._trigger_tables:
+            fire_triggers(db, info, "INSERT", "BEFORE", prepared, None,
+                          ctx, txn)
         (rowid,) = info.table.insert_rows([prepared], txn)
         db._log_insert(info, rowid, prepared, txn)
         _index_insert(db, info, rowid, prepared)
+        if info.table.name in db._trigger_tables:
+            fire_triggers(db, info, "INSERT", "AFTER", prepared, None,
+                          ctx, txn)
         out_rowids.append(rowid)
         inserted += 1
 
@@ -138,9 +144,15 @@ def insert_plan_rows(db, info, binders, params, txn):
         if _find_conflict(db, info, prepared, ctx) is not None:
             raise _cv(db)(f"UNIQUE constraint violated on {info.table.name}")
         _check_fks(db, info, prepared, ctx)
+        if info.table.name in db._trigger_tables:
+            fire_triggers(db, info, "INSERT", "BEFORE", prepared, None,
+                          ctx, txn)
         (rowid,) = info.table.insert_rows([prepared], txn)
         db._log_insert(info, rowid, prepared, txn)
         _index_insert(db, info, rowid, prepared)
+        if info.table.name in db._trigger_tables:
+            fire_triggers(db, info, "INSERT", "AFTER", prepared, None,
+                          ctx, txn)
         inserted += 1
         last = rowid
     return ExecuteResult(rows_affected=inserted, last_rowid=last)
@@ -575,11 +587,17 @@ def _do_update_row(db, info, rowid: int, changes: dict, ctx, txn):
     if conflict is not None and conflict != rowid:
         raise _cv(db)(f"UNIQUE constraint violated on {info.table.name}")
     _check_fks(db, info, new_row, ctx)
+    if info.table.name in db._trigger_tables:
+        fire_triggers(db, info, "UPDATE", "BEFORE", new_row, old_row,
+                      ctx, txn)
     if not info.table.update_row(rowid, new_row, txn):
         return
     db._log_update(info, rowid, new_row, txn)
     _index_delete(db, info, rowid, old_row)
     _index_insert(db, info, rowid, new_row, txn=txn)
+    if info.table.name in db._trigger_tables:
+        fire_triggers(db, info, "UPDATE", "AFTER", new_row, old_row,
+                      ctx, txn)
 
 
 # ---------------------------------------------------------------------------
@@ -617,9 +635,14 @@ def execute_delete(db, stmt: A.Delete, params, txn):
             continue
         row = info.table.row_as_dict(vidx)
         _enforce_child_fks(db, info, row, ctx, txn)
+        if info.table.name in db._trigger_tables:
+            fire_triggers(db, info, "DELETE", "BEFORE", None, row, ctx, txn)
         if info.table.delete_row(rowid, txn):
             db._log_delete(info, rowid, txn)
             _index_delete(db, info, rowid, row)
+            if info.table.name in db._trigger_tables:
+                fire_triggers(db, info, "DELETE", "AFTER", None, row,
+                              ctx, txn)
             count += 1
     res = ExecuteResult(rows_affected=count)
     if ret is not None:
@@ -755,8 +778,8 @@ def bulk_insert_columns(db, info, data: dict, txn):
     from turdb_tpu.database.api import ExecuteResult
 
     n = len(np.asarray(next(iter(data.values()))))
-    if info.fks:
-        # child-side FK probes stay per-row for now
+    if info.fks or info.table.name in db._trigger_tables:
+        # child-side FK probes and trigger firing stay per-row
         rows = _columns_to_rows(info, data, n)
         return bulk_insert_rows(db, info, rows, txn)
 
@@ -941,17 +964,22 @@ def bulk_insert_rows(db, info, rows: list[dict], txn):
     from turdb_tpu.database.api import ExecuteResult
 
     ctx = db._ctx([], txn)
+    fire = info.table.name in db._trigger_tables
     prepared = []
     for row in rows:
         p = _prepare_row(db, info, dict(row), ctx)
         if _find_conflict(db, info, p, ctx) is not None:
             raise _cv(db)(f"UNIQUE constraint violated on {info.table.name}")
         _check_fks(db, info, p, ctx)
+        if fire:
+            fire_triggers(db, info, "INSERT", "BEFORE", p, None, ctx, txn)
         prepared.append(p)
     rowids = info.table.insert_rows(prepared, txn)
     for rowid, p in zip(rowids, prepared):
         db._log_insert(info, rowid, p, txn)
         _index_insert(db, info, rowid, p)
+        if fire:
+            fire_triggers(db, info, "INSERT", "AFTER", p, None, ctx, txn)
     for h in info.hnsw.values():
         h.flush_pending()
     return ExecuteResult(
@@ -1029,9 +1057,15 @@ def execute_merge(db, stmt, params, txn):
                     continue
                 row = info.table.row_as_dict(vidx)
                 _enforce_child_fks(db, info, row, ctx, txn)
+                if info.table.name in db._trigger_tables:
+                    fire_triggers(db, info, "DELETE", "BEFORE", None, row,
+                                  ctx, txn)
                 if info.table.delete_row(rowid, txn):
                     db._log_delete(info, rowid, txn)
                     _index_delete(db, info, rowid, row)
+                    if info.table.name in db._trigger_tables:
+                        fire_triggers(db, info, "DELETE", "AFTER", None,
+                                      row, ctx, txn)
                     affected += 1
 
     ins_clause = next((c for c in stmt.clauses if c[0] == "insert"), None)
@@ -1057,9 +1091,99 @@ def execute_merge(db, stmt, params, txn):
                         f"UNIQUE constraint violated on {info.table.name}"
                     )
                 _check_fks(db, info, prepared, ctx)
+                if info.table.name in db._trigger_tables:
+                    fire_triggers(db, info, "INSERT", "BEFORE", prepared,
+                                  None, ctx, txn)
                 (rowid,) = info.table.insert_rows([prepared], txn)
                 db._log_insert(info, rowid, prepared, txn)
                 _index_insert(db, info, rowid, prepared)
+                if info.table.name in db._trigger_tables:
+                    fire_triggers(db, info, "INSERT", "AFTER", prepared,
+                                  None, ctx, txn)
                 affected += 1
 
     return ExecuteResult(rows_affected=affected)
+
+
+# ---------------------------------------------------------------------------
+# Triggers (reference ast.rs:582 CreateTriggerStmt — parsed there, fired here)
+# ---------------------------------------------------------------------------
+
+
+def _subst_node(node, mapping):
+    """Deep-copy an AST substituting NEW.col / OLD.col references with
+    literals from the firing row (values are plain literals at fire
+    time, so the substituted statement runs through the normal path)."""
+    import dataclasses
+
+    if isinstance(node, A.ColumnRef) and node.table and \
+            node.table.lower() in ("new", "old"):
+        key = (node.table.lower(), node.name)
+        if key not in mapping:
+            raise SqlError(
+                f"trigger references unknown column {node.table}.{node.name}"
+            )
+        return A.Literal(mapping[key])
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            nv = _subst_node(v, mapping)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(node, **changes) if changes else node
+    if isinstance(node, list):
+        out = [_subst_node(x, mapping) for x in node]
+        return out if any(a is not b for a, b in zip(out, node)) else node
+    if isinstance(node, tuple):
+        out = tuple(_subst_node(x, mapping) for x in node)
+        return out if any(a is not b for a, b in zip(out, node)) else node
+    return node
+
+
+def triggers_for(db, info, event: str, timing: str) -> list:
+    trigs = db.triggers.get(info.schema)
+    if not trigs:
+        return []
+    return [
+        t for t in trigs.values()
+        if t["table"] == info.table.name and t["timing"] == timing
+        and event in t["events"]
+    ]
+
+
+def fire_triggers(db, info, event: str, timing: str, new_row, old_row,
+                  ctx, txn):
+    """Run matching row triggers: WHEN condition then body statements,
+    with NEW./OLD. references substituted from the firing row."""
+    matching = triggers_for(db, info, event, timing)
+    if not matching:
+        return
+    from turdb_tpu.database.api import _parse_expr, _parse_stmt
+
+    depth = getattr(db, "_trigger_depth", 0)
+    if depth >= 8:
+        raise SqlError("trigger recursion too deep")
+    mapping = {}
+    for cd in info.columns:
+        if new_row is not None:
+            mapping[("new", cd.name)] = new_row.get(cd.name)
+        if old_row is not None:
+            mapping[("old", cd.name)] = old_row.get(cd.name)
+    for t in matching:
+        if t["when"]:
+            cond = _subst_node(_parse_expr(t["when"]), mapping)
+            c = eval_expr(cond, Batch(1),
+                          EvalContext([], db.engine._subquery_fn))
+            if c.nulls[0] or not bool(c.values[0]):
+                continue
+        for sql in t["body"]:
+            ast = t.setdefault("_asts", {}).get(sql)
+            if ast is None:
+                ast = t["_asts"][sql] = _parse_stmt(sql)
+            stmt = _subst_node(ast, mapping)
+            db._trigger_depth = depth + 1
+            try:
+                db._execute_stmt(stmt, [], txn)
+            finally:
+                db._trigger_depth = depth

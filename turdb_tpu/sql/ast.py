@@ -334,6 +334,21 @@ class CreateFunction:
 
 
 @dataclass
+class CreateTrigger:
+    """CREATE TRIGGER (reference ast.rs:582 — parsed there, executed
+    here). Bodies: SQLite-style BEGIN <stmt>; ... END with NEW./OLD.
+    references, or the reference's EXECUTE FUNCTION f() form (calls a
+    user SQL function per row, result discarded)."""
+    name: str
+    table: str
+    timing: str                    # BEFORE | AFTER
+    events: list                   # ["INSERT", "UPDATE", "DELETE"]
+    body: list                     # SQL statement strings
+    when: Optional[str] = None     # WHEN condition (SQL text)
+    or_replace: bool = False
+
+
+@dataclass
 class CreateType:
     """CREATE TYPE name AS ENUM (...) | AS (field type, ...) — the
     reference parses this (parser.rs parse_create_type) but never wired

@@ -213,6 +213,66 @@ class Parser:
             return A.Pragma("__reset", self.ident())
         self.error("unknown statement")
 
+    def _create_trigger(self, or_replace: bool) -> A.CreateTrigger:
+        self.next()                         # TRIGGER (identifier keyword)
+        name = self.ident()
+        t = self.peek()
+        if t.type is T.IDENT and t.value.upper() in ("BEFORE", "AFTER"):
+            timing = self.next().value.upper()
+        else:
+            self.error("expected BEFORE or AFTER")
+        events = []
+        while True:
+            ev = self.next()
+            if not ev.is_kw("INSERT", "UPDATE", "DELETE"):
+                self.error("expected INSERT/UPDATE/DELETE")
+            events.append(ev.value)
+            if not self.accept_kw("OR"):
+                break
+        self.expect_kw("ON")
+        table = self.ident()
+        if self.accept_kw("FOR"):
+            if self.ident().upper() != "EACH":
+                self.error("expected EACH")
+            w = self.ident().upper()
+            if w not in ("ROW", "STATEMENT"):
+                self.error("expected ROW or STATEMENT")
+        when = None
+        if self.accept_kw("WHEN"):
+            self.expect(T.LPAREN)
+            w0 = self.peek().off
+            self._expr()
+            when = self.src[w0:self.peek().off].strip()
+            self.expect(T.RPAREN)
+        body = []
+        nx = self.peek()
+        if nx.type is T.IDENT and nx.value.upper() == "EXECUTE":
+            # reference form: EXECUTE FUNCTION f() — call the UDF per row
+            self.next()
+            w = self.ident().upper()
+            if w not in ("FUNCTION", "PROCEDURE"):
+                self.error("expected FUNCTION/PROCEDURE")
+            fname = self.ident()
+            self.expect(T.LPAREN)
+            self.expect(T.RPAREN)
+            body = [f"SELECT {fname}()"]
+        elif nx.is_kw("BEGIN"):
+            # SQLite-style body: BEGIN <stmt>; [<stmt>;]* END
+            self.next()
+            while not self.peek().is_kw("END"):
+                s0 = self.peek().off
+                self._statement()
+                body.append(self.src[s0:self.peek().off].strip())
+                if not self.accept(T.SEMI):
+                    break
+            self.expect_kw("END")
+        else:
+            self.error("expected BEGIN or EXECUTE FUNCTION")
+        if not body:
+            self.error("trigger body is empty")
+        return A.CreateTrigger(name, table, timing, events, body, when,
+                               or_replace)
+
     def _create_function(self, or_replace: bool) -> A.CreateFunction:
         self.next()                         # FUNCTION (identifier keyword)
         name = self.ident()
@@ -657,8 +717,11 @@ class Parser:
         if self.peek().type is T.IDENT and \
                 self.peek().value.upper() == "FUNCTION":
             return self._create_function(or_replace)
+        if self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "TRIGGER":
+            return self._create_trigger(or_replace)
         if or_replace:
-            self.error("expected VIEW or FUNCTION after OR REPLACE")
+            self.error("expected VIEW/FUNCTION/TRIGGER after OR REPLACE")
         if self.peek().type is T.IDENT and \
                 self.peek().value.upper() in ("TYPE", "DOMAIN"):
             self.next()
@@ -937,8 +1000,14 @@ class Parser:
                 self.peek().value.upper() == "FUNCTION":
             self.next()
             kind = "FUNCTION"
+        elif self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "TRIGGER":
+            self.next()
+            kind = "TRIGGER"
         else:
-            self.error("expected TABLE/INDEX/SCHEMA/VIEW/TYPE/FUNCTION")
+            self.error(
+                "expected TABLE/INDEX/SCHEMA/VIEW/TYPE/FUNCTION/TRIGGER"
+            )
         if_exists = False
         if self.accept_kw("IF"):
             self.expect_kw("EXISTS")
