@@ -1212,3 +1212,46 @@ class TestTriggers:
         )
         db.execute("INSERT INTO t VALUES (1)")   # fires without error
         assert db.query("SELECT v FROM t") == [(1,)]
+
+
+class TestProcedures:
+    """CREATE PROCEDURE / CALL (reference ast.rs CreateProcedureStmt +
+    CallStmt — parsed there, executed here)."""
+
+    def test_procedure_call(self, db):
+        db.execute("CREATE TABLE accounts (id INT PRIMARY KEY, bal DOUBLE)")
+        db.execute("INSERT INTO accounts VALUES (1, 100.0), (2, 50.0)")
+        db.execute(
+            "CREATE PROCEDURE transfer(src INT, dst INT, amt DOUBLE) AS "
+            "'UPDATE accounts SET bal = bal - amt WHERE id = src; "
+            "UPDATE accounts SET bal = bal + amt WHERE id = dst' "
+            "LANGUAGE SQL"
+        )
+        r = db.execute("CALL transfer(1, 2, 30.0)")
+        assert r.rows_affected == 2
+        assert db.query("SELECT * FROM accounts ORDER BY id") == [
+            (1, 70.0), (2, 80.0),
+        ]
+        db.execute("BEGIN")
+        db.execute("CALL transfer(2, 1, 80.0)")
+        db.execute("ROLLBACK")
+        assert db.query("SELECT * FROM accounts ORDER BY id") == [
+            (1, 70.0), (2, 80.0),
+        ]
+        with pytest.raises(Exception, match="takes 3 arguments"):
+            db.execute("CALL transfer(1, 2)")
+        db.execute("DROP PROCEDURE transfer")
+        with pytest.raises(Exception, match="no such procedure"):
+            db.execute("CALL transfer(1, 2, 1.0)")
+
+    def test_procedure_persistence(self, tmp_path):
+        p = str(tmp_path / "pp")
+        db = Database.create(p)
+        db.execute("CREATE TABLE t (v INT)")
+        db.execute("CREATE PROCEDURE add_v(x INT) AS "
+                   "'INSERT INTO t VALUES (x)'")
+        db.close()
+        db = Database.open(p)
+        db.execute("CALL add_v(7)")
+        assert db.query("SELECT v FROM t") == [(7,)]
+        db.close()

@@ -184,6 +184,7 @@ class Database:
         self.types = {"main": {}}          # user types (CREATE TYPE)
         self.functions = {"main": {}}      # SQL functions (CREATE FUNCTION)
         self.triggers = {"main": {}}       # row triggers (CREATE TRIGGER)
+        self.procedures = {"main": {}}     # CREATE PROCEDURE / CALL
         self.trigger_epoch = 0             # bumps invalidate fast lanes
         self._trigger_tables = set()       # tables with any trigger
         self.last_insert_id = 0            # LAST_INSERT_ID()
@@ -311,9 +312,14 @@ class Database:
                  **{k: v for k, v in td.items() if not k.startswith("_")}}
                 for nm, td in self.triggers.get(schema, {}).items()
             ]
+            prs = [
+                {"name": nm,
+                 **{k: v for k, v in pd.items() if not k.startswith("_")}}
+                for nm, pd in self.procedures.get(schema, {}).items()
+            ]
             doc["schemas"].append(
                 {"name": schema, "tables": ts, "views": vs, "types": tys,
-                 "functions": fns, "triggers": trs}
+                 "functions": fns, "triggers": trs, "procedures": prs}
             )
         return doc
 
@@ -341,6 +347,10 @@ class Database:
                 self.triggers[schema][td2.pop("name")] = td2
                 self._trigger_tables.add(td2["table"])
                 self.trigger_epoch += 1
+            self.procedures.setdefault(schema, {})
+            for pd in sc.get("procedures", []):
+                pd = dict(pd)
+                self.procedures[schema][pd.pop("name")] = pd
             for td in sc["tables"]:
                 try:
                     t = self.fm.read_table_snapshot(schema, td["name"])
@@ -758,9 +768,12 @@ class Database:
             return dml.execute_truncate(self, stmt, txn)
         if isinstance(stmt, A.Merge):
             return dml.execute_merge(self, stmt, params, txn)
+        if isinstance(stmt, A.Call):
+            return dml.execute_call(self, stmt, params, txn)
         if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
                              A.CreateView, A.CreateType, A.CreateFunction,
-                             A.CreateTrigger, A.Drop, A.AlterTable)):
+                             A.CreateTrigger, A.CreateProcedure,
+                             A.Drop, A.AlterTable)):
             res = ddl.execute_ddl(self, stmt, txn)
             if sql is not None:
                 self._log_ddl(sql, txn)

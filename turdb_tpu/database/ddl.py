@@ -82,6 +82,28 @@ def execute_ddl(db, stmt, txn):
         db.trigger_epoch += 1
         return ExecuteResult(0)
 
+    if isinstance(stmt, A.CreateProcedure):
+        schema = stmt.schema or "main"
+        if schema not in db.catalog:
+            raise SqlError(f"no such schema: {schema}")
+        if stmt.language not in ("sql",):
+            raise DatabaseError(
+                f"unsupported procedure language: {stmt.language}"
+            )
+        prs = db.procedures.setdefault(schema, {})
+        pname = stmt.name.lower()
+        if pname in prs and not stmt.or_replace:
+            raise DatabaseError(f"procedure {stmt.name} already exists")
+        from turdb_tpu.sql.parser import parse_script
+
+        parse_script(stmt.body)          # validate the script parses now
+        prs[pname] = {
+            "params": [p[0] for p in stmt.params],
+            "param_types": [p[1] for p in stmt.params],
+            "body": stmt.body,
+        }
+        return ExecuteResult(0)
+
     if isinstance(stmt, A.CreateFunction):
         schema = stmt.schema or "main"
         if schema not in db.catalog:
@@ -240,6 +262,16 @@ def execute_ddl(db, stmt, txn):
             if stmt.if_exists:
                 return ExecuteResult(0)
             raise DatabaseError(f"no such trigger: {stmt.name}")
+        if stmt.kind == "PROCEDURE":
+            schema = stmt.schema or "main"
+            prs = db.procedures.get(schema, {})
+            pname = stmt.name.lower()
+            if pname not in prs:
+                if stmt.if_exists:
+                    return ExecuteResult(0)
+                raise DatabaseError(f"no such procedure: {stmt.name}")
+            del prs[pname]
+            return ExecuteResult(0)
         if stmt.kind == "FUNCTION":
             schema = stmt.schema or "main"
             fns = db.functions.get(schema, {})

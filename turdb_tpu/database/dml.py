@@ -1116,14 +1116,19 @@ def _subst_node(node, mapping):
     time, so the substituted statement runs through the normal path)."""
     import dataclasses
 
-    if isinstance(node, A.ColumnRef) and node.table and \
-            node.table.lower() in ("new", "old"):
-        key = (node.table.lower(), node.name)
-        if key not in mapping:
-            raise SqlError(
-                f"trigger references unknown column {node.table}.{node.name}"
-            )
-        return A.Literal(mapping[key])
+    if isinstance(node, A.ColumnRef):
+        if node.table and node.table.lower() in ("new", "old"):
+            key = (node.table.lower(), node.name)
+            if key not in mapping:
+                raise SqlError(
+                    f"trigger references unknown column "
+                    f"{node.table}.{node.name}"
+                )
+            return A.Literal(mapping[key])
+        if node.table is None and (None, node.name) in mapping:
+            # procedure parameter reference (CALL substitution)
+            return A.Literal(mapping[(None, node.name)])
+        return node
     if dataclasses.is_dataclass(node) and not isinstance(node, type):
         changes = {}
         for f in dataclasses.fields(node):
@@ -1187,3 +1192,44 @@ def fire_triggers(db, info, event: str, timing: str, new_row, old_row,
                 db._execute_stmt(stmt, [], txn)
             finally:
                 db._trigger_depth = depth
+
+
+def execute_call(db, stmt, params, txn):
+    """CALL p(args) (reference ast.rs CallStmt — parsed there, executed
+    here): the procedure body is a script of statements with parameter
+    names substituted as literals."""
+    from turdb_tpu.database.api import DatabaseError, ExecuteResult
+
+    pdef = db.procedures.get(stmt.schema or "main", {}).get(
+        stmt.name.lower()
+    ) or db.procedures.get("main", {}).get(stmt.name.lower())
+    if pdef is None:
+        raise DatabaseError(f"no such procedure: {stmt.name}")
+    if len(stmt.args) != len(pdef["params"]):
+        raise SqlError(
+            f"{stmt.name}() takes {len(pdef['params'])} arguments, "
+            f"got {len(stmt.args)}"
+        )
+    ctx = db._ctx(params, txn)
+    one = Batch(1)
+    mapping = {}
+    for pn, e in zip(pdef["params"], stmt.args):
+        c = eval_expr(e, one, ctx)
+        mapping[(None, pn)] = None if c.nulls[0] else _py(c.values[0])
+    depth = getattr(db, "_trigger_depth", 0)
+    if depth >= 8:
+        raise SqlError("procedure recursion too deep")
+    from turdb_tpu.sql.parser import parse_script
+
+    asts = pdef.get("_asts")
+    if asts is None:
+        asts = pdef["_asts"] = parse_script(pdef["body"])
+    total = 0
+    db._trigger_depth = depth + 1
+    try:
+        for ast in asts:
+            res = db._execute_stmt(_subst_node(ast, mapping), [], txn)
+            total += getattr(res, "rows_affected", 0) or 0
+    finally:
+        db._trigger_depth = depth
+    return ExecuteResult(rows_affected=total)

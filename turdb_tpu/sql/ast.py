@@ -334,6 +334,27 @@ class CreateFunction:
 
 
 @dataclass
+class CreateProcedure:
+    """CREATE PROCEDURE p(x INT) AS '<stmt>; <stmt>' LANGUAGE SQL
+    (reference ast.rs CreateProcedureStmt — parsed there, executed
+    here via CALL)."""
+    name: str
+    schema: Optional[str]
+    params: list                    # [(name, type_name)]
+    body: str                       # SQL statement script
+    language: str = "sql"
+    or_replace: bool = False
+
+
+@dataclass
+class Call:
+    """CALL p(args) (reference ast.rs CallStmt)."""
+    name: str
+    schema: Optional[str]
+    args: list = field(default_factory=list)
+
+
+@dataclass
 class CreateTrigger:
     """CREATE TRIGGER (reference ast.rs:582 — parsed there, executed
     here). Bodies: SQLite-style BEGIN <stmt>; ... END with NEW./OLD.

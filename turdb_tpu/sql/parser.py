@@ -205,6 +205,20 @@ class Parser:
             return A.Pragma(self.ident(), None)
         if t.type is T.IDENT and t.value.upper() == "MERGE":
             return self._merge()
+        if t.type is T.IDENT and t.value.upper() == "CALL":
+            self.next()
+            name = self.ident()
+            schema = None
+            if self.accept(T.DOT):
+                schema, name = name, self.ident()
+            self.expect(T.LPAREN)
+            args = []
+            if self.peek().type is not T.RPAREN:
+                args = [self._expr()]
+                while self.accept(T.COMMA):
+                    args.append(self._expr())
+            self.expect(T.RPAREN)
+            return A.Call(name, schema, args)
         if t.type is T.IDENT and t.value.upper() == "RESET":
             # RESET name | RESET ALL (reference parser.rs:3069)
             self.next()
@@ -272,6 +286,32 @@ class Parser:
             self.error("trigger body is empty")
         return A.CreateTrigger(name, table, timing, events, body, when,
                                or_replace)
+
+    def _create_procedure(self, or_replace: bool) -> A.CreateProcedure:
+        self.next()                         # PROCEDURE (identifier keyword)
+        name = self.ident()
+        schema = None
+        if self.accept(T.DOT):
+            schema, name = name, self.ident()
+        self.expect(T.LPAREN)
+        params = []
+        if self.peek().type is not T.RPAREN:
+            while True:
+                pn = self.ident()
+                tn, _tp = self._type_name()
+                params.append((pn, tn))
+                if not self.accept(T.COMMA):
+                    break
+        self.expect(T.RPAREN)
+        self.expect_kw("AS")
+        body = self.expect(T.STRING).value
+        lang = "sql"
+        if self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "LANGUAGE":
+            self.next()
+            lang = self.ident().lower()
+        return A.CreateProcedure(name, schema, params, body, lang,
+                                 or_replace)
 
     def _create_function(self, or_replace: bool) -> A.CreateFunction:
         self.next()                         # FUNCTION (identifier keyword)
@@ -720,8 +760,13 @@ class Parser:
         if self.peek().type is T.IDENT and \
                 self.peek().value.upper() == "TRIGGER":
             return self._create_trigger(or_replace)
+        if self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "PROCEDURE":
+            return self._create_procedure(or_replace)
         if or_replace:
-            self.error("expected VIEW/FUNCTION/TRIGGER after OR REPLACE")
+            self.error(
+                "expected VIEW/FUNCTION/PROCEDURE/TRIGGER after OR REPLACE"
+            )
         if self.peek().type is T.IDENT and \
                 self.peek().value.upper() in ("TYPE", "DOMAIN"):
             self.next()
@@ -1004,9 +1049,14 @@ class Parser:
                 self.peek().value.upper() == "TRIGGER":
             self.next()
             kind = "TRIGGER"
+        elif self.peek().type is T.IDENT and \
+                self.peek().value.upper() == "PROCEDURE":
+            self.next()
+            kind = "PROCEDURE"
         else:
             self.error(
-                "expected TABLE/INDEX/SCHEMA/VIEW/TYPE/FUNCTION/TRIGGER"
+                "expected TABLE/INDEX/SCHEMA/VIEW/TYPE/FUNCTION/"
+                "PROCEDURE/TRIGGER"
             )
         if_exists = False
         if self.accept_kw("IF"):
