@@ -1255,3 +1255,29 @@ class TestProcedures:
         db.execute("CALL add_v(7)")
         assert db.query("SELECT v FROM t") == [(7,)]
         db.close()
+
+
+def test_begin_options_and_explain_json(db):
+    """BEGIN ISOLATION LEVEL ... / READ ONLY (reference parser.rs:2907;
+    all levels = snapshot) and EXPLAIN (ANALYZE, FORMAT JSON)
+    (parser.rs:2977) — executed here."""
+    import json
+
+    db.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    db.execute("INSERT INTO t VALUES (1, 1)")
+    db.execute("BEGIN ISOLATION LEVEL SERIALIZABLE, READ ONLY")
+    assert db.query("SELECT * FROM t") == [(1, 1)]
+    with pytest.raises(Exception, match="READ ONLY"):
+        db.execute("INSERT INTO t VALUES (2, 2)")
+    db.execute("COMMIT")
+    db.execute("BEGIN TRANSACTION READ WRITE")
+    db.execute("INSERT INTO t VALUES (2, 2)")
+    db.execute("COMMIT")
+    doc = json.loads(db.execute(
+        "EXPLAIN (FORMAT JSON) SELECT * FROM t WHERE id = 1"
+    ).rows[0][0])
+    assert doc[0]["node"].startswith("Project")
+    out = db.execute(
+        "EXPLAIN (ANALYZE, FORMAT JSON) SELECT count(*) FROM t"
+    ).rows[0][0]
+    assert "Execution" in out

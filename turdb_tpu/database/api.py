@@ -744,6 +744,10 @@ class Database:
                     self._reindex(info)
             return ExecuteResult(rows_affected=n)
         self._check_writable()
+        if self._txn is not None and getattr(self._txn, "read_only", False):
+            raise DatabaseError(
+                "cannot execute writes in a READ ONLY transaction"
+            )
         txn, own = self._begin_write()
         try:
             res = self._execute_stmt(stmt, params, txn, sql)
@@ -796,6 +800,9 @@ class Database:
                 raise DatabaseError("transaction already in progress")
             self._check_writable()
             self._txn = self.mgr.begin()
+            # every isolation level maps to snapshot isolation; READ ONLY
+            # rejects writes for the transaction's duration
+            self._txn.read_only = bool(getattr(stmt, "read_only", False))
             if self.wal_enabled:
                 self.wal.append(FrameType.BEGIN, txn_id=self._txn.txn_id)
             return ExecuteResult(0)
@@ -1282,6 +1289,20 @@ class Database:
                 nrows = res.rows_affected
             ms = (_time.perf_counter() - t0) * 1e3
             lines.append(f"Execution: {nrows} rows in {ms:.2f} ms")
+        if getattr(e, "format", "text") == "json":
+            # EXPLAIN (FORMAT JSON): nested plan doc, indentation = depth
+            import json as _json
+
+            root: list = []
+            stack = [(-1, root)]
+            for ln in lines:
+                depth = (len(ln) - len(ln.lstrip())) // 2
+                node = {"node": ln.strip(), "children": []}
+                while stack and stack[-1][0] >= depth:
+                    stack.pop()
+                (stack[-1][1] if stack else root).append(node)
+                stack.append((depth, node["children"]))
+            return (["plan"], [(_json.dumps(root),)])
         return (["plan"], [(ln,) for ln in lines])
 
     # ------------------------------------------------------------------

@@ -445,12 +445,15 @@ class Truncate:
 class TxnStmt:
     kind: str                # BEGIN/COMMIT/ROLLBACK/SAVEPOINT/RELEASE/ROLLBACK_TO
     name: Optional[str] = None
+    read_only: bool = False  # BEGIN READ ONLY
+    isolation: Optional[str] = None  # ISOLATION LEVEL ... (all = snapshot)
 
 
 @dataclass
 class Explain:
     stmt: Any
     analyze: bool = False
+    format: str = "text"     # EXPLAIN (FORMAT JSON)
 
 
 @dataclass

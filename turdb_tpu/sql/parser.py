@@ -147,7 +147,28 @@ class Parser:
         if t.is_kw("BEGIN", "START"):
             self.next()
             self.accept_kw("TRANSACTION", "WORK")
-            return A.TxnStmt("BEGIN")
+            # ISOLATION LEVEL ... / READ ONLY|WRITE (reference
+            # parser.rs:2907; every level maps to snapshot isolation)
+            iso = None
+            ro = False
+            while self.peek().type is T.IDENT and \
+                    self.peek().value.upper() in ("ISOLATION", "READ"):
+                w = self.next().value.upper()
+                if w == "ISOLATION":
+                    if self.ident().upper() != "LEVEL":
+                        self.error("expected LEVEL")
+                    parts = [self.ident().upper()]
+                    if parts[0] in ("READ", "REPEATABLE"):
+                        parts.append(self.ident().upper())
+                    iso = " ".join(parts)
+                else:
+                    m = self.ident().upper()
+                    if m == "ONLY":
+                        ro = True
+                    elif m != "WRITE":
+                        self.error("expected ONLY or WRITE")
+                self.accept(T.COMMA)
+            return A.TxnStmt("BEGIN", read_only=ro, isolation=iso)
         if t.is_kw("COMMIT"):
             self.next()
             self.accept_kw("TRANSACTION", "WORK")
@@ -168,9 +189,31 @@ class Parser:
             return A.TxnStmt("RELEASE", self.ident())
         if t.is_kw("EXPLAIN"):
             self.next()
-            analyze = self.accept_kw("ANALYZE")
-            self.accept_kw("VERBOSE")
-            return A.Explain(self._statement(), analyze)
+            analyze = False
+            fmt = "text"
+            if self.accept(T.LPAREN):
+                # EXPLAIN (ANALYZE, VERBOSE, FORMAT JSON|TEXT) — the
+                # reference's parenthesized option list (parser.rs:2977)
+                while True:
+                    if self.accept_kw("ANALYZE"):
+                        analyze = True
+                    elif self.accept_kw("VERBOSE"):
+                        pass
+                    elif self.peek().type is T.IDENT and \
+                            self.peek().value.upper() == "FORMAT":
+                        self.next()
+                        fmt = self.ident().lower()
+                        if fmt not in ("text", "json"):
+                            self.error("expected TEXT or JSON")
+                    else:
+                        break
+                    if not self.accept(T.COMMA):
+                        break
+                self.expect(T.RPAREN)
+            else:
+                analyze = self.accept_kw("ANALYZE")
+                self.accept_kw("VERBOSE")
+            return A.Explain(self._statement(), analyze, fmt)
         if t.is_kw("PRAGMA"):
             self.next()
             name = self.ident()
