@@ -73,6 +73,14 @@ def _seed(db, lite, rng):
         "CREATE TABLE orders (oid INTEGER, uid INTEGER, amount DOUBLE, "
         "status TEXT, qty INTEGER)",
         "CREATE TABLE items (iid INTEGER, oid INTEGER, price DOUBLE, tag TEXT)",
+        # audit trigger: every mutation round also compares trigger
+        # side effects against SQLite's firing semantics
+        "CREATE TABLE audit (ev TEXT, k INTEGER)",
+        "CREATE TRIGGER a_del AFTER DELETE ON orders FOR EACH ROW "
+        "WHEN (OLD.qty > 2) BEGIN "
+        "INSERT INTO audit VALUES ('d', OLD.oid); END",
+        "CREATE TRIGGER a_ins AFTER INSERT ON orders FOR EACH ROW BEGIN "
+        "INSERT INTO audit VALUES ('i', NEW.oid); END",
     ]
     for s in stmts:
         db.execute(s)
@@ -393,6 +401,10 @@ def test_differential_fuzz(tmp_path, seed):
                 db.execute(sql)
                 lite.execute(sql)
                 executed += 1
+            # trigger side effects must match SQLite after every round
+            q = "SELECT * FROM audit"
+            assert rows_match(norm(db.query(q)),
+                              norm(lite.execute(q).fetchall()))
         assert executed >= 240
     finally:
         db.close()
@@ -415,6 +427,7 @@ def test_differential_txn_fuzz(tmp_path, seed):
             "SELECT * FROM users",
             "SELECT * FROM orders",
             "SELECT count(*), sum(qty) FROM orders",
+            "SELECT * FROM audit",
         ]
         for rnd in range(12):
             commit = rng.random() < 0.5
@@ -479,7 +492,8 @@ def test_differential_savepoint_fuzz(tmp_path, seed):
                     break   # releasing/rolling s2 may consume s1's scope
             db.execute("COMMIT")
             lite.execute("COMMIT")
-            for sql in ("SELECT * FROM orders", "SELECT * FROM users"):
+            for sql in ("SELECT * FROM orders", "SELECT * FROM users",
+                        "SELECT * FROM audit"):
                 ours = norm(db.query(sql))
                 theirs = norm(lite.execute(sql).fetchall())
                 assert rows_match(ours, theirs), (
