@@ -310,3 +310,30 @@ def test_crash_recovery_equivalence(tmp_path, seed):
             oracle.query(f"SELECT count(*) FROM x{i}")
     recovered.close()
     oracle.close()
+
+
+def test_savepoint_trigger_crash_consistency(tmp_path):
+    """Trigger effects inside a rolled-back savepoint scope are undone
+    live (MVCC undo) AND at replay (their frames count toward SPABORT)."""
+    p = str(tmp_path / "twx")
+    db = Database.create(p)
+    db.execute("CREATE TABLE t (v INT)")
+    db.execute("CREATE TABLE log (v INT)")
+    db.execute(
+        "CREATE TRIGGER tr AFTER INSERT ON t FOR EACH ROW "
+        "BEGIN INSERT INTO log VALUES (NEW.v); END"
+    )
+    db.execute("BEGIN")
+    db.execute("INSERT INTO t VALUES (1)")
+    db.execute("SAVEPOINT s")
+    db.execute("INSERT INTO t VALUES (2)")
+    db.execute("ROLLBACK TO s")
+    db.execute("COMMIT")
+    assert db.query("SELECT * FROM t") == [(1,)]
+    assert db.query("SELECT * FROM log") == [(1,)]
+    db.wal.flush()
+    db.wal.close()
+    db2 = Database.open(p)
+    assert db2.query("SELECT * FROM t") == [(1,)]
+    assert db2.query("SELECT * FROM log") == [(1,)]
+    db2.close()
