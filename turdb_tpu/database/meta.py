@@ -122,6 +122,30 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
                     detail = ",".join(f[0] for f in td["fields"])
                 rows.append((schema, tname, td["kind"], detail))
         return build(["schema", "name", "kind", "detail"], rows)
+    if name == "functions":
+        rows = [
+            (schema, nm, ",".join(fd["params"]), fd["returns"], fd["body"])
+            for schema, fns in db.functions.items()
+            for nm, fd in fns.items()
+        ]
+        return build(["schema", "name", "params", "returns", "body"], rows)
+    if name == "procedures":
+        rows = [
+            (schema, nm, ",".join(pd["params"]), pd["body"])
+            for schema, prs in db.procedures.items()
+            for nm, pd in prs.items()
+        ]
+        return build(["schema", "name", "params", "body"], rows)
+    if name == "triggers":
+        rows = [
+            (schema, nm, td["table"], td["timing"],
+             ",".join(td["events"]), td.get("when"))
+            for schema, trs in db.triggers.items()
+            for nm, td in trs.items()
+        ]
+        return build(
+            ["schema", "name", "table", "timing", "events", "when"], rows
+        )
     raise SqlError(f"no such system table: turdb_catalog.{name}")
 
 
