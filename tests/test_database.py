@@ -1281,3 +1281,28 @@ def test_begin_options_and_explain_json(db):
         "EXPLAIN (ANALYZE, FORMAT JSON) SELECT count(*) FROM t"
     ).rows[0][0]
     assert "Execution" in out
+
+
+def test_uuid_column_wal_roundtrip(tmp_path):
+    """UUID columns are canonicalized, validated, and WAL-replayable
+    (they broke record packing for WAL frames before: StorageClass.BYTES
+    with string values)."""
+    p = str(tmp_path / "uu")
+    db = Database.create(p)
+    db.execute("CREATE TABLE t (u UUID, iv INTERVAL)")
+    db.execute(
+        "INSERT INTO t VALUES ('550E8400-E29B-41D4-A716-446655440000', "
+        "INTERVAL '1 day 2 hours')"
+    )
+    assert db.query("SELECT u, iv FROM t") == [
+        ("550e8400-e29b-41d4-a716-446655440000", 93600000000),
+    ]
+    with pytest.raises(Exception, match="invalid UUID"):
+        db.execute("INSERT INTO t (u) VALUES ('nope')")
+    db.wal.flush()
+    db.wal.close()
+    db2 = Database.open(p)
+    assert db2.query("SELECT u FROM t") == [
+        ("550e8400-e29b-41d4-a716-446655440000",),
+    ]
+    db2.close()

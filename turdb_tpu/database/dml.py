@@ -204,6 +204,15 @@ def _prepare_row(db, info, row: dict, ctx) -> dict:
             raise _cv(db)(
                 f"invalid value for enum {cd.type_name or cd.name}: {v!r}"
             )
+        if v is not None and cd.dtype is DataType.UUID:
+            import uuid as _uuid
+
+            try:
+                out[cd.name] = str(
+                    _uuid.UUID(v if isinstance(v, str) else bytes(v).hex())
+                )
+            except (ValueError, TypeError):
+                raise _cv(db)(f"invalid UUID for {cd.name}: {v!r}")
         if v is not None and cd.dtype is DataType.VECTOR:
             arr = np.asarray(
                 v if not isinstance(v, str) else _parse_vec(v), np.float32

@@ -125,7 +125,7 @@ _STORAGE = {
     DataType.TIMESTAMP: StorageClass.TEXT,
     DataType.TIMESTAMPTZ: StorageClass.TEXT,
     DataType.INTERVAL: StorageClass.INT,    # microseconds
-    DataType.UUID: StorageClass.BYTES,      # 16 bytes
+    DataType.UUID: StorageClass.TEXT,       # canonical 36-char form
     DataType.JSON: StorageClass.TEXT,
     DataType.JSONB: StorageClass.OBJECT,
     DataType.VECTOR: StorageClass.VECTOR,
