@@ -204,6 +204,14 @@ def _prepare_row(db, info, row: dict, ctx) -> dict:
             raise _cv(db)(
                 f"invalid value for enum {cd.type_name or cd.name}: {v!r}"
             )
+        if v is not None and cd.dtype is DataType.INTERVAL and \
+                isinstance(v, str):
+            from turdb_tpu.sql.functions import parse_temporal
+
+            try:
+                out[cd.name] = parse_temporal("INTERVAL", v)
+            except Exception:
+                raise _cv(db)(f"invalid interval for {cd.name}: {v!r}")
         if v is not None and cd.dtype is DataType.UUID:
             import uuid as _uuid
 
