@@ -1306,3 +1306,20 @@ def test_uuid_column_wal_roundtrip(tmp_path):
         ("550e8400-e29b-41d4-a716-446655440000",),
     ]
     db2.close()
+
+
+def test_temporal_columns_validate_and_canonicalize(db):
+    """DATE/TIME/TIMESTAMP columns validate and canonicalize text values
+    (reference parsing/literal.rs): '2024-1-1' stored non-canonical broke
+    string-order comparisons, and garbage was accepted silently."""
+    db.execute("CREATE TABLE t (d DATE, tm TIME, ts TIMESTAMP)")
+    db.execute("INSERT INTO t VALUES ('2024-1-1', '9:5', '2024-01-01T10:00:00')")
+    assert db.query("SELECT * FROM t") == [
+        ("2024-01-01", "09:05:00", "2024-01-01 10:00:00"),
+    ]
+    db.execute("INSERT INTO t (d) VALUES ('2024-01-02')")
+    assert db.query("SELECT count(*) FROM t WHERE d > '2024-01-01'") == [(1,)]
+    for bad in ["('nope', NULL, NULL)", "(NULL, '99:99', NULL)",
+                "(NULL, NULL, '2024-13-40 00:00:00')"]:
+        with pytest.raises(Exception, match="invalid"):
+            db.execute(f"INSERT INTO t VALUES {bad}")

@@ -204,6 +204,19 @@ def _prepare_row(db, info, row: dict, ctx) -> dict:
             raise _cv(db)(
                 f"invalid value for enum {cd.type_name or cd.name}: {v!r}"
             )
+        if v is not None and isinstance(v, str) and cd.dtype in (
+                DataType.DATE, DataType.TIME, DataType.TIMESTAMP,
+                DataType.TIMESTAMPTZ):
+            # validate + canonicalize (reference parsing/literal.rs):
+            # non-canonical text ('2024-1-1') breaks memcmp ordering
+            from turdb_tpu.sql.functions import parse_temporal
+
+            try:
+                out[cd.name] = parse_temporal(cd.dtype.name, v)
+            except Exception:
+                raise _cv(db)(
+                    f"invalid {cd.dtype.name} for {cd.name}: {v!r}"
+                )
         if v is not None and cd.dtype is DataType.INTERVAL and \
                 isinstance(v, str):
             from turdb_tpu.sql.functions import parse_temporal

@@ -42,12 +42,39 @@ def parse_temporal(type_name: str, text: str):
     TIMESTAMP) or microseconds (INTERVAL). Reference parsing/literal.rs."""
     tn = type_name.upper()
     t = text.strip()
+
+    def _pad_date(d: str) -> str:
+        parts = d.split("-")
+        if len(parts) == 3 and all(p.isdigit() for p in parts):
+            return f"{int(parts[0]):04d}-{int(parts[1]):02d}-{int(parts[2]):02d}"
+        return d
+
+    def _pad_time(x: str) -> str:
+        parts = x.split(":")
+        if 2 <= len(parts) <= 3 and parts[0].isdigit():
+            frac = ""
+            if len(parts) == 3 and "." in parts[2]:
+                parts[2], frac = parts[2].split(".", 1)
+                frac = "." + frac
+            if all(p.isdigit() for p in parts):
+                parts = [f"{int(p):02d}" for p in parts]
+                while len(parts) < 3:
+                    parts.append("00")
+                return ":".join(parts) + frac
+        return x
+
     if tn == "DATE":
-        return _dt.date.fromisoformat(t).isoformat()
+        return _dt.date.fromisoformat(_pad_date(t)).isoformat()
     if tn == "TIME":
-        return _dt.time.fromisoformat(t).isoformat()
+        return _dt.time.fromisoformat(_pad_time(t)).isoformat()
     if tn in ("TIMESTAMP", "TIMESTAMPTZ", "DATETIME"):
-        return _dt.datetime.fromisoformat(t.replace("T", " ").replace("Z", "")).strftime(
+        t = t.replace("T", " ").replace("Z", "")
+        if " " in t:
+            dpart, tpart = t.split(" ", 1)
+            t = _pad_date(dpart) + " " + _pad_time(tpart)
+        else:
+            t = _pad_date(t)
+        return _dt.datetime.fromisoformat(t).strftime(
             "%Y-%m-%d %H:%M:%S.%f"
         ).rstrip("0").rstrip(".")
     if tn == "INTERVAL":
