@@ -207,7 +207,13 @@ class Repl:
         self.buffer.append(line)
         if not stripped.endswith(";"):
             return True
-        sql = "\n".join(self.buffer).strip().rstrip(";")
+        whole = "\n".join(self.buffer).strip()
+        up = " ".join(whole.upper().split())
+        if (up.startswith(("CREATE TRIGGER", "CREATE OR REPLACE TRIGGER"))
+                and " BEGIN " in f" {up} "
+                and not up.rstrip(";").rstrip().endswith("END")):
+            return True   # inside a trigger body: ';' ends inner stmts
+        sql = whole.rstrip(";")
         self.buffer = []
         if not sql:
             return True
