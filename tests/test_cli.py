@@ -80,3 +80,16 @@ def test_schema_renders_executable_create(tmp_path):
         db2.execute("INSERT INTO users (name, age) VALUES ('y', 500)")
     db.close()
     db2.close()
+
+
+def test_cli_multi_statement_command(tmp_path, capsys):
+    """-c accepts statement scripts; trigger bodies keep inner ';'."""
+    from turdb_tpu.cli.repl import main
+
+    main([str(tmp_path / "ms"), "-c",
+          "CREATE TABLE t (v INT); CREATE TABLE log (v INT); "
+          "CREATE TRIGGER tr AFTER INSERT ON t FOR EACH ROW BEGIN "
+          "INSERT INTO log VALUES (NEW.v); END; "
+          "INSERT INTO t VALUES (7); SELECT * FROM log;"])
+    out = capsys.readouterr().out
+    assert "| 7 |" in out

@@ -294,8 +294,11 @@ def main(argv=None):
         db = connect(args.database)
     try:
         if args.command:
+            from turdb_tpu.sql.parser import split_statements
+
             repl = Repl(db)
-            repl.feed(args.command.rstrip(";") + ";")
+            for stmt in split_statements(args.command):
+                repl.feed(stmt + ";")
             return 0
         Repl(db).run_interactive()
         return 0

@@ -1511,3 +1511,19 @@ def parse_sql(sql: str):
 
 def parse_script(sql: str) -> list:
     return Parser(sql).parse_script()
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script into per-statement SOURCE TEXT (trigger bodies and
+    string literals keep their inner semicolons): parse each statement
+    and slice the source by token offsets."""
+    p = Parser(sql)
+    out = []
+    while p.peek().type is not T.EOF:
+        start = p.peek().off
+        p._statement()
+        end = p.peek().off if p.peek().type is not T.EOF else len(sql)
+        out.append(sql[start:end].strip().rstrip(";"))
+        while p.accept(T.SEMI):
+            pass
+    return [s for s in out if s]
