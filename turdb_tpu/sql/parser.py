@@ -146,6 +146,9 @@ class Parser:
             return A.Truncate(ref, restart)
         if t.is_kw("BEGIN", "START"):
             self.next()
+            if self.peek().type is T.IDENT and self.peek().value.upper() in (
+                    "DEFERRED", "IMMEDIATE", "EXCLUSIVE"):
+                self.next()   # SQLite lock modes: single-writer MVCC here
             self.accept_kw("TRANSACTION", "WORK")
             # ISOLATION LEVEL ... / READ ONLY|WRITE (reference
             # parser.rs:2907; every level maps to snapshot isolation)
