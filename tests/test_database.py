@@ -1213,6 +1213,90 @@ class TestTriggers:
         db.execute("INSERT INTO t VALUES (1)")   # fires without error
         assert db.query("SELECT v FROM t") == [(1,)]
 
+    def test_statement_level_trigger(self, db):
+        # FOR EACH STATEMENT: once per statement, even on zero rows
+        db.execute("CREATE TABLE t (a INT)")
+        db.execute("CREATE TABLE log (tag TEXT)")
+        db.execute(
+            "CREATE TRIGGER st AFTER INSERT ON t FOR EACH STATEMENT "
+            "BEGIN INSERT INTO log VALUES ('i'); END"
+        )
+        db.execute(
+            "CREATE TRIGGER sd BEFORE DELETE ON t FOR EACH STATEMENT "
+            "BEGIN INSERT INTO log VALUES ('d'); END"
+        )
+        db.execute("INSERT INTO t VALUES (1), (2), (3)")     # 3 rows, 1 fire
+        db.execute("INSERT INTO t SELECT a FROM t WHERE a > 99")  # 0 rows
+        db.execute("DELETE FROM t WHERE a = 2")
+        assert db.query("SELECT tag FROM log ORDER BY tag") == [
+            ("d",), ("i",), ("i",)
+        ]
+        # prepared fast lane fires it too
+        st = db.prepare("INSERT INTO t VALUES ($1)")
+        st.execute([7])
+        assert db.query("SELECT count(*) FROM log WHERE tag='i'") == [(3,)]
+
+    def test_statement_trigger_rejects_new_old(self, db):
+        db.execute("CREATE TABLE t (a INT)")
+        with pytest.raises(Exception, match="cannot reference NEW/OLD"):
+            db.execute(
+                "CREATE TRIGGER bad AFTER INSERT ON t FOR EACH STATEMENT "
+                "BEGIN INSERT INTO t VALUES (NEW.a); END"
+            )
+
+    def test_instead_of_triggers_on_view(self, tmp_path):
+        # SQLite INSTEAD OF semantics: DML on a view redirects to the
+        # trigger bodies with NEW./OLD. bound from the view row
+        p = str(tmp_path / "iv")
+        db = Database.create(p)
+        db.execute("CREATE TABLE base (id INT PRIMARY KEY, v TEXT)")
+        db.execute("INSERT INTO base VALUES (1, 'one'), (2, 'two')")
+        db.execute("CREATE VIEW bv AS SELECT id, v FROM base")
+        db.execute(
+            "CREATE TRIGGER iv INSTEAD OF INSERT ON bv "
+            "BEGIN INSERT INTO base VALUES (NEW.id, NEW.v); END"
+        )
+        db.execute(
+            "CREATE TRIGGER uv INSTEAD OF UPDATE ON bv "
+            "BEGIN UPDATE base SET v = NEW.v WHERE id = OLD.id; END"
+        )
+        db.execute(
+            "CREATE TRIGGER dv INSTEAD OF DELETE ON bv "
+            "BEGIN DELETE FROM base WHERE id = OLD.id; END"
+        )
+        r = db.execute("INSERT INTO bv VALUES (3, 'three')")
+        assert r.rows_affected == 1
+        assert db.query("SELECT v FROM base WHERE id = 3") == [("three",)]
+        db.execute("UPDATE bv SET v = upper(v) WHERE id <= 2")
+        assert db.query("SELECT v FROM base ORDER BY id") == [
+            ("ONE",), ("TWO",), ("three",)
+        ]
+        db.execute("DELETE FROM bv WHERE v = 'TWO'")
+        assert db.query("SELECT count(*) FROM base") == [(2,)]
+        # persists across reopen
+        db.close()
+        db = Database.open(p)
+        db.execute("INSERT INTO bv VALUES (9, 'nine')")
+        assert db.query("SELECT v FROM base WHERE id = 9") == [("nine",)]
+        db.close()
+
+    def test_instead_of_guards(self, db):
+        db.execute("CREATE TABLE t (a INT)")
+        db.execute("CREATE VIEW pv AS SELECT a FROM t")
+        with pytest.raises(Exception, match="not a view"):
+            db.execute(
+                "CREATE TRIGGER x INSTEAD OF INSERT ON t "
+                "BEGIN INSERT INTO t VALUES (1); END"
+            )
+        with pytest.raises(Exception, match="FOR EACH ROW"):
+            db.execute(
+                "CREATE TRIGGER x INSTEAD OF INSERT ON pv "
+                "FOR EACH STATEMENT BEGIN INSERT INTO t VALUES (1); END"
+            )
+        # a view without INSTEAD OF triggers stays read-only
+        with pytest.raises(Exception, match="read-only"):
+            db.execute("INSERT INTO pv VALUES (1)")
+
 
 class TestProcedures:
     """CREATE PROCEDURE / CALL (reference ast.rs CreateProcedureStmt +

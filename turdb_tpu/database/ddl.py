@@ -55,7 +55,24 @@ def execute_ddl(db, stmt, txn):
 
     if isinstance(stmt, A.CreateTrigger):
         schema = "main"
-        if stmt.table not in db.catalog.get(schema, {}):
+        if stmt.timing == "INSTEAD OF":
+            # INSTEAD OF redirects view DML (SQLite create_trigger.html
+            # semantics); it is only meaningful on a view, per row
+            if stmt.level != "ROW":
+                raise DatabaseError(
+                    "INSTEAD OF triggers must be FOR EACH ROW"
+                )
+            found = None
+            for sc, views in db.views.items():
+                if stmt.table in views:
+                    found = sc
+                    break
+            if found is None:
+                raise DatabaseError(
+                    f"INSTEAD OF trigger target {stmt.table} is not a view"
+                )
+            schema = found
+        elif stmt.table not in db.catalog.get(schema, {}):
             found = None
             for sc, tables in db.catalog.items():
                 if stmt.table in tables:
@@ -68,15 +85,21 @@ def execute_ddl(db, stmt, txn):
         if stmt.name in trigs and not stmt.or_replace:
             raise DatabaseError(f"trigger {stmt.name} already exists")
         from turdb_tpu.database.api import _parse_stmt
+        from turdb_tpu.database.dml import _refs_new_old
 
         for sql in stmt.body:            # validate the body parses now
-            _parse_stmt(sql)
+            ast = _parse_stmt(sql)
+            if stmt.level == "STATEMENT" and _refs_new_old(ast):
+                raise DatabaseError(
+                    "statement-level triggers cannot reference NEW/OLD"
+                )
         trigs[stmt.name] = {
             "table": stmt.table,
             "timing": stmt.timing,
             "events": list(stmt.events),
             "when": stmt.when,
             "body": list(stmt.body),
+            "level": stmt.level,
         }
         db._trigger_tables.add(stmt.table)
         db.trigger_epoch += 1

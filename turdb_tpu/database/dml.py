@@ -34,8 +34,12 @@ def _cv(db):
 def execute_insert(db, stmt: A.Insert, params, txn):
     from turdb_tpu.database.api import ExecuteResult
 
+    iv = _instead_of_dispatch(db, stmt.table, "INSERT")
+    if iv is not None:
+        return _instead_of_insert(db, stmt, params, txn, *iv)
     info = db.resolve_table(stmt.table)
     ctx = db._ctx(params, txn)
+    fire_statement_triggers(db, info, "INSERT", "BEFORE", ctx, txn)
     colnames = [c.name for c in info.columns]
 
     if stmt.columns is not None:
@@ -113,6 +117,7 @@ def execute_insert(db, stmt: A.Insert, params, txn):
         out_rowids.append(rowid)
         inserted += 1
 
+    fire_statement_triggers(db, info, "INSERT", "AFTER", ctx, txn)
     res = ExecuteResult(
         rows_affected=inserted + conflicted_updates,
         last_rowid=out_rowids[-1] if out_rowids else None,
@@ -129,6 +134,7 @@ def insert_plan_rows(db, info, binders, params, txn):
     from turdb_tpu.database.api import ExecuteResult
 
     ctx = db._ctx(params, txn)
+    fire_statement_triggers(db, info, "INSERT", "BEFORE", ctx, txn)
     inserted = 0
     last = None
     for brow in binders:
@@ -155,6 +161,7 @@ def insert_plan_rows(db, info, binders, params, txn):
                           ctx, txn)
         inserted += 1
         last = rowid
+    fire_statement_triggers(db, info, "INSERT", "AFTER", ctx, txn)
     return ExecuteResult(rows_affected=inserted, last_rowid=last)
 
 
@@ -541,8 +548,12 @@ def _apply_conflict_update(db, info, rowid, assignments, excluded_row, ctx, txn)
 def execute_update(db, stmt: A.Update, params, txn):
     from turdb_tpu.database.api import ExecuteResult
 
+    iv = _instead_of_dispatch(db, stmt.table, "UPDATE")
+    if iv is not None:
+        return _instead_of_update(db, stmt, params, txn, *iv)
     info = db.resolve_table(stmt.table)
     ctx = db._ctx(params, txn)
+    fire_statement_triggers(db, info, "UPDATE", "BEFORE", ctx, txn)
     # point/range UPDATE takes the same index probe SELECT uses (the
     # reference plans DML scans through index_selection.rs too); the
     # WHERE is re-applied below, so a superset candidate batch is safe
@@ -600,6 +611,7 @@ def execute_update(db, stmt: A.Update, params, txn):
         _do_update_row(db, info, rowid, changes, ctx, txn)
         affected.append(rowid)
 
+    fire_statement_triggers(db, info, "UPDATE", "AFTER", ctx, txn)
     res = ExecuteResult(rows_affected=len(affected))
     if stmt.returning:
         res.columns, res.rows = _returning(db, info, affected, stmt.returning, ctx)
@@ -638,8 +650,12 @@ def _do_update_row(db, info, rowid: int, changes: dict, ctx, txn):
 def execute_delete(db, stmt: A.Delete, params, txn):
     from turdb_tpu.database.api import ExecuteResult
 
+    iv = _instead_of_dispatch(db, stmt.table, "DELETE")
+    if iv is not None:
+        return _instead_of_delete(db, stmt, params, txn, *iv)
     info = db.resolve_table(stmt.table)
     ctx = db._ctx(params, txn)
+    fire_statement_triggers(db, info, "DELETE", "BEFORE", ctx, txn)
     src = None
     if stmt.where is not None:
         # index point/range probe before falling back to a full scan
@@ -674,6 +690,7 @@ def execute_delete(db, stmt: A.Delete, params, txn):
                 fire_triggers(db, info, "DELETE", "AFTER", None, row,
                               ctx, txn)
             count += 1
+    fire_statement_triggers(db, info, "DELETE", "AFTER", ctx, txn)
     res = ExecuteResult(rows_affected=count)
     if ret is not None:
         res.columns, res.rows = ret
@@ -995,6 +1012,7 @@ def bulk_insert_rows(db, info, rows: list[dict], txn):
 
     ctx = db._ctx([], txn)
     fire = info.table.name in db._trigger_tables
+    fire_statement_triggers(db, info, "INSERT", "BEFORE", ctx, txn)
     prepared = []
     for row in rows:
         p = _prepare_row(db, info, dict(row), ctx)
@@ -1012,6 +1030,7 @@ def bulk_insert_rows(db, info, rows: list[dict], txn):
             fire_triggers(db, info, "INSERT", "AFTER", p, None, ctx, txn)
     for h in info.hnsw.values():
         h.flush_pending()
+    fire_statement_triggers(db, info, "INSERT", "AFTER", ctx, txn)
     return ExecuteResult(
         rows_affected=len(rowids),
         last_rowid=rowids[-1] if rowids else None,
@@ -1176,29 +1195,68 @@ def _subst_node(node, mapping):
     return node
 
 
-def triggers_for(db, info, event: str, timing: str) -> list:
-    trigs = db.triggers.get(info.schema)
+def _refs_new_old(node) -> bool:
+    """True if any ColumnRef in the AST references NEW.* / OLD.*
+    (statement-level triggers have no firing row to bind them to)."""
+    import dataclasses
+
+    if isinstance(node, A.ColumnRef):
+        return bool(node.table) and node.table.lower() in ("new", "old")
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        return any(
+            _refs_new_old(getattr(node, f.name))
+            for f in dataclasses.fields(node)
+        )
+    if isinstance(node, (list, tuple)):
+        return any(_refs_new_old(x) for x in node)
+    return False
+
+
+def triggers_for(db, schema, table_name: str, event: str, timing: str,
+                 level: str = "ROW") -> list:
+    trigs = db.triggers.get(schema)
     if not trigs:
         return []
     return [
         t for t in trigs.values()
-        if t["table"] == info.table.name and t["timing"] == timing
-        and event in t["events"]
+        if t["table"] == table_name and t["timing"] == timing
+        and event in t["events"] and t.get("level", "ROW") == level
     ]
+
+
+def _run_trigger(db, t, mapping, txn):
+    """One trigger firing: WHEN condition, then the body statements, with
+    NEW./OLD. references substituted from the mapping as literals."""
+    from turdb_tpu.database.api import _parse_expr, _parse_stmt
+
+    depth = getattr(db, "_trigger_depth", 0)
+    if depth >= 8:
+        raise SqlError("trigger recursion too deep")
+    if t["when"]:
+        cond = _subst_node(_parse_expr(t["when"]), mapping)
+        c = eval_expr(cond, Batch(1),
+                      EvalContext([], db.engine._subquery_fn))
+        if c.nulls[0] or not bool(c.values[0]):
+            return
+    for sql in t["body"]:
+        ast = t.setdefault("_asts", {}).get(sql)
+        if ast is None:
+            ast = t["_asts"][sql] = _parse_stmt(sql)
+        stmt = _subst_node(ast, mapping)
+        db._trigger_depth = depth + 1
+        try:
+            db._execute_stmt(stmt, [], txn)
+        finally:
+            db._trigger_depth = depth
 
 
 def fire_triggers(db, info, event: str, timing: str, new_row, old_row,
                   ctx, txn):
     """Run matching row triggers: WHEN condition then body statements,
     with NEW./OLD. references substituted from the firing row."""
-    matching = triggers_for(db, info, event, timing)
+    matching = triggers_for(db, info.schema, info.table.name, event, timing)
     if not matching:
         return
-    from turdb_tpu.database.api import _parse_expr, _parse_stmt
-
-    depth = getattr(db, "_trigger_depth", 0)
-    if depth >= 8:
-        raise SqlError("trigger recursion too deep")
     mapping = {}
     for cd in info.columns:
         if new_row is not None:
@@ -1206,22 +1264,145 @@ def fire_triggers(db, info, event: str, timing: str, new_row, old_row,
         if old_row is not None:
             mapping[("old", cd.name)] = old_row.get(cd.name)
     for t in matching:
-        if t["when"]:
-            cond = _subst_node(_parse_expr(t["when"]), mapping)
-            c = eval_expr(cond, Batch(1),
-                          EvalContext([], db.engine._subquery_fn))
-            if c.nulls[0] or not bool(c.values[0]):
-                continue
-        for sql in t["body"]:
-            ast = t.setdefault("_asts", {}).get(sql)
-            if ast is None:
-                ast = t["_asts"][sql] = _parse_stmt(sql)
-            stmt = _subst_node(ast, mapping)
-            db._trigger_depth = depth + 1
-            try:
-                db._execute_stmt(stmt, [], txn)
-            finally:
-                db._trigger_depth = depth
+        _run_trigger(db, t, mapping, txn)
+
+
+def fire_statement_triggers(db, info, event: str, timing: str, ctx, txn):
+    """FOR EACH STATEMENT triggers: fire ONCE per statement (even when it
+    affects zero rows), with no NEW/OLD bindings available."""
+    if info.table.name not in db._trigger_tables:
+        return
+    for t in triggers_for(db, info.schema, info.table.name, event, timing,
+                          level="STATEMENT"):
+        _run_trigger(db, t, {}, txn)
+
+
+# ---------------------------------------------------------------------------
+# INSTEAD OF triggers: DML on views (SQLite view-trigger semantics; the
+# reference treats views as read-only — this is the standard escape hatch)
+# ---------------------------------------------------------------------------
+
+
+def _instead_of_dispatch(db, ref: A.TableRef, event: str):
+    """If `ref` names a view with INSTEAD OF triggers for `event`, return
+    (schema, view_def, triggers); else None (plain tables, and views
+    without a redirect, take their normal paths)."""
+    schema = ref.schema or "main"
+    vd = db.views.get(schema, {}).get(ref.name)
+    if vd is None and ref.schema is None:
+        for sc, views in db.views.items():
+            if ref.name in views:
+                schema, vd = sc, views[ref.name]
+                break
+    if vd is None:
+        return None
+    trigs = triggers_for(db, schema, vd.name, event, "INSTEAD OF")
+    return (schema, vd, trigs) if trigs else None
+
+
+def _view_columns(db, schema, vd, ctx) -> list:
+    """Output column names of a view, without materializing it: explicit
+    column list if declared, else the LIMIT-0 projection's names."""
+    if vd.columns:
+        return list(vd.columns)
+    import dataclasses
+
+    sel = dataclasses.replace(vd.select_ast(), limit=A.Literal(0))
+    b = db.engine.run_select(sel, ctx)
+    return [nm for (_, nm) in b.names if nm != ROWID]
+
+
+def _instead_of_insert(db, stmt, params, txn, schema, vd, trigs):
+    from turdb_tpu.database.api import ExecuteResult
+
+    ctx = db._ctx(params, txn)
+    vcols = _view_columns(db, schema, vd, ctx)
+    target_cols = stmt.columns if stmt.columns is not None else vcols
+    for cn in target_cols:
+        if cn not in vcols:
+            raise SqlError(f"no such column: {cn}")
+    rows: list[dict] = []
+    if stmt.values is not None:
+        one = Batch(1)
+        for vrow in stmt.values:
+            if len(vrow) != len(target_cols):
+                raise SqlError(
+                    f"INSERT has {len(vrow)} values for "
+                    f"{len(target_cols)} columns"
+                )
+            row = {}
+            for cn, e in zip(target_cols, vrow):
+                c = eval_expr(e, one, ctx)
+                row[cn] = None if c.nulls[0] else _py(c.values[0])
+            rows.append(row)
+    else:
+        sub = db.engine.run_select(stmt.query, ctx)
+        keep = [i for i, (_, nm) in enumerate(sub.names) if nm != ROWID]
+        if len(keep) != len(target_cols):
+            raise SqlError("INSERT SELECT column count mismatch")
+        for i in range(sub.n):
+            rows.append({
+                cn: None if sub.cols[j].nulls[i] else _py(sub.cols[j].values[i])
+                for cn, j in zip(target_cols, keep)
+            })
+    for row in rows:
+        mapping = {("new", cn): row.get(cn) for cn in vcols}
+        for t in trigs:
+            _run_trigger(db, t, mapping, txn)
+    return ExecuteResult(rows_affected=len(rows))
+
+
+def _view_rows_matching(db, stmt, schema, vd, ctx):
+    """Materialize the view and return (column names, row dicts) for the
+    rows the statement's WHERE selects."""
+    ref = A.TableRef(vd.name, schema, getattr(stmt.table, "alias", None))
+    src = db.engine._from(ref, ctx)
+    if stmt.where is not None:
+        c = eval_expr(stmt.where, src, ctx)
+        src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
+    names = [nm for (_, nm) in src.names]
+    out = []
+    for i in range(src.n):
+        out.append({
+            nm: None if col.nulls[i] else _py(col.values[i])
+            for nm, col in zip(names, src.cols)
+        })
+    return names, out, src
+
+
+def _instead_of_update(db, stmt, params, txn, schema, vd, trigs):
+    from turdb_tpu.database.api import ExecuteResult
+
+    ctx = db._ctx(params, txn)
+    names, olds, src = _view_rows_matching(db, stmt, schema, vd, ctx)
+    for cn, _ in stmt.assignments:
+        if cn not in names:
+            raise SqlError(f"no such column: {cn}")
+    # assignment expressions see the view row (vectorized over matches)
+    assign = {cn: eval_expr(e, src, ctx) for cn, e in stmt.assignments}
+    for i, old in enumerate(olds):
+        new = dict(old)
+        for cn, c in assign.items():
+            new[cn] = None if c.nulls[i] else _py(c.values[i])
+        mapping = {}
+        for cn in names:
+            mapping[("new", cn)] = new.get(cn)
+            mapping[("old", cn)] = old.get(cn)
+        for t in trigs:
+            _run_trigger(db, t, mapping, txn)
+    return ExecuteResult(rows_affected=len(olds))
+
+
+def _instead_of_delete(db, stmt, params, txn, schema, vd, trigs):
+    from turdb_tpu.database.api import ExecuteResult
+
+    ctx = db._ctx(params, txn)
+    names, olds, _src = _view_rows_matching(db, stmt, schema, vd, ctx)
+    for old in olds:
+        mapping = {("old", cn): old.get(cn) for cn in names}
+        for t in trigs:
+            _run_trigger(db, t, mapping, txn)
+    return ExecuteResult(rows_affected=len(olds))
 
 
 def execute_call(db, stmt, params, txn):

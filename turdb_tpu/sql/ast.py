@@ -362,11 +362,12 @@ class CreateTrigger:
     user SQL function per row, result discarded)."""
     name: str
     table: str
-    timing: str                    # BEFORE | AFTER
+    timing: str                    # BEFORE | AFTER | INSTEAD OF (views)
     events: list                   # ["INSERT", "UPDATE", "DELETE"]
     body: list                     # SQL statement strings
     when: Optional[str] = None     # WHEN condition (SQL text)
     or_replace: bool = False
+    level: str = "ROW"             # FOR EACH ROW | FOR EACH STATEMENT
 
 
 @dataclass

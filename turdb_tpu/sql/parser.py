@@ -279,8 +279,14 @@ class Parser:
         t = self.peek()
         if t.type is T.IDENT and t.value.upper() in ("BEFORE", "AFTER"):
             timing = self.next().value.upper()
+        elif t.type is T.IDENT and t.value.upper() == "INSTEAD":
+            # INSTEAD OF <event> ON <view> — view DML redirection
+            self.next()
+            if self.ident().upper() != "OF":
+                self.error("expected OF after INSTEAD")
+            timing = "INSTEAD OF"
         else:
-            self.error("expected BEFORE or AFTER")
+            self.error("expected BEFORE, AFTER or INSTEAD OF")
         events = []
         while True:
             ev = self.next()
@@ -291,11 +297,12 @@ class Parser:
                 break
         self.expect_kw("ON")
         table = self.ident()
+        level = "ROW"
         if self.accept_kw("FOR"):
             if self.ident().upper() != "EACH":
                 self.error("expected EACH")
-            w = self.ident().upper()
-            if w not in ("ROW", "STATEMENT"):
+            level = self.ident().upper()
+            if level not in ("ROW", "STATEMENT"):
                 self.error("expected ROW or STATEMENT")
         when = None
         if self.accept_kw("WHEN"):
@@ -331,7 +338,7 @@ class Parser:
         if not body:
             self.error("trigger body is empty")
         return A.CreateTrigger(name, table, timing, events, body, when,
-                               or_replace)
+                               or_replace, level)
 
     def _create_procedure(self, or_replace: bool) -> A.CreateProcedure:
         self.next()                         # PROCEDURE (identifier keyword)
