@@ -130,3 +130,79 @@ def test_rows_frames_vs_sqlite(tmp_path):
                     repr(lite.execute(sql).fetchall()), sql
     lite.close()
     db.close()
+
+
+def test_range_offset_frames_vs_sqlite(tmp_path):
+    """RANGE frames with numeric offsets (order-key distance scans;
+    reference parses these, parser.rs:1419, but never executes them) —
+    every bound shape x aggregate x sort direction x NULL placement,
+    compared against SQLite's native implementation. NULL ordering is
+    pinned explicitly: this engine defaults NULLS LAST for ASC (the
+    PostgreSQL convention), SQLite the opposite."""
+    import itertools
+    import random
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "rf"))
+    lite = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE t (g INT, k DOUBLE, v INT)"
+    db.execute(ddl)
+    lite.execute(ddl)
+    rng = random.Random(3)
+    rows = []
+    for _ in range(200):
+        g = rng.randint(0, 4)
+        k = rng.choice([None, rng.randint(0, 20), rng.random() * 20])
+        v = rng.choice([None, rng.randint(-50, 50)])
+        rows.append((g, k, v))
+    ins = "INSERT INTO t VALUES " + ",".join(
+        "(%s,%s,%s)" % tuple(
+            "NULL" if x is None
+            else repr(round(x, 3)) if isinstance(x, float) else x
+            for x in r
+        )
+        for r in rows
+    )
+    db.execute(ins)
+    lite.execute(ins)
+    frames = [
+        "RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING",
+        "RANGE BETWEEN 5 PRECEDING AND 2 PRECEDING",
+        "RANGE BETWEEN 1 FOLLOWING AND 4 FOLLOWING",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING",
+        "RANGE BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING",
+        "RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING",
+        "RANGE BETWEEN 1.5 PRECEDING AND 2.5 FOLLOWING",
+        "RANGE 2 PRECEDING",
+    ]
+    funcs = ["count(v)", "sum(v)", "avg(v)", "min(v)", "max(v)", "count(*)"]
+    orders = ["k NULLS FIRST", "k NULLS LAST",
+              "k DESC NULLS FIRST", "k DESC NULLS LAST"]
+
+    def norm(rs):
+        return sorted(
+            (tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+             for r in rs),
+            key=repr,
+        )
+
+    for fr, fn, ob in itertools.product(frames, funcs, orders):
+        q = (f"SELECT g, k, v, {fn} OVER "
+             f"(PARTITION BY g ORDER BY {ob} {fr}) FROM t")
+        assert norm(db.query(q)) == norm(lite.execute(q).fetchall()), \
+            (fn, ob, fr)
+    lite.close()
+    db.close()
+
+
+def test_range_offset_frame_errors(tmp_path):
+    db = Database.create(str(tmp_path / "rfe"))
+    db.execute("CREATE TABLE t (a INT, b TEXT)")
+    db.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    with pytest.raises(Exception, match="numeric ORDER BY"):
+        db.query("SELECT sum(a) OVER (ORDER BY b RANGE BETWEEN 1 PRECEDING "
+                 "AND 1 FOLLOWING) FROM t")
+    with pytest.raises(Exception, match="exactly one ORDER BY"):
+        db.query("SELECT sum(a) OVER (ORDER BY a, b RANGE BETWEEN "
+                 "1 PRECEDING AND 1 FOLLOWING) FROM t")
+    db.close()

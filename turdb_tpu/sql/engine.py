@@ -1554,10 +1554,11 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
                 return _frame_aggregate(
                     fc, src, ctx, ordered, new_part, pos, start, lo, hi
                 )
-            # RANGE: the default frame and the whole-partition frame are
-            # the only value-based frames here (offset RANGE needs
-            # order-key distances; reference parses frames but never
-            # executes them, parser.rs:1419)
+            # RANGE: default frame (UNBOUNDED PRECEDING..CURRENT ROW)
+            # rides the running-aggregate kernel; numeric offsets use
+            # order-key distance scans (searchsorted per partition —
+            # the reference parses frames but never executes them,
+            # parser.rs:1419)
             if (lo, hi) == ("up", 0):
                 if spec.order_by:
                     return _running_aggregate(
@@ -1565,9 +1566,10 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
                         start,
                     )
             elif (lo, hi) != ("up", "uf"):
-                raise SqlError(
-                    "RANGE frames with numeric offsets are not supported; "
-                    "use ROWS"
+                if not spec.order_by:
+                    raise SqlError("RANGE with offset requires ORDER BY")
+                return _range_frame_aggregate(
+                    fc, src, ctx, ordered, new_part, pos, lo, hi, keys
                 )
             # ("up","uf") or no order_by: whole-partition path below
         elif spec.order_by and framable:
@@ -1589,6 +1591,140 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         return _densify(Col(out_f, out_fn))
 
     raise SqlError(f"unknown window function {name}")
+
+
+def _sparse_minmax(mv, a, b, op):
+    """min/max over arbitrary index ranges [a, b] (vectorized sparse
+    table: O(n log n) build, O(1) per query). Callers guarantee a <= b."""
+    n = len(mv)
+    st = [mv]
+    k = 1
+    while (1 << k) <= n:
+        prev, half = st[-1], 1 << (k - 1)
+        lim = n - (1 << k) + 1
+        st.append(op(prev[:lim], prev[half:half + lim]))
+        k += 1
+    length = b - a + 1
+    kq = np.floor(np.log2(np.maximum(length, 1))).astype(np.int64)
+    res = np.empty(len(a), mv.dtype)
+    for kk in range(len(st)):
+        m = kq == kk
+        if m.any():
+            res[m] = op(st[kk][a[m]], st[kk][b[m] - (1 << kk) + 1])
+    return res
+
+
+def _range_frame_aggregate(fc, src, ctx, ordered, new_part, pos, lo, hi,
+                           keys):
+    """RANGE frame with numeric offsets (RANGE BETWEEN x PRECEDING AND y
+    FOLLOWING): the frame of a row with order-key v is every partition
+    row whose key lies in [v+lo, v+hi] (SQLite window-frame semantics:
+    exactly one numeric ORDER BY key; NULL-key rows frame their NULL
+    peer group; UNBOUNDED sides span the whole partition)."""
+    n = src.n
+    name = fc.name
+    if len(keys) != 1:
+        raise SqlError(
+            "RANGE with offset requires exactly one ORDER BY expression"
+        )
+    kcol, desc, _ = keys[0]
+    kn = kcol.nulls
+    kv = kcol.values
+    if kv.dtype == object:
+        arr = np.zeros(n, np.float64)
+        for i in np.flatnonzero(~kn):
+            try:
+                arr[i] = float(kv[i])
+            except (TypeError, ValueError):
+                raise SqlError(
+                    "RANGE with offset requires a numeric ORDER BY key"
+                )
+    elif kv.dtype.kind in "iufb":
+        arr = kv.astype(np.float64)
+    else:
+        raise SqlError("RANGE with offset requires a numeric ORDER BY key")
+    sk = arr[ordered]
+    if desc:
+        sk = -sk            # DESC: x PRECEDING = larger values, negate
+    snull = kn[ordered]
+
+    # aggregated values in sorted order (same prep as the ROWS kernel)
+    star = bool(fc.args) and isinstance(fc.args[0], A.Star)
+    is_int = False
+    if star or not fc.args:
+        vals = np.ones(n, np.float64)
+        nulls = np.zeros(n, bool)
+    else:
+        c = eval_expr(fc.args[0], src, ctx)
+        nulls = c.nulls.copy()
+        if c.values.dtype == object:
+            vals = np.zeros(n, np.float64)
+            for i in np.flatnonzero(~nulls):
+                vals[i] = float(c.values[i])
+        else:
+            is_int = c.values.dtype.kind in "iub"
+            vals = np.where(nulls, 0.0, c.values.astype(np.float64))
+    sv = vals[ordered]
+    sn = nulls[ordered]
+    w = np.where(sn, 0.0, sv)
+
+    starts_idx = np.flatnonzero(new_part)
+    ends_idx = np.append(starts_idx[1:], n)
+    a = np.zeros(n, np.int64)
+    b = np.full(n, -1, np.int64)        # default: empty frame
+    for s, e in zip(starts_idx, ends_idx):
+        seg, segn = sk[s:e], snull[s:e]
+        nn = np.flatnonzero(~segn)
+        nz0, nz1 = (nn[0], nn[-1] + 1) if len(nn) else (0, 0)
+        if nz1 > nz0:                    # non-null rows: value-range scan
+            vrun = seg[nz0:nz1]
+            if lo == "up":
+                ai = np.zeros(nz1 - nz0, np.int64)       # partition start
+            else:
+                ai = nz0 + np.searchsorted(vrun, vrun + lo, side="left")
+            if hi == "uf":
+                bi = np.full(nz1 - nz0, e - s - 1, np.int64)
+            else:
+                bi = nz0 + np.searchsorted(vrun, vrun + hi, side="right") - 1
+            a[s + nz0:s + nz1] = s + ai
+            b[s + nz0:s + nz1] = s + bi
+        # NULL-key rows: peers are the NULL run (clamped by UNBOUNDED)
+        for r0, r1 in ((0, nz0), (nz1, e - s)):
+            if r1 > r0:
+                a[s + r0:s + r1] = s if lo == "up" else s + r0
+                b[s + r0:s + r1] = e - 1 if hi == "uf" else s + r1 - 1
+
+    empty = a > b
+    csum = np.concatenate([[0.0], np.cumsum(w)])
+    ccnt = np.concatenate([[0], np.cumsum((~sn).astype(np.int64))])
+    ac = np.clip(np.where(empty, 0, a), 0, n)
+    bc = np.clip(np.where(empty, -1, b) + 1, 0, n)
+    fsum = csum[bc] - csum[ac]
+    fcnt = ccnt[bc] - ccnt[ac]
+
+    out_f = np.empty(n, object)
+    out_fn = np.ones(n, bool)
+    if name == "count":
+        out_f[ordered] = np.where(empty, 0, fcnt)
+        out_fn[ordered] = False
+    elif name == "sum":
+        out_f[ordered] = fsum.astype(np.int64) if is_int else fsum
+        out_fn[ordered] = empty | (fcnt == 0)
+    elif name == "avg":
+        out_f[ordered] = fsum / np.maximum(fcnt, 1)
+        out_fn[ordered] = empty | (fcnt == 0)
+    else:                                # min / max
+        ident = np.inf if name == "min" else -np.inf
+        op = np.minimum if name == "min" else np.maximum
+        mv = np.where(sn, ident, sv)
+        safe_a = np.where(empty, 0, a)
+        safe_b = np.where(empty, 0, b)
+        res = _sparse_minmax(mv, safe_a, safe_b, op) if n else mv
+        bad = empty | (fcnt == 0) | ~np.isfinite(res)
+        res = np.where(bad, 0.0, res)
+        out_f[ordered] = res.astype(np.int64) if is_int else res
+        out_fn[ordered] = bad
+    return _densify(Col(out_f, out_fn))
 
 
 def _frame_aggregate(fc, src, ctx, ordered, new_part, pos, start, lo, hi):

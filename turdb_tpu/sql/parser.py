@@ -1468,7 +1468,11 @@ class Parser:
                         if self.ident().upper() != "ROW":
                             self.error("expected ROW after CURRENT")
                         return 0
-                    k = int(_num(self.expect(T.NUMBER).value))
+                    # ROWS bounds are row counts (int); RANGE bounds are
+                    # order-key distances and may be fractional
+                    k = _num(self.expect(T.NUMBER).value)
+                    if mode == "ROWS":
+                        k = int(k)
                     w = self.ident().upper()
                     if w not in ("PRECEDING", "FOLLOWING"):
                         self.error("expected PRECEDING/FOLLOWING")
