@@ -1298,6 +1298,50 @@ class TestTriggers:
             db.execute("INSERT INTO pv VALUES (1)")
 
 
+class TestGrants:
+    """GRANT/REVOKE (reference parser.rs:3125-3276 parses them and never
+    enforces — single-user embedded engine): recorded in the catalog,
+    queryable via turdb_catalog.grants, durable across reopen."""
+
+    def test_grant_revoke_lifecycle(self, tmp_path):
+        p = str(tmp_path / "g")
+        db = Database.create(p)
+        db.execute("CREATE TABLE t (a INT)")
+        db.execute("GRANT SELECT, INSERT ON t TO alice, bob")
+        db.execute("GRANT ALL PRIVILEGES ON TABLE t TO carol "
+                   "WITH GRANT OPTION")
+        q = ("SELECT grantee, privileges, grant_option FROM "
+             "turdb_catalog.grants ORDER BY grantee")
+        assert db.query(q) == [
+            ("alice", "SELECT,INSERT", False),
+            ("bob", "SELECT,INSERT", False),
+            ("carol", "ALL", True),
+        ]
+        db.execute("REVOKE INSERT ON t FROM alice")
+        db.execute("REVOKE ALL ON TABLE t FROM carol CASCADE")
+        assert db.query(q) == [
+            ("alice", "SELECT", False), ("bob", "SELECT,INSERT", False)
+        ]
+        db.close()
+        db = Database.open(p)      # WAL DDL replay keeps the records
+        assert db.query(q) == [
+            ("alice", "SELECT", False), ("bob", "SELECT,INSERT", False)
+        ]
+        db.execute("PRAGMA checkpoint")
+        db.close()
+        db = Database.open(p)      # catalog persistence after checkpoint
+        assert db.query(q) == [
+            ("alice", "SELECT", False), ("bob", "SELECT,INSERT", False)
+        ]
+        db.close()
+
+    def test_grant_parse_errors(self, db):
+        with pytest.raises(Exception, match="unknown privilege"):
+            db.execute("GRANT FLY ON t TO alice")
+        with pytest.raises(Exception, match="expected TO"):
+            db.execute("GRANT SELECT ON t")
+
+
 class TestProcedures:
     """CREATE PROCEDURE / CALL (reference ast.rs CreateProcedureStmt +
     CallStmt — parsed there, executed here)."""

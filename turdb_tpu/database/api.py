@@ -187,6 +187,7 @@ class Database:
         self.procedures = {"main": {}}     # CREATE PROCEDURE / CALL
         self.trigger_epoch = 0             # bumps invalidate fast lanes
         self._trigger_tables = set()       # tables with any trigger
+        self.grants = []                   # GRANT records (not enforced)
         self.last_insert_id = 0            # LAST_INSERT_ID()
         self._replaying = False
 
@@ -321,10 +322,13 @@ class Database:
                 {"name": schema, "tables": ts, "views": vs, "types": tys,
                  "functions": fns, "triggers": trs, "procedures": prs}
             )
+        if self.grants:
+            doc["grants"] = list(self.grants)
         return doc
 
     def _load_catalog(self):
         doc = self.fm.read_catalog()
+        self.grants = [dict(g) for g in doc.get("grants", [])]
         for sc in doc.get("schemas", []):
             schema = sc["name"]
             self.catalog.setdefault(schema, {})
@@ -777,7 +781,7 @@ class Database:
         if isinstance(stmt, (A.CreateTable, A.CreateIndex, A.CreateSchema,
                              A.CreateView, A.CreateType, A.CreateFunction,
                              A.CreateTrigger, A.CreateProcedure,
-                             A.Drop, A.AlterTable)):
+                             A.Drop, A.AlterTable, A.Grant)):
             res = ddl.execute_ddl(self, stmt, txn)
             if sql is not None:
                 self._log_ddl(sql, txn)

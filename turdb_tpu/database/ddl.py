@@ -53,6 +53,35 @@ def execute_ddl(db, stmt, txn):
             }
         return ExecuteResult(0)
 
+    if isinstance(stmt, A.Grant):
+        # reference parser.rs:3125 parses GRANT/REVOKE and never enforces
+        # (single-user embedded engine, no principals); here grants are
+        # recorded in the catalog and queryable via turdb_catalog.grants
+        if stmt.kind == "GRANT":
+            for grantee in stmt.grantees:
+                db.grants.append({
+                    "privileges": list(stmt.privileges),
+                    "object_type": stmt.object_type,
+                    "object_name": stmt.object_name,
+                    "grantee": grantee,
+                    "grant_option": stmt.grant_option,
+                })
+        else:                                   # REVOKE
+            revoked = set(stmt.privileges)
+            keep = []
+            for g in db.grants:
+                if (g["grantee"] in stmt.grantees
+                        and g["object_name"] == stmt.object_name):
+                    if "ALL" in revoked:
+                        continue
+                    left = [p for p in g["privileges"] if p not in revoked]
+                    if not left:
+                        continue
+                    g = {**g, "privileges": left}
+                keep.append(g)
+            db.grants = keep
+        return ExecuteResult(0)
+
     if isinstance(stmt, A.CreateTrigger):
         schema = "main"
         if stmt.timing == "INSTEAD OF":

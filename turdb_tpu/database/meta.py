@@ -139,12 +139,23 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
     if name == "triggers":
         rows = [
             (schema, nm, td["table"], td["timing"],
-             ",".join(td["events"]), td.get("when"))
+             ",".join(td["events"]), td.get("level", "ROW"), td.get("when"))
             for schema, trs in db.triggers.items()
             for nm, td in trs.items()
         ]
         return build(
-            ["schema", "name", "table", "timing", "events", "when"], rows
+            ["schema", "name", "table", "timing", "events", "level",
+             "when"], rows
+        )
+    if name == "grants":
+        rows = [
+            (g["grantee"], ",".join(g["privileges"]), g["object_type"],
+             g["object_name"], g["grant_option"])
+            for g in db.grants
+        ]
+        return build(
+            ["grantee", "privileges", "object_type", "object_name",
+             "grant_option"], rows
         )
     raise SqlError(f"no such system table: turdb_catalog.{name}")
 

@@ -355,6 +355,21 @@ class Call:
 
 
 @dataclass
+class Grant:
+    """GRANT / REVOKE (reference ast.rs:743 GrantStmt / :752 RevokeStmt).
+    A single-user embedded engine has no principals to enforce against —
+    like the reference, grants are accepted and recorded, not enforced;
+    they surface in turdb_catalog.grants."""
+    kind: str                      # GRANT | REVOKE
+    privileges: list               # ["SELECT", ...] or ["ALL"]
+    object_type: Optional[str]     # TABLE/SCHEMA/... or None
+    object_name: Optional[str]
+    grantees: list
+    grant_option: bool = False     # WITH GRANT OPTION (grant only)
+    cascade: bool = False          # CASCADE (revoke only)
+
+
+@dataclass
 class CreateTrigger:
     """CREATE TRIGGER (reference ast.rs:582 — parsed there, executed
     here). Bodies: SQLite-style BEGIN <stmt>; ... END with NEW./OLD.

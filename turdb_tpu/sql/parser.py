@@ -265,6 +265,8 @@ class Parser:
                     args.append(self._expr())
             self.expect(T.RPAREN)
             return A.Call(name, schema, args)
+        if t.type is T.IDENT and t.value.upper() in ("GRANT", "REVOKE"):
+            return self._grant_revoke(self.next().value.upper())
         if t.type is T.IDENT and t.value.upper() == "RESET":
             # RESET name | RESET ALL (reference parser.rs:3069)
             self.next()
@@ -272,6 +274,60 @@ class Parser:
                 return A.Pragma("__reset_all", None)
             return A.Pragma("__reset", self.ident())
         self.error("unknown statement")
+
+    _PRIVILEGES = {"SELECT", "INSERT", "UPDATE", "DELETE", "TRUNCATE",
+                   "REFERENCES", "TRIGGER", "CREATE", "CONNECT",
+                   "TEMPORARY", "EXECUTE", "USAGE"}
+    _GRANT_OBJECTS = {"TABLE", "SCHEMA", "DATABASE", "SEQUENCE", "FUNCTION",
+                      "PROCEDURE", "TYPE", "DOMAIN", "VIEW"}
+
+    def _grant_revoke(self, kind: str) -> A.Grant:
+        """GRANT priv[, ...] ON [objtype] [name] TO grantee[, ...]
+        [WITH GRANT OPTION] / REVOKE ... FROM ... [CASCADE|RESTRICT]
+        (reference parser.rs:3125-3276)."""
+        privs = []
+        if self.peek().value.upper() == "ALL":
+            self.next()
+            if self.peek().value.upper() == "PRIVILEGES":
+                self.next()
+            privs.append("ALL")
+        else:
+            while True:
+                w = self.next()
+                pv = w.value.upper()
+                if pv not in self._PRIVILEGES:
+                    self.error(f"unknown privilege {w.value!r}")
+                privs.append(pv)
+                if not self.accept(T.COMMA):
+                    break
+        self.expect_kw("ON")
+        obj_type = None
+        if self.peek().value.upper() in self._GRANT_OBJECTS:
+            obj_type = self.next().value.upper()
+        term = "TO" if kind == "GRANT" else "FROM"
+        obj_name = None
+        if self.peek().value.upper() != term:
+            obj_name = self.ident()
+            if self.accept(T.DOT):
+                obj_name = f"{obj_name}.{self.ident()}"
+        if self.next().value.upper() != term:
+            self.error(f"expected {term}")
+        grantees = [self.ident()]
+        while self.accept(T.COMMA):
+            grantees.append(self.ident())
+        grant_option = cascade = False
+        if kind == "GRANT" and self.accept_kw("WITH"):
+            if self.ident().upper() != "GRANT":
+                self.error("expected GRANT after WITH")
+            if self.ident().upper() != "OPTION":
+                self.error("expected OPTION")
+            grant_option = True
+        if kind == "REVOKE":
+            nx = self.peek()
+            if nx.value.upper() in ("CASCADE", "RESTRICT"):
+                cascade = self.next().value.upper() == "CASCADE"
+        return A.Grant(kind, privs, obj_type, obj_name, grantees,
+                       grant_option, cascade)
 
     def _create_trigger(self, or_replace: bool) -> A.CreateTrigger:
         self.next()                         # TRIGGER (identifier keyword)
