@@ -206,3 +206,67 @@ def test_range_offset_frame_errors(tmp_path):
         db.query("SELECT sum(a) OVER (ORDER BY a, b RANGE BETWEEN "
                  "1 PRECEDING AND 1 FOLLOWING) FROM t")
     db.close()
+
+
+def test_value_window_functions_vs_sqlite(tmp_path):
+    """first_value/last_value/nth_value (beyond the reference's window
+    set, logical.rs:172-183 — standard SQL surface) across frame shapes,
+    sort directions and NULL placements, vs SQLite."""
+    import itertools
+    import random
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "fv"))
+    lite = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE t (g INT, k DOUBLE, v INT)"
+    db.execute(ddl)
+    lite.execute(ddl)
+    rng = random.Random(7)
+    rows = []
+    for _ in range(150):
+        g = rng.randint(0, 4)
+        k = rng.choice([None, rng.randint(0, 20), rng.random() * 20])
+        v = rng.choice([None, rng.randint(-50, 50)])
+        rows.append((g, k, v))
+    ins = "INSERT INTO t VALUES " + ",".join(
+        "(%s,%s,%s)" % tuple(
+            "NULL" if x is None
+            else repr(round(x, 3)) if isinstance(x, float) else x
+            for x in r
+        )
+        for r in rows
+    )
+    db.execute(ins)
+    lite.execute(ins)
+    frames = [
+        "",
+        "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+        "ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "RANGE BETWEEN CURRENT ROW AND CURRENT ROW",
+        "RANGE BETWEEN 3 PRECEDING AND 2 FOLLOWING",
+    ]
+    funcs = ["first_value(v)", "last_value(v)", "nth_value(v, 2)",
+             "nth_value(v, 5)"]
+    orders = ["k NULLS FIRST", "k DESC NULLS LAST"]
+
+    def norm(rs):
+        return sorted(
+            (tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+             for r in rs),
+            key=repr,
+        )
+
+    for fr, fn, ob in itertools.product(frames, funcs, orders):
+        q = (f"SELECT g, k, v, {fn} OVER "
+             f"(PARTITION BY g ORDER BY {ob} {fr}) FROM t")
+        assert norm(db.query(q)) == norm(lite.execute(q).fetchall()), \
+            (fn, ob, fr)
+    for fn in funcs[:2]:
+        q = f"SELECT v, {fn} OVER () FROM t"
+        assert norm(db.query(q)) == norm(lite.execute(q).fetchall())
+    with pytest.raises(Exception, match="position must be positive"):
+        db.query("SELECT nth_value(v, 0) OVER (ORDER BY k) FROM t")
+    lite.close()
+    db.close()

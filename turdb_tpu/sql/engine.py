@@ -1463,7 +1463,9 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         return Col(out)
 
     if name in ("rank", "dense_rank") or (
-        name in AGGREGATES and spec.order_by
+        spec.order_by
+        and (name in AGGREGATES
+             or name in ("first_value", "last_value", "nth_value"))
     ):
         # peer detection on the evaluated ORDER BY columns (sorted order)
         same = np.ones(n, bool)
@@ -1545,6 +1547,76 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
             out_fn[tgt] = arg.nulls[sr]
         return _densify(Col(out_f, out_fn))
 
+    if name in ("first_value", "last_value", "nth_value"):
+        # value window functions (SQLite/PostgreSQL surface; the
+        # reference's window set stops at logical.rs:172-183): gather the
+        # arg at the frame's first/last/nth sorted position
+        if not fc.args:
+            raise SqlError(f"{name} requires an argument")
+        arg = eval_expr(fc.args[0], src, ctx)
+        frame = getattr(spec, "frame", None)
+        starts_idx = np.flatnonzero(new_part)
+        sizes = np.diff(np.append(starts_idx, n))
+        end = (np.repeat(starts_idx + sizes, sizes) - 1 if n
+               else np.zeros(0, np.int64))
+
+        def peer_bounds():
+            run_id = np.cumsum(new_key) - 1 if n else np.zeros(0, np.int64)
+            nruns = int(run_id[-1]) + 1 if n else 0
+            run_end = np.zeros(max(nruns, 1), np.int64)
+            np.maximum.at(run_end, run_id, pos)
+            key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+            return key_start, run_end[run_id] if n else end
+
+        if frame is None or not spec.order_by:
+            if spec.order_by:        # default: RANGE UP..CURRENT (peers)
+                _, pe = peer_bounds()
+                a, b = start.copy(), pe
+            else:
+                a, b = start.copy(), end
+        else:
+            mode, lo, hi = frame
+            if mode == "ROWS":
+                LO = -n - 1 if lo == "up" else int(lo)
+                HI = n + 1 if hi == "uf" else int(hi)
+                a = np.maximum(pos + LO, start)
+                b = np.minimum(pos + HI, end)
+            elif (lo, hi) == ("up", "uf"):
+                a, b = start.copy(), end
+            elif lo in ("up", 0) and hi in (0, "uf"):
+                # CURRENT ROW bounds = peer-group edges (legal for any
+                # key type, no numeric requirement)
+                ps, pe = peer_bounds()
+                a = start.copy() if lo == "up" else ps
+                b = end if hi == "uf" else pe
+            else:
+                a, b = _range_offset_bounds(
+                    keys, ordered, new_part, n, lo, hi
+                )
+        valid = a <= b
+        if name == "nth_value":
+            if len(fc.args) < 2:
+                raise SqlError("nth_value requires a position argument")
+            nth = int(_eval_scalar(fc.args[1], ctx))
+            if nth <= 0:
+                raise SqlError("nth_value position must be positive")
+            idx = a + nth - 1
+            valid &= idx <= b
+        else:
+            idx = a if name == "first_value" else b
+        out_f = np.empty(n, object)
+        out_fn = np.ones(n, bool)
+        if n:
+            src_rows = ordered[np.clip(idx, 0, n - 1)]
+            vsel = np.flatnonzero(valid)
+            if arg.values.ndim > 1:
+                for i in vsel:
+                    out_f[ordered[i]] = arg.values[src_rows[i]]
+            else:
+                out_f[ordered[vsel]] = arg.values[src_rows[vsel]]
+            out_fn[ordered[vsel]] = arg.nulls[src_rows[vsel]]
+        return _densify(Col(out_f, out_fn))
+
     if name in AGGREGATES:
         frame = getattr(spec, "frame", None)
         framable = name in ("count", "sum", "avg", "min", "max")
@@ -1614,15 +1686,12 @@ def _sparse_minmax(mv, a, b, op):
     return res
 
 
-def _range_frame_aggregate(fc, src, ctx, ordered, new_part, pos, lo, hi,
-                           keys):
-    """RANGE frame with numeric offsets (RANGE BETWEEN x PRECEDING AND y
-    FOLLOWING): the frame of a row with order-key v is every partition
-    row whose key lies in [v+lo, v+hi] (SQLite window-frame semantics:
-    exactly one numeric ORDER BY key; NULL-key rows frame their NULL
-    peer group; UNBOUNDED sides span the whole partition)."""
-    n = src.n
-    name = fc.name
+def _range_offset_bounds(keys, ordered, new_part, n, lo, hi):
+    """Frame bounds (global sorted positions a..b per row) for RANGE with
+    numeric offsets: the frame of a row with order-key v is every
+    partition row whose key lies in [v+lo, v+hi] (SQLite window-frame
+    semantics: exactly one numeric ORDER BY key; NULL-key rows frame
+    their NULL peer group; UNBOUNDED sides span the whole partition)."""
     if len(keys) != 1:
         raise SqlError(
             "RANGE with offset requires exactly one ORDER BY expression"
@@ -1647,26 +1716,6 @@ def _range_frame_aggregate(fc, src, ctx, ordered, new_part, pos, lo, hi,
     if desc:
         sk = -sk            # DESC: x PRECEDING = larger values, negate
     snull = kn[ordered]
-
-    # aggregated values in sorted order (same prep as the ROWS kernel)
-    star = bool(fc.args) and isinstance(fc.args[0], A.Star)
-    is_int = False
-    if star or not fc.args:
-        vals = np.ones(n, np.float64)
-        nulls = np.zeros(n, bool)
-    else:
-        c = eval_expr(fc.args[0], src, ctx)
-        nulls = c.nulls.copy()
-        if c.values.dtype == object:
-            vals = np.zeros(n, np.float64)
-            for i in np.flatnonzero(~nulls):
-                vals[i] = float(c.values[i])
-        else:
-            is_int = c.values.dtype.kind in "iub"
-            vals = np.where(nulls, 0.0, c.values.astype(np.float64))
-    sv = vals[ordered]
-    sn = nulls[ordered]
-    w = np.where(sn, 0.0, sv)
 
     starts_idx = np.flatnonzero(new_part)
     ends_idx = np.append(starts_idx[1:], n)
@@ -1693,7 +1742,38 @@ def _range_frame_aggregate(fc, src, ctx, ordered, new_part, pos, lo, hi,
             if r1 > r0:
                 a[s + r0:s + r1] = s if lo == "up" else s + r0
                 b[s + r0:s + r1] = e - 1 if hi == "uf" else s + r1 - 1
+    return a, b
 
+
+def _range_frame_aggregate(fc, src, ctx, ordered, new_part, pos, lo, hi,
+                           keys):
+    """RANGE frame with numeric offsets: bounds from
+    _range_offset_bounds, then the same prefix-sum / sparse-table
+    kernels as the ROWS path."""
+    n = src.n
+    name = fc.name
+
+    # aggregated values in sorted order (same prep as the ROWS kernel)
+    star = bool(fc.args) and isinstance(fc.args[0], A.Star)
+    is_int = False
+    if star or not fc.args:
+        vals = np.ones(n, np.float64)
+        nulls = np.zeros(n, bool)
+    else:
+        c = eval_expr(fc.args[0], src, ctx)
+        nulls = c.nulls.copy()
+        if c.values.dtype == object:
+            vals = np.zeros(n, np.float64)
+            for i in np.flatnonzero(~nulls):
+                vals[i] = float(c.values[i])
+        else:
+            is_int = c.values.dtype.kind in "iub"
+            vals = np.where(nulls, 0.0, c.values.astype(np.float64))
+    sv = vals[ordered]
+    sn = nulls[ordered]
+    w = np.where(sn, 0.0, sv)
+
+    a, b = _range_offset_bounds(keys, ordered, new_part, n, lo, hi)
     empty = a > b
     csum = np.concatenate([[0.0], np.cumsum(w)])
     ccnt = np.concatenate([[0], np.cumsum((~sn).astype(np.int64))])

@@ -34,7 +34,8 @@ AGGREGATES = {
     "bool_or", "total",
 }
 
-WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "ntile", "lag", "lead"}
+WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+                "first_value", "last_value", "nth_value"}
 
 
 def parse_temporal(type_name: str, text: str):
