@@ -293,17 +293,32 @@ class Gen:
         fn = r.choice([
             "row_number()", "rank()", "dense_rank()", "ntile(4)",
             "sum(amount)", "count(*)",
+            "first_value(amount)", "last_value(amount)",
+            "nth_value(amount, 2)",
         ])
+        framable = fn.startswith(("sum", "count", "first", "last", "nth"))
         frame = ""
-        if fn.startswith(("sum", "count")) and r.random() < 0.5:
-            lo = r.choice(["UNBOUNDED PRECEDING", "2 PRECEDING",
-                           "1 PRECEDING", "CURRENT ROW"])
-            hi = r.choice(["CURRENT ROW", "1 FOLLOWING",
-                           "UNBOUNDED FOLLOWING"])
-            frame = f" ROWS BETWEEN {lo} AND {hi}"
+        single_key = False
+        if framable and r.random() < 0.6:
+            if r.random() < 0.5:
+                lo = r.choice(["UNBOUNDED PRECEDING", "2 PRECEDING",
+                               "1 PRECEDING", "CURRENT ROW"])
+                hi = r.choice(["CURRENT ROW", "1 FOLLOWING",
+                               "UNBOUNDED FOLLOWING"])
+                frame = f" ROWS BETWEEN {lo} AND {hi}"
+            else:
+                # RANGE offsets need exactly one numeric ORDER BY key
+                single_key = True
+                lo = r.choice(["UNBOUNDED PRECEDING", "100 PRECEDING",
+                               "25 PRECEDING", "CURRENT ROW"])
+                hi = r.choice(["CURRENT ROW", "50 FOLLOWING",
+                               "UNBOUNDED FOLLOWING"])
+                frame = f" RANGE BETWEEN {lo} AND {hi}"
+        ob = ("amount NULLS FIRST" if single_key
+              else "amount NULLS FIRST, oid")
         return (
             f"SELECT oid, uid, {fn} OVER (PARTITION BY status "
-            f"ORDER BY amount NULLS FIRST, oid{frame}) FROM orders "
+            f"ORDER BY {ob}{frame}) FROM orders "
             f"WHERE {self.pred('orders')}"
         )
 
