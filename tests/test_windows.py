@@ -270,3 +270,32 @@ def test_value_window_functions_vs_sqlite(tmp_path):
         db.query("SELECT nth_value(v, 0) OVER (ORDER BY k) FROM t")
     lite.close()
     db.close()
+
+
+def test_range_offset_float_boundary(tmp_path):
+    """Fuzzer-found: RANGE offset boundaries must ADD the positive offset
+    (peer + X >= cur), never subtract — the two roundings differ at
+    representable edges (215.35 + 100 == 315.35 exactly, while
+    315.35 - 100 = 215.35000000000002 excludes the row; SQLite
+    includes it)."""
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "fb"))
+    lite = sqlite3.connect(":memory:")
+    for s in ["CREATE TABLE t (a DOUBLE)",
+              "INSERT INTO t VALUES (215.35), (315.35)"]:
+        db.execute(s)
+        lite.execute(s)
+    for q in [
+        "SELECT a, count(*) OVER (ORDER BY a RANGE BETWEEN 100 PRECEDING "
+        "AND CURRENT ROW) FROM t ORDER BY a",
+        "SELECT a, count(*) OVER (ORDER BY a RANGE BETWEEN CURRENT ROW "
+        "AND 100 FOLLOWING) FROM t ORDER BY a",
+        "SELECT a, count(*) OVER (ORDER BY a RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND 100 PRECEDING) FROM t ORDER BY a",
+        "SELECT a, count(*) OVER (ORDER BY a RANGE BETWEEN 100 FOLLOWING "
+        "AND UNBOUNDED FOLLOWING) FROM t ORDER BY a",
+    ]:
+        assert repr(db.query(q)) == repr(lite.execute(q).fetchall()), q
+    lite.close()
+    db.close()

@@ -1727,13 +1727,24 @@ def _range_offset_bounds(keys, ordered, new_part, n, lo, hi):
         nz0, nz1 = (nn[0], nn[-1] + 1) if len(nn) else (0, 0)
         if nz1 > nz0:                    # non-null rows: value-range scan
             vrun = seg[nz0:nz1]
+            # float boundaries follow SQLite: the positive offset is
+            # ADDED to whichever side keeps the arithmetic an addition
+            # (peer + X >= cur for X PRECEDING, never cur - X — the two
+            # roundings differ at representable edges, e.g.
+            # 215.35 + 100 == 315.35 but 315.35 - 100 > 215.35)
             if lo == "up":
                 ai = np.zeros(nz1 - nz0, np.int64)       # partition start
-            else:
+            elif lo < 0:                 # X PRECEDING: peer + X >= cur
+                ai = nz0 + np.searchsorted(vrun + (-lo), vrun, side="left")
+            else:                        # X FOLLOWING: peer >= cur + X
                 ai = nz0 + np.searchsorted(vrun, vrun + lo, side="left")
             if hi == "uf":
                 bi = np.full(nz1 - nz0, e - s - 1, np.int64)
-            else:
+            elif hi < 0:                 # Y PRECEDING: peer + Y <= cur
+                bi = nz0 + np.searchsorted(
+                    vrun + (-hi), vrun, side="right"
+                ) - 1
+            else:                        # Y FOLLOWING: peer <= cur + Y
                 bi = nz0 + np.searchsorted(vrun, vrun + hi, side="right") - 1
             a[s + nz0:s + nz1] = s + ai
             b[s + nz0:s + nz1] = s + bi
