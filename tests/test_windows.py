@@ -299,3 +299,50 @@ def test_range_offset_float_boundary(tmp_path):
         assert repr(db.query(q)) == repr(lite.execute(q).fetchall()), q
     lite.close()
     db.close()
+
+
+def test_percent_rank_cume_dist_vs_sqlite(tmp_path):
+    """percent_rank/cume_dist (standard SQL window surface beyond the
+    reference's set) vs SQLite, with ties, NULL keys and bare OVER."""
+    import itertools
+    import random
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "pr"))
+    lite = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE t (g INT, k DOUBLE)"
+    db.execute(ddl)
+    lite.execute(ddl)
+    rng = random.Random(5)
+    vals = [
+        (rng.randint(0, 3),
+         rng.choice([None, rng.randint(0, 8), rng.random() * 8]))
+        for _ in range(200)
+    ]
+    ins = "INSERT INTO t VALUES " + ",".join(
+        "(%s,%s)" % tuple(
+            "NULL" if x is None
+            else repr(round(x, 3)) if isinstance(x, float) else x
+            for x in r
+        )
+        for r in vals
+    )
+    db.execute(ins)
+    lite.execute(ins)
+
+    def norm(rs):
+        return sorted(
+            (tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+             for r in rs),
+            key=repr,
+        )
+
+    for fn, ob in itertools.product(
+        ["percent_rank()", "cume_dist()"],
+        ["ORDER BY k NULLS FIRST", "ORDER BY k DESC NULLS LAST", ""],
+    ):
+        q = f"SELECT g, k, {fn} OVER (PARTITION BY g {ob}) FROM t"
+        assert norm(db.query(q)) == norm(lite.execute(q).fetchall()), \
+            (fn, ob)
+    lite.close()
+    db.close()

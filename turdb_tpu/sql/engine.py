@@ -1462,7 +1462,7 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         out[ordered] = rank_in + 1
         return Col(out)
 
-    if name in ("rank", "dense_rank") or (
+    if name in ("rank", "dense_rank", "percent_rank", "cume_dist") or (
         spec.order_by
         and (name in AGGREGATES
              or name in ("first_value", "last_value", "nth_value"))
@@ -1498,6 +1498,26 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         out = np.zeros(n, np.int64)
         dr = np.cumsum(new_key)
         out[ordered] = dr - dr[start] + 1
+        return Col(out)
+
+    if name in ("percent_rank", "cume_dist"):
+        # percent_rank = (rank-1)/(size-1); cume_dist = peers≤current/size
+        starts_idx = np.flatnonzero(new_part)
+        sizes = np.diff(np.append(starts_idx, n))
+        size_row = np.repeat(sizes, sizes) if n else np.zeros(0, np.int64)
+        out = np.zeros(n, np.float64)
+        if name == "percent_rank":
+            key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+            rk = key_start - start                       # rank - 1
+            out[ordered] = np.where(
+                size_row > 1, rk / np.maximum(size_row - 1, 1), 0.0
+            )
+        else:
+            run_id = np.cumsum(new_key) - 1 if n else np.zeros(0, np.int64)
+            nruns = int(run_id[-1]) + 1 if n else 0
+            run_end = np.zeros(max(nruns, 1), np.int64)
+            np.maximum.at(run_end, run_id, pos)
+            out[ordered] = (run_end[run_id] - start + 1) / size_row
         return Col(out)
 
     if name == "ntile":

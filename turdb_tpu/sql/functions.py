@@ -35,7 +35,8 @@ AGGREGATES = {
 }
 
 WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "ntile", "lag", "lead",
-                "first_value", "last_value", "nth_value"}
+                "first_value", "last_value", "nth_value",
+                "percent_rank", "cume_dist"}
 
 
 def parse_temporal(type_name: str, text: str):
