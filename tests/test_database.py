@@ -1451,3 +1451,59 @@ def test_temporal_columns_validate_and_canonicalize(db):
                 "(NULL, NULL, '2024-13-40 00:00:00')"]:
         with pytest.raises(Exception, match="invalid"):
             db.execute(f"INSERT INTO t VALUES {bad}")
+
+
+class TestLateral:
+    """LATERAL subqueries in FROM (reference parses them, parser.rs:743,
+    and bails at planning, planner/select.rs:378-382 — here they run):
+    per-left-row re-evaluation with outer bindings, PostgreSQL
+    semantics."""
+
+    @pytest.fixture()
+    def ldb(self, db):
+        db.execute("CREATE TABLE u (id INT, name TEXT)")
+        db.execute("CREATE TABLE o (uid INT, amt INT)")
+        db.execute("INSERT INTO u VALUES (1,'a'), (2,'b'), (3,'c')")
+        db.execute("INSERT INTO o VALUES (1,10),(1,30),(2,5),(1,20),(2,7)")
+        return db
+
+    def test_top_n_per_group(self, ldb):
+        q = ("SELECT u.name, t.amt FROM u, LATERAL (SELECT amt FROM o "
+             "WHERE o.uid = u.id ORDER BY amt DESC LIMIT 2) t "
+             "ORDER BY u.name, t.amt")
+        assert ldb.query(q) == [("a", 20), ("a", 30), ("b", 5), ("b", 7)]
+
+    def test_left_join_lateral_pads(self, ldb):
+        q = ("SELECT u.name, t.amt FROM u LEFT JOIN LATERAL "
+             "(SELECT amt FROM o WHERE o.uid = u.id AND amt > 6) t "
+             "ON TRUE ORDER BY u.name, t.amt")
+        assert ldb.query(q) == [
+            ("a", 10), ("a", 20), ("a", 30), ("b", 7), ("c", None)
+        ]
+
+    def test_lateral_on_condition(self, ldb):
+        q = ("SELECT u.name, t.amt FROM u JOIN LATERAL (SELECT amt FROM o "
+             "WHERE o.uid = u.id) t ON t.amt > 8 ORDER BY u.name, t.amt")
+        assert ldb.query(q) == [("a", 10), ("a", 20), ("a", 30)]
+
+    def test_lateral_aggregate_and_alias_default(self, ldb):
+        # reference defaults the alias to "lateral" (parser.rs:748)
+        q = ("SELECT u.name, lateral.mx FROM u, LATERAL "
+             "(SELECT max(amt) AS mx FROM o WHERE o.uid = u.id) "
+             "ORDER BY u.name")
+        assert ldb.query(q) == [("a", 30), ("b", 7), ("c", None)]
+
+    def test_lateral_empty_left(self, ldb):
+        q = ("SELECT u.name, t.amt FROM u, LATERAL (SELECT amt FROM o "
+             "WHERE o.uid = u.id) t WHERE u.id > 90")
+        assert ldb.query(q) == []
+
+    def test_lateral_chain_and_reorder_guard(self, ldb):
+        # three-way FROM with a lateral tail must keep evaluation order
+        q = ("SELECT u.name, o.amt, t.double_amt FROM u, o, LATERAL "
+             "(SELECT o.amt * 2 AS double_amt) t "
+             "WHERE u.id = o.uid ORDER BY u.name, o.amt")
+        assert ldb.query(q) == [
+            ("a", 10, 20), ("a", 20, 40), ("a", 30, 60),
+            ("b", 5, 10), ("b", 7, 14),
+        ]

@@ -155,6 +155,8 @@ class SortedKeyIndex:
         for r in self._delta_by_key.get(key, ()):
             if (key, r) not in self._deleted:
                 out.append(r)
+        if len(out) < 2:
+            return out          # point-read hot path: nothing to dedup
         return list(dict.fromkeys(out))
 
     def bulk_load(self, keys: list, rowids) -> None:

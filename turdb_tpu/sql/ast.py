@@ -200,6 +200,8 @@ class TableRef:
 class SubqueryRef:
     subquery: "Select"
     alias: str
+    lateral: bool = False    # LATERAL (...): re-run per left row with
+                             # that row's columns as outer bindings
 
 
 @dataclass

@@ -285,6 +285,8 @@ class QueryEngine:
         return out
 
     def _join(self, j: A.Join, ctx: EvalContext) -> Batch:
+        if isinstance(j.right, A.SubqueryRef) and j.right.lateral:
+            return self._lateral_join(j, ctx)
         # cost-ordered join tree for pure INNER chains (reference
         # optimizer/rules/join_reordering.rs:66): leaves materialize
         # first, so ACTUAL row counts drive the greedy order
@@ -346,6 +348,90 @@ class QueryEngine:
             out = _nl_outer_join(left, right, cond, j.kind, ctx)
         if using:
             out = _coalesce_using(out, using, len(left.cols), j.kind)
+        return out
+
+    def _lateral_join(self, j: A.Join, ctx: EvalContext) -> Batch:
+        """LATERAL subquery in FROM (reference parses it, parser.rs:743,
+        but bails at planning, planner/select.rs:378-382 — here it runs):
+        the subquery re-evaluates once per left row with that row's
+        columns visible as outer bindings (the correlated-subquery
+        mechanism), then the pairs assemble like a join."""
+        import dataclasses
+
+        if j.kind not in ("INNER", "CROSS", "LEFT"):
+            raise SqlError(f"LATERAL does not support {j.kind} joins")
+        left = self._from(j.left, ctx)
+        sub = j.right
+        STATS["rowwise_subqueries"] += left.n
+
+        def run_for(orow, limit0=False):
+            sel = sub.subquery
+            if limit0:
+                sel = dataclasses.replace(sel, limit=A.Literal(0))
+            sctx = self._child_ctx(ctx, getattr(ctx, "ctes", {}))
+            sctx.outer = orow
+            b = self.run_select(sel, sctx)
+            out = Batch(b.n)
+            for (_, nm), c in zip(b.names, b.cols):
+                out.add(sub.alias, nm, c)
+            return out
+
+        def with_outer(i):
+            orow = left.take(np.array([i]))
+            if ctx.outer is not None:       # chained correlation levels
+                for (q, nm), c in zip(ctx.outer.names, ctx.outer.cols):
+                    orow.add(q, nm, c)
+            return orow
+
+        n = left.n
+        rights = [run_for(with_outer(i)) for i in range(n)]
+        # schema probe for empty-left / LEFT padding: LIMIT 0 against an
+        # all-NULL left row (names only; no rows evaluate)
+        nullrow = Batch(1)
+        for (q, nm) in left.names:
+            nullrow.add(q, nm, Col(np.array([None], object),
+                                   np.array([True])))
+        proto = run_for(nullrow, limit0=True)
+
+        counts = np.array([b.n for b in rights], np.int64)
+        idx = np.repeat(np.arange(n), counts) if n else np.zeros(0, np.int64)
+        left_rep = left.take(idx)
+        combined = Batch(left_rep.n)
+        for (q, nm), c in zip(left_rep.names, left_rep.cols):
+            combined.add(q, nm, c)
+        for ci, (q, nm) in enumerate(proto.names):
+            vals = [b.cols[ci].values for b in rights if b.n]
+            nls = [b.cols[ci].nulls for b in rights if b.n]
+            if vals:
+                if any(v.dtype != vals[0].dtype or v.ndim != vals[0].ndim
+                       for v in vals):
+                    vals = [v.astype(object) if v.ndim == 1 else v
+                            for v in vals]
+                v, nl = np.concatenate(vals), np.concatenate(nls)
+            else:
+                v, nl = np.zeros(0, object), np.zeros(0, bool)
+            combined.add(q, nm, Col(v, nl))
+
+        if j.on is not None:
+            cm = eval_expr(j.on, combined, ctx)
+            keep = np.flatnonzero(cm.values.astype(bool) & ~cm.nulls)
+        else:
+            keep = np.arange(combined.n)
+        out = combined.take(keep)
+        if j.kind == "LEFT":
+            matched = np.zeros(n, bool)
+            if len(keep):
+                matched[idx[keep]] = True
+            un = np.flatnonzero(~matched)
+            if len(un):
+                pad = Batch(len(un))
+                padl = left.take(un)
+                for (q, nm), c in zip(padl.names, padl.cols):
+                    pad.add(q, nm, c)
+                for (q, nm) in proto.names:
+                    pad.add(q, nm, Col(np.full(len(un), None, object),
+                                       np.ones(len(un), bool)))
+                out = out.concat(pad)
         return out
 
     def _join_reordered(self, leaves, conjuncts, ctx: EvalContext) -> Batch:
@@ -759,6 +845,8 @@ def _flatten_inner(j):
             leaves.append(node)
 
     rec(j)
+    if any(isinstance(lf, A.SubqueryRef) and lf.lateral for lf in leaves):
+        return None    # lateral leaves depend on join order: no reorder
     return (leaves, conjuncts) if len(leaves) >= 2 else None
 
 

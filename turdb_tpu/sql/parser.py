@@ -720,6 +720,14 @@ class Parser:
             left = A.Join(left, right, kind, on, using, natural)
 
     def _table_factor(self):
+        lateral = False
+        if (self.peek().type is T.IDENT
+                and self.peek().value.upper() == "LATERAL"
+                and self.peek(1).type is T.LPAREN):
+            # LATERAL (SELECT ...) — reference parses it (parser.rs:743)
+            # but bails at planning (planner/select.rs:382); executes here
+            self.next()
+            lateral = True
         if self.accept(T.LPAREN):
             if self.peek().is_kw("SELECT", "WITH"):
                 sub = self._select_stmt()
@@ -734,8 +742,11 @@ class Parser:
                     # alias optional (reference accepts bare derived
                     # tables); synthesize a per-statement unique name
                     self._anon_counter += 1
-                    alias = f"_subquery{self._anon_counter}"
-                return A.SubqueryRef(sub, alias)
+                    alias = (f"lateral" if lateral
+                             else f"_subquery{self._anon_counter}")
+                return A.SubqueryRef(sub, alias, lateral)
+            if lateral:
+                self.error("expected SELECT after LATERAL (")
             inner = self._table_expr()
             self.expect(T.RPAREN)
             return inner
