@@ -254,9 +254,22 @@ def test_crash_recovery_equivalence(tmp_path, seed):
         oracle.execute(sql)
 
     both("CREATE TABLE t (id INT PRIMARY KEY AUTO_INCREMENT, v INT)")
+    # round-3 surface rides along: statement-level trigger effects,
+    # INSTEAD OF view redirection, and grant records must all recover
+    # to the oracle's state
+    both("CREATE TABLE audit (tag TEXT)")
+    both("CREATE TRIGGER st AFTER INSERT ON t FOR EACH STATEMENT "
+         "BEGIN INSERT INTO audit VALUES ('i'); END")
+    both("CREATE VIEW tv AS SELECT id, v FROM t")
+    both("CREATE TRIGGER iv INSTEAD OF UPDATE ON tv "
+         "BEGIN UPDATE t SET v = NEW.v WHERE id = OLD.id; END")
+    both(f"GRANT SELECT, INSERT ON t TO user{seed}")
     next_tbl = 0
     for _ in range(12):
         kind = rng.random()
+        if kind < 0.15:
+            both(f"UPDATE tv SET v = v + 100 WHERE id % 3 = {seed % 3}")
+            continue
         if kind < 0.55:
             # committed txn with optional savepoint rollback
             stmts = []
@@ -295,6 +308,14 @@ def test_crash_recovery_equivalence(tmp_path, seed):
     recovered = Database.open(p1)
     q = "SELECT id, v FROM t ORDER BY id"
     assert recovered.query(q) == oracle.query(q), f"seed={seed}"
+    qa = "SELECT count(*) FROM audit"
+    assert recovered.query(qa) == oracle.query(qa), f"seed={seed} audit"
+    qg = "SELECT grantee, privileges FROM turdb_catalog.grants"
+    assert recovered.query(qg) == oracle.query(qg), f"seed={seed} grants"
+    # the INSTEAD OF redirect still works post-recovery
+    recovered.execute(f"UPDATE tv SET v = 777 WHERE id % 5 = 1")
+    oracle.execute(f"UPDATE tv SET v = 777 WHERE id % 5 = 1")
+    assert recovered.query(q) == oracle.query(q), f"seed={seed} post-iof"
     # post-crash inserts must not collide with any committed id (gaps
     # from rolled-back inserts may be reused after a crash — the ids
     # were never committed, PostgreSQL-style)
