@@ -346,3 +346,59 @@ def test_percent_rank_cume_dist_vs_sqlite(tmp_path):
             (fn, ob)
     lite.close()
     db.close()
+
+
+def test_groups_frames_vs_sqlite(tmp_path):
+    """GROUPS frame mode (offsets count peer groups — full SQLite frame
+    parity; the reference parses no frames at all) across aggregates AND
+    value functions, ties, NULL keys, both directions."""
+    import itertools
+    import random
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "gr"))
+    lite = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE t (g INT, k INT, v INT)"
+    db.execute(ddl)
+    lite.execute(ddl)
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 3), rng.choice([None, rng.randint(0, 6)]),
+         rng.choice([None, rng.randint(-40, 40)]))
+        for _ in range(180)
+    ]
+    ins = "INSERT INTO t VALUES " + ",".join(
+        "(%s,%s,%s)" % tuple("NULL" if x is None else x for x in r)
+        for r in rows
+    )
+    db.execute(ins)
+    lite.execute(ins)
+    frames = [
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        "GROUPS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+        "GROUPS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING",
+        "GROUPS BETWEEN CURRENT ROW AND CURRENT ROW",
+        "GROUPS BETWEEN 2 PRECEDING AND 1 PRECEDING",
+        "GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ]
+    funcs = ["count(v)", "sum(v)", "min(v)", "max(v)", "avg(v)",
+             "first_value(v)", "last_value(v)", "nth_value(v, 2)"]
+    orders = ["k NULLS FIRST", "k DESC NULLS LAST"]
+
+    def norm(rs):
+        return sorted(
+            (tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+             for r in rs),
+            key=repr,
+        )
+
+    for fr, fn, ob in itertools.product(frames, funcs, orders):
+        q = (f"SELECT g, k, v, {fn} OVER "
+             f"(PARTITION BY g ORDER BY {ob} {fr}) FROM t")
+        assert norm(db.query(q)) == norm(lite.execute(q).fetchall()), \
+            (fn, ob, fr)
+    with pytest.raises(Exception, match="requires ORDER BY"):
+        db.query("SELECT sum(v) OVER (GROUPS BETWEEN 1 PRECEDING AND "
+                 "CURRENT ROW) FROM t")
+    lite.close()
+    db.close()

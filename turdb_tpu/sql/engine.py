@@ -1663,6 +1663,9 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
             raise SqlError(f"{name} requires an argument")
         arg = eval_expr(fc.args[0], src, ctx)
         frame = getattr(spec, "frame", None)
+        if frame is not None and frame[0] == "GROUPS" \
+                and not spec.order_by:
+            raise SqlError("GROUPS frame requires ORDER BY")
         starts_idx = np.flatnonzero(new_part)
         sizes = np.diff(np.append(starts_idx, n))
         end = (np.repeat(starts_idx + sizes, sizes) - 1 if n
@@ -1689,6 +1692,9 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
                 HI = n + 1 if hi == "uf" else int(hi)
                 a = np.maximum(pos + LO, start)
                 b = np.minimum(pos + HI, end)
+            elif mode == "GROUPS":
+                a, b = _groups_bounds(new_key, new_part, pos, start, n,
+                                      lo, hi)
             elif (lo, hi) == ("up", "uf"):
                 a, b = start.copy(), end
             elif lo in ("up", 0) and hi in (0, "uf"):
@@ -1734,6 +1740,13 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
                 return _frame_aggregate(
                     fc, src, ctx, ordered, new_part, pos, start, lo, hi
                 )
+            # GROUPS: offsets count peer groups (SQLite frame modes)
+            if mode == "GROUPS":
+                if not spec.order_by:
+                    raise SqlError("GROUPS frame requires ORDER BY")
+                a, b = _groups_bounds(new_key, new_part, pos, start, n,
+                                      lo, hi)
+                return _bounds_frame_aggregate(fc, src, ctx, ordered, a, b)
             # RANGE: default frame (UNBOUNDED PRECEDING..CURRENT ROW)
             # rides the running-aggregate kernel; numeric offsets use
             # order-key distance scans (searchsorted per partition —
@@ -1748,9 +1761,9 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
             elif (lo, hi) != ("up", "uf"):
                 if not spec.order_by:
                     raise SqlError("RANGE with offset requires ORDER BY")
-                return _range_frame_aggregate(
-                    fc, src, ctx, ordered, new_part, pos, lo, hi, keys
-                )
+                a, b = _range_offset_bounds(keys, ordered, new_part, n,
+                                            lo, hi)
+                return _bounds_frame_aggregate(fc, src, ctx, ordered, a, b)
             # ("up","uf") or no order_by: whole-partition path below
         elif spec.order_by and framable:
             return _running_aggregate(
@@ -1864,11 +1877,47 @@ def _range_offset_bounds(keys, ordered, new_part, n, lo, hi):
     return a, b
 
 
-def _range_frame_aggregate(fc, src, ctx, ordered, new_part, pos, lo, hi,
-                           keys):
-    """RANGE frame with numeric offsets: bounds from
-    _range_offset_bounds, then the same prefix-sum / sparse-table
-    kernels as the ROWS path."""
+def _groups_bounds(new_key, new_part, pos, start, n, lo, hi):
+    """Frame bounds for GROUPS mode: offsets count peer groups (runs of
+    equal order keys) instead of rows or key distances."""
+    dr = np.cumsum(new_key)            # 1-based global group id
+    gid = dr - 1
+    ngroups = int(dr[-1]) if n else 0
+    g_start = np.full(max(ngroups, 1), n, np.int64)
+    g_end = np.zeros(max(ngroups, 1), np.int64)
+    if n:
+        np.minimum.at(g_start, gid, pos)
+        np.maximum.at(g_end, gid, pos)
+    starts_idx = np.flatnonzero(new_part)
+    sizes = np.diff(np.append(starts_idx, n))
+    end = (np.repeat(starts_idx + sizes, sizes) - 1 if n
+           else np.zeros(0, np.int64))
+    first_g, last_g = gid[start] if n else gid, gid[end] if n else gid
+    if lo == "up":
+        a = start.copy()
+    else:
+        tl = gid + int(lo)
+        a = np.where(
+            tl <= first_g, start,
+            np.where(tl > last_g, end + 1,
+                     g_start[np.clip(tl, 0, max(ngroups - 1, 0))]),
+        )
+    if hi == "uf":
+        b = end.copy()
+    else:
+        th = gid + int(hi)
+        b = np.where(
+            th >= last_g, end,
+            np.where(th < first_g, start - 1,
+                     g_end[np.clip(th, 0, max(ngroups - 1, 0))]),
+        )
+    return a, b
+
+
+def _bounds_frame_aggregate(fc, src, ctx, ordered, a, b):
+    """Aggregate over arbitrary per-row frame bounds [a, b] (global
+    sorted positions): prefix-sum kernels for count/sum/avg, sparse
+    table for min/max. Serves the RANGE-offset and GROUPS modes."""
     n = src.n
     name = fc.name
 
@@ -1892,7 +1941,6 @@ def _range_frame_aggregate(fc, src, ctx, ordered, new_part, pos, lo, hi,
     sn = nulls[ordered]
     w = np.where(sn, 0.0, sv)
 
-    a, b = _range_offset_bounds(keys, ordered, new_part, n, lo, hi)
     empty = a > b
     csum = np.concatenate([[0.0], np.cumsum(w)])
     ccnt = np.concatenate([[0], np.cumsum((~sn).astype(np.int64))])

@@ -1519,7 +1519,7 @@ class Parser:
             if self.peek().is_kw("ORDER"):
                 spec.order_by = self._order_by()
             if self.peek().type is T.IDENT and \
-                    self.peek().value.upper() in ("ROWS", "RANGE"):
+                    self.peek().value.upper() in ("ROWS", "RANGE", "GROUPS"):
                 mode = self.next().value.upper()
 
                 def _bound():
