@@ -1507,3 +1507,55 @@ class TestLateral:
             ("a", 10, 20), ("a", 20, 40), ("a", 30, 60),
             ("b", 5, 10), ("b", 7, 14),
         ]
+
+
+class TestReviewRegressions:
+    """Round-3 code-review findings, pinned."""
+
+    def test_statement_trigger_when_rejects_new(self, db):
+        db.execute("CREATE TABLE t (a INT)")
+        with pytest.raises(Exception, match="cannot reference NEW/OLD"):
+            db.execute(
+                "CREATE TRIGGER bad AFTER INSERT ON t FOR EACH STATEMENT "
+                "WHEN (NEW.a > 0) BEGIN INSERT INTO t VALUES (1); END"
+            )
+
+    def test_instead_of_returning_and_upsert(self, db):
+        db.execute("CREATE TABLE base (id INT PRIMARY KEY, v TEXT)")
+        db.execute("CREATE VIEW bv AS SELECT id, v FROM base")
+        db.execute("CREATE TRIGGER iv INSTEAD OF INSERT ON bv "
+                   "BEGIN INSERT INTO base VALUES (NEW.id, NEW.v); END")
+        r = db.execute("INSERT INTO bv VALUES (1, 'x') RETURNING id, upper(v)")
+        assert r.rows == [(1, "X")]
+        with pytest.raises(Exception, match="cannot UPSERT a view"):
+            db.execute(
+                "INSERT INTO bv VALUES (2, 'y') "
+                "ON CONFLICT (id) DO NOTHING"
+            )
+
+    def test_revoke_single_privilege_from_all_grant(self, db):
+        db.execute("CREATE TABLE t (a INT)")
+        db.execute("GRANT ALL ON t TO bob")
+        db.execute("REVOKE SELECT ON t FROM bob")
+        (privs,) = db.query(
+            "SELECT privileges FROM turdb_catalog.grants "
+            "WHERE grantee = 'bob'"
+        )[0]
+        assert "SELECT" not in privs.split(",")
+        assert "INSERT" in privs.split(",")
+
+    def test_nested_correlated_lateral(self, db):
+        db.execute("CREATE TABLE t1 (x INT)")
+        db.execute("CREATE TABLE t2 (y INT)")
+        db.execute("INSERT INTO t1 VALUES (5), (6)")
+        db.execute("INSERT INTO t2 VALUES (10)")
+        q = ("SELECT (SELECT max(s) FROM t2, LATERAL "
+             "(SELECT t1.x + t2.y AS s) l) FROM t1 ORDER BY 1")
+        assert db.query(q) == [(15,), (16,)]
+
+    def test_two_unaliased_laterals_unique(self, db):
+        db.execute("CREATE TABLE t1 (x INT)")
+        db.execute("INSERT INTO t1 VALUES (5)")
+        r = db.query("SELECT * FROM t1, LATERAL (SELECT x+1 AS a), "
+                     "LATERAL (SELECT x+2 AS b)")
+        assert r == [(5, 6, 7)]

@@ -402,3 +402,24 @@ def test_groups_frames_vs_sqlite(tmp_path):
                  "CURRENT ROW) FROM t")
     lite.close()
     db.close()
+
+
+def test_value_window_frame_without_order_by(tmp_path):
+    """Review-found: an explicit ROWS frame without ORDER BY must be
+    honored by value functions (it was silently treated as the whole
+    partition)."""
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "nofr"))
+    lite = sqlite3.connect(":memory:")
+    for s in ["CREATE TABLE t (v INT)", "INSERT INTO t VALUES (1),(2),(3)"]:
+        db.execute(s)
+        lite.execute(s)
+    q = ("SELECT last_value(v) OVER (ROWS BETWEEN UNBOUNDED PRECEDING "
+         "AND CURRENT ROW) FROM t")
+    assert db.query(q) == lite.execute(q).fetchall()
+    with pytest.raises(Exception, match="must be an integer"):
+        db.query("SELECT sum(v) OVER (ORDER BY v GROUPS BETWEEN "
+                 "1.5 PRECEDING AND CURRENT ROW) FROM t")
+    lite.close()
+    db.close()

@@ -10,6 +10,14 @@ from turdb_tpu.types.column import ColumnDef
 from turdb_tpu.types.datatype import DataType
 
 
+# the privilege universe (reference ast.rs:763-775 Privilege enum);
+# an ALL grant expands against this when single privileges are revoked
+_ALL_PRIVILEGES = {
+    "SELECT", "INSERT", "UPDATE", "DELETE", "TRUNCATE", "REFERENCES",
+    "TRIGGER", "CREATE", "CONNECT", "TEMPORARY", "EXECUTE", "USAGE",
+}
+
+
 def execute_ddl(db, stmt, txn):
     from turdb_tpu.database.api import (
         DatabaseError,
@@ -74,7 +82,12 @@ def execute_ddl(db, stmt, txn):
                         and g["object_name"] == stmt.object_name):
                     if "ALL" in revoked:
                         continue
-                    left = [p for p in g["privileges"] if p not in revoked]
+                    privs = g["privileges"]
+                    if "ALL" in privs:
+                        # revoking a specific privilege out of an ALL
+                        # grant leaves the rest (PostgreSQL semantics)
+                        privs = sorted(_ALL_PRIVILEGES)
+                    left = [p for p in privs if p not in revoked]
                     if not left:
                         continue
                     g = {**g, "privileges": left}
@@ -113,7 +126,7 @@ def execute_ddl(db, stmt, txn):
         trigs = db.triggers.setdefault(schema, {})
         if stmt.name in trigs and not stmt.or_replace:
             raise DatabaseError(f"trigger {stmt.name} already exists")
-        from turdb_tpu.database.api import _parse_stmt
+        from turdb_tpu.database.api import _parse_expr, _parse_stmt
         from turdb_tpu.database.dml import _refs_new_old
 
         for sql in stmt.body:            # validate the body parses now
@@ -122,6 +135,11 @@ def execute_ddl(db, stmt, txn):
                 raise DatabaseError(
                     "statement-level triggers cannot reference NEW/OLD"
                 )
+        if (stmt.level == "STATEMENT" and stmt.when
+                and _refs_new_old(_parse_expr(stmt.when))):
+            raise DatabaseError(
+                "statement-level triggers cannot reference NEW/OLD"
+            )
         trigs[stmt.name] = {
             "table": stmt.table,
             "timing": stmt.timing,

@@ -1312,9 +1312,38 @@ def _view_columns(db, schema, vd, ctx) -> list:
     return [nm for (_, nm) in b.names if nm != ROWID]
 
 
+def _returning_from_rows(qualifier, colnames, rows, items, ctx):
+    """RETURNING over in-memory row dicts (view DML has no table rowids
+    to re-fetch — the NEW/OLD values ARE the result)."""
+    from turdb_tpu.database.api import _batch_to_rows
+    from turdb_tpu.sql.engine import _output_name
+    from turdb_tpu.sql.expr import _densify
+
+    b = Batch(len(rows))
+    for cn in colnames:
+        arr = np.empty(len(rows), object)
+        nulls = np.zeros(len(rows), bool)
+        for i, r in enumerate(rows):
+            v = r.get(cn)
+            arr[i] = v
+            nulls[i] = v is None
+        b.add(qualifier, cn, _densify(Col(arr, nulls)))
+    ob = Batch(b.n)
+    for it in items:
+        if isinstance(it.expr, A.Star):
+            for (q, nm), c in zip(b.names, b.cols):
+                ob.add(None, nm, c)
+            continue
+        c = eval_expr(it.expr, b, ctx)
+        ob.add(None, it.alias or _output_name(it.expr), c)
+    return _batch_to_rows(ob)
+
+
 def _instead_of_insert(db, stmt, params, txn, schema, vd, trigs):
     from turdb_tpu.database.api import ExecuteResult
 
+    if stmt.on_conflict is not None:
+        raise SqlError("cannot UPSERT a view")
     ctx = db._ctx(params, txn)
     vcols = _view_columns(db, schema, vd, ctx)
     target_cols = stmt.columns if stmt.columns is not None else vcols
@@ -1349,7 +1378,12 @@ def _instead_of_insert(db, stmt, params, txn, schema, vd, trigs):
         mapping = {("new", cn): row.get(cn) for cn in vcols}
         for t in trigs:
             _run_trigger(db, t, mapping, txn)
-    return ExecuteResult(rows_affected=len(rows))
+    res = ExecuteResult(rows_affected=len(rows))
+    if stmt.returning:
+        res.columns, res.rows = _returning_from_rows(
+            vd.name, vcols, rows, stmt.returning, ctx
+        )
+    return res
 
 
 def _view_rows_matching(db, stmt, schema, vd, ctx):
@@ -1380,17 +1414,24 @@ def _instead_of_update(db, stmt, params, txn, schema, vd, trigs):
             raise SqlError(f"no such column: {cn}")
     # assignment expressions see the view row (vectorized over matches)
     assign = {cn: eval_expr(e, src, ctx) for cn, e in stmt.assignments}
+    news = []
     for i, old in enumerate(olds):
         new = dict(old)
         for cn, c in assign.items():
             new[cn] = None if c.nulls[i] else _py(c.values[i])
+        news.append(new)
         mapping = {}
         for cn in names:
             mapping[("new", cn)] = new.get(cn)
             mapping[("old", cn)] = old.get(cn)
         for t in trigs:
             _run_trigger(db, t, mapping, txn)
-    return ExecuteResult(rows_affected=len(olds))
+    res = ExecuteResult(rows_affected=len(olds))
+    if stmt.returning:
+        res.columns, res.rows = _returning_from_rows(
+            vd.name, names, news, stmt.returning, ctx
+        )
+    return res
 
 
 def _instead_of_delete(db, stmt, params, txn, schema, vd, trigs):
@@ -1402,7 +1443,12 @@ def _instead_of_delete(db, stmt, params, txn, schema, vd, trigs):
         mapping = {("old", cn): old.get(cn) for cn in names}
         for t in trigs:
             _run_trigger(db, t, mapping, txn)
-    return ExecuteResult(rows_affected=len(olds))
+    res = ExecuteResult(rows_affected=len(olds))
+    if stmt.returning:
+        res.columns, res.rows = _returning_from_rows(
+            vd.name, names, olds, stmt.returning, ctx
+        )
+    return res
 
 
 def execute_call(db, stmt, params, txn):

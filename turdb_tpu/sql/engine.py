@@ -385,13 +385,20 @@ class QueryEngine:
 
         n = left.n
         rights = [run_for(with_outer(i)) for i in range(n)]
-        # schema probe for empty-left / LEFT padding: LIMIT 0 against an
-        # all-NULL left row (names only; no rows evaluate)
-        nullrow = Batch(1)
-        for (q, nm) in left.names:
-            nullrow.add(q, nm, Col(np.array([None], object),
-                                   np.array([True])))
-        proto = run_for(nullrow, limit0=True)
+        if rights:
+            proto = rights[0]     # every per-row batch shares the schema
+        else:
+            # empty left: LIMIT-0 probe against an all-NULL left row
+            # (names only; no rows evaluate), with enclosing correlation
+            # bindings still visible
+            nullrow = Batch(1)
+            for (q, nm) in left.names:
+                nullrow.add(q, nm, Col(np.array([None], object),
+                                       np.array([True])))
+            if ctx.outer is not None:
+                for (q, nm), c in zip(ctx.outer.names, ctx.outer.cols):
+                    nullrow.add(q, nm, c)
+            proto = run_for(nullrow, limit0=True)
 
         counts = np.array([b.n for b in rights], np.int64)
         idx = np.repeat(np.arange(n), counts) if n else np.zeros(0, np.int64)
@@ -1679,7 +1686,7 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
             key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
             return key_start, run_end[run_id] if n else end
 
-        if frame is None or not spec.order_by:
+        if frame is None:
             if spec.order_by:        # default: RANGE UP..CURRENT (peers)
                 _, pe = peer_bounds()
                 a, b = start.copy(), pe
@@ -1688,6 +1695,7 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         else:
             mode, lo, hi = frame
             if mode == "ROWS":
+                # legal without ORDER BY: bounds are row positions
                 LO = -n - 1 if lo == "up" else int(lo)
                 HI = n + 1 if hi == "uf" else int(hi)
                 a = np.maximum(pos + LO, start)
@@ -1697,6 +1705,13 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
                                       lo, hi)
             elif (lo, hi) == ("up", "uf"):
                 a, b = start.copy(), end
+            elif not spec.order_by:
+                if lo in ("up", 0) and hi in (0, "uf"):
+                    # all rows are peers: every CURRENT-ROW-bounded RANGE
+                    # frame spans the whole partition
+                    a, b = start.copy(), end
+                else:
+                    raise SqlError("RANGE with offset requires ORDER BY")
             elif lo in ("up", 0) and hi in (0, "uf"):
                 # CURRENT ROW bounds = peer-group edges (legal for any
                 # key type, no numeric requirement)
@@ -1751,7 +1766,8 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
             # rides the running-aggregate kernel; numeric offsets use
             # order-key distance scans (searchsorted per partition —
             # the reference parses frames but never executes them,
-            # parser.rs:1419)
+            # parser.rs:1419); CURRENT ROW bounds are peer-group edges
+            # (legal for any key type)
             if (lo, hi) == ("up", 0):
                 if spec.order_by:
                     return _running_aggregate(
@@ -1759,11 +1775,34 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
                         start,
                     )
             elif (lo, hi) != ("up", "uf"):
-                if not spec.order_by:
+                if lo in ("up", 0) and hi in (0, "uf"):
+                    if spec.order_by:
+                        run_id = (np.cumsum(new_key) - 1 if n
+                                  else np.zeros(0, np.int64))
+                        nruns = int(run_id[-1]) + 1 if n else 0
+                        run_end = np.zeros(max(nruns, 1), np.int64)
+                        np.maximum.at(run_end, run_id, pos)
+                        key_start = np.maximum.accumulate(
+                            np.where(new_key, pos, 0)
+                        )
+                        starts_idx = np.flatnonzero(new_part)
+                        sizes = np.diff(np.append(starts_idx, n))
+                        end = (np.repeat(starts_idx + sizes, sizes) - 1
+                               if n else np.zeros(0, np.int64))
+                        a = start.copy() if lo == "up" else key_start
+                        b = end if hi == "uf" else run_end[run_id]
+                        return _bounds_frame_aggregate(
+                            fc, src, ctx, ordered, a, b
+                        )
+                    # no ORDER BY: all rows are peers → whole partition
+                elif not spec.order_by:
                     raise SqlError("RANGE with offset requires ORDER BY")
-                a, b = _range_offset_bounds(keys, ordered, new_part, n,
-                                            lo, hi)
-                return _bounds_frame_aggregate(fc, src, ctx, ordered, a, b)
+                else:
+                    a, b = _range_offset_bounds(keys, ordered, new_part,
+                                                n, lo, hi)
+                    return _bounds_frame_aggregate(
+                        fc, src, ctx, ordered, a, b
+                    )
             # ("up","uf") or no order_by: whole-partition path below
         elif spec.order_by and framable:
             return _running_aggregate(
@@ -1914,29 +1953,39 @@ def _groups_bounds(new_key, new_part, pos, start, n, lo, hi):
     return a, b
 
 
-def _bounds_frame_aggregate(fc, src, ctx, ordered, a, b):
-    """Aggregate over arbitrary per-row frame bounds [a, b] (global
-    sorted positions): prefix-sum kernels for count/sum/avg, sparse
-    table for min/max. Serves the RANGE-offset and GROUPS modes."""
+def _agg_prep(fc, src, ctx):
+    """Evaluate a frame aggregate's argument to (float values, nulls,
+    is_int) — shared by the ROWS and bounds kernels."""
     n = src.n
-    name = fc.name
-
-    # aggregated values in sorted order (same prep as the ROWS kernel)
     star = bool(fc.args) and isinstance(fc.args[0], A.Star)
     is_int = False
     if star or not fc.args:
-        vals = np.ones(n, np.float64)
-        nulls = np.zeros(n, bool)
-    else:
-        c = eval_expr(fc.args[0], src, ctx)
-        nulls = c.nulls.copy()
-        if c.values.dtype == object:
-            vals = np.zeros(n, np.float64)
-            for i in np.flatnonzero(~nulls):
+        return np.ones(n, np.float64), np.zeros(n, bool), False
+    c = eval_expr(fc.args[0], src, ctx)
+    nulls = c.nulls.copy()
+    if c.values.dtype == object:
+        vals = np.zeros(n, np.float64)
+        for i in np.flatnonzero(~nulls):
+            try:
                 vals[i] = float(c.values[i])
-        else:
-            is_int = c.values.dtype.kind in "iub"
-            vals = np.where(nulls, 0.0, c.values.astype(np.float64))
+            except (TypeError, ValueError):
+                raise SqlError(
+                    f"{fc.name}() over non-numeric value in a frame"
+                )
+    else:
+        is_int = c.values.dtype.kind in "iub"
+        vals = np.where(nulls, 0.0, c.values.astype(np.float64))
+    return vals, nulls, is_int
+
+
+def _bounds_frame_aggregate(fc, src, ctx, ordered, a, b):
+    """Aggregate over arbitrary per-row frame bounds [a, b] (global
+    sorted positions): prefix-sum kernels for count/sum/avg, sparse
+    table for min/max. Serves the RANGE-offset, RANGE-peer and GROUPS
+    modes."""
+    n = src.n
+    name = fc.name
+    vals, nulls, is_int = _agg_prep(fc, src, ctx)
     sv = vals[ordered]
     sn = nulls[ordered]
     w = np.where(sn, 0.0, sv)
@@ -1981,21 +2030,7 @@ def _frame_aggregate(fc, src, ctx, ordered, new_part, pos, start, lo, hi):
     sliding window (both sides finite)."""
     n = src.n
     name = fc.name
-    star = bool(fc.args) and isinstance(fc.args[0], A.Star)
-    is_int = False
-    if star or not fc.args:
-        vals = np.ones(n, np.float64)
-        nulls = np.zeros(n, bool)
-    else:
-        c = eval_expr(fc.args[0], src, ctx)
-        nulls = c.nulls.copy()
-        if c.values.dtype == object:
-            vals = np.zeros(n, np.float64)
-            for i in np.flatnonzero(~nulls):
-                vals[i] = float(c.values[i])
-        else:
-            is_int = c.values.dtype.kind in "iub"
-            vals = np.where(nulls, 0.0, c.values.astype(np.float64))
+    vals, nulls, is_int = _agg_prep(fc, src, ctx)
     sv = vals[ordered]
     sn = nulls[ordered]
     w = np.where(sn, 0.0, sv)

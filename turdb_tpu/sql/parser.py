@@ -740,10 +740,18 @@ class Parser:
                     alias = self.ident()
                 else:
                     # alias optional (reference accepts bare derived
-                    # tables); synthesize a per-statement unique name
+                    # tables); synthesize a per-statement unique name.
+                    # The FIRST unaliased lateral keeps the reference's
+                    # default alias "lateral" (parser.rs:748); later ones
+                    # get unique names so qualified refs can't collide
                     self._anon_counter += 1
-                    alias = (f"lateral" if lateral
-                             else f"_subquery{self._anon_counter}")
+                    if lateral and not getattr(self, "_lateral_seen", False):
+                        self._lateral_seen = True
+                        alias = "lateral"
+                    elif lateral:
+                        alias = f"lateral{self._anon_counter}"
+                    else:
+                        alias = f"_subquery{self._anon_counter}"
                 return A.SubqueryRef(sub, alias, lateral)
             if lateral:
                 self.error("expected SELECT after LATERAL (")
@@ -1535,10 +1543,15 @@ class Parser:
                         if self.ident().upper() != "ROW":
                             self.error("expected ROW after CURRENT")
                         return 0
-                    # ROWS bounds are row counts (int); RANGE bounds are
-                    # order-key distances and may be fractional
+                    # ROWS/GROUPS bounds count rows/peer-groups and must
+                    # be integers (SQLite raises on fractions); RANGE
+                    # bounds are order-key distances and may be fractional
                     k = _num(self.expect(T.NUMBER).value)
-                    if mode == "ROWS":
+                    if mode in ("ROWS", "GROUPS"):
+                        if isinstance(k, float) and not k.is_integer():
+                            self.error(
+                                f"{mode} frame offset must be an integer"
+                            )
                         k = int(k)
                     w = self.ident().upper()
                     if w not in ("PRECEDING", "FOLLOWING"):
