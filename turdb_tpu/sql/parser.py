@@ -241,7 +241,13 @@ class Parser:
             # SET name { = | TO } value — executes via the PRAGMA
             # machinery (reference database.rs execute_set)
             self.next()
-            self.accept_kw("SESSION", "LOCAL")
+            # scopes (reference ast.rs:718 SetScope) — all map to the
+            # single session of an embedded engine
+            if not self.accept_kw("SESSION", "LOCAL"):
+                if (self.peek().type is T.IDENT
+                        and self.peek().value.upper() == "GLOBAL"
+                        and self.peek(1).type is T.IDENT):
+                    self.next()
             name = self.ident()
             if not self.accept(T.OP, "="):
                 self.expect_kw("TO")
