@@ -325,10 +325,11 @@ def wait_for_backend(
 
 def main():
     if not wait_for_backend():
+        waited = os.environ.get("TURDB_BENCH_WAIT_S", "900")
         print(json.dumps({
             "metric": f"vector_qps_{N//1000}k_{DIM}d_recall{RECALL_GATE}@{K}",
             "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
-            "extra": {"error": "device backend unreachable for 900s"},
+            "extra": {"error": f"device backend unreachable for {waited}s"},
         }))
         return
 
