@@ -200,10 +200,11 @@ def _plan_from(db, node, ctx) -> Plan:
             op="SeqScan", detail={"table": node.name},
         )
     if isinstance(node, A.SubqueryRef):
+        kind = "LateralSubquery" if node.lateral else "Subquery"
         return Plan(
-            f"Subquery AS {node.alias}",
+            f"{kind} AS {node.alias}",
             [_plan_select(db, node.subquery, ctx)],
-            op="Subquery",
+            op=kind,
         )
     if isinstance(node, A.Join):
         # mirror QueryEngine._join: greedy reorder for INNER chains of 3+
