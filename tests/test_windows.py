@@ -423,3 +423,56 @@ def test_value_window_frame_without_order_by(tmp_path):
                  "1.5 PRECEDING AND CURRENT ROW) FROM t")
     lite.close()
     db.close()
+
+
+def test_exclude_frames_vs_sqlite(tmp_path):
+    """EXCLUDE NO OTHERS / CURRENT ROW / GROUP / TIES across every frame
+    mode, for aggregates AND value functions — completing the SQLite
+    window-frame matrix (the reference parses no frames at all)."""
+    import itertools
+    import random
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "ex"))
+    lite = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE t (g INT, k INT, v INT)"
+    db.execute(ddl)
+    lite.execute(ddl)
+    rng = random.Random(13)
+    rows = [
+        (rng.randint(0, 3), rng.choice([None, rng.randint(0, 6)]),
+         rng.choice([None, rng.randint(-40, 40)]))
+        for _ in range(150)
+    ]
+    ins = "INSERT INTO t VALUES " + ",".join(
+        "(%s,%s,%s)" % tuple("NULL" if x is None else x for x in r)
+        for r in rows
+    )
+    db.execute(ins)
+    lite.execute(ins)
+    frames = [
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    ]
+    excludes = ["EXCLUDE NO OTHERS", "EXCLUDE CURRENT ROW",
+                "EXCLUDE GROUP", "EXCLUDE TIES"]
+    funcs = ["count(v)", "sum(v)", "min(v)", "max(v)",
+             "first_value(v)", "last_value(v)", "nth_value(v, 2)"]
+
+    def norm(rs):
+        return sorted(
+            (tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+             for r in rs),
+            key=repr,
+        )
+
+    for fr, ex, fn in itertools.product(frames, excludes, funcs):
+        q = (f"SELECT g, k, v, {fn} OVER (PARTITION BY g "
+             f"ORDER BY k NULLS FIRST {fr} {ex}) FROM t")
+        assert norm(db.query(q)) == norm(lite.execute(q).fetchall()), \
+            (fn, fr, ex)
+    lite.close()
+    db.close()

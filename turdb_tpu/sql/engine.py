@@ -1670,69 +1670,47 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
             raise SqlError(f"{name} requires an argument")
         arg = eval_expr(fc.args[0], src, ctx)
         frame = getattr(spec, "frame", None)
-        if frame is not None and frame[0] == "GROUPS" \
-                and not spec.order_by:
-            raise SqlError("GROUPS frame requires ORDER BY")
         starts_idx = np.flatnonzero(new_part)
         sizes = np.diff(np.append(starts_idx, n))
         end = (np.repeat(starts_idx + sizes, sizes) - 1 if n
                else np.zeros(0, np.int64))
-
-        def peer_bounds():
-            run_id = np.cumsum(new_key) - 1 if n else np.zeros(0, np.int64)
-            nruns = int(run_id[-1]) + 1 if n else 0
-            run_end = np.zeros(max(nruns, 1), np.int64)
-            np.maximum.at(run_end, run_id, pos)
-            key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
-            return key_start, run_end[run_id] if n else end
-
-        if frame is None:
-            if spec.order_by:        # default: RANGE UP..CURRENT (peers)
-                _, pe = peer_bounds()
-                a, b = start.copy(), pe
-            else:
-                a, b = start.copy(), end
-        else:
-            mode, lo, hi = frame
-            if mode == "ROWS":
-                # legal without ORDER BY: bounds are row positions
-                LO = -n - 1 if lo == "up" else int(lo)
-                HI = n + 1 if hi == "uf" else int(hi)
-                a = np.maximum(pos + LO, start)
-                b = np.minimum(pos + HI, end)
-            elif mode == "GROUPS":
-                a, b = _groups_bounds(new_key, new_part, pos, start, n,
-                                      lo, hi)
-            elif (lo, hi) == ("up", "uf"):
-                a, b = start.copy(), end
-            elif not spec.order_by:
-                if lo in ("up", 0) and hi in (0, "uf"):
-                    # all rows are peers: every CURRENT-ROW-bounded RANGE
-                    # frame spans the whole partition
-                    a, b = start.copy(), end
-                else:
-                    raise SqlError("RANGE with offset requires ORDER BY")
-            elif lo in ("up", 0) and hi in (0, "uf"):
-                # CURRENT ROW bounds = peer-group edges (legal for any
-                # key type, no numeric requirement)
-                ps, pe = peer_bounds()
-                a = start.copy() if lo == "up" else ps
-                b = end if hi == "uf" else pe
-            else:
-                a, b = _range_offset_bounds(
-                    keys, ordered, new_part, n, lo, hi
-                )
-        valid = a <= b
+        nk = new_key if spec.order_by else None
+        a, b = _frame_bounds(frame, spec, keys, ordered, nk, new_part,
+                             pos, start, end, n)
+        exc = frame[3] if frame is not None else None
         if name == "nth_value":
             if len(fc.args) < 2:
                 raise SqlError("nth_value requires a position argument")
             nth = int(_eval_scalar(fc.args[1], ctx))
             if nth <= 0:
                 raise SqlError("nth_value position must be positive")
-            idx = a + nth - 1
-            valid &= idx <= b
+        if exc is None:
+            valid = a <= b
+            if name == "nth_value":
+                idx = a + nth - 1
+                valid &= idx <= b
+            else:
+                idx = a if name == "first_value" else b
         else:
-            idx = a if name == "first_value" else b
+            # frame minus the excluded run: seg1=[a, xi-1], optional
+            # current row (TIES), seg2=[yi+1, b] — all position math
+            x, y, keepc = _frame_exclusion(exc, spec, nk, new_part, pos,
+                                           start, end, n)
+            xi, yi = np.maximum(a, x), np.minimum(b, y)
+            no_ex = xi > yi
+            len1 = np.where(no_ex, b - a + 1, xi - a)
+            cur_in = (np.full(n, keepc) & ~no_ex & (a <= pos)
+                      & (pos <= b)).astype(np.int64)
+            len2 = np.where(no_ex, 0, b - yi)
+            total = len1 + cur_in + len2
+            k = (np.zeros(n, np.int64) if name == "first_value"
+                 else total - 1 if name == "last_value"
+                 else np.full(n, nth - 1))
+            valid = (a <= b) & (k >= 0) & (k < total)
+            idx = np.where(
+                k < len1, a + k,
+                np.where(k < len1 + cur_in, pos, yi + 1 + k - len1 - cur_in),
+            )
         out_f = np.empty(n, object)
         out_fn = np.ones(n, bool)
         if n:
@@ -1750,60 +1728,42 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
         frame = getattr(spec, "frame", None)
         framable = name in ("count", "sum", "avg", "min", "max")
         if frame is not None and framable:
-            mode, lo, hi = frame
-            if mode == "ROWS":
+            mode, lo, hi, exc = frame
+            # fast paths (no exclusion): ROWS prefix kernels, RANGE
+            # default frame as running aggregate, whole-partition frames
+            # through the grouped path below. Everything else — GROUPS,
+            # RANGE offsets/peer bounds, any EXCLUDE — goes through the
+            # generic bounds kernel. (The reference parses no frames at
+            # all, parser.rs:1419.)
+            whole = mode == "RANGE" and (
+                (lo, hi) == ("up", "uf")
+                or (not spec.order_by
+                    and lo in ("up", 0) and hi in (0, "uf"))
+            )
+            if exc is None and mode == "ROWS":
                 return _frame_aggregate(
                     fc, src, ctx, ordered, new_part, pos, start, lo, hi
                 )
-            # GROUPS: offsets count peer groups (SQLite frame modes)
-            if mode == "GROUPS":
-                if not spec.order_by:
-                    raise SqlError("GROUPS frame requires ORDER BY")
-                a, b = _groups_bounds(new_key, new_part, pos, start, n,
-                                      lo, hi)
-                return _bounds_frame_aggregate(fc, src, ctx, ordered, a, b)
-            # RANGE: default frame (UNBOUNDED PRECEDING..CURRENT ROW)
-            # rides the running-aggregate kernel; numeric offsets use
-            # order-key distance scans (searchsorted per partition —
-            # the reference parses frames but never executes them,
-            # parser.rs:1419); CURRENT ROW bounds are peer-group edges
-            # (legal for any key type)
-            if (lo, hi) == ("up", 0):
-                if spec.order_by:
-                    return _running_aggregate(
-                        fc, src, ctx, ordered, og, new_part, new_key, pos,
-                        start,
-                    )
-            elif (lo, hi) != ("up", "uf"):
-                if lo in ("up", 0) and hi in (0, "uf"):
-                    if spec.order_by:
-                        run_id = (np.cumsum(new_key) - 1 if n
-                                  else np.zeros(0, np.int64))
-                        nruns = int(run_id[-1]) + 1 if n else 0
-                        run_end = np.zeros(max(nruns, 1), np.int64)
-                        np.maximum.at(run_end, run_id, pos)
-                        key_start = np.maximum.accumulate(
-                            np.where(new_key, pos, 0)
-                        )
-                        starts_idx = np.flatnonzero(new_part)
-                        sizes = np.diff(np.append(starts_idx, n))
-                        end = (np.repeat(starts_idx + sizes, sizes) - 1
-                               if n else np.zeros(0, np.int64))
-                        a = start.copy() if lo == "up" else key_start
-                        b = end if hi == "uf" else run_end[run_id]
-                        return _bounds_frame_aggregate(
-                            fc, src, ctx, ordered, a, b
-                        )
-                    # no ORDER BY: all rows are peers → whole partition
-                elif not spec.order_by:
-                    raise SqlError("RANGE with offset requires ORDER BY")
-                else:
-                    a, b = _range_offset_bounds(keys, ordered, new_part,
-                                                n, lo, hi)
-                    return _bounds_frame_aggregate(
-                        fc, src, ctx, ordered, a, b
-                    )
-            # ("up","uf") or no order_by: whole-partition path below
+            if exc is None and mode == "RANGE" and (lo, hi) == ("up", 0) \
+                    and spec.order_by:
+                return _running_aggregate(
+                    fc, src, ctx, ordered, og, new_part, new_key, pos,
+                    start,
+                )
+            if not (whole and exc is None):
+                starts_idx = np.flatnonzero(new_part)
+                sizes = np.diff(np.append(starts_idx, n))
+                end = (np.repeat(starts_idx + sizes, sizes) - 1 if n
+                       else np.zeros(0, np.int64))
+                nk = new_key if spec.order_by else None
+                a, b = _frame_bounds(frame, spec, keys, ordered, nk,
+                                     new_part, pos, start, end, n)
+                excl = (_frame_exclusion(exc, spec, nk, new_part, pos,
+                                         start, end, n)
+                        if exc is not None else None)
+                return _bounds_frame_aggregate(fc, src, ctx, ordered,
+                                               a, b, excl)
+            # whole partition, no exclusion: grouped path below
         elif spec.order_by and framable:
             return _running_aggregate(
                 fc, src, ctx, ordered, og, new_part, new_key, pos, start
@@ -1916,6 +1876,66 @@ def _range_offset_bounds(keys, ordered, new_part, n, lo, hi):
     return a, b
 
 
+def _peer_runs(new_key, pos, n):
+    """(run_start, run_end) global positions of each row's peer group."""
+    run_id = np.cumsum(new_key) - 1 if n else np.zeros(0, np.int64)
+    nruns = int(run_id[-1]) + 1 if n else 0
+    run_end = np.zeros(max(nruns, 1), np.int64)
+    if n:
+        np.maximum.at(run_end, run_id, pos)
+    key_start = np.maximum.accumulate(np.where(new_key, pos, 0)) if n \
+        else pos
+    return key_start, (run_end[run_id] if n else pos)
+
+
+def _frame_bounds(frame, spec, keys, ordered, new_key, new_part, pos,
+                  start, end, n):
+    """(a, b) per-row frame bounds (global sorted positions) for ANY
+    frame spec, including the default frame. new_key may be None when
+    there is no ORDER BY (peer structure is then the whole partition)."""
+    if frame is None:
+        if spec.order_by:            # default: RANGE UP..CURRENT (peers)
+            _, pe = _peer_runs(new_key, pos, n)
+            return start.copy(), pe
+        return start.copy(), end
+    mode, lo, hi = frame[0], frame[1], frame[2]
+    if mode == "ROWS":
+        LO = -n - 1 if lo == "up" else int(lo)
+        HI = n + 1 if hi == "uf" else int(hi)
+        return np.maximum(pos + LO, start), np.minimum(pos + HI, end)
+    if mode == "GROUPS":
+        if not spec.order_by:
+            raise SqlError("GROUPS frame requires ORDER BY")
+        return _groups_bounds(new_key, new_part, pos, start, n, lo, hi)
+    # RANGE
+    if (lo, hi) == ("up", "uf"):
+        return start.copy(), end
+    if not spec.order_by:
+        if lo in ("up", 0) and hi in (0, "uf"):
+            # all rows are peers: CURRENT-ROW-bounded frames span the
+            # whole partition
+            return start.copy(), end
+        raise SqlError("RANGE with offset requires ORDER BY")
+    if lo in ("up", 0) and hi in (0, "uf"):
+        # CURRENT ROW bounds = peer-group edges (any key type)
+        ps, pe = _peer_runs(new_key, pos, n)
+        return (start.copy() if lo == "up" else ps,
+                end if hi == "uf" else pe)
+    return _range_offset_bounds(keys, ordered, new_part, n, lo, hi)
+
+
+def _frame_exclusion(exc, spec, new_key, new_part, pos, start, end, n):
+    """(x, y, keep_current) — the excluded position run per row for
+    EXCLUDE CURRENT ROW / GROUP / TIES (TIES keeps the current row)."""
+    if exc == "CURRENT":
+        return pos, pos, False
+    if spec.order_by:
+        x, y = _peer_runs(new_key, pos, n)
+    else:
+        x, y = start, end                # no ORDER BY: all rows are peers
+    return x, y, exc == "TIES"
+
+
 def _groups_bounds(new_key, new_part, pos, start, n, lo, hi):
     """Frame bounds for GROUPS mode: offsets count peer groups (runs of
     equal order keys) instead of rows or key distances."""
@@ -1978,11 +1998,12 @@ def _agg_prep(fc, src, ctx):
     return vals, nulls, is_int
 
 
-def _bounds_frame_aggregate(fc, src, ctx, ordered, a, b):
+def _bounds_frame_aggregate(fc, src, ctx, ordered, a, b, excl=None):
     """Aggregate over arbitrary per-row frame bounds [a, b] (global
     sorted positions): prefix-sum kernels for count/sum/avg, sparse
-    table for min/max. Serves the RANGE-offset, RANGE-peer and GROUPS
-    modes."""
+    table for min/max. Serves the RANGE-offset, RANGE-peer, GROUPS and
+    EXCLUDE modes; excl = (x, y, keep_current) subtracts the excluded
+    run [x, y] (adding the current row back for TIES)."""
     n = src.n
     name = fc.name
     vals, nulls, is_int = _agg_prep(fc, src, ctx)
@@ -1993,10 +2014,25 @@ def _bounds_frame_aggregate(fc, src, ctx, ordered, a, b):
     empty = a > b
     csum = np.concatenate([[0.0], np.cumsum(w)])
     ccnt = np.concatenate([[0], np.cumsum((~sn).astype(np.int64))])
-    ac = np.clip(np.where(empty, 0, a), 0, n)
-    bc = np.clip(np.where(empty, -1, b) + 1, 0, n)
-    fsum = csum[bc] - csum[ac]
-    fcnt = ccnt[bc] - ccnt[ac]
+
+    def seg_sum_cnt(lo_arr, hi_arr):
+        seg_empty = lo_arr > hi_arr
+        lc = np.clip(np.where(seg_empty, 0, lo_arr), 0, n)
+        hc = np.clip(np.where(seg_empty, -1, hi_arr) + 1, 0, n)
+        return csum[hc] - csum[lc], ccnt[hc] - ccnt[lc]
+
+    fsum, fcnt = seg_sum_cnt(np.where(empty, 1, a), np.where(empty, 0, b))
+    pos = np.arange(n)
+    if excl is not None:
+        x, y, keepc = excl
+        xi, yi = np.maximum(a, x), np.minimum(b, y)
+        esum, ecnt = seg_sum_cnt(xi, yi)
+        fsum -= esum
+        fcnt -= ecnt
+        cur_in = (np.full(n, keepc) & (xi <= yi) & (a <= pos)
+                  & (pos <= b) & ~sn)
+        fsum += np.where(cur_in, w, 0.0)
+        fcnt += cur_in.astype(np.int64)
 
     out_f = np.empty(n, object)
     out_fn = np.ones(n, bool)
@@ -2013,9 +2049,23 @@ def _bounds_frame_aggregate(fc, src, ctx, ordered, a, b):
         ident = np.inf if name == "min" else -np.inf
         op = np.minimum if name == "min" else np.maximum
         mv = np.where(sn, ident, sv)
-        safe_a = np.where(empty, 0, a)
-        safe_b = np.where(empty, 0, b)
-        res = _sparse_minmax(mv, safe_a, safe_b, op) if n else mv
+
+        def seg_minmax(lo_arr, hi_arr):
+            seg_empty = (lo_arr > hi_arr) | (n == 0)
+            la = np.clip(lo_arr, 0, max(n - 1, 0))
+            ha = np.clip(hi_arr, 0, max(n - 1, 0))
+            r = _sparse_minmax(mv, la, ha, op) if n else mv
+            return np.where(seg_empty, ident, r)
+
+        if excl is None:
+            res = seg_minmax(a, b)
+        else:
+            left = seg_minmax(a, xi - 1)
+            right = seg_minmax(yi + 1, b)
+            res = op(left, right)
+            res = np.where(cur_in, op(res, mv), res)
+            # exclusion may not intersect: fall back to the whole frame
+            res = np.where(xi > yi, seg_minmax(a, b), res)
         bad = empty | (fcnt == 0) | ~np.isfinite(res)
         res = np.where(bad, 0.0, res)
         out_f[ordered] = res.astype(np.int64) if is_int else res

@@ -1570,7 +1570,26 @@ class Parser:
                     hi = _bound()
                 else:
                     lo, hi = _bound(), 0
-                spec.frame = (mode, lo, hi)
+                exclude = None
+                if (self.peek().type is T.IDENT
+                        and self.peek().value.upper() == "EXCLUDE"):
+                    self.next()
+                    w = self.next().value.upper()
+                    if w == "NO":
+                        if self.ident().upper() != "OTHERS":
+                            self.error("expected OTHERS after EXCLUDE NO")
+                    elif w == "CURRENT":
+                        if self.ident().upper() != "ROW":
+                            self.error("expected ROW after EXCLUDE CURRENT")
+                        exclude = "CURRENT"
+                    elif w in ("GROUP", "TIES"):
+                        exclude = w
+                    else:
+                        self.error(
+                            "expected NO OTHERS / CURRENT ROW / GROUP / "
+                            "TIES after EXCLUDE"
+                        )
+                spec.frame = (mode, lo, hi, exclude)
             self.expect(T.RPAREN)
             fc.over = spec
         return fc
