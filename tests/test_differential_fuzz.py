@@ -314,6 +314,10 @@ class Gen:
                 hi = r.choice(["CURRENT ROW", "50 FOLLOWING",
                                "UNBOUNDED FOLLOWING"])
                 frame = f" RANGE BETWEEN {lo} AND {hi}"
+            if r.random() < 0.4:
+                frame += " EXCLUDE " + r.choice(
+                    ["NO OTHERS", "CURRENT ROW", "GROUP", "TIES"]
+                )
         ob = ("amount NULLS FIRST" if single_key
               else "amount NULLS FIRST, oid")
         return (
