@@ -476,3 +476,37 @@ def test_exclude_frames_vs_sqlite(tmp_path):
             (fn, fr, ex)
     lite.close()
     db.close()
+
+
+def test_named_windows_vs_sqlite(tmp_path):
+    """WINDOW w AS (...) named-window clause + OVER w references
+    (SQLite/PostgreSQL surface; not in the reference grammar)."""
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "nw"))
+    lite = sqlite3.connect(":memory:")
+    for s in ["CREATE TABLE t (g INT, v INT)",
+              "INSERT INTO t VALUES (1,10),(1,20),(2,5),(2,8),(3,1)"]:
+        db.execute(s)
+        lite.execute(s)
+    qs = [
+        "SELECT g, sum(v) OVER w FROM t WINDOW w AS (PARTITION BY g) "
+        "ORDER BY g, v",
+        "SELECT g, v, rank() OVER w, sum(v) OVER w2 FROM t "
+        "WINDOW w AS (PARTITION BY g ORDER BY v), "
+        "w2 AS (PARTITION BY g ORDER BY v ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW) ORDER BY g, v",
+        "SELECT row_number() OVER w FROM t WINDOW w AS (ORDER BY v DESC) "
+        "ORDER BY 1",
+    ]
+    for q in qs:
+        assert repr(db.query(q)) == repr(lite.execute(q).fetchall()), q
+    with pytest.raises(Exception, match="no such window"):
+        db.query("SELECT sum(v) OVER nope FROM t")
+    # WINDOW stays usable as an ordinary identifier / implicit alias
+    db.execute("CREATE TABLE wt (a INT)")
+    db.execute("INSERT INTO wt VALUES (1)")
+    assert db.query("SELECT w.a FROM wt w") == [(1,)]
+    assert db.query("SELECT window FROM (SELECT 1 AS window)") == [(1,)]
+    lite.close()
+    db.close()

@@ -1522,6 +1522,8 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
     """
     n = src.n
     spec = fc.over
+    if isinstance(spec, str):
+        raise SqlError(f"no such window: {spec}")
     name = fc.name
     if spec.partition_by:
         from turdb_tpu.sql.factorize import renumber_first_occurrence, row_codes

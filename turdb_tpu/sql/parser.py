@@ -610,7 +610,24 @@ class Parser:
                 sel.group_by.append(self._expr())
         if self.accept_kw("HAVING"):
             sel.having = self._expr()
+        windows = None
+        if (self.peek().type is T.IDENT
+                and self.peek().value.upper() == "WINDOW"
+                and self.peek(2).is_kw("AS")):
+            # WINDOW w AS (spec) [, ...] — named windows (SQLite/
+            # PostgreSQL surface; not in the reference's grammar)
+            self.next()
+            windows = {}
+            while True:
+                wname = self.ident().lower()
+                self.expect_kw("AS")
+                self.expect(T.LPAREN)
+                windows[wname] = self._window_spec_body()
+                self.expect(T.RPAREN)
+                if not self.accept(T.COMMA):
+                    break
         if no_tail:
+            _resolve_named_windows(sel, windows)
             return sel
         if self.peek().is_kw("ORDER"):
             sel.order_by = self._order_by()
@@ -622,6 +639,7 @@ class Parser:
                 sel.limit = self._expr()
         if self.accept_kw("OFFSET"):
             sel.offset = self._expr()
+        _resolve_named_windows(sel, windows)
         return sel
 
     def _order_by(self):
@@ -775,7 +793,13 @@ class Parser:
         if allow_alias:
             if self.accept_kw("AS"):
                 alias = self.ident_any()
-            elif self.peek().type is T.IDENT:
+            elif self.peek().type is T.IDENT and not (
+                # a WINDOW clause follows the FROM list: "FROM t WINDOW
+                # w AS (...)" must not read WINDOW as t's implicit alias
+                self.peek().value.upper() == "WINDOW"
+                and self.peek(1).type is T.IDENT
+                and self.peek(2).is_kw("AS")
+            ):
                 alias = self.ident()
         return A.TableRef(name, schema, alias)
 
@@ -1523,76 +1547,110 @@ class Parser:
             fc.filter = self._expr()
             self.expect(T.RPAREN)
         if self.accept_kw("OVER"):
+            if self.peek().type is T.IDENT:
+                # OVER w — named window; the WINDOW clause that defines
+                # it parses later in the SELECT, so leave the name for
+                # _select_core to resolve
+                fc.over = self.ident().lower()
+                return fc
             self.expect(T.LPAREN)
-            spec = A.WindowSpec()
-            if self.accept_kw("PARTITION"):
-                self.expect_kw("BY")
-                spec.partition_by = [self._expr()]
-                while self.accept(T.COMMA):
-                    spec.partition_by.append(self._expr())
-            if self.peek().is_kw("ORDER"):
-                spec.order_by = self._order_by()
-            if self.peek().type is T.IDENT and \
-                    self.peek().value.upper() in ("ROWS", "RANGE", "GROUPS"):
-                mode = self.next().value.upper()
+            fc.over = self._window_spec_body()
+            self.expect(T.RPAREN)
+        return fc
 
-                def _bound():
-                    tk = self.peek()
-                    if tk.type is T.IDENT and tk.value.upper() == "UNBOUNDED":
-                        self.next()
-                        w = self.ident().upper()
-                        if w not in ("PRECEDING", "FOLLOWING"):
-                            self.error("expected PRECEDING/FOLLOWING")
-                        return "up" if w == "PRECEDING" else "uf"
-                    if tk.type is T.IDENT and tk.value.upper() == "CURRENT":
-                        self.next()
-                        if self.ident().upper() != "ROW":
-                            self.error("expected ROW after CURRENT")
-                        return 0
-                    # ROWS/GROUPS bounds count rows/peer-groups and must
-                    # be integers (SQLite raises on fractions); RANGE
-                    # bounds are order-key distances and may be fractional
-                    k = _num(self.expect(T.NUMBER).value)
-                    if mode in ("ROWS", "GROUPS"):
-                        if isinstance(k, float) and not k.is_integer():
-                            self.error(
-                                f"{mode} frame offset must be an integer"
-                            )
-                        k = int(k)
+    def _window_spec_body(self) -> A.WindowSpec:
+        """The inside of OVER (...) / WINDOW w AS (...)."""
+        spec = A.WindowSpec()
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            spec.partition_by = [self._expr()]
+            while self.accept(T.COMMA):
+                spec.partition_by.append(self._expr())
+        if self.peek().is_kw("ORDER"):
+            spec.order_by = self._order_by()
+        if self.peek().type is T.IDENT and \
+                self.peek().value.upper() in ("ROWS", "RANGE", "GROUPS"):
+            mode = self.next().value.upper()
+
+            def _bound():
+                tk = self.peek()
+                if tk.type is T.IDENT and tk.value.upper() == "UNBOUNDED":
+                    self.next()
                     w = self.ident().upper()
                     if w not in ("PRECEDING", "FOLLOWING"):
                         self.error("expected PRECEDING/FOLLOWING")
-                    return -k if w == "PRECEDING" else k
-
-                if self.accept_kw("BETWEEN"):
-                    lo = _bound()
-                    self.expect_kw("AND")
-                    hi = _bound()
-                else:
-                    lo, hi = _bound(), 0
-                exclude = None
-                if (self.peek().type is T.IDENT
-                        and self.peek().value.upper() == "EXCLUDE"):
+                    return "up" if w == "PRECEDING" else "uf"
+                if tk.type is T.IDENT and tk.value.upper() == "CURRENT":
                     self.next()
-                    w = self.next().value.upper()
-                    if w == "NO":
-                        if self.ident().upper() != "OTHERS":
-                            self.error("expected OTHERS after EXCLUDE NO")
-                    elif w == "CURRENT":
-                        if self.ident().upper() != "ROW":
-                            self.error("expected ROW after EXCLUDE CURRENT")
-                        exclude = "CURRENT"
-                    elif w in ("GROUP", "TIES"):
-                        exclude = w
-                    else:
+                    if self.ident().upper() != "ROW":
+                        self.error("expected ROW after CURRENT")
+                    return 0
+                # ROWS/GROUPS bounds count rows/peer-groups and must
+                # be integers (SQLite raises on fractions); RANGE
+                # bounds are order-key distances and may be fractional
+                k = _num(self.expect(T.NUMBER).value)
+                if mode in ("ROWS", "GROUPS"):
+                    if isinstance(k, float) and not k.is_integer():
                         self.error(
-                            "expected NO OTHERS / CURRENT ROW / GROUP / "
-                            "TIES after EXCLUDE"
+                            f"{mode} frame offset must be an integer"
                         )
-                spec.frame = (mode, lo, hi, exclude)
-            self.expect(T.RPAREN)
-            fc.over = spec
-        return fc
+                    k = int(k)
+                w = self.ident().upper()
+                if w not in ("PRECEDING", "FOLLOWING"):
+                    self.error("expected PRECEDING/FOLLOWING")
+                return -k if w == "PRECEDING" else k
+
+            if self.accept_kw("BETWEEN"):
+                lo = _bound()
+                self.expect_kw("AND")
+                hi = _bound()
+            else:
+                lo, hi = _bound(), 0
+            exclude = None
+            if (self.peek().type is T.IDENT
+                    and self.peek().value.upper() == "EXCLUDE"):
+                self.next()
+                w = self.next().value.upper()
+                if w == "NO":
+                    if self.ident().upper() != "OTHERS":
+                        self.error("expected OTHERS after EXCLUDE NO")
+                elif w == "CURRENT":
+                    if self.ident().upper() != "ROW":
+                        self.error("expected ROW after EXCLUDE CURRENT")
+                    exclude = "CURRENT"
+                elif w in ("GROUP", "TIES"):
+                    exclude = w
+                else:
+                    self.error(
+                        "expected NO OTHERS / CURRENT ROW / GROUP / "
+                        "TIES after EXCLUDE"
+                    )
+            spec.frame = (mode, lo, hi, exclude)
+        return spec
+
+
+def _resolve_named_windows(sel, windows):
+    """Replace string `OVER w` references in this SELECT's own clauses
+    with the WINDOW-clause specs (nested Selects resolved their own)."""
+    import dataclasses
+
+    def walk(node):
+        if isinstance(node, A.Select):
+            return                      # inner scope: already resolved
+        if isinstance(node, A.FuncCall) and isinstance(node.over, str):
+            spec = (windows or {}).get(node.over)
+            if spec is None:
+                raise SqlError(f"no such window: {node.over}")
+            node.over = spec
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name))
+        elif isinstance(node, (list, tuple)):
+            for x in node:
+                walk(x)
+
+    for part in (sel.items, sel.order_by, sel.having):
+        walk(part)
 
 
 # keywords that may double as identifiers/function names
