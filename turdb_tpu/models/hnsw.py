@@ -988,6 +988,72 @@ def _bulk_layer_adj_host(sub_slots, x_sub, deg: int, metric,
     return np.where(kept, out, NIL).astype(np.int32)
 
 
+@jax.jit
+def _stage_bulk(vectors, norms, levels, slots, jv, jl):
+    """Bulk-load staging (vectors/norms/levels scatter) fused into one
+    program: eagerly these are ~8 separate compiles, each a relay
+    round-trip on the remote-compile backend."""
+    return (
+        vectors.at[slots].set(jv),
+        norms.at[slots].set(prep_norms(jv)),
+        levels.at[slots].set(jl),
+    )
+
+
+@jax.jit
+def _scatter_rows(adj, idx, rows):
+    """adj.at[idx].set(rows) as one compiled program per shape."""
+    return adj.at[idx].set(rows)
+
+
+@partial(jax.jit, static_argnames=("m", "qb"))
+def _gather_q(vec_dev, norm_dev, rows, m: int, qb: int):
+    """Chunk-shaped query gathers for the exact-kNN scan (fused
+    gather+reshape; shapes bucket on (m, qb))."""
+    d = vec_dev.shape[-1]
+    return (vec_dev[rows].reshape(m, qb, d),
+            norm_dev[rows].reshape(m, qb))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _cand_from_pos(pos3, sslots, n: int):
+    """Subset positions -> global candidate slot ids (NIL-masked)."""
+    rr = pos3.shape[-1]
+    pos = pos3.reshape(-1, rr)[:n]
+    return jnp.where(
+        pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
+    )
+
+
+@partial(jax.jit, static_argnames=("mm", "chunk"))
+def _pad_chunks(sslots, cand, n, mm: int, chunk: int):
+    """Pad (rows, candidates) to the chunk-scanned [mm, chunk, ·] shape
+    in one program (was 5 eager-op compiles)."""
+    pidx = jnp.clip(jnp.arange(mm * chunk), 0, n - 1)
+    rows_pad = sslots[pidx].astype(jnp.int32).reshape(mm, chunk)
+    cand_pad = cand[pidx].reshape(mm, chunk, cand.shape[1])
+    return pidx, rows_pad, cand_pad
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _unpad2(a, b, n: int):
+    deg = a.shape[-1]
+    return a.reshape(-1, deg)[:n], b.reshape(-1, deg)[:n]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _unpad1(a, n: int):
+    return a.reshape(-1, a.shape[-1])[:n]
+
+
+@partial(jax.jit, static_argnames=("keep", "mm", "chunk"))
+def _merge_pad(adj, rev, pidx, keep: int, mm: int, chunk: int):
+    """Priority-order merge (fwd head + reverse + fwd tail), re-padded
+    for the union scan, in one program."""
+    merged = jnp.concatenate([adj[:, :keep], rev, adj[:, keep:]], axis=1)
+    return merged[pidx].reshape(mm, chunk, merged.shape[1])
+
+
 def _bulk_layer_adj(
     vec_dev, norm_dev, sub_slots, x_sub, deg: int, metric,
     rcap: int = 16, chunk: int = 16384, r_mult: int = 2, alpha: float = 1.0,
@@ -1038,22 +1104,23 @@ def _bulk_layer_adj(
         # ONE program; chunk count padded to pow2 so (m, spad) shapes
         # bucket and compiles are shared across layers/datasets
         spad = _pow2_at_least(n, floor=4096)
-        sv = jnp.zeros((spad, d), jnp.float32)
-        sv = sv.at[:n].set(jnp.asarray(x_sub))
-        sn = jnp.full((spad,), jnp.inf, jnp.float32).at[:n].set(prep_norms(sv)[:n])
+        # pad + norms on HOST (numpy): at <=128k rows this costs ~ms and
+        # saves the zeros/.at.set/full/slice eager-compile chain — each
+        # bare op is a separate relay-priced compile on cold builds
+        xp = np.zeros((spad, d), np.float32)
+        xp[:n] = np.asarray(x_sub, np.float32)
+        np_norms = np.full(spad, np.inf, np.float32)
+        np_norms[:n] = np.einsum("ij,ij->i", xp[:n], xp[:n])
+        sv = jnp.asarray(xp)
+        sn = jnp.asarray(np_norms)
         rr = min(r, n - 1)
         qb = 4096
         m = _pow2_at_least((n + qb - 1) // qb, floor=1)
-        ridx = jnp.clip(jnp.arange(m * qb), 0, n - 1)
-        rows = sslots[ridx]
-        qx = vec_dev[rows].reshape(m, qb, d)
-        qn = norm_dev[rows].reshape(m, qb)
-        pos = _topr_subset_scan(
-            qx, qn, sv, sn, r=rr, metric=metric
-        ).reshape(m * qb, rr)[:n]
-        cand = jnp.where(
-            pos >= 0, sslots[jnp.clip(pos, 0)].astype(jnp.int32), NIL
-        )
+        ridx = np.clip(np.arange(m * qb), 0, n - 1)
+        rows = jnp.asarray(np.asarray(sub_slots, np.int64)[ridx])
+        qx, qn = _gather_q(vec_dev, norm_dev, rows, m=m, qb=qb)
+        pos3 = _topr_subset_scan(qx, qn, sv, sn, r=rr, metric=metric)
+        cand = _cand_from_pos(pos3, sslots, n=n)
     else:
         from turdb_tpu.models.ivf import IvfIndex
 
@@ -1093,17 +1160,14 @@ def _bulk_layer_adj(
     # count padded to pow2 (floor 4) so the (mm, chunk, w) program shapes
     # bucket: every upper layer (n <= 128k) shares ONE select and ONE
     # union compile instead of recompiling per layer size.
-    w = cand.shape[1]
     mm = _pow2_at_least((n + chunk - 1) // chunk, floor=4 if n > 1 else 1)
-    pidx = jnp.clip(jnp.arange(mm * chunk), 0, n - 1)
-    rows_pad = sslots[pidx].astype(jnp.int32).reshape(mm, chunk)
-    cand_pad = cand[pidx].reshape(mm, chunk, w)
+    pidx, rows_pad, cand_pad = _pad_chunks(sslots, cand, n, mm=mm,
+                                           chunk=chunk)
     adj, seld = _select_scan(
         vec_dev, norm_dev, rows_pad, cand_pad,
         deg=deg, metric=metric, alpha=alpha,
     )
-    adj = adj.reshape(mm * chunk, deg)[:n]
-    seld = seld.reshape(mm * chunk, deg)[:n]
+    adj, seld = _unpad2(adj, seld, n=n)
     jax.block_until_ready(adj)
     _mark("select")
     # reverse merge with a GUARANTEED quota (CAGRA-style union): the row
@@ -1126,10 +1190,8 @@ def _bulk_layer_adj(
     _mark("rev.host")
     rev = jnp.asarray(rev_h)
     keep = max(deg - rcap, deg // 2)
-    merged = jnp.concatenate([adj[:, :keep], rev, adj[:, keep:]], axis=1)
-    w2 = merged.shape[1]
-    merged_pad = merged[pidx].reshape(mm, chunk, w2)
-    adj = _union_scan(merged_pad, deg=deg).reshape(mm * chunk, deg)[:n]
+    merged_pad = _merge_pad(adj, rev, pidx, keep=keep, mm=mm, chunk=chunk)
+    adj = _unpad1(_union_scan(merged_pad, deg=deg), n=n)
     jax.block_until_ready(adj)
     _mark("reverse")
     return adj
@@ -1245,7 +1307,8 @@ def _refine_layer_adj(
             cd[: e - s] = merged[s:e]
             ki = _union_rows_jit(jnp.asarray(cd), deg=deg)
             rows_out[s:e] = np.asarray(ki)[: e - s]
-        adj_full = adj_full.at[gslots].set(jnp.asarray(rows_out))
+        adj_full = _scatter_rows(adj_full, jnp.asarray(gslots),
+                                 jnp.asarray(rows_out))
     return adj_full
 
 
@@ -1352,11 +1415,10 @@ class HnswIndex:
         cfg = self.cfg
         st = self.state
         jv = jnp.asarray(vecs)
-        st = st._replace(
-            vectors=st.vectors.at[slots].set(jv),
-            norms=st.norms.at[slots].set(prep_norms(jv)),
-            levels=st.levels.at[slots].set(jnp.asarray(levels)),
-        )
+        sv, sn, sl = _stage_bulk(st.vectors, st.norms, st.levels,
+                                 jnp.asarray(slots), jv,
+                                 jnp.asarray(levels))
+        st = st._replace(vectors=sv, norms=sn, levels=sl)
         adj0 = st.adj0
         adj_hi = list(st.adj_hi)
         top = int(levels.max())
@@ -1370,10 +1432,12 @@ class HnswIndex:
                 alpha=1.2,
             )
             if lvl == 0:
-                adj0 = adj0.at[slots[sub]].set(jnp.asarray(rows))
+                adj0 = _scatter_rows(adj0, jnp.asarray(slots[sub]),
+                                     jnp.asarray(rows))
             else:
-                adj_hi[lvl - 1] = adj_hi[lvl - 1].at[slots[sub]].set(
-                    jnp.asarray(rows)
+                adj_hi[lvl - 1] = _scatter_rows(
+                    adj_hi[lvl - 1], jnp.asarray(slots[sub]),
+                    jnp.asarray(rows),
                 )
         best = int(slots[int(np.argmax(levels))])
         # navigability refinement for the upper layers (not L0: the beam

@@ -292,9 +292,11 @@ def serve_search_impl(
 # packing
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def _sq8_centered(x: jax.Array):
     """Per-row centered-int8 encode: x ≈ base + scale*c, c ∈ [-128, 127]
-    (the IVF probe-code scheme: base = min + 128*scale)."""
+    (the IVF probe-code scheme: base = min + 128*scale). Jitted: one
+    compile instead of ~8 eager-op compiles through the relay."""
     mins = jnp.min(x, axis=-1)
     maxs = jnp.max(x, axis=-1)
     scales = (maxs - mins) / 255.0
@@ -306,11 +308,57 @@ def _sq8_centered(x: jax.Array):
     return codes, mins + 128.0 * scales, scales
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _pack_block_chunk(nbr_codes, nbr_meta, rows, adj_rows, codes, base,
-                      scale, norms):
+@partial(jax.jit, static_argnames=("c",))
+def _train_init(vectors, tr, seeds, c: int):
+    """k-means training rows + zero-padded seed centroids, fused."""
+    xt_raw = vectors[tr]
+    init = xt_raw[seeds]
+    pad = c - seeds.shape[0]
+    if pad > 0:
+        init = jnp.concatenate(
+            [init, jnp.zeros((pad, vectors.shape[1]), jnp.float32)]
+        )
+    return xt_raw, init
+
+
+@partial(jax.jit, static_argnames=("npad",))
+def _live_rows(vectors, size, npad: int):
+    """[npad, d] live rows (INF padding) — fused so the cold pack pays
+    ONE compile for the arange/where/gather chain."""
+    cap = vectors.shape[0]
+    rows_all = jnp.arange(npad, dtype=jnp.int32)
+    rows_all = jnp.where(rows_all < size, rows_all, cap - 1)
+    live = (jnp.arange(npad) < size)[:, None]
+    return jnp.where(live, vectors[rows_all], INF)
+
+
+@jax.jit
+def _pack_cells(codes, base, scale, norms, mem):
+    """Gather the seeding cells' packed member codes + metadata (fused:
+    one compile for the clip/where/gather/meta chain)."""
+    msafe = jnp.clip(mem, 0)
+    mok = mem >= 0
+    cell_codes = jnp.where(mok[..., None], codes[msafe], 0)
+    cell_meta = _pack_meta(
+        jnp.where(mok, base[msafe], 0.0),
+        jnp.where(mok, scale[msafe], 0.0),
+        jnp.where(mok, norms[msafe], INF),
+        mem,
+    )
+    return cell_codes, cell_meta
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("chunk",))
+def _pack_block_chunk(nbr_codes, nbr_meta, s, e, adj0, codes, base,
+                      scale, norms, chunk: int):
     """Scatter one chunk of packed neighbor blocks (donated accumulators:
-    eager .at[].set would copy the multi-GB arrays per chunk)."""
+    eager .at[].set would copy the multi-GB arrays per chunk). The chunk
+    row window derives from (s, e) device scalars so every chunk shares
+    ONE compile."""
+    cap = nbr_codes.shape[0]
+    rows = s + jnp.arange(chunk, dtype=jnp.int32)
+    rows = jnp.where(rows < e, rows, cap - 1)
+    adj_rows = adj0[rows]
     safe = jnp.clip(adj_rows, 0)
     ok = adj_rows >= 0
     nbr_codes = nbr_codes.at[rows].set(codes[safe])
@@ -351,10 +399,9 @@ def pack_serving(
     nbr_meta = jnp.full((cap, m0, 4), -1, jnp.int32)
     for s in range(0, size, chunk):
         e = min(size, s + chunk)
-        rows = jnp.arange(s, s + chunk, dtype=jnp.int32)
-        rows = jnp.where(rows < e, rows, cap - 1)
         nbr_codes, nbr_meta = _pack_block_chunk(
-            nbr_codes, nbr_meta, rows, adj0[rows], codes, base, scale, norms,
+            nbr_codes, nbr_meta, s, e, adj0, codes, base, scale, norms,
+            chunk=chunk,
         )
 
     # ---- coarse quantizer (seeding) -------------------------------------
@@ -364,19 +411,15 @@ def pack_serving(
     n_train = min(size, max(c * 32, 65_536))
     tr = rng.choice(size, size=n_train, replace=False)
     seeds0 = rng.choice(n_train, size=min(c, n_train), replace=False)
-    xt = _pad_rows_dev(vectors[jnp.asarray(tr)], _KM_CHUNK)
-    init = vectors[jnp.asarray(tr[seeds0])]
-    if len(seeds0) < c:
-        init = jnp.concatenate(
-            [init, jnp.zeros((c - len(seeds0), d), jnp.float32)]
-        )
+    xt_raw, init = _train_init(
+        vectors, jnp.asarray(tr.astype(np.int32)),
+        jnp.asarray(seeds0.astype(np.int32)), c=c,
+    )
+    xt = _pad_rows_dev(xt_raw, _KM_CHUNK)
     cents = _kmeans(xt, init, iters=6)
     # assignment over all live rows -> per-cell medoid (nearest row)
     npad = -(-size // _KM_CHUNK) * _KM_CHUNK
-    rows_all = jnp.arange(npad, dtype=jnp.int32)
-    rows_all = jnp.where(rows_all < size, rows_all, cap - 1)
-    live = (jnp.arange(npad) < size)[:, None]
-    xall = jnp.where(live, vectors[rows_all], INF)
+    xall = _live_rows(vectors, size, npad=npad)
     assign_j = _assign_all(xall, cents)
     assign = np.asarray(assign_j)[:size]
     cn = np.asarray(prep_norms(cents))
@@ -403,15 +446,7 @@ def pack_serving(
     nonempty = counts > 0
     cnorms = jnp.asarray(np.where(nonempty, cn, np.inf).astype(np.float32))
     mem = jnp.asarray(members.astype(np.int32))
-    msafe = jnp.clip(mem, 0)
-    mok = mem >= 0
-    cell_codes = jnp.where(mok[..., None], codes[msafe], 0)
-    cell_meta = _pack_meta(
-        jnp.where(mok, base[msafe], 0.0),
-        jnp.where(mok, scale[msafe], 0.0),
-        jnp.where(mok, norms[msafe], INF),
-        mem,
-    )
+    cell_codes, cell_meta = _pack_cells(codes, base, scale, norms, mem)
     return HnswServeState(
         nbr_codes=nbr_codes,
         nbr_meta=nbr_meta,

@@ -54,8 +54,11 @@ class Metric(enum.Enum):
         }[name.lower()]
 
 
+@jax.jit
 def prep_norms(x: jax.Array) -> jax.Array:
-    """Precomputed ‖x‖² per row — amortizes the L2 expansion's static term."""
+    """Precomputed ‖x‖² per row — amortizes the L2 expansion's static
+    term. Jitted: called eagerly between build stages, where each bare
+    op is a separate (relay-priced) compile."""
     return jnp.sum(x.astype(jnp.float32) * x.astype(jnp.float32), axis=-1)
 
 
