@@ -300,13 +300,14 @@ class Gen:
         frame = ""
         single_key = False
         if framable and r.random() < 0.6:
-            if r.random() < 0.5:
+            pick = r.random()
+            if pick < 0.4:
                 lo = r.choice(["UNBOUNDED PRECEDING", "2 PRECEDING",
                                "1 PRECEDING", "CURRENT ROW"])
                 hi = r.choice(["CURRENT ROW", "1 FOLLOWING",
                                "UNBOUNDED FOLLOWING"])
                 frame = f" ROWS BETWEEN {lo} AND {hi}"
-            else:
+            elif pick < 0.7:
                 # RANGE offsets need exactly one numeric ORDER BY key
                 single_key = True
                 lo = r.choice(["UNBOUNDED PRECEDING", "100 PRECEDING",
@@ -314,15 +315,26 @@ class Gen:
                 hi = r.choice(["CURRENT ROW", "50 FOLLOWING",
                                "UNBOUNDED FOLLOWING"])
                 frame = f" RANGE BETWEEN {lo} AND {hi}"
+            else:
+                lo = r.choice(["UNBOUNDED PRECEDING", "2 PRECEDING",
+                               "CURRENT ROW"])
+                hi = r.choice(["CURRENT ROW", "1 FOLLOWING",
+                               "UNBOUNDED FOLLOWING"])
+                frame = f" GROUPS BETWEEN {lo} AND {hi}"
             if r.random() < 0.4:
                 frame += " EXCLUDE " + r.choice(
                     ["NO OTHERS", "CURRENT ROW", "GROUP", "TIES"]
                 )
         ob = ("amount NULLS FIRST" if single_key
               else "amount NULLS FIRST, oid")
+        spec = f"PARTITION BY status ORDER BY {ob}{frame}"
+        if r.random() < 0.25:   # named-window form of the same spec
+            return (
+                f"SELECT oid, uid, {fn} OVER w FROM orders "
+                f"WHERE {self.pred('orders')} WINDOW w AS ({spec})"
+            )
         return (
-            f"SELECT oid, uid, {fn} OVER (PARTITION BY status "
-            f"ORDER BY {ob}{frame}) FROM orders "
+            f"SELECT oid, uid, {fn} OVER ({spec}) FROM orders "
             f"WHERE {self.pred('orders')}"
         )
 
