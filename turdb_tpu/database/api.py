@@ -1872,14 +1872,20 @@ class PreparedStatement:
                 else:
                     self._psel = None
                     return None
-            bound = (info, match[0], match[1], out_cols, nat)
+            binders = []
+            for c in match[1]:
+                b = P["eqs"][c]
+                if isinstance(b, A.Param):
+                    binders.append((True, b.index - 1))
+                else:
+                    binders.append((False, b.value))
+            bound = (info, match[0], match[1], out_cols, nat, binders)
             P["bound"] = bound
-        info, idx, keycols, out_cols, nat = bound
+        info, idx, keycols, out_cols, nat, binders = bound
         t = info.table
         vals = []
-        for c in keycols:
-            b = P["eqs"][c]
-            v = (params[b.index - 1] if isinstance(b, A.Param) else b.value)
+        for is_param, payload in binders:
+            v = params[payload] if is_param else payload
             if v is None:
                 return []
             vals.append(v)
@@ -1905,8 +1911,9 @@ class PreparedStatement:
                 if t.nulls[c][vi]:
                     ok = False
                     break
-                got = t.cols[c][vi]
-                if _py(got) != want:
+                # numpy scalar != python value compares correctly — the
+                # _py normalization only matters for the output rows
+                if t.cols[c][vi] != want:
                     ok = False
                     break
             if not ok:
