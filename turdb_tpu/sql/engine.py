@@ -1789,17 +1789,17 @@ def _window_call(engine, fc: A.FuncCall, src: Batch, ctx) -> Col:
 
 def _sparse_minmax(mv, a, b, op):
     """min/max over arbitrary index ranges [a, b] (vectorized sparse
-    table: O(n log n) build, O(1) per query). Callers guarantee a <= b."""
+    table: O(n log L) build for L = the largest queried range, O(1) per
+    query). Callers guarantee a <= b."""
     n = len(mv)
-    st = [mv]
-    k = 1
-    while (1 << k) <= n:
-        prev, half = st[-1], 1 << (k - 1)
-        lim = n - (1 << k) + 1
-        st.append(op(prev[:lim], prev[half:half + lim]))
-        k += 1
     length = b - a + 1
     kq = np.floor(np.log2(np.maximum(length, 1))).astype(np.int64)
+    kmax = int(kq.max()) if len(kq) else 0
+    st = [mv]
+    for k in range(1, kmax + 1):
+        prev, half = st[-1], 1 << (k - 1)
+        lim = max(n - (1 << k) + 1, 0)
+        st.append(op(prev[:lim], prev[half:half + lim]))
     res = np.empty(len(a), mv.dtype)
     for kk in range(len(st)):
         m = kq == kk
