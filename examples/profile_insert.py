@@ -9,7 +9,19 @@ Usage:  JAX_PLATFORMS=cpu python examples/profile_insert.py [N_ROWS]
 """
 
 import sys
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the axon sitecustomize overrides jax_platforms in every process;
+    # the env var alone is not enough to stay off the (possibly down)
+    # relay — pin explicitly, as tests/conftest.py does
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import time
 
 from turdb_tpu.database.api import Database
