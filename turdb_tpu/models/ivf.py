@@ -85,6 +85,7 @@ def _cpad(c: int) -> int:
     return _pow2_at_least(c, floor=8) if c <= 8192 else -(-c // 8192) * 8192
 
 
+@partial(jax.jit, static_argnames=("c_real",))
 def _masked_cn(cents: jax.Array, c_real: int) -> jax.Array:
     """Centroid norms with pad cells at +inf (never assigned)."""
     cn = prep_norms(cents)
@@ -664,18 +665,24 @@ class IvfIndex:
             scales = jnp.zeros((1, 1), jnp.float32)
         pnorms = jnp.full((c, cap), INF, jnp.float32)
         ch = 1 << 20
-        for s in range(0, nm, ch):
-            e = min(nm, s + ch)   # tail chunk = one extra compile, fine
-            if stream:
-                xb = jnp.asarray(x[mslots[s:e]])
-            else:
-                xb = xd[mslj[s:e]]
-            jp, codes, mins, scales, pnorms = _pack_chunk(
-                jp, codes, mins, scales, pnorms,
-                xb, mcj[s:e], mlj[s:e],
-                sq8=self.sq8, keep_f32=self.keep_f32,
-                probe_only=probe_only,
-            )
+        if stream:
+            for s in range(0, nm, ch):
+                e = min(nm, s + ch)  # tail chunk = one extra compile, ok
+                jp, codes, mins, scales, pnorms = _pack_chunk(
+                    jp, codes, mins, scales, pnorms,
+                    jnp.asarray(x[mslots[s:e]]), mcj[s:e], mlj[s:e],
+                    sq8=self.sq8, keep_f32=self.keep_f32,
+                    probe_only=probe_only,
+                )
+        else:
+            ch_eff = min(ch, nm)
+            for s in range(0, nm, max(ch_eff, 1)):
+                jp, codes, mins, scales, pnorms = _pack_chunk_idx(
+                    jp, codes, mins, scales, pnorms,
+                    xd, mslj, mcj, mlj, s,
+                    sq8=self.sq8, keep_f32=self.keep_f32,
+                    probe_only=probe_only, ch=ch_eff,
+                )
         alive = np.zeros((c, cap), bool)
         alive[mc, ml] = self._alive_host[mslots]
         cn_full = prep_norms(jnp.asarray(cents))
@@ -1127,6 +1134,32 @@ def _pack_chunk(jp, codes, mins, scales, pnorms, xb, mc_, ml_,
     accumulators in-place — eager .at[].set would copy the multi-GB
     arrays per chunk. probe_only skips the rerank row store entirely
     (int8 probe codes are the only consumer when rerank == 0)."""
+    return _pack_body(jp, codes, mins, scales, pnorms, xb, mc_, ml_,
+                      sq8=sq8, keep_f32=keep_f32, probe_only=probe_only)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sq8", "keep_f32", "probe_only", "ch"),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def _pack_chunk_idx(jp, codes, mins, scales, pnorms, xd, mslj, mcj, mlj,
+                    s, *, sq8: bool, keep_f32: bool, probe_only: bool,
+                    ch: int):
+    """Packing chunk with the row gather fused in: the chunk window is a
+    clamped dynamic slice from a DEVICE start scalar, so every chunk of
+    a build shares ONE compile (the eager slice+gather per chunk was
+    several relay-priced compiles; clamp overlap rewrites identical
+    values, which is idempotent)."""
+    idx = jax.lax.dynamic_slice_in_dim(mslj, s, ch)
+    mc_ = jax.lax.dynamic_slice_in_dim(mcj, s, ch)
+    ml_ = jax.lax.dynamic_slice_in_dim(mlj, s, ch)
+    return _pack_body(jp, codes, mins, scales, pnorms, xd[idx], mc_, ml_,
+                      sq8=sq8, keep_f32=keep_f32, probe_only=probe_only)
+
+
+def _pack_body(jp, codes, mins, scales, pnorms, xb, mc_, ml_,
+               *, sq8: bool, keep_f32: bool, probe_only: bool):
     pnorms = pnorms.at[mc_, ml_].set(prep_norms(xb))
     if sq8:
         cu8, m8, s8 = sq8_encode(xb)

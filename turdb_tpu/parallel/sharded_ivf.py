@@ -22,6 +22,13 @@ from turdb_tpu.ops.distance import Metric, normalize_rows
 from turdb_tpu.ops.topk import topk_smallest
 
 
+@jax.jit
+def _stack_states(*states):
+    """Stack per-shard state pytrees into [S, ...] leaves as ONE
+    compiled program (the eager per-leaf stack was a compile per leaf)."""
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+
+
 class ShardedIvfIndex:
     """Build: per-shard host IvfIndex (balanced round-robin routing), then
     the states stack into [S, ...] leaves laid out over the mesh. Search:
@@ -117,9 +124,7 @@ class ShardedIvfIndex:
                         np.zeros((0, self.dim), np.float32), np.zeros(0, np.int64)
                     )
         self._cfg = self.shards[0].cfg
-        stacked = jax.tree.map(
-            lambda *leaves: jnp.stack(leaves), *[s.state for s in self.shards]
-        )
+        stacked = _stack_states(*[s.state for s in self.shards])
         self._stacked = jax.device_put(
             stacked, NamedSharding(self.mesh, self._store_spec)
         )
