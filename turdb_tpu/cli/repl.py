@@ -155,7 +155,7 @@ class Repl:
         cmd = parts[0]
         if cmd in (".quit", ".exit", ".q"):
             return False
-        if cmd == ".help":
+        if cmd in (".help", ".h", ".?"):    # reference commands.rs:62
             self.write(
                 ".tables [schema]   list tables\n"
                 ".schema <table>    show CREATE-ish schema\n"
