@@ -263,21 +263,44 @@ class Gen:
     def subquery(self):
         r = self.rng
         pick = r.random()
-        if pick < 0.4:
+        if pick < 0.25:
             return (
                 "SELECT id, age FROM users WHERE score > "
                 f"(SELECT avg(score) FROM users WHERE {self.pred('users')})"
             )
-        if pick < 0.7:
+        if pick < 0.45:
             return (
                 "SELECT oid FROM orders WHERE uid IN "
                 f"(SELECT id FROM users WHERE {self.pred('users')}) "
                 f"AND {self.pred('orders')}"
             )
+        if pick < 0.6:
+            return (
+                "SELECT id FROM users WHERE EXISTS "
+                "(SELECT 1 FROM orders WHERE orders.uid = users.id AND "
+                f"orders.amount > {r.randint(50, 400)})"
+            )
+        if pick < 0.75:
+            # correlated scalar subquery IN THE SELECT LIST (+ expression)
+            return (
+                "SELECT id, (SELECT count(*) FROM orders "
+                "WHERE orders.uid = users.id AND "
+                f"orders.amount > {r.randint(20, 300)}) + {r.randint(0, 3)} "
+                f"FROM users WHERE {self.pred('users')}"
+            )
+        if pick < 0.87:
+            # HAVING with an uncorrelated scalar subquery
+            return (
+                "SELECT uid, sum(amount) FROM orders GROUP BY uid "
+                "HAVING sum(amount) > (SELECT avg(amount) * "
+                f"{round(r.uniform(0.5, 3.0), 2)} FROM orders)"
+            )
+        # correlated scalar inside CASE
         return (
-            "SELECT id FROM users WHERE EXISTS "
-            "(SELECT 1 FROM orders WHERE orders.uid = users.id AND "
-            f"orders.amount > {r.randint(50, 400)})"
+            "SELECT id, CASE WHEN (SELECT max(amount) FROM orders "
+            "WHERE orders.uid = users.id) > "
+            f"{r.randint(100, 400)} THEN 'big' ELSE 'small' END "
+            f"FROM users WHERE {self.pred('users')}"
         )
 
     def setop(self):
