@@ -241,7 +241,8 @@ class Gen:
             ("users", "orders", "users.id = orders.uid"),
             ("orders", "items", "orders.oid = items.oid"),
         ])
-        kind = r.choice(["JOIN", "LEFT JOIN"])
+        kind = r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN",
+                         "FULL OUTER JOIN"])
         agg = self.agg(a, a + ".")
         grp = r.choice(NUM_COLS[a] + TEXT_COLS[a])
         sql = (f"SELECT {a}.{grp}, {agg} FROM {a} {kind} {b} ON {on} "
