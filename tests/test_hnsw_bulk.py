@@ -72,3 +72,43 @@ def test_bulk_delete_tombstones(data):
     idx.delete(victims)
     _, ids = idx.search(q, k=10, ef=64)
     assert not np.isin(np.asarray(ids).ravel(), victims).any()
+
+
+def test_bulk_build_compile_count(tmp_path):
+    """Guardrail for the round-3 compile diet: every eager jnp op between
+    the scanned stage programs is a separate (relay-priced) compile on
+    the TPU backend. A 20k build+pack must stay well under the pre-diet
+    count (~157; post-diet ~55). Runs in a subprocess so the count is
+    not polluted by previously cached programs."""
+    import subprocess
+    import sys
+
+    code = r"""
+import logging
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_log_compiles", True)
+n = [0]
+class F(logging.Filter):
+    def filter(self, rec):
+        if rec.getMessage().startswith("Compiling jit("):
+            n[0] += 1
+        return False
+logging.getLogger("jax._src.interpreters.pxla").addFilter(F())
+import numpy as np
+from turdb_tpu.models.hnsw import HnswIndex
+rng = np.random.default_rng(0)
+x = rng.standard_normal((20000, 32)).astype(np.float32)
+idx = HnswIndex(dim=32, ef_construction=100, capacity=len(x))
+idx.add(x)
+idx.pack_serving()
+print("COMPILES", n[0])
+assert n[0] <= 100, f"compile-count regression: {n[0]} > 100"
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=1"},
+    )
+    assert r.returncode == 0, (r.stdout.decode()[-300:]
+                               + r.stderr.decode()[-500:])
