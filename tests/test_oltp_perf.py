@@ -122,3 +122,28 @@ def test_fast_lane_equivalence(db):
     ]
     assert db2.query("SELECT b FROM t WHERE id = 2") == [(None,)]
     db2.close()
+
+
+def test_point_read_nonnumeric_keys(tmp_path):
+    """The point-read fast lane re-verifies index hits by direct value
+    compare (round-3 micro-opt dropped the _py normalization) — pin the
+    non-numeric key types."""
+    from turdb_tpu.database.api import Database
+
+    db = Database.create(str(tmp_path / "tk"))
+    db.execute("CREATE TABLE t (k TEXT PRIMARY KEY, v INT)")
+    st = db.prepare("INSERT INTO t VALUES ($1, $2)")
+    for i in range(50):
+        st.execute([f"key{i}", i])
+    q = db.prepare("SELECT v FROM t WHERE k = $1")
+    assert q.query(["key7"]) == [(7,)]
+    assert q.query(["nope"]) == []
+    db.execute("UPDATE t SET v = 700 WHERE k = 'key7'")
+    assert q.query(["key7"]) == [(700,)]
+    db.execute("DELETE FROM t WHERE k = 'key7'")
+    assert q.query(["key7"]) == []
+    db.execute("CREATE TABLE b (k BLOB PRIMARY KEY, v INT)")
+    db.execute("INSERT INTO b VALUES (x'BEEF', 1)")
+    qb = db.prepare("SELECT v FROM b WHERE k = $1")
+    assert qb.query([b"\xbe\xef"]) == [(1,)]
+    db.close()
