@@ -287,7 +287,7 @@ def bench_oltp():
 
 
 def wait_for_backend(
-    budget_s=float(os.environ.get("TURDB_BENCH_WAIT_S", 900.0)),
+    budget_s=float(os.environ.get("TURDB_BENCH_WAIT_S", 3600.0)),
 ):
     """The axon relay can drop for minutes at a time; jax.devices() then
     blocks in make_c_api_client with no timeout, which would hang the
@@ -325,7 +325,7 @@ def wait_for_backend(
 
 def main():
     if not wait_for_backend():
-        waited = os.environ.get("TURDB_BENCH_WAIT_S", "900")
+        waited = os.environ.get("TURDB_BENCH_WAIT_S", "3600")
         print(json.dumps({
             "metric": f"vector_qps_{N//1000}k_{DIM}d_recall{RECALL_GATE}@{K}",
             "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
