@@ -510,3 +510,37 @@ def test_named_windows_vs_sqlite(tmp_path):
     assert db.query("SELECT window FROM (SELECT 1 AS window)") == [(1,)]
     lite.close()
     db.close()
+
+
+def test_new_frame_kernels_scale(tmp_path):
+    """1M-row perf smoke for the round-3 frame kernels (RANGE offsets,
+    GROUPS, value functions, EXCLUDE min/max): each measured 3-6s on the
+    CI VM; gate with slack for burst throttling."""
+    import time
+
+    import numpy as np
+
+    db = Database.create(str(tmp_path / "wscale"))
+    db.execute("CREATE TABLE t (g INT, k DOUBLE, v INT)")
+    n = 1_000_000
+    rng = np.random.default_rng(0)
+    db.bulk_insert("t", {
+        "g": rng.integers(0, 1000, n),
+        "k": rng.random(n),
+        "v": rng.integers(0, 100, n),
+    })
+    for q in [
+        "SELECT first_value(v) OVER (PARTITION BY g ORDER BY k) FROM t",
+        "SELECT sum(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN "
+        "0.1 PRECEDING AND 0.1 FOLLOWING) FROM t",
+        "SELECT sum(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN "
+        "5 PRECEDING AND CURRENT ROW) FROM t",
+        "SELECT max(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN "
+        "100 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t",
+    ]:
+        t0 = time.perf_counter()
+        rows = db.query(q)
+        dt = time.perf_counter() - t0
+        assert len(rows) == n
+        assert dt < 30.0, f"frame kernel too slow ({dt:.1f}s): {q[:60]}"
+    db.close()
