@@ -8,7 +8,6 @@ analog) plus a wall-clock rate, and prints the per-phase breakdown that
 Usage:  JAX_PLATFORMS=cpu python examples/profile_insert.py [N_ROWS]
 """
 
-import sys
 import os
 import sys
 import tempfile

@@ -147,3 +147,18 @@ def test_point_read_nonnumeric_keys(tmp_path):
     qb = db.prepare("SELECT v FROM b WHERE k = $1")
     assert qb.query([b"\xbe\xef"]) == [(1,)]
     db.close()
+
+
+def test_point_read_toasted_key(tmp_path):
+    """Review-found: the fast lane's key re-verify must detoast stored
+    pointer values before comparing (big keys silently returned [])."""
+    from turdb_tpu.database.api import Database
+
+    db = Database.create(str(tmp_path / "toastk"))
+    db.execute("CREATE TABLE t (k TEXT PRIMARY KEY, v INT)")
+    big = "x" * 1500                     # > TOAST threshold (1000B)
+    db.execute(f"INSERT INTO t VALUES ('{big}', 42)")
+    q = db.prepare("SELECT v FROM t WHERE k = $1")
+    assert q.query([big]) == [(42,)]
+    assert q.query([big + "y"]) == []
+    db.close()

@@ -544,3 +544,21 @@ def test_new_frame_kernels_scale(tmp_path):
         assert len(rows) == n
         assert dt < 30.0, f"frame kernel too slow ({dt:.1f}s): {q[:60]}"
     db.close()
+
+
+def test_window_clause_positions(tmp_path):
+    """Review-found: the WINDOW clause must not be eaten as an implicit
+    alias of an unaliased derived table or a select item."""
+    import sqlite3
+
+    db = Database.create(str(tmp_path / "wpos"))
+    lite = sqlite3.connect(":memory:")
+    for q in [
+        "SELECT sum(v) OVER w FROM (SELECT 1 AS v) WINDOW w AS (ORDER BY v)",
+        "SELECT sum(1) OVER w WINDOW w AS ()",
+    ]:
+        assert repr(db.query(q)) == repr(lite.execute(q).fetchall()), q
+    # and 'window' keeps working as an implicit select-item alias
+    assert db.query("SELECT 1 window FROM (SELECT 2)") == [(1,)]
+    lite.close()
+    db.close()

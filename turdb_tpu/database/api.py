@@ -1912,8 +1912,14 @@ class PreparedStatement:
                     ok = False
                     break
                 # numpy scalar != python value compares correctly — the
-                # _py normalization only matters for the output rows
-                if t.cols[c][vi] != want:
+                # _py normalization only matters for the output rows.
+                # Toasted key columns store a pointer object: detoast
+                # before comparing (review-found: the raw compare made
+                # big-key point reads silently return [])
+                got = t.cols[c][vi]
+                if c in toast:
+                    got = detoast_value(got)
+                if got != want:
                     ok = False
                     break
             if not ok:

@@ -627,7 +627,8 @@ class Parser:
                 if not self.accept(T.COMMA):
                     break
         if no_tail:
-            _resolve_named_windows(sel, windows)
+            if windows is not None or getattr(self, "_over_names", False):
+                _resolve_named_windows(sel, windows)
             return sel
         if self.peek().is_kw("ORDER"):
             sel.order_by = self._order_by()
@@ -639,7 +640,10 @@ class Parser:
                 sel.limit = self._expr()
         if self.accept_kw("OFFSET"):
             sel.offset = self._expr()
-        _resolve_named_windows(sel, windows)
+        if windows is not None or getattr(self, "_over_names", False):
+            # the reflective AST walk only runs when a WINDOW clause or
+            # an `OVER name` reference actually appeared
+            _resolve_named_windows(sel, windows)
         return sel
 
     def _order_by(self):
@@ -684,7 +688,7 @@ class Parser:
         alias = None
         if self.accept_kw("AS"):
             alias = self.ident()
-        elif self.peek().type is T.IDENT:
+        elif self.peek().type is T.IDENT and not self._at_window_clause():
             alias = self.ident()
         return A.SelectItem(e, alias)
 
@@ -758,7 +762,8 @@ class Parser:
                 self.expect(T.RPAREN)
                 if self.accept_kw("AS"):
                     alias = self.ident_any()
-                elif self.peek().type is T.IDENT or (
+                elif (self.peek().type is T.IDENT
+                      and not self._at_window_clause()) or (
                         self.peek().type is T.KEYWORD and
                         self.peek().value in _SOFT_IDENT):
                     alias = self.ident()
@@ -793,15 +798,20 @@ class Parser:
         if allow_alias:
             if self.accept_kw("AS"):
                 alias = self.ident_any()
-            elif self.peek().type is T.IDENT and not (
-                # a WINDOW clause follows the FROM list: "FROM t WINDOW
-                # w AS (...)" must not read WINDOW as t's implicit alias
-                self.peek().value.upper() == "WINDOW"
-                and self.peek(1).type is T.IDENT
-                and self.peek(2).is_kw("AS")
-            ):
+            elif self.peek().type is T.IDENT \
+                    and not self._at_window_clause():
                 alias = self.ident()
         return A.TableRef(name, schema, alias)
+
+    def _at_window_clause(self) -> bool:
+        """True at the start of `WINDOW w AS (...)` — implicit-alias
+        positions (table refs, derived tables, select items) must not
+        read WINDOW as an alias."""
+        return (
+            self.peek().value.upper() == "WINDOW"
+            and self.peek(1).type is T.IDENT
+            and self.peek(2).is_kw("AS")
+        )
 
     # -- INSERT / UPDATE / DELETE -----------------------------------------
 
@@ -1552,6 +1562,7 @@ class Parser:
                 # it parses later in the SELECT, so leave the name for
                 # _select_core to resolve
                 fc.over = self.ident().lower()
+                self._over_names = True
                 return fc
             self.expect(T.LPAREN)
             fc.over = self._window_spec_body()
