@@ -234,3 +234,83 @@ def test_jsonb_adversarial_bytes():
             jsonb_decode(junk)
         except Exception as e:
             assert not isinstance(e, (SystemError, MemoryError))
+
+
+def test_array_round_trip_5k():
+    """Arrays (reference fuzz/fuzz_array.rs target): encode/decode every
+    element kind with random NULLs, O(1) element access preserved."""
+    from turdb_tpu.records.arrays import ArrayView, array_encode
+
+    r = np.random.default_rng(21)
+    for _ in range(5_000):
+        kind = int(r.integers(0, 5))
+        n = int(r.integers(0, 20))
+        vals = []
+        for _ in range(n):
+            if r.random() < 0.25:
+                vals.append(None)
+            elif kind == 0:
+                vals.append(bool(r.integers(0, 2)))
+            elif kind == 1:
+                vals.append(int(r.integers(-(2**62), 2**62)))
+            elif kind == 2:
+                vals.append(float(r.standard_normal()))
+            elif kind == 3:
+                vals.append(rand_text(r))
+            else:
+                vals.append(bytes(r.integers(0, 256, int(r.integers(0, 12)))
+                                  .astype(np.uint8)))
+        buf = array_encode(vals)
+        v = ArrayView(buf)
+        assert v.n == n
+        for i in range(n):
+            assert v[i] == vals[i], (kind, i, vals[i], v[i])
+
+
+def test_array_adversarial_bytes():
+    """Random/mutated array buffers must raise or return, never crash the
+    process (reference libfuzzer contract)."""
+    from turdb_tpu.records.arrays import ArrayView, array_encode
+
+    r = np.random.default_rng(22)
+    seeds = [array_encode([1, 2, None, 4]),
+             array_encode(["ab", None, "xyz"]),
+             array_encode([1.5, 2.5])]
+    for _ in range(3_000):
+        if r.random() < 0.5:
+            buf = bytes(r.integers(0, 256, int(r.integers(1, 40)))
+                        .astype(np.uint8))
+        else:
+            b = bytearray(seeds[int(r.integers(0, len(seeds)))])
+            for _ in range(int(r.integers(1, 4))):
+                b[int(r.integers(0, len(b)))] = int(r.integers(0, 256))
+            buf = bytes(b)
+        try:
+            v = ArrayView(buf)
+            for i in range(min(v.n, 64)):
+                v[i]
+        except Exception:
+            pass          # any Python exception is fine; no crash/hang
+
+
+def test_composite_round_trip_2k():
+    """Nested composites (reference records/composite.rs: record-layout
+    reuse, depth-16 nesting)."""
+    from turdb_tpu.records.composite import (
+        CompositeSchema,
+        pack_composite,
+        unpack_composite,
+    )
+
+    r = np.random.default_rng(23)
+    inner = CompositeSchema([DataType.BIGINT, DataType.TEXT])
+    outer = CompositeSchema([DataType.DOUBLE, inner, DataType.BOOLEAN])
+    for _ in range(2_000):
+        iv = (int(r.integers(-1000, 1000)),
+              None if r.random() < 0.2 else rand_text(r))
+        ov = (float(r.standard_normal()),
+              None if r.random() < 0.15 else iv,
+              bool(r.integers(0, 2)))
+        buf = pack_composite(outer, ov)
+        out = unpack_composite(outer, buf)
+        assert out == ov, (ov, out)
