@@ -195,3 +195,53 @@ def test_cross_handle_snapshot_isolation(tmp_path):
     db.execute("ROLLBACK")
     assert db.query("SELECT v FROM t WHERE id = 1") == [(11,)]
     db.close()
+
+
+class TestOnUpdateForeignKeys:
+    """ON UPDATE CASCADE / RESTRICT / SET NULL when a referenced key
+    changes (reference dml/update.rs:1925-2000; expectations from
+    tests/constraints_cascade.rs:460-528). Round-3-found gap: the
+    actions were parsed and stored but never enforced."""
+
+    def test_on_update_cascade(self, db):
+        db.execute("CREATE TABLE departments (id INT PRIMARY KEY, n TEXT)")
+        db.execute("CREATE TABLE employees (id INT PRIMARY KEY, dept_id "
+                   "INT REFERENCES departments(id) ON UPDATE CASCADE)")
+        db.execute("INSERT INTO departments VALUES (1, 'eng')")
+        db.execute("INSERT INTO employees VALUES (100, 1), (101, 1)")
+        db.execute("UPDATE departments SET id = 10 WHERE id = 1")
+        assert db.query(
+            "SELECT count(*) FROM employees WHERE dept_id = 10") == [(2,)]
+        assert db.query(
+            "SELECT count(*) FROM employees WHERE dept_id = 1") == [(0,)]
+
+    def test_on_update_restrict_blocks(self, db):
+        db.execute("CREATE TABLE c (id INT PRIMARY KEY)")
+        db.execute("CREATE TABLE p (cid INT REFERENCES c(id) "
+                   "ON UPDATE RESTRICT)")
+        db.execute("INSERT INTO c VALUES (1)")
+        db.execute("INSERT INTO p VALUES (1)")
+        with pytest.raises(Exception, match="FOREIGN KEY"):
+            db.execute("UPDATE c SET id = 100 WHERE id = 1")
+        # unreferenced keys still update
+        db.execute("INSERT INTO c VALUES (2)")
+        db.execute("UPDATE c SET id = 20 WHERE id = 2")
+
+    def test_on_update_set_null(self, db):
+        db.execute("CREATE TABLE a (id INT PRIMARY KEY)")
+        db.execute("CREATE TABLE b (x INT, aid INT REFERENCES a(id) "
+                   "ON UPDATE SET NULL)")
+        db.execute("INSERT INTO a VALUES (7)")
+        db.execute("INSERT INTO b VALUES (1, 7)")
+        db.execute("UPDATE a SET id = 8 WHERE id = 7")
+        assert db.query("SELECT x, aid FROM b") == [(1, None)]
+
+    def test_no_clause_stays_unenforced(self, db):
+        # the reference enforces only FKs that DECLARE an ON UPDATE
+        # action (update.rs:1925 filters on_update.is_some())
+        db.execute("CREATE TABLE p2 (id INT PRIMARY KEY)")
+        db.execute("CREATE TABLE c2 (pid INT REFERENCES p2(id))")
+        db.execute("INSERT INTO p2 VALUES (1)")
+        db.execute("INSERT INTO c2 VALUES (1)")
+        db.execute("UPDATE p2 SET id = 2 WHERE id = 1")
+        assert db.query("SELECT pid FROM c2") == [(1,)]

@@ -629,6 +629,12 @@ def _do_update_row(db, info, rowid: int, changes: dict, ctx, txn):
     if conflict is not None and conflict != rowid:
         raise _cv(db)(f"UNIQUE constraint violated on {info.table.name}")
     _check_fks(db, info, new_row, ctx)
+    # ON UPDATE actions for children referencing a changed key: RESTRICT
+    # raises here; CASCADE/SET NULL defer until the parent row is updated
+    # (the child's own FK re-check must see the NEW parent key)
+    deferred = _plan_parent_fk_updates(
+        db, info, old_row, new_row, set(changes), ctx, txn
+    )
     if info.table.name in db._trigger_tables:
         fire_triggers(db, info, "UPDATE", "BEFORE", new_row, old_row,
                       ctx, txn)
@@ -637,9 +643,67 @@ def _do_update_row(db, info, rowid: int, changes: dict, ctx, txn):
     db._log_update(info, rowid, new_row, txn)
     _index_delete(db, info, rowid, old_row)
     _index_insert(db, info, rowid, new_row, txn=txn)
+    for run in deferred:
+        run()
     if info.table.name in db._trigger_tables:
         fire_triggers(db, info, "UPDATE", "AFTER", new_row, old_row,
                       ctx, txn)
+
+
+def _plan_parent_fk_updates(db, parent_info, old_row, new_row, changed,
+                            ctx, txn):
+    """ON UPDATE CASCADE / SET NULL / RESTRICT when a REFERENCED key
+    changes (reference dml/update.rs:1925-2000 enforces only FKs that
+    declare an ON UPDATE action; tests/constraints_cascade.rs:460-528).
+    RESTRICT raises immediately; the cascading child updates return as
+    deferred closures to run after the parent row is written."""
+    pname = parent_info.table.name
+    deferred = []
+    for tables in db.catalog.values():
+        for child in tables.values():
+            for cols, ref_table, ref_cols, _od, on_update in child.fks:
+                if ref_table != pname or on_update is None:
+                    continue
+                pcols = ref_cols or _pk_cols(parent_info)
+                if not pcols or not any(c in changed for c in pcols):
+                    continue
+                old_vals = [old_row.get(c) for c in pcols]
+                new_vals = [new_row.get(c) for c in pcols]
+                if old_vals == new_vals or any(v is None for v in old_vals):
+                    continue
+                read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
+                own = getattr(ctx, "own_txn", 0)
+                vis = child.table.visible_indices(db.mgr, read_ts, own)
+                matches = [
+                    int(child.table.rowids[i])
+                    for i in vis
+                    if all(
+                        not child.table.nulls[c][i]
+                        and _py(child.table.cols[c][int(i)]) == _py(v)
+                        for c, v in zip(cols, old_vals)
+                    )
+                ]
+                if not matches:
+                    continue
+                action = on_update.upper()
+                if action == "CASCADE":
+                    upd = dict(zip(cols, new_vals))
+                elif action == "SET NULL":
+                    upd = {c: None for c in cols}
+                else:  # RESTRICT / NO ACTION
+                    raise _cv(db)(
+                        f"FOREIGN KEY constraint: rows in "
+                        f"{child.table.name} reference {pname}"
+                    )
+
+                def run(child=child, matches=matches, upd=upd):
+                    for rid in matches:
+                        if rid in child.table.latest:
+                            _do_update_row(db, child, rid, dict(upd),
+                                           ctx, txn)
+
+                deferred.append(run)
+    return deferred
 
 
 # ---------------------------------------------------------------------------
