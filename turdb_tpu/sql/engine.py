@@ -322,6 +322,7 @@ class QueryEngine:
                     )
                     push[idx] = None
         cond = j.on
+        kind = j.kind
         using = j.using
         if getattr(j, "natural", False) and using is None:
             # NATURAL JOIN: shared unqualified column names of both sides
@@ -336,18 +337,34 @@ class QueryEngine:
                     _qualified_ref(right, name),
                 )
                 cond = eq if cond is None else A.BinaryOp("AND", cond, eq)
-        if j.kind == "CROSS" or cond is None:
+        if push and kind in ("INNER", "CROSS"):
+            # WHERE conjuncts LINKING the two sides are join conditions,
+            # not post-filters (reference optimizer join-condition
+            # extraction): a comma join otherwise materializes the full
+            # cross product before the filter
+            combined = Batch(0)
+            for b in (left, right):
+                for (q, nm), c0 in zip(b.names, b.cols):
+                    combined.add(q, nm, c0)
+            for pi, c in enumerate(push):
+                if c is None or not _contains_column(c):
+                    continue
+                if _resolvable(c, combined):
+                    cond = c if cond is None else A.BinaryOp("AND", cond, c)
+                    push[pi] = None
+                    kind = "INNER"
+        if kind == "CROSS" or cond is None:
             return _cross_join(left, right, None, ctx)
 
         equis, residual = _split_equi(cond, left, right)
         if equis:
-            out = _hash_join(left, right, equis, residual, j.kind, ctx)
-        elif j.kind == "INNER":
+            out = _hash_join(left, right, equis, residual, kind, ctx)
+        elif kind == "INNER":
             out = _cross_join(left, right, cond, ctx)
         else:
-            out = _nl_outer_join(left, right, cond, j.kind, ctx)
+            out = _nl_outer_join(left, right, cond, kind, ctx)
         if using:
-            out = _coalesce_using(out, using, len(left.cols), j.kind)
+            out = _coalesce_using(out, using, len(left.cols), kind)
         return out
 
     def _lateral_join(self, j: A.Join, ctx: EvalContext) -> Batch:
@@ -460,6 +477,20 @@ class QueryEngine:
                             np.flatnonzero(cc.values.astype(bool) & ~cc.nulls)
                         )
                         push[pi] = None
+        if push:
+            # WHERE conjuncts spanning leaves are join conditions for the
+            # greedy order (reference join-condition extraction): comma
+            # joins carry their equi-conditions in WHERE, not ON
+            combined = Batch(0)
+            for b in batches:
+                for (q, nm), c0 in zip(b.names, b.cols):
+                    combined.add(q, nm, c0)
+            for pi, c in enumerate(push):
+                if c is not None and _contains_column(c) \
+                        and _resolvable(c, combined):
+                    conjuncts.append(c)
+                    push[pi] = None
+
         # which leaves does each conjunct need?
         def leafset(c):
             s = set()

@@ -123,11 +123,18 @@ def _plan_select(db, sel: A.Select, ctx) -> Plan:
             src = Plan(f"Filter {_ex(sel.where)}", [src], op="Filter")
 
     if src is None:
+        if isinstance(sel.from_, A.Join) and sel.where is not None:
+            # mirror the executor: WHERE conjuncts spanning join sides
+            # become join conditions (join-condition extraction)
+            ctx.where_equi = sum(
+                1 for c in E._split_conjuncts(sel.where) if _has_equi(c)
+            )
         src = _plan_from(db, sel.from_, ctx)
+        ctx.where_equi = 0
         if sel.where is not None:
             label = f"Filter {_ex(sel.where)}"
             if isinstance(sel.from_, A.Join):
-                label += " [pushdown]"
+                label += " [pushdown + join-condition extraction]"
             src = Plan(label, [src], op="Filter")
 
     # --- aggregate / project -------------------------------------------
@@ -216,9 +223,10 @@ def _plan_from(db, node, ctx) -> Plan:
             flat = E._flatten_inner(node)
             if flat is not None and len(flat[0]) > 2:
                 leaves, conjuncts = flat
+                nconj = len(conjuncts) + getattr(ctx, "where_equi", 0)
                 return Plan(
                     f"GreedyJoinChain ({len(leaves)} relations, "
-                    f"{len(conjuncts)} conjuncts) [cost-ordered]",
+                    f"{nconj} conjuncts) [cost-ordered]",
                     [_plan_from(db, leaf, ctx) for leaf in leaves],
                     op="GreedyJoinChain",
                 )
