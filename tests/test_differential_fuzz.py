@@ -253,6 +253,15 @@ class Gen:
 
     def join3(self):
         r = self.rng
+        if r.random() < 0.4:
+            # comma-join form: the equi-conditions live in WHERE
+            # (join-condition extraction; a corpus-replay-found bug class)
+            return (
+                "SELECT users.city, count(*), sum(items.price) "
+                "FROM users, orders, items "
+                "WHERE users.id = orders.uid AND orders.oid = items.oid "
+                f"AND {self.pred('users', 'users.')} GROUP BY users.city"
+            )
         sql = (
             "SELECT users.city, count(*), sum(items.price) FROM users "
             "JOIN orders ON users.id = orders.uid "
