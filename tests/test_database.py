@@ -1559,3 +1559,23 @@ class TestReviewRegressions:
         r = db.query("SELECT * FROM t1, LATERAL (SELECT x+1 AS a), "
                      "LATERAL (SELECT x+2 AS b)")
         assert r == [(5, 6, 7)]
+
+
+def test_having_without_group_by_filters_alias(db):
+    """Reference integration_sql.rs:1561
+    (having_without_group_by_filters_on_select_alias): HAVING with no
+    GROUP BY and no aggregates filters projected rows on select
+    aliases; with aggregates it keeps the single-group meaning."""
+    db.execute("CREATE TABLE nums (id INT)")
+    for i in range(1, 6):
+        db.execute(f"INSERT INTO nums VALUES ({i})")
+    assert db.query(
+        "SELECT id * 2 AS doubled FROM nums HAVING doubled < 6"
+    ) == [(2,), (4,)]
+    assert db.query(
+        "SELECT sum(id) AS s FROM nums HAVING sum(id) > 10") == [(15,)]
+    assert db.query(
+        "SELECT sum(id) AS s FROM nums HAVING sum(id) > 99") == []
+    assert db.query(
+        "SELECT id * 2 AS d FROM nums HAVING d > 4 ORDER BY id DESC"
+    ) == [(10,), (8,), (6,)]

@@ -206,16 +206,32 @@ class QueryEngine:
                 c = eval_expr(sel.where, src, ctx)
                 src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
 
-        has_agg = any(
+        item_agg = any(
             _contains_aggregate(it.expr)
             for it in sel.items
             if isinstance(it, A.SelectItem)
-        ) or (sel.having is not None) or bool(sel.group_by)
+        )
+        # HAVING with no GROUP BY and no aggregates anywhere filters the
+        # projected rows on select aliases (reference integration_sql.rs
+        # having_without_group_by_filters_on_select_alias); with
+        # aggregates it keeps the single-group SQL meaning
+        having_filter = (
+            sel.having is not None and not sel.group_by and not item_agg
+            and not _contains_aggregate(sel.having)
+        )
+        has_agg = item_agg or bool(sel.group_by) or (
+            sel.having is not None and not having_filter
+        )
 
         if has_agg:
             out = self._aggregate(sel, src, ctx)
         else:
             out = self._project(sel, src, ctx)
+            if having_filter:
+                hv = eval_expr(sel.having, out, ctx)
+                keep = np.flatnonzero(hv.values.astype(bool) & ~hv.nulls)
+                out = out.take(keep)
+                src = src.take(keep)
             if not sel.distinct:
                 # row-aligned source lets ORDER BY reference unprojected
                 # columns (SELECT name FROM t ORDER BY id)
