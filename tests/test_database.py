@@ -1579,3 +1579,17 @@ def test_having_without_group_by_filters_alias(db):
     assert db.query(
         "SELECT id * 2 AS d FROM nums HAVING d > 4 ORDER BY id DESC"
     ) == [(10,), (8,), (6,)]
+
+
+def test_on_conflict_unqualified_binds_target(db):
+    """Reference regression_smoke_test.rs:579: unqualified names in
+    DO UPDATE SET bind to the existing TARGET row (PostgreSQL scoping);
+    the proposed row needs the excluded. qualifier."""
+    db.execute("CREATE TABLE cu (id INT PRIMARY KEY, counter INT)")
+    db.execute("INSERT INTO cu VALUES (1, 1)")
+    db.execute("INSERT INTO cu VALUES (1, 1) ON CONFLICT (id) "
+               "DO UPDATE SET counter = counter + 1")
+    assert db.query("SELECT counter FROM cu WHERE id = 1") == [(2,)]
+    db.execute("INSERT INTO cu VALUES (1, 50) ON CONFLICT (id) "
+               "DO UPDATE SET counter = excluded.counter + 1")
+    assert db.query("SELECT counter FROM cu WHERE id = 1") == [(51,)]

@@ -533,9 +533,35 @@ def _apply_conflict_update(db, info, rowid, assignments, excluded_row, ctx, txn)
         b.add(info.table.name, cd.name, Col.const(cur, 1))
         b.add("excluded", cd.name,
               Col.const(detoast_value(excluded_row.get(cd.name)), 1))
+    # PostgreSQL DO UPDATE scoping: unqualified names bind to the TARGET
+    # row; the proposed row needs the explicit `excluded.` qualifier
+    # (reference regression_smoke_test.rs:579 `SET counter = counter + 1`)
+    import dataclasses
+
+    colnames = {cd.name for cd in info.columns}
+
+    def qualify(node):
+        if isinstance(node, A.ColumnRef):
+            if node.table is None and node.name in colnames:
+                return dataclasses.replace(node, table=info.table.name)
+            return node
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            ch = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                nv = qualify(v)
+                if nv is not v:
+                    ch[f.name] = nv
+            return dataclasses.replace(node, **ch) if ch else node
+        if isinstance(node, list):
+            return [qualify(x) for x in node]
+        if isinstance(node, tuple):
+            return tuple(qualify(x) for x in node)
+        return node
+
     changes = {}
     for cn, e in assignments:
-        c = eval_expr(e, b, ctx)
+        c = eval_expr(qualify(e), b, ctx)
         changes[cn] = None if c.nulls[0] else _py(c.values[0])
     _do_update_row(db, info, rowid, changes, ctx, txn)
 
