@@ -525,6 +525,35 @@ class TestMeta:
         assert db.wal_autoflush is False
         assert db.execute("PRAGMA database_mode").rows == [("ReadWrite",)]
 
+    def test_wal_checkpoint_threshold_pragma(self, db):
+        # reference pragma.rs:241-257: get/set the auto-checkpoint frame
+        # threshold; a low threshold makes commits auto-checkpoint
+        from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
+
+        assert db.execute("PRAGMA wal_checkpoint_threshold").rows == [
+            (WAL_CHECKPOINT_FRAMES,)
+        ]
+        assert db.execute("PRAGMA wal_checkpoint_threshold = 4").rows == [(4,)]
+        db.execute("CREATE TABLE t (id INT)")
+        for i in range(5):
+            db.execute(f"INSERT INTO t VALUES ({i})")
+        # threshold 4 => the WAL was checkpointed+truncated along the way
+        assert db.wal.frame_count < 5
+        assert db.query("SELECT COUNT(*) FROM t") == [(5,)]
+        # reference rejects non-numeric values with a clear error
+        import pytest as _pytest
+        from turdb_tpu.sql.lexer import SqlError
+
+        with _pytest.raises(SqlError):
+            db.execute("PRAGMA wal_checkpoint_threshold = 'abc'")
+        with _pytest.raises(SqlError):
+            db.execute("PRAGMA wal_checkpoint_threshold = 0")
+        # surfaced in the wal_stats system table (system_tables.rs:102)
+        cols, rows = db.query_with_columns(
+            "SELECT checkpoint_threshold FROM turdb_catalog.wal_stats"
+        )
+        assert rows == [(4,)]
+
     def test_join_memory_budget_pragma(self, db):
         # reference pragma.rs: join_memory_budget caps the query pool;
         # joins above it take the Grace (spilling) path and stay correct

@@ -178,6 +178,11 @@ class Database:
         self.wal_enabled = True
         self.wal_autoflush = True
         self.sync_mode = SyncMode.NORMAL
+        # auto-checkpoint frame threshold (reference wal.rs:278 atomic,
+        # settable via PRAGMA wal_checkpoint_threshold, pragma.rs:241-257)
+        from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
+
+        self.checkpoint_threshold = WAL_CHECKPOINT_FRAMES
         self.ann_enabled = True
         self.ann_overfetch = 4
         self.join_budget_override = None   # PRAGMA join_memory_budget
@@ -872,10 +877,9 @@ class Database:
             self.wal.append(FrameType.COMMIT, txn_id=txn.txn_id)
             self._flush_wal()
         self.mgr.commit(txn)
-        # WAL size-based auto checkpoint (reference constants.rs:182)
-        from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
-
-        if self.wal_enabled and self.wal.frame_count >= WAL_CHECKPOINT_FRAMES:
+        # WAL size-based auto checkpoint (reference constants.rs:182;
+        # threshold runtime-settable, pragma.rs:241-257)
+        if self.wal_enabled and self.wal.frame_count >= self.checkpoint_threshold:
             self.checkpoint()
 
     def _flush_wal(self):

@@ -40,7 +40,7 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
     if name == "wal_stats":
         return build(
             ["frame_count", "size_bytes", "segment_count", "sync_mode",
-             "autoflush", "enabled"],
+             "autoflush", "enabled", "checkpoint_threshold"],
             [(
                 db.wal.frame_count,
                 db.wal.size_bytes,
@@ -48,6 +48,7 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
                 db.sync_mode.value,
                 db.wal_autoflush,
                 db.wal_enabled,
+                db.checkpoint_threshold,
             )],
         )
     if name == "tables":
@@ -187,6 +188,24 @@ def execute_pragma(db, p: A.Pragma):
         db.sync_mode = SyncMode(str(v).lower())
         db.wal.sync_mode = db.sync_mode
         return show(db.sync_mode.value)
+    if name == "wal_checkpoint_threshold":
+        # get/set the auto-checkpoint frame threshold (reference
+        # pragma.rs:241-257; wal.rs:278)
+        if v is not None:
+            try:
+                threshold = int(str(v).strip("'\""))
+            except ValueError:
+                raise SqlError(
+                    f"invalid PRAGMA wal_checkpoint_threshold value: {v} "
+                    "(use a number)"
+                )
+            if threshold <= 0:
+                raise SqlError(
+                    "invalid PRAGMA wal_checkpoint_threshold value: "
+                    f"{threshold} (must be positive)"
+                )
+            db.checkpoint_threshold = threshold
+        return show(db.checkpoint_threshold)
     if name in ("checkpoint", "wal_checkpoint"):
         ci = db.checkpoint()
         return ExecuteResult(
