@@ -519,6 +519,11 @@ class Parser:
         if t.is_kw("ON"):
             self.next()
             return True
+        # any keyword works as a bare pragma value (PRAGMA synchronous =
+        # FULL: FULL lexes as the join keyword — reference pragma.rs
+        # parses the value as raw text)
+        if t.type is T.KEYWORD:
+            return self.next().value.lower()
         return self.ident()
 
     # -- SELECT ------------------------------------------------------------
