@@ -548,11 +548,19 @@ class TestMeta:
             db.execute("PRAGMA wal_checkpoint_threshold = 'abc'")
         with _pytest.raises(SqlError):
             db.execute("PRAGMA wal_checkpoint_threshold = 0")
-        # surfaced in the wal_stats system table (system_tables.rs:102)
-        cols, rows = db.query_with_columns(
-            "SELECT checkpoint_threshold FROM turdb_catalog.wal_stats"
+        # surfaced in the wal_stats system table (system_tables.rs:102;
+        # key-value schema stat_name/stat_value/updated_at)
+        rows = db.query(
+            "SELECT stat_value FROM turdb_catalog.wal_stats "
+            "WHERE stat_name = 'wal_checkpoint_threshold'"
         )
         assert rows == [(4,)]
+        # reference memory_stats shape (system_tables.rs:58-66,89-97)
+        rows = db.query(
+            "SELECT stat_value FROM turdb_catalog.memory_stats "
+            "WHERE stat_name = 'memory_budget_total'"
+        )
+        assert rows[0][0] > 0
 
     def test_join_memory_budget_pragma(self, db):
         # reference pragma.rs: join_memory_budget caps the query pool;

@@ -109,6 +109,9 @@ class IndexDef:
     unique: bool = False
     using: str = "BTREE"   # BTREE | HNSW
     options: dict = dataclasses.field(default_factory=dict)
+    # partial index predicate source text (reference table.rs:273
+    # where_clause / is_partial); None = full index
+    where_text: str | None = None
 
 
 class TableInfo:
@@ -121,6 +124,8 @@ class TableInfo:
         # btree_exprs
         self.btree_cols: dict[str, list[str] | None] = {}
         self.btree_exprs: dict[str, list] = {}
+        # partial indexes: name -> parsed predicate expr (table.rs:273)
+        self.btree_where: dict[str, object] = {}
         self.hnsw: dict[str, HnswTableIndex] = {}
         self.index_defs: dict[str, IndexDef] = {}
         self.checks: list = []          # table-level CHECK exprs
@@ -295,6 +300,7 @@ class Database:
                                 "columns": [
                                     [A.render_expr(e), desc] for e, desc in d.columns
                                 ],
+                                "where": d.where_text,
                             }
                             for d in info.index_defs.values()
                         ],
@@ -382,6 +388,7 @@ class Database:
                     idef = IndexDef(
                         idx["name"], td["name"], schema, cols,
                         idx["unique"], idx["using"], idx.get("options", {}),
+                        idx.get("where"),
                     )
                     info.index_defs[idx["name"]] = idef
                     if idef.using == "HNSW":
@@ -432,6 +439,7 @@ class Database:
             {"version": 1, "next_table_id": self._next_table_id}
         )
         self.wal.truncate()
+        self.last_checkpoint_frames = frames
         return CheckpointInfo(frames_checkpointed=frames, wal_truncated=True)
 
     def _checkpoint_with_active(self):
@@ -470,6 +478,7 @@ class Database:
         for ftype, payload, txn_id, table_id in keep:
             self.wal.append(ftype, payload, txn_id=txn_id, table_id=table_id)
         self.wal.flush()
+        self.last_checkpoint_frames = frames - len(keep)
         return CheckpointInfo(
             frames_checkpointed=frames - len(keep), wal_truncated=not keep
         )
@@ -607,18 +616,22 @@ class Database:
         vis = info.table.visible_indices(self.mgr, read_ts, own)
         rowids_vis = info.table.rowids[vis]
         for name, idx in info.btree.items():
+            # partial index: only rows satisfying the predicate
+            mask = self._index_pred_mask(info, name, vis)
+            ivis = vis if mask is None else vis[mask]
+            irids = rowids_vis if mask is None else rowids_vis[mask]
             cols = info.btree_cols[name]
             if cols is None:    # expression index: vectorized expr eval
                 idx.bulk_load(
-                    _expr_index_keys(self, info, name, vis), rowids_vis
+                    _expr_index_keys(self, info, name, ivis), irids
                 )
                 continue
-            keys = _batch_index_keys(info.table, cols, vis)
+            keys = _batch_index_keys(info.table, cols, ivis)
             if keys is not None:
-                idx.bulk_load(keys, rowids_vis)
+                idx.bulk_load(keys, irids)
             else:
                 idx.clear()
-                for i in vis:
+                for i in ivis:
                     rowid = int(info.table.rowids[i])
                     key = idx.make_key(
                         [_cell(info.table, c, int(i)) for c in cols]
@@ -1045,6 +1058,42 @@ class Database:
     # index point-lookup hook (wired by QueryEngine._select_core)
     # ------------------------------------------------------------------
 
+    def _index_pred_mask(self, info: TableInfo, name: str, vis):
+        """Vectorized partial-index predicate over version indices `vis`
+        (reference table.rs:273 where_clause): True where the row belongs
+        in the index. Returns None for full indexes."""
+        expr = info.btree_where.get(name)
+        if expr is None:
+            return None
+        arr = np.asarray(vis, np.int64)
+        b = Batch(len(arr))
+        for c in info.columns:
+            vals, nulls = info.table.column_batch(c.name, arr)
+            b.add(info.table.name, c.name,
+                  Col(_detoast_col(info.table, c.name, vals), nulls))
+        col = eval_expr(expr, b, self._ctx([], None))
+        return np.asarray(col.values, bool) & ~col.nulls
+
+    def _partial_pred_implied(self, info: TableInfo, name: str, where,
+                              qualifier: str) -> bool:
+        """A partial index may serve a scan only when the query's WHERE
+        contains the index predicate as a conjunct (conservative
+        structural implication — anything else risks missing rows)."""
+        pred = info.btree_where.get(name)
+        if pred is None:
+            return True
+        want = A.render_expr(_strip_quals(pred, qualifier))
+        stack = [where]
+        while stack:
+            e = stack.pop()
+            if isinstance(e, A.BinaryOp) and e.op == "AND":
+                stack += [e.left, e.right]
+            elif e is not None and A.render_expr(
+                _strip_quals(e, qualifier)
+            ) == want:
+                return True
+        return False
+
     def _index_choice(self, ref: A.TableRef, where, ctx):
         """Shared index-selection decision (executor + planner, plan.py):
         equality conjuncts covering a B-tree index, else a single-column
@@ -1122,8 +1171,13 @@ class Database:
 
         walk(where)
         walk_rng(where)
+        qn = ref.alias or ref.name
         if eqs or expr_eqs:
             for name, idx in info.btree.items():
+                if name in info.btree_where and not self._partial_pred_implied(
+                    info, name, where, qn
+                ):
+                    continue
                 cols = info.btree_cols[name]
                 if cols is None:
                     keys = [
@@ -1147,6 +1201,10 @@ class Database:
             from turdb_tpu.records.keys import encode_value
 
             for name, idx in info.btree.items():
+                if name in info.btree_where and not self._partial_pred_implied(
+                    info, name, where, qn
+                ):
+                    continue
                 cols = info.btree_cols[name]
                 if cols is not None and len(cols) == 1 and cols[0] in ranges:
                     lo = hi = None
@@ -1364,6 +1422,8 @@ class Database:
                 cols = [A.render_expr(c) for c, _ in idef.columns]
                 info.btree_cols[idef.name] = None
                 info.btree_exprs[idef.name] = [c for c, _ in idef.columns]
+            if idef.where_text:
+                info.btree_where[idef.name] = _parse_expr(idef.where_text)
             info.btree[idef.name] = SortedKeyIndex(idef.name, cols, idef.unique)
 
 
@@ -1468,6 +1528,10 @@ class CachedInsertPlan:
         name_pos = {cd.name: j for j, cd in enumerate(info.columns)}
         sec = []
         uniq = []
+        if info.btree_where:
+            # partial indexes need per-row predicate evaluation — the
+            # generic path handles them
+            return None
         for name, idx in info.btree.items():
             cl = info.btree_cols[name]
             if cl is None:
@@ -1861,6 +1925,7 @@ class PreparedStatement:
             for name, idx in info.btree.items():
                 cl = info.btree_cols[name]
                 if (idx.unique and cl is not None
+                        and name not in info.btree_where
                         and set(cl) == set(P["eqs"])):
                     match = (idx, cl)
                     break

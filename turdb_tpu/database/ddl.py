@@ -298,9 +298,18 @@ def execute_ddl(db, stmt, txn):
             cd = next(c for c in info.columns if c.name == col.name)
             if cd.dtype is not DataType.VECTOR:
                 raise SqlError(f"{using} index requires a VECTOR column")
+        if stmt.where is not None:
+            # partial index (reference table.rs:273, ddl.rs:452): the
+            # predicate may only reference the table's columns
+            if using != "BTREE":
+                raise SqlError(f"{using} indexes cannot be partial")
+            for cn in _expr_columns([stmt.where]):
+                if not any(c.name == cn for c in info.columns):
+                    raise SqlError(f"no such column: {cn}")
         idef = IndexDef(
             stmt.name, info.table.name, info.schema,
             list(stmt.columns), stmt.unique, using, dict(stmt.options),
+            stmt.where_text,
         )
         info.index_defs[stmt.name] = idef
         db._instantiate_index(info, idef)
@@ -400,6 +409,8 @@ def execute_ddl(db, stmt, txn):
                         info.index_defs.pop(stmt.name)
                         info.btree.pop(stmt.name, None)
                         info.btree_cols.pop(stmt.name, None)
+                        info.btree_exprs.pop(stmt.name, None)
+                        info.btree_where.pop(stmt.name, None)
                         info.hnsw.pop(stmt.name, None)
                         return ExecuteResult(0)
             if stmt.if_exists:
@@ -663,6 +674,7 @@ def _add_constraint(db, info, tc):
             info.index_defs.pop(name, None)
             info.btree.pop(name, None)
             info.btree_cols.pop(name, None)
+            info.btree_where.pop(name, None)
             raise
         if tc.kind == "PRIMARY KEY":
             for cn in tc.columns:
@@ -703,6 +715,7 @@ def _drop_constraint(db, info, stmt):
         info.btree.pop(name, None)
         info.btree_cols.pop(name, None)
         info.btree_exprs.pop(name, None)
+        info.btree_where.pop(name, None)
         return ExecuteResult(0)
     if name in info.check_names:
         i = info.check_names.index(name)
@@ -828,6 +841,9 @@ def _backfill_index(db, info, idef):
         h.flush_pending()
     else:
         idx = info.btree[idef.name]
+        mask = db._index_pred_mask(info, idef.name, vis)
+        if mask is not None:
+            vis = vis[mask]   # partial index: only matching rows
         cols = info.btree_cols[idef.name]
         if cols is None:     # expression index backfill
             from turdb_tpu.database.api import _expr_index_keys

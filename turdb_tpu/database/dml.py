@@ -322,6 +322,23 @@ def _check_passes(db, info, expr, row: dict, ctx) -> bool:
     return bool(c.nulls[0] or c.values[0])
 
 
+def _index_pred_match(db, info, name: str, row: dict, ctx) -> bool:
+    """Partial-index predicate against one row (reference table.rs:273
+    where_clause). NULL predicate = row NOT in the index (unlike CHECK,
+    where NULL passes)."""
+    expr = info.btree_where.get(name)
+    if expr is None:
+        return True
+    from turdb_tpu.storage.toast import detoast_value
+
+    b = Batch(1)
+    for cd in info.columns:
+        b.add(info.table.name, cd.name,
+              Col.const(detoast_value(row.get(cd.name)), 1))
+    c = eval_expr(expr, b, ctx)
+    return bool(not c.nulls[0] and c.values[0])
+
+
 def _find_conflict(db, info, row: dict, ctx):
     """Probe unique indexes; returns conflicting (visible) rowid or None
     (reference unique probe, dml/insert.rs:602)."""
@@ -329,6 +346,10 @@ def _find_conflict(db, info, row: dict, ctx):
     own = getattr(ctx, "own_txn", 0)
     for name, idx in info.btree.items():
         if not idx.unique:
+            continue
+        # a partial unique index only constrains rows matching its
+        # predicate — both the incoming row and the probed candidates
+        if not _index_pred_match(db, info, name, row, ctx):
             continue
         cols = info.btree_cols[name]
         if cols is None:
@@ -345,15 +366,23 @@ def _find_conflict(db, info, row: dict, ctx):
             # index entries persist until vacuum (MVCC: older snapshots
             # must still find their versions), so re-verify the visible
             # version actually carries this key
+            cur_row = None
             if cols is None:
-                cur_vals = _expr_key_vals_row(
-                    db, info, name, info.table.row_as_dict(vidx)
-                )
+                cur_row = info.table.row_as_dict(vidx)
+                cur_vals = _expr_key_vals_row(db, info, name, cur_row)
             else:
                 cur_vals = [_vis_cell(info.table, c, vidx) for c in cols]
             cur = idx.make_key([_norm_key(v) for v in cur_vals])
-            if cur == key:
-                return rid
+            if cur != key:
+                continue
+            if name in info.btree_where:
+                # the candidate's CURRENT version must still satisfy the
+                # predicate (an UPDATE may have moved it out)
+                if cur_row is None:
+                    cur_row = info.table.row_as_dict(vidx)
+                if not _index_pred_match(db, info, name, cur_row, ctx):
+                    continue
+            return rid
     return None
 
 
@@ -495,7 +524,12 @@ def _batch_unique_check_expr(db, info, name, prepared: dict, n: int, ctx):
 
 
 def _index_insert(db, info, rowid: int, row: dict, txn=None):
+    ctx = db._ctx([], txn) if info.btree_where else None
     for name, idx in info.btree.items():
+        if name in info.btree_where and not _index_pred_match(
+            db, info, name, row, ctx
+        ):
+            continue   # partial index: row outside the predicate
         cols = info.btree_cols[name]
         if cols is None:     # expression index (reference ddl.rs)
             vals = _expr_key_vals_row(db, info, name, row)
@@ -1026,6 +1060,27 @@ def _batch_unique_check(db, info, prepared: dict, n: int, ctx):
     own = getattr(ctx, "own_txn", 0)
     for name, idx in info.btree.items():
         if not idx.unique:
+            continue
+        if name in info.btree_where:
+            # partial unique index: per-row predicate + probe (the
+            # vectorized key path can't see the predicate)
+            cols_p = info.btree_cols[name]
+            seen = set()
+            for r in _columns_to_rows(info, prepared, n):
+                if not _index_pred_match(db, info, name, r, ctx):
+                    continue
+                if cols_p is not None:
+                    vals = [r.get(c) for c in cols_p]
+                else:
+                    vals = _expr_key_vals_row(db, info, name, r)
+                if any(v is None for v in vals):
+                    continue
+                k = idx.make_key([_norm_key(v) for v in vals])
+                if k in seen or _find_conflict(db, info, r, ctx) is not None:
+                    raise _cv(db)(
+                        f"UNIQUE constraint violated on {info.table.name}"
+                    )
+                seen.add(k)
             continue
         cols = info.btree_cols[name]
         if cols is None:

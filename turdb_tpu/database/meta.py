@@ -36,21 +36,37 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
         return b
 
     if name == "memory_stats":
-        return build(["pool", "budget_bytes", "used_bytes"], db.budget.stats())
+        # reference schema: key-value (stat_name PK, stat_value BIGINT,
+        # updated_at TEXT) with the stat names of system_tables.rs:89-97
+        import datetime as _dt
+
+        now = _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        used = {p: db.budget.used(p)
+                for p in ("cache", "query", "recovery", "schema")}
+        used_total = sum(used.values())
+        rows = [("memory_budget_total", db.budget.total, now)]
+        rows += [(f"memory_used_{p}", u, now) for p, u in used.items()]
+        rows += [
+            ("memory_used_shared", 0, now),
+            ("memory_used_total", used_total, now),
+            ("memory_available_shared", db.budget.total - used_total, now),
+        ]
+        return build(["stat_name", "stat_value", "updated_at"], rows)
     if name == "wal_stats":
-        return build(
-            ["frame_count", "size_bytes", "segment_count", "sync_mode",
-             "autoflush", "enabled", "checkpoint_threshold"],
-            [(
-                db.wal.frame_count,
-                db.wal.size_bytes,
-                len(db.wal._segments()),
-                db.sync_mode.value,
-                db.wal_autoflush,
-                db.wal_enabled,
-                db.checkpoint_threshold,
-            )],
-        )
+        # reference schema: key-value with the names of
+        # system_tables.rs:99-105
+        import datetime as _dt
+
+        now = _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        rows = [
+            ("wal_frame_count", db.wal.frame_count, now),
+            ("wal_size_bytes", db.wal.size_bytes, now),
+            ("wal_checkpoint_threshold", db.checkpoint_threshold, now),
+            ("wal_last_checkpoint_frames",
+             getattr(db, "last_checkpoint_frames", 0), now),
+            ("wal_segment_count", len(db.wal._segments()), now),
+        ]
+        return build(["stat_name", "stat_value", "updated_at"], rows)
     if name == "tables":
         rows = []
         for schema, tables in db.catalog.items():
@@ -100,10 +116,12 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
                         else len(info.btree.get(iname, []))
                     )
                     rows.append(
-                        (schema, tname, iname, d.using, d.unique, size)
+                        (schema, tname, iname, d.using, d.unique, size,
+                         d.where_text)
                     )
         return build(
-            ["schema", "table", "name", "using", "is_unique", "entries"], rows
+            ["schema", "table", "name", "using", "is_unique", "entries",
+             "predicate"], rows
         )
     if name == "transactions":
         rows = [

@@ -50,8 +50,9 @@ class MemoryBudget:
         return self._used[pool]
 
     def stats(self) -> list[tuple]:
-        """Rows for turdb_catalog.memory_stats (reference
-        system_tables.rs:40-46)."""
+        """(pool, budget, used) rows for PRAGMA memory_stats; the
+        turdb_catalog.memory_stats system table uses the reference's
+        key-value schema instead (system_tables.rs:58-66)."""
         out = [("total", self.total, sum(self._used.values()))]
         for name in _POOL_FRACTIONS:
             out.append((name, self.pool(name), self._used[name]))

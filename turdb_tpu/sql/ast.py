@@ -312,6 +312,8 @@ class CreateIndex:
     using: Optional[str] = None                       # BTREE | HNSW
     options: dict = field(default_factory=dict)       # WITH (m=16, ...)
     if_not_exists: bool = False
+    where: Optional[Expr] = None       # partial index (table.rs:273)
+    where_text: Optional[str] = None   # predicate source text
 
 
 @dataclass

@@ -98,6 +98,9 @@ _INTERVAL_UNITS = {
 
 
 def _parse_interval(t: str) -> int:
+    t = t.strip()
+    if t[:1] in ("P", "p"):
+        return _parse_iso8601_interval(t)
     total = 0
     parts = t.lower().split()
     i = 0
@@ -113,6 +116,44 @@ def _parse_interval(t: str) -> int:
             raise SqlError(f"bad interval unit: {unit}")
         total += int(qty * _INTERVAL_UNITS[unit])
         i += 2
+    return total
+
+
+def _parse_iso8601_interval(t: str) -> int:
+    """ISO 8601 duration 'P[nY][nM][nW][nD][T[nH][nM][nS]]' (reference
+    parsing/literal.rs:440 parse_iso8601_interval), mapped onto this
+    engine's single-microseconds interval representation (month = 30
+    days, year = 365 days, matching _INTERVAL_UNITS)."""
+    body = t[1:]
+    date_part, _, time_part = body.partition("T") if "T" in body \
+        else body.partition("t")
+    date_units = {"Y": _INTERVAL_UNITS["year"], "M": _INTERVAL_UNITS["month"],
+                  "W": _INTERVAL_UNITS["week"], "D": _INTERVAL_UNITS["day"]}
+    time_units = {"H": _INTERVAL_UNITS["hour"], "M": _INTERVAL_UNITS["minute"],
+                  "S": _INTERVAL_UNITS["second"]}
+    total = 0
+    for part, units in ((date_part, date_units), (time_part, time_units)):
+        num = ""
+        for c in part:
+            if c.isdigit() or c == ".":
+                num += c
+            elif num:
+                u = units.get(c.upper())
+                if u is None:
+                    raise SqlError(
+                        f"unknown ISO 8601 interval designator: {c!r}"
+                    )
+                try:
+                    total += int(float(num) * u)
+                except ValueError:
+                    raise SqlError(f"bad interval: {t!r}")
+                num = ""
+            else:
+                raise SqlError(f"bad interval: {t!r}")
+        if num:
+            raise SqlError(f"bad interval: {t!r}")
+    if total == 0 and not date_part and not time_part:
+        raise SqlError(f"bad interval: {t!r}")
     return total
 
 

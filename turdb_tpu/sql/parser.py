@@ -1001,7 +1001,18 @@ class Parser:
                     if not self.accept(T.COMMA):
                         break
                 self.expect(T.RPAREN)
-            return A.CreateIndex(name, table, cols, unique, using, options, ine)
+            where = where_text = None
+            if self.peek().is_kw("WHERE"):
+                # partial index (reference table.rs:273 where_clause;
+                # ddl.rs:452): keep the predicate source text for the
+                # catalog alongside the parsed expr
+                self.next()
+                start = self.peek().off
+                where = self._expr()
+                where_text = self.src[start:self.peek().off].strip() \
+                    .rstrip(";").strip()
+            return A.CreateIndex(name, table, cols, unique, using, options,
+                                 ine, where, where_text)
         if unique:
             self.error("expected INDEX after UNIQUE")
         self.expect_kw("TABLE")
