@@ -345,6 +345,26 @@ class TestDml:
 
 
 class TestConstraints:
+    def test_bad_coercion_raises_clean_error(self, db):
+        # non-numeric text into INT/DOUBLE/DECIMAL must raise SqlError,
+        # not leak a raw ValueError from the public API (found by the
+        # reference integration-test replay harness)
+        from turdb_tpu.sql.lexer import SqlError
+
+        db.execute("CREATE TABLE co (x INT, f DOUBLE, d DECIMAL)")
+        for sql in (
+            "INSERT INTO co (x) VALUES ('')",
+            "INSERT INTO co (f) VALUES ('zz')",
+            "INSERT INTO co (d) VALUES ('abc')",
+        ):
+            with pytest.raises(SqlError):
+                db.execute(sql)
+        st = db.prepare("INSERT INTO co (x) VALUES ($1)")
+        with pytest.raises(SqlError):
+            st.execute([""])
+        db.execute("INSERT INTO co (x) VALUES ('12')")
+        assert db.query("SELECT x FROM co") == [(12,)]
+
     def test_fast_lane_unique_lifecycle(self, db):
         # the prepared-insert fast lane's O(1) unique probe must track
         # rollback-restored rows, committed deletes, and key moves

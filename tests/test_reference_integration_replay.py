@@ -1,0 +1,83 @@
+"""Replay the SQL of the reference's 371 integration tests
+(/root/reference/tests/*.rs — integration_sql.rs alone is 4,019 lines).
+
+Statements are extracted per FILE and run against one accumulating
+database per file (setup helpers early in a file create the schema later
+tests use). Errors from schema-context drift between test fns (tables
+created by skipped format!-templated statements, shape clashes between
+same-named tables of different fns) are tolerated via a pinned
+substring allowlist; anything else raising a SqlError is a dialect gap
+and fails. Non-SqlError leaks (raw ValueError/KeyError out of the
+public API) always fail — this harness caught INT/DECIMAL coercion
+leaking ValueError.
+"""
+
+import glob
+import re
+
+from turdb_tpu.database.api import Database, DatabaseError
+from turdb_tpu.sql.lexer import SqlError
+
+SQL_CALL = re.compile(
+    r'\.(?:execute|query|query_with_columns|prepare)\(\s*r?#?"(.*?)"#?\s*[,)]',
+    re.S,
+)
+
+# schema-context drift between test fns of one file, not dialect gaps
+CONTEXT_ERRORS = (
+    "no such table",
+    "no such column",
+    "column not found",
+    "values for",
+    "already exists",
+    "no such index",
+    "no such schema",
+    "column count mismatch",
+    # same-named tables with different shapes across test fns: a TEXT
+    # value lands in another fn's INT column (the typed coercion error
+    # is this engine's correct behavior — see storage/table.py _coerce)
+    "invalid input for",
+)
+
+
+def _file_statements(path):
+    text = open(path, errors="replace").read()
+    out = []
+    for m in SQL_CALL.finditer(text):
+        # rust string line-continuations: backslash at end of line
+        raw = re.sub(r"\\\s*\n", " ", m.group(1))
+        s = " ".join(raw.split())
+        if len(s) > 8 and "{" not in s:
+            out.append(s)
+    return out
+
+
+def test_reference_integration_sql_replay(tmp_path):
+    files = sorted(glob.glob("/root/reference/tests/*.rs"))
+    assert files, "reference tests missing"
+    gaps = []
+    ran = 0
+    for fi, f in enumerate(files):
+        stmts = _file_statements(f)
+        if not stmts:
+            continue
+        db = Database.create(str(tmp_path / f"f{fi}"))
+        try:
+            for s in stmts:
+                try:
+                    if re.search(r"\$\d|\?", s):
+                        db.prepare(s.replace("?", "$1"))
+                    else:
+                        db.execute(s)
+                    ran += 1
+                except DatabaseError:
+                    pass   # intentional-error tests
+                except SqlError as e:
+                    if not any(c in str(e) for c in CONTEXT_ERRORS):
+                        gaps.append(
+                            f"{f.rsplit('/', 1)[1]}: {s[:110]} -> {e}"
+                        )
+        finally:
+            db.close()
+    assert ran >= 800, f"extraction regressed: only {ran} statements ran"
+    assert not gaps, "\n".join(gaps[:10])

@@ -244,18 +244,44 @@ class ColumnarTable:
     def _coerce(self, c: ColumnDef, v):
         sc = c.dtype.storage_class
         if sc is StorageClass.INT:
-            return int(v)
-        if sc in (StorageClass.FLOAT, StorageClass.FLOAT32):
-            return float(v)
-        if sc is StorageClass.DECIMAL:
-            from decimal import Decimal
+            try:
+                return int(v)
+            except (ValueError, TypeError):
+                # a raw ValueError would leak out of the public execute()
+                # API; the reference surfaces a typed conversion error
+                from turdb_tpu.sql.lexer import SqlError
 
-            # floats go through str(): shortest-repr keeps 0.1 exact
-            d = v if isinstance(v, Decimal) else Decimal(
-                str(v) if isinstance(v, float) else v
-            )
-            if c.scale is not None:
-                d = d.quantize(Decimal(1).scaleb(-c.scale))
+                raise SqlError(
+                    f"invalid input for {self.name}.{c.name} "
+                    f"({c.dtype.name}): {v!r}"
+                )
+        if sc in (StorageClass.FLOAT, StorageClass.FLOAT32):
+            try:
+                return float(v)
+            except (ValueError, TypeError):
+                from turdb_tpu.sql.lexer import SqlError
+
+                raise SqlError(
+                    f"invalid input for {self.name}.{c.name} "
+                    f"({c.dtype.name}): {v!r}"
+                )
+        if sc is StorageClass.DECIMAL:
+            from decimal import Decimal, InvalidOperation
+
+            try:
+                # floats go through str(): shortest-repr keeps 0.1 exact
+                d = v if isinstance(v, Decimal) else Decimal(
+                    str(v) if isinstance(v, float) else v
+                )
+                if c.scale is not None:
+                    d = d.quantize(Decimal(1).scaleb(-c.scale))
+            except (InvalidOperation, ValueError, TypeError):
+                from turdb_tpu.sql.lexer import SqlError
+
+                raise SqlError(
+                    f"invalid input for {self.name}.{c.name} "
+                    f"({c.dtype.name}): {v!r}"
+                )
             return d
         if sc is StorageClass.BOOL:
             return bool(v)
