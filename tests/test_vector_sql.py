@@ -110,6 +110,46 @@ class TestHnswPath:
         assert all(r[1] == "odd" for r in rows)
         assert all(r[0] % 2 == 1 for r in rows)
 
+    def test_ann_selective_filter_pushdown(self, db):
+        """When the over-fetch doesn't survive a selective WHERE, the
+        engine pushes the predicate into the search as an allowed mask
+        (reference search_filtered doctrine, hnsw/mod.rs:62-68) instead
+        of falling straight back to the exact scan."""
+        from turdb_tpu.sql.engine import STATS
+
+        n, dim = 600, 16
+        db.execute(
+            f"CREATE TABLE items (id BIGINT PRIMARY KEY, "
+            f"emb VECTOR({dim}), tag TEXT)"
+        )
+        # local rng: the module RNG's state depends on test order, and
+        # this test pins which ANN pass fires
+        vecs = np.random.default_rng(77).standard_normal(
+            (n, dim)
+        ).astype(np.float32)
+        st = db.prepare("INSERT INTO items VALUES ($1, $2, $3)")
+        for i in range(n):
+            # 'rare' on ~1/6 of rows: selective enough that the 4x
+            # over-fetch of the first pass can't cover LIMIT 10
+            tag = "rare" if i % 6 == 0 else "common"
+            st.execute([i, vec_lit(vecs[i]).strip("'"), tag])
+        db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")
+        q = vecs[12]
+        before = STATS["ann_filtered_searches"]
+        rows = db.query(
+            f"SELECT id, tag FROM items WHERE tag = 'rare' "
+            f"ORDER BY emb <-> {vec_lit(q)} LIMIT 10"
+        )
+        assert len(rows) == 10
+        assert all(r[1] == "rare" for r in rows)
+        assert STATS["ann_filtered_searches"] == before + 1
+        # quality: compare against the exact filtered answer
+        d = ((vecs - q) ** 2).sum(1)
+        rare = np.array([i for i in range(n) if i % 6 == 0])
+        expect = set(rare[np.argsort(d[rare])[:10]].tolist())
+        got = set(r[0] for r in rows)
+        assert len(got & expect) >= 8, f"filtered recall {len(got & expect)}/10"
+
     def test_ann_respects_delete(self, db):
         vecs = seed_vectors(db, n=200)
         db.execute("CREATE INDEX idx_emb ON items USING HNSW (emb)")

@@ -1313,8 +1313,63 @@ class Database:
             c = eval_expr(sel.where, b, ctx)
             keep = np.flatnonzero(c.values.astype(bool) & ~c.nulls)
             if len(keep) < min(k, len(visible_rowids)):
-                return None  # not enough after filtering: exact fallback
+                # over-fetch didn't survive the filter: push the
+                # predicate INTO the search as an allowed mask
+                # (reference search_filtered doctrine, hnsw/mod.rs:62-68 —
+                # non-matching nodes stay stepping stones, results are
+                # masked) before giving up to the exact fallback
+                return self._ann_search_filtered(
+                    sel, info, hidx, qvec, k, vis, visible_rowids, ref, ctx
+                )
             b = b.take(keep)
+        return b
+
+    def _ann_search_filtered(self, sel, info, hidx, qvec, k, vis,
+                             visible_rowids, ref, ctx):
+        """Second-pass filtered ANN: evaluate the WHERE over the visible
+        rows once (vectorized), search with the matching rowids as the
+        allowed mask, and return only matches. Costs one predicate scan —
+        the exact fallback it replaces costs that scan PLUS exact
+        distances. Returns None (exact fallback) when too few rows match
+        for the graph search to be trustworthy."""
+        q = ref.alias or ref.name
+        big = Batch(len(vis))
+        for c in info.columns:
+            vals, nulls = info.table.column_batch(c.name, vis)
+            big.add(q, c.name,
+                    Col(_detoast_col(info.table, c.name, vals), nulls))
+        big.add(q, ROWID, Col(info.table.rowids[vis].copy()))
+        m = eval_expr(sel.where, big, ctx)
+        match = m.values.astype(bool) & ~m.nulls
+        allowed = visible_rowids[match]
+        if len(allowed) <= max(4 * k, 64):
+            # tiny candidate set: exact distances on it beat a graph walk
+            return None
+        fetch = min(max(k * self.ann_overfetch, k + 8), len(allowed))
+        d, rowids = hidx.search(
+            qvec, k=fetch, ef=max(64, 2 * fetch), allowed_rowids=allowed
+        )
+        rowids = np.asarray(rowids, np.int64)
+        rowids = rowids[rowids >= 0]
+        if len(rowids) < min(k, len(allowed)):
+            return None   # graph couldn't reach enough: exact fallback
+        order = np.argsort(allowed, kind="stable")
+        pos = np.searchsorted(allowed, rowids, sorter=order)
+        pos = np.clip(pos, 0, max(len(allowed) - 1, 0))
+        hit = allowed[order[pos]] == rowids
+        avis = vis[match]
+        idx = avis[order[pos[hit]]]
+        from turdb_tpu.sql.engine import STATS
+
+        STATS["ann_filtered_searches"] = (
+            STATS.get("ann_filtered_searches", 0) + 1
+        )
+        b = Batch(len(idx))
+        for c in info.columns:
+            vals, nulls = info.table.column_batch(c.name, idx)
+            b.add(q, c.name,
+                  Col(_detoast_col(info.table, c.name, vals), nulls))
+        b.add(q, ROWID, Col(info.table.rowids[idx].copy()))
         return b
 
     def _lock_batch_rows(self, batch: Batch):

@@ -39,6 +39,7 @@ MAX_RECURSIVE_ITERS = 100_000  # WITH RECURSIVE runaway guard
 STATS = {
     "grace_joins": 0, "spill_partitions": 0, "spilled_bytes": 0,
     "decorrelated": 0, "rowwise_subqueries": 0,
+    "ann_filtered_searches": 0,
 }
 
 
