@@ -1650,3 +1650,22 @@ def test_on_conflict_unqualified_binds_target(db):
     db.execute("INSERT INTO cu VALUES (1, 50) ON CONFLICT (id) "
                "DO UPDATE SET counter = excluded.counter + 1")
     assert db.query("SELECT counter FROM cu WHERE id = 1") == [(51,)]
+
+
+def test_filtered_and_plain_aggregate_coexist(db):
+    """Differential-fuzz-found: aggregates are deduplicated by rendered
+    text, and FILTER wasn't part of the rendering — so count(*)
+    FILTER (WHERE p) and a bare count(*) in the same grouped query
+    collapsed into ONE aggregate (the filtered result served both)."""
+    db.execute("CREATE TABLE fa (g INT, v INT)")
+    for g, v in [(1, 5), (1, 50), (2, 7), (2, 9)]:
+        db.execute(f"INSERT INTO fa VALUES ({g}, {v})")
+    assert db.query(
+        "SELECT g, count(*) FILTER (WHERE v > 10), count(*) FROM fa "
+        "GROUP BY g ORDER BY g"
+    ) == [(1, 1, 2), (2, 0, 2)]
+    # two different FILTERs on the same aggregate stay distinct too
+    assert db.query(
+        "SELECT count(*) FILTER (WHERE v > 10), "
+        "count(*) FILTER (WHERE v > 6), count(*) FROM fa"
+    ) == [(1, 3, 4)]

@@ -211,10 +211,22 @@ class Gen:
     def agg(self, t, q=""):
         r = self.rng
         c = q + r.choice(NUM_COLS[t])
-        return r.choice([
+        pick = r.random()
+        if pick < 0.12:
+            # DISTINCT aggregates (reference executor.rs COUNT(DISTINCT));
+            # % stays int-only (SQLite casts % operands to int — dialect)
+            ic = q + r.choice(INT_COLS[t])
+            d = f"({ic} % {r.randint(2, 7)})" if r.random() < 0.5 else c
+            return r.choice([f"count(DISTINCT {d})", f"sum(DISTINCT {d})",
+                             f"min(DISTINCT {d})"])
+        base = r.choice([
             "count(*)", f"count({c})", f"sum({c})", f"avg({c})",
             f"min({c})", f"max({c})",
         ])
+        if pick < 0.3:
+            # aggregate FILTER clause (SQL:2003; SQLite 3.30+)
+            return f"{base} FILTER (WHERE {self.pred(t, q)})"
+        return base
 
     # ---- statement families -------------------------------------------
 
@@ -313,6 +325,24 @@ class Gen:
             f"FROM users WHERE {self.pred('users')}"
         )
 
+    def derived(self):
+        """Derived tables in FROM: aggregate inside, filter/join outside."""
+        r = self.rng
+        t = r.choice(list(NUM_COLS))
+        grp = r.choice(NUM_COLS[t] + TEXT_COLS[t])
+        inner = (f"SELECT {grp} AS g, {self.agg(t)} AS m, count(*) AS n "
+                 f"FROM {t} WHERE {self.pred(t)} GROUP BY {grp}")
+        if r.random() < 0.5:
+            return (f"SELECT d.g, d.m FROM ({inner}) d "
+                    f"WHERE d.n > {r.randint(0, 3)}")
+        # join the derived table back against its base table
+        key = NUM_COLS[t][0]
+        return (
+            f"SELECT d.g, d.n, count(*) FROM ({inner}) d "
+            f"JOIN {t} ON {t}.{grp} = d.g "
+            f"WHERE {t}.{key} < {r.randint(50, 400)} GROUP BY d.g, d.n"
+        )
+
     def setop(self):
         r = self.rng
         op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
@@ -328,6 +358,8 @@ class Gen:
             "sum(amount)", "count(*)",
             "first_value(amount)", "last_value(amount)",
             "nth_value(amount, 2)",
+            f"lag(oid, {r.randint(1, 3)}, -1)", "lead(qty)",
+            "percent_rank()", "cume_dist()",
         ])
         framable = fn.startswith(("sum", "count", "first", "last", "nth"))
         frame = ""
@@ -406,9 +438,11 @@ class Gen:
             return self.join2()
         if r < 0.62:
             return self.join3()
-        if r < 0.78:
+        if r < 0.75:
             return self.subquery()
-        if r < 0.87:
+        if r < 0.82:
+            return self.derived()
+        if r < 0.88:
             return self.setop()
         if r < 0.94:
             return self.window()

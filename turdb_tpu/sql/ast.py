@@ -513,7 +513,13 @@ def render_expr(e) -> str:
         return f"({render_expr(e.operand)} IS {'NOT ' if e.negated else ''}NULL)"
     if isinstance(e, FuncCall):
         inner = "*" if e.star else ", ".join(render_expr(a) for a in e.args)
-        return f"{e.name}({'DISTINCT ' if e.distinct else ''}{inner})"
+        out = f"{e.name}({'DISTINCT ' if e.distinct else ''}{inner})"
+        # FILTER is part of the aggregate's identity: the engine dedups
+        # aggregates by rendered text, so count(*) FILTER (WHERE p) must
+        # not collapse into a bare count(*) (differential-fuzz-found)
+        if e.filter is not None:
+            out += f" FILTER (WHERE {render_expr(e.filter)})"
+        return out
     if isinstance(e, Cast):
         return f"CAST({render_expr(e.operand)} AS {e.type_name})"
     if isinstance(e, Case):
