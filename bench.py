@@ -284,6 +284,56 @@ def bench_oltp():
         EXTRA["oltp"] = out
     except Exception as e:
         log(f"oltp FAILED: {str(e)[:120]}")
+    _bench_analytic()
+
+
+def _bench_analytic(n=1_000_000):
+    """Sequential-scan / aggregation throughput at 1M rows (reference
+    design target >1M rows/s sequential scan, lib.rs:65) vs the bundled
+    sqlite3 — host columnar path, no TPU."""
+    import sqlite3
+    import tempfile
+
+    from turdb_tpu.database.api import Database
+
+    queries = [
+        ("scan_agg", "SELECT sum(v), count(*) FROM t"),
+        ("group_by", "SELECT grp, sum(v) FROM t GROUP BY grp"),
+        ("filter_count",
+         "SELECT count(*) FROM t WHERE v > 100000 AND grp < 500"),
+    ]
+    try:
+        out = {}
+        ids = np.arange(n)
+        grps, vs = ids % 1000, (ids * 0.5).astype(np.float64)
+        db = Database.create(tempfile.mkdtemp() + "/scan")
+        db.execute("PRAGMA wal = off")
+        db.execute("CREATE TABLE t (id INT, grp INT, v DOUBLE)")
+        t0 = time.perf_counter()
+        db.bulk_insert("t", {"id": ids, "grp": grps, "v": vs})
+        out["bulk_load_rps"] = round(n / (time.perf_counter() - t0))
+        lite = sqlite3.connect(tempfile.mkdtemp() + "/l.db")
+        lite.execute("PRAGMA journal_mode = off")
+        lite.execute("CREATE TABLE t (id INT, grp INT, v DOUBLE)")
+        lite.executemany("INSERT INTO t VALUES (?,?,?)",
+                         zip(ids.tolist(), grps.tolist(), vs.tolist()))
+        for tag, sql in queries:
+            db.query(sql)
+            t0 = time.perf_counter()
+            db.query(sql)
+            out[f"{tag}_mrps"] = round(n / (time.perf_counter() - t0) / 1e6, 1)
+            lite.execute(sql).fetchall()
+            t0 = time.perf_counter()
+            lite.execute(sql).fetchall()
+            out[f"{tag}_sqlite_mrps"] = round(
+                n / (time.perf_counter() - t0) / 1e6, 1
+            )
+        db.close()
+        lite.close()
+        log(f"analytic: {out}")
+        EXTRA["analytic_1m"] = out
+    except Exception as e:
+        log(f"analytic FAILED: {str(e)[:120]}")
 
 
 def wait_for_backend(
