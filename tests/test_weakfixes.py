@@ -245,3 +245,53 @@ class TestOnUpdateForeignKeys:
         db.execute("INSERT INTO c2 VALUES (1)")
         db.execute("UPDATE p2 SET id = 2 WHERE id = 1")
         assert db.query("SELECT pid FROM c2") == [(1,)]
+
+
+def test_delete_using(tmp_path):
+    """DELETE .. USING (reference ast.rs:318 / parser.rs:1739): planned
+    as a hash equi-join like UPDATE..FROM; multi-match deletes once;
+    residual predicates and RETURNING apply."""
+    db = Database.create(str(tmp_path / "du"))
+    db.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    db.execute("CREATE TABLE kill (id INT)")
+    for i in range(10):
+        db.execute(f"INSERT INTO t VALUES ({i}, {i * 10})")
+    for i in (3, 7, 5, 5):     # 5 twice: join matches must dedupe
+        db.execute(f"INSERT INTO kill VALUES ({i})")
+    r = db.execute("DELETE FROM t USING kill WHERE t.id = kill.id")
+    assert r.rows_affected == 3
+    assert [x[0] for x in db.query("SELECT id FROM t ORDER BY id")] == \
+        [0, 1, 2, 4, 6, 8, 9]
+    # alias + residual + RETURNING
+    r = db.execute("DELETE FROM t USING kill k "
+                   "WHERE t.id = k.id + 1 AND t.v > 50 RETURNING id, v")
+    assert sorted(r.rows) == [(6, 60), (8, 80)]
+    db.close()
+
+
+def test_for_update_wait_policies(tmp_path):
+    """FOR UPDATE NOWAIT raises on a held lock; SKIP LOCKED drops the
+    locked rows from the result (reference parser.rs:549-554
+    WaitPolicy)."""
+    from turdb_tpu.mvcc.manager import TxnConflict
+
+    db = Database.create(str(tmp_path / "wp"))
+    db.execute("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    for i in range(5):
+        db.execute(f"INSERT INTO t VALUES ({i}, {i})")
+    h2 = db.handle()
+    db.execute("BEGIN")
+    assert db.query("SELECT id FROM t WHERE id < 2 FOR UPDATE") == \
+        [(0,), (1,)]
+    h2.execute("BEGIN")
+    with pytest.raises(TxnConflict):
+        h2.query("SELECT id FROM t WHERE id < 2 FOR UPDATE NOWAIT")
+    assert h2.query(
+        "SELECT id FROM t WHERE id < 4 FOR UPDATE SKIP LOCKED"
+    ) == [(2,), (3,)]
+    # rows acquired via SKIP LOCKED are now locked against the first txn
+    with pytest.raises(TxnConflict):
+        db.execute("UPDATE t SET v = 99 WHERE id = 2")
+    h2.execute("COMMIT")
+    db.execute("ROLLBACK")
+    db.close()

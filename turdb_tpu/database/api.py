@@ -695,7 +695,7 @@ class Database:
         with timed("query"):
             batch = self.engine.run_select(stmt, ctx)
         if stmt.for_update and self._txn is not None:
-            self._lock_batch_rows(batch)
+            batch = self._lock_batch_rows(batch, stmt.for_update)
         return _batch_to_rows(batch)
 
     def prepare(self, sql: str) -> "PreparedStatement":
@@ -1372,16 +1372,35 @@ class Database:
         b.add(q, ROWID, Col(info.table.rowids[idx].copy()))
         return b
 
-    def _lock_batch_rows(self, batch: Batch):
+    def _lock_batch_rows(self, batch: Batch, policy="wait") -> Batch:
+        """Lock every result row. `policy` (reference ast.rs WaitPolicy):
+        'wait'/'nowait' raise TxnConflict on a held lock (a single-process
+        engine cannot block on itself, so WAIT degenerates to NOWAIT);
+        'skip locked' drops conflicting rows from the result instead."""
+        from turdb_tpu.mvcc.manager import TxnConflict
+
+        skip = policy == "skip locked"
         for (q, nm), c in zip(batch.names, batch.cols):
             if nm == ROWID:
-                for r in c.values:
+                keep = []
+                for i, r in enumerate(c.values):
                     # table name unknown at this level; FOR UPDATE locks via
                     # qualifier when it names a real table
+                    ok = True
                     for tables in self.catalog.values():
                         if q in tables:
-                            self.mgr.lock_row(q, int(r), self._txn)
+                            try:
+                                self.mgr.lock_row(q, int(r), self._txn)
+                            except TxnConflict:
+                                if not skip:
+                                    raise
+                                ok = False
+                    if ok:
+                        keep.append(i)
+                if skip and len(keep) < batch.n:
+                    return batch.take(np.array(keep, np.int64))
                 break
+        return batch
 
     # ------------------------------------------------------------------
     # PRAGMA / EXPLAIN (reference pragma.rs, config.rs)

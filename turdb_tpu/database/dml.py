@@ -781,20 +781,42 @@ def execute_delete(db, stmt: A.Delete, params, txn):
     ctx = db._ctx(params, txn)
     fire_statement_triggers(db, info, "DELETE", "BEFORE", ctx, txn)
     src = None
-    if stmt.where is not None:
+    if stmt.using is None and stmt.where is not None:
         # index point/range probe before falling back to a full scan
         src = db._try_index_scan(stmt.table, stmt.where, ctx)
     if src is None:
         src = db._scan_batch(stmt.table, ctx)
-    if stmt.where is not None:
+    if stmt.using is not None:
+        # DELETE .. USING (reference ast.rs:318 / parser.rs:1739):
+        # plan like UPDATE..FROM — equality conjuncts linking the target
+        # to the USING source become a hash equi-join; residual filters
+        right = db.engine._from(stmt.using, ctx)
+        from turdb_tpu.sql.engine import _cross_join, _hash_join, _split_equi
+
+        equis, residual = (
+            _split_equi(stmt.where, src, right)
+            if stmt.where is not None
+            else ([], None)
+        )
+        if equis:
+            src = _hash_join(src, right, equis, residual, "inner", ctx)
+        else:
+            src = _cross_join(src, right, None, ctx)
+            if stmt.where is not None:
+                c = eval_expr(stmt.where, src, ctx)
+                src = src.take(
+                    np.flatnonzero(c.values.astype(bool) & ~c.nulls)
+                )
+    elif stmt.where is not None:
         c = eval_expr(stmt.where, src, ctx)
         src = src.take(np.flatnonzero(c.values.astype(bool) & ~c.nulls))
     q = stmt.table.alias or stmt.table.name
     rid_col = src.resolve(ROWID, q)
 
-    # RETURNING data must be captured before deletion
+    # RETURNING data must be captured before deletion; USING joins can
+    # match a target row more than once — delete it once
     ret = None
-    rowids = [int(r) for r in rid_col.values]
+    rowids = list(dict.fromkeys(int(r) for r in rid_col.values))
     if stmt.returning:
         ret = _returning(db, info, rowids, stmt.returning, ctx)
 

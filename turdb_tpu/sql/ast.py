@@ -235,7 +235,9 @@ class Select:
     distinct: bool = False
     ctes: list = field(default_factory=list)         # [CTE]
     set_op: Optional[tuple] = None   # ('UNION'|'INTERSECT'|'EXCEPT', all, Select)
-    for_update: bool = False
+    # False = absent; 'wait' | 'nowait' | 'skip locked' (reference
+    # ast.rs WaitPolicy). Truthy test = "is FOR UPDATE" stays valid.
+    for_update: Any = False
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +269,7 @@ class Delete:
     table: TableRef
     where: Optional[Expr] = None
     returning: Optional[list] = None
+    using: Any = None       # DELETE .. USING <from> (reference ast.rs:318)
 
 
 @dataclass

@@ -569,7 +569,19 @@ class Parser:
             sel.offset = self._expr()
         if self.accept_kw("FOR"):
             self.expect_kw("UPDATE")
-            sel.for_update = True
+            sel.for_update = "wait"
+            # wait policy (reference parser.rs:549-554 WaitPolicy)
+            t = self.peek()
+            if t.type is T.IDENT and t.value.upper() == "NOWAIT":
+                self.next()
+                sel.for_update = "nowait"
+            elif t.type is T.IDENT and t.value.upper() == "SKIP":
+                self.next()
+                t2 = self.peek()
+                if not (t2.type is T.IDENT and t2.value.upper() == "LOCKED"):
+                    self.error("expected LOCKED after SKIP")
+                self.next()
+                sel.for_update = "skip locked"
         return sel
 
     def _wrap_setop(self, lhs, op, all_, rhs):
@@ -909,9 +921,10 @@ class Parser:
         self.expect_kw("DELETE")
         self.expect_kw("FROM")
         table = self._table_ref(allow_alias=True)
+        using = self._table_expr() if self.accept_kw("USING") else None
         where = self._expr() if self.accept_kw("WHERE") else None
         returning = self._returning()
-        return A.Delete(table, where, returning)
+        return A.Delete(table, where, returning, using)
 
     # -- DDL ---------------------------------------------------------------
 
