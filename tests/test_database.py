@@ -10,6 +10,7 @@ from turdb_tpu.database.api import (
     ConstraintViolation,
     Database,
     DatabaseError,
+    SqlError,
 )
 
 
@@ -1669,3 +1670,180 @@ def test_filtered_and_plain_aggregate_coexist(db):
         "SELECT count(*) FILTER (WHERE v > 10), "
         "count(*) FILTER (WHERE v > 6), count(*) FROM fa"
     ) == [(1, 3, 4)]
+
+
+def test_fetch_first_and_offset_rows(db):
+    """SQL-standard FETCH {FIRST|NEXT} n {ROW|ROWS} ONLY and
+    OFFSET n ROWS (reference lexes FETCH, never parses it)."""
+    db.execute("CREATE TABLE ff (a INT)")
+    for i in range(6):
+        db.execute(f"INSERT INTO ff VALUES ({i})")
+    assert db.query(
+        "SELECT a FROM ff ORDER BY a FETCH FIRST 2 ROWS ONLY"
+    ) == [(0,), (1,)]
+    assert db.query(
+        "SELECT a FROM ff ORDER BY a OFFSET 2 ROWS FETCH NEXT 2 ROWS ONLY"
+    ) == [(2,), (3,)]
+    assert db.query(
+        "SELECT a FROM ff ORDER BY a DESC FETCH FIRST ROW ONLY"
+    ) == [(5,)]
+    assert db.query(
+        "SELECT a FROM ff UNION SELECT a + 10 FROM ff "
+        "ORDER BY a FETCH FIRST 3 ROWS ONLY"
+    ) == [(0,), (1,), (2,)]
+
+
+def test_aggregate_order_by(db):
+    """agg(x ORDER BY keys) for order-sensitive aggregates; rendered
+    into the aggregate's identity so differently-ordered aggs coexist;
+    order-insensitive aggregates reject it."""
+    db.execute("CREATE TABLE ao (a INT, g TEXT, b TEXT)")
+    for a, g, b in [(3, 'x', 'c'), (1, 'x', 'a'), (2, 'x', 'b'),
+                    (5, 'y', 'e'), (4, 'y', 'd')]:
+        db.execute(f"INSERT INTO ao VALUES ({a}, '{g}', '{b}')")
+    assert db.query(
+        "SELECT g, string_agg(b, ',' ORDER BY a) FROM ao "
+        "GROUP BY g ORDER BY g"
+    ) == [('x', 'a,b,c'), ('y', 'd,e')]
+    assert db.query(
+        "SELECT g, string_agg(b, ',' ORDER BY a), "
+        "string_agg(b, ',' ORDER BY a DESC) FROM ao GROUP BY g ORDER BY g"
+    ) == [('x', 'a,b,c', 'c,b,a'), ('y', 'd,e', 'e,d')]
+    assert db.query("SELECT array_agg(a ORDER BY b DESC) FROM ao") == \
+        [([5, 4, 3, 2, 1],)]
+    with pytest.raises(SqlError):
+        db.query("SELECT sum(a ORDER BY b) FROM ao")
+
+
+def test_similar_to(db):
+    """[NOT] SIMILAR TO: LIKE wildcards + the SQL regex subset
+    (| * + ? () [] {}), other characters literal, full-anchored."""
+    db.execute("CREATE TABLE st (b TEXT)")
+    for w in ["w0", "w1", "w5", "abc", "a.c", "xyz"]:
+        db.execute(f"INSERT INTO st VALUES ('{w}')")
+    q = lambda p: [r[0] for r in db.query(
+        f"SELECT b FROM st WHERE b SIMILAR TO '{p}' ORDER BY b")]
+    assert q("w[0-3]") == ["w0", "w1"]
+    assert q("(abc|xyz)") == ["abc", "xyz"]
+    assert q("a.c") == ["a.c"]          # dot is literal in SQL regex
+    assert q("a_c") == ["a.c", "abc"]
+    assert q("w[0-9]{1}") == ["w0", "w1", "w5"]
+    assert [r[0] for r in db.query(
+        "SELECT b FROM st WHERE b NOT SIMILAR TO 'w%' ORDER BY b"
+    )] == ["a.c", "abc", "xyz"]
+
+
+def test_unnest_table_function(db):
+    """UNNEST(arrays..) [WITH ORDINALITY] [AS t(cols..)] in FROM
+    (reference lexes UNNEST/ORDINALITY, never parses; PostgreSQL
+    semantics: multi-array zip NULL-pads to the longest)."""
+    assert db.query("SELECT * FROM unnest(ARRAY[1,2,3])") == \
+        [(1,), (2,), (3,)]
+    assert db.query(
+        "SELECT x, o FROM unnest(ARRAY['a','b']) WITH ORDINALITY AS t(x, o)"
+    ) == [('a', 1), ('b', 2)]
+    assert db.query(
+        "SELECT * FROM unnest(ARRAY[1,2], ARRAY['x','y','z'])"
+    ) == [(1, 'x'), (2, 'y'), (None, 'z')]
+    assert db.query("SELECT sum(unnest) FROM unnest(ARRAY[1,2,3])") == \
+        [(6,)]
+    assert db.query(
+        "SELECT t.x, s.n FROM unnest(ARRAY[1,2]) AS t(x) "
+        "JOIN unnest(ARRAY[2,3]) AS s(n) ON t.x = s.n"
+    ) == [(2, 2)]
+
+
+def test_ordered_set_aggregates(db):
+    """percentile_cont / percentile_disc / mode() WITHIN GROUP
+    (ORDER BY ..) — PostgreSQL 9.21.4 semantics, grouped + FILTER."""
+    db.execute("CREATE TABLE os (g TEXT, a INT)")
+    for g, a in [('x', 1), ('x', 2), ('x', 3), ('x', 4),
+                 ('y', 10), ('y', 20), ('y', 20), ('y', 30)]:
+        db.execute(f"INSERT INTO os VALUES ('{g}', {a})")
+    assert db.query(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a) FROM os"
+    ) == [(7.0,)]
+    assert db.query(
+        "SELECT g, percentile_cont(0.5) WITHIN GROUP (ORDER BY a), "
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY a), "
+        "mode() WITHIN GROUP (ORDER BY a) FROM os GROUP BY g ORDER BY g"
+    ) == [('x', 2.5, 2, 1), ('y', 20.0, 20, 20)]
+    assert db.query(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a) "
+        "FILTER (WHERE g = 'y') FROM os"
+    ) == [(20.0,)]
+    with pytest.raises(SqlError):
+        db.query("SELECT percentile_cont(0.5) FROM os")
+    with pytest.raises(SqlError):
+        db.query("SELECT percentile_cont(1.5) WITHIN GROUP "
+                 "(ORDER BY a) FROM os")
+
+
+def test_grouping_sets_rollup_cube(db):
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS + grouping() bitmask
+    (reference lexes the keywords, lexer.rs:421-476, never parses them;
+    PostgreSQL 7.2.4 semantics)."""
+    db.execute("CREATE TABLE gsr (a TEXT, b TEXT, c INT)")
+    for a, b, c in [('x', 'p', 1), ('x', 'q', 2), ('y', 'p', 4),
+                    ('y', 'q', 8), ('y', 'q', 16)]:
+        db.execute(f"INSERT INTO gsr VALUES ('{a}', '{b}', {c})")
+    assert db.query(
+        "SELECT a, b, sum(c) FROM gsr GROUP BY ROLLUP (a, b) "
+        "ORDER BY 1 NULLS LAST, 2 NULLS LAST"
+    ) == [('x', 'p', 1), ('x', 'q', 2), ('x', None, 3),
+          ('y', 'p', 4), ('y', 'q', 24), ('y', None, 28),
+          (None, None, 31)]
+    assert db.query(
+        "SELECT a, b, sum(c) FROM gsr GROUP BY CUBE (a, b) "
+        "ORDER BY 1 NULLS LAST, 2 NULLS LAST"
+    ) == [('x', 'p', 1), ('x', 'q', 2), ('x', None, 3),
+          ('y', 'p', 4), ('y', 'q', 24), ('y', None, 28),
+          (None, 'p', 5), (None, 'q', 26), (None, None, 31)]
+    assert db.query(
+        "SELECT a, b, sum(c) FROM gsr GROUP BY GROUPING SETS "
+        "((a), (b), ()) ORDER BY 1 NULLS LAST, 2 NULLS LAST"
+    ) == [('x', None, 3), ('y', None, 28),
+          (None, 'p', 5), (None, 'q', 26), (None, None, 31)]
+    # grouping() bitmask: leftmost argument = most significant bit
+    assert db.query(
+        "SELECT a, grouping(a), grouping(a, b), sum(c) FROM gsr "
+        "GROUP BY ROLLUP (a, b) ORDER BY 1 NULLS LAST, 3, 4"
+    )[-1] == (None, 1, 3, 31)
+    # plain keys compose with constructs by cross product
+    assert db.query(
+        "SELECT a, b, sum(c) FROM gsr GROUP BY a, ROLLUP (b) "
+        "ORDER BY 1, 2 NULLS LAST"
+    ) == [('x', 'p', 1), ('x', 'q', 2), ('x', None, 3),
+          ('y', 'p', 4), ('y', 'q', 24), ('y', None, 28)]
+    # HAVING sees grouping()
+    assert db.query(
+        "SELECT a, sum(c) FROM gsr GROUP BY ROLLUP (a) "
+        "HAVING grouping(a) = 1"
+    ) == [(None, 31)]
+    # empty input: only the () set emits its global row
+    db.execute("CREATE TABLE gse (a TEXT, c INT)")
+    assert db.query(
+        "SELECT a, count(*) FROM gse GROUP BY ROLLUP (a)"
+    ) == [(None, 0)]
+
+
+def test_distinct_on(db):
+    """SELECT DISTINCT ON (exprs): first row per key in ORDER BY order
+    (PostgreSQL; reference AST carries Distinct::DistinctOn, ast.rs:157,
+    its parser never emits it)."""
+    db.execute("CREATE TABLE don (uid INT, oid INT, amt INT)")
+    for uid, oid, amt in [(1, 10, 5), (1, 11, 9), (2, 20, 3),
+                          (2, 21, 1), (2, 22, 7)]:
+        db.execute(f"INSERT INTO don VALUES ({uid}, {oid}, {amt})")
+    assert db.query(
+        "SELECT DISTINCT ON (uid) uid, oid, amt FROM don "
+        "ORDER BY uid, amt DESC"
+    ) == [(1, 11, 9), (2, 22, 7)]
+    # key not in the output resolves against the pre-projection source
+    assert db.query(
+        "SELECT DISTINCT ON (uid) oid FROM don ORDER BY uid, amt"
+    ) == [(10,), (21,)]
+    assert db.query(
+        "SELECT DISTINCT ON (uid % 2) uid, amt FROM don "
+        "ORDER BY uid % 2, amt DESC"
+    ) == [(2, 7), (1, 9)]

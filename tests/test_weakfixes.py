@@ -7,7 +7,7 @@ import tempfile
 import numpy as np
 import pytest
 
-from turdb_tpu.database.api import Database
+from turdb_tpu.database.api import Database, SqlError
 
 
 @pytest.fixture()
@@ -294,4 +294,49 @@ def test_for_update_wait_policies(tmp_path):
         db.execute("UPDATE t SET v = 99 WHERE id = 2")
     h2.execute("COMMIT")
     db.execute("ROLLBACK")
+    db.close()
+
+
+def test_for_clause_modes_and_of(tmp_path):
+    """FOR SHARE / NO KEY UPDATE / KEY SHARE parse and lock (exclusive —
+    conservative superset); OF restricts which joined tables get locked
+    and errors when it names nothing in the result (reference
+    parser.rs:505-560 ForClause)."""
+    from turdb_tpu.mvcc.manager import TxnConflict
+
+    db = Database.create(str(tmp_path / "fm"))
+    db.execute("CREATE TABLE a (id INT PRIMARY KEY, v INT)")
+    db.execute("CREATE TABLE b (id INT PRIMARY KEY, w INT)")
+    for i in range(4):
+        db.execute(f"INSERT INTO a VALUES ({i}, {i})")
+        db.execute(f"INSERT INTO b VALUES ({i}, {i * 2})")
+    h2 = db.handle()
+    db.execute("BEGIN")
+    assert db.query(
+        "SELECT a.id FROM a JOIN b ON a.id = b.id WHERE a.id = 1 "
+        "FOR SHARE OF b"
+    ) == [(1,)]
+    h2.execute("BEGIN")
+    with pytest.raises(TxnConflict):
+        h2.execute("UPDATE b SET w = 9 WHERE id = 1")
+    h2.execute("UPDATE a SET v = 9 WHERE id = 1")   # a NOT locked (OF b)
+    h2.execute("ROLLBACK")
+    db.execute("ROLLBACK")
+    db.execute("BEGIN")
+    assert len(db.query("SELECT id FROM a FOR NO KEY UPDATE")) == 4
+    assert len(db.query("SELECT id FROM b FOR KEY SHARE NOWAIT")) == 4
+    with pytest.raises(SqlError):
+        db.query("SELECT id FROM a FOR UPDATE OF nosuch")
+    db.execute("ROLLBACK")
+    # without OF, a join under FOR UPDATE locks BOTH tables
+    db.execute("BEGIN")
+    db.query("SELECT a.id FROM a JOIN b ON a.id = b.id "
+             "WHERE a.id = 2 FOR UPDATE")
+    h2.execute("BEGIN")
+    with pytest.raises(TxnConflict):
+        h2.execute("UPDATE a SET v = 1 WHERE id = 2")
+    with pytest.raises(TxnConflict):
+        h2.execute("UPDATE b SET w = 1 WHERE id = 2")
+    h2.execute("ROLLBACK")
+    db.execute("COMMIT")
     db.close()

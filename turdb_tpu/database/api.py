@@ -1372,34 +1372,42 @@ class Database:
         b.add(q, ROWID, Col(info.table.rowids[idx].copy()))
         return b
 
-    def _lock_batch_rows(self, batch: Batch, policy="wait") -> Batch:
-        """Lock every result row. `policy` (reference ast.rs WaitPolicy):
-        'wait'/'nowait' raise TxnConflict on a held lock (a single-process
-        engine cannot block on itself, so WAIT degenerates to NOWAIT);
-        'skip locked' drops conflicting rows from the result instead."""
+    def _lock_batch_rows(self, batch: Batch, clause) -> Batch:
+        """Lock every result row per a FOR locking clause (reference
+        ast.rs ForClause). All lock modes take exclusive row locks
+        (single-writer MVCC has no shared locks — conservative superset).
+        Policies: 'wait'/'nowait' raise TxnConflict on a held lock (a
+        single-process engine cannot block on itself, so WAIT degenerates
+        to NOWAIT); 'skip locked' drops conflicting rows instead. OF
+        restricts which tables' rows get locked."""
         from turdb_tpu.mvcc.manager import TxnConflict
 
-        skip = policy == "skip locked"
+        skip = clause.policy == "skip locked"
+        of = set(clause.tables) if clause.tables else None
+        keep = np.ones(batch.n, bool)
+        locked_any = False
         for (q, nm), c in zip(batch.names, batch.cols):
-            if nm == ROWID:
-                keep = []
-                for i, r in enumerate(c.values):
-                    # table name unknown at this level; FOR UPDATE locks via
-                    # qualifier when it names a real table
-                    ok = True
-                    for tables in self.catalog.values():
-                        if q in tables:
-                            try:
-                                self.mgr.lock_row(q, int(r), self._txn)
-                            except TxnConflict:
-                                if not skip:
-                                    raise
-                                ok = False
-                    if ok:
-                        keep.append(i)
-                if skip and len(keep) < batch.n:
-                    return batch.take(np.array(keep, np.int64))
-                break
+            if nm != ROWID or (of is not None and q not in of):
+                continue
+            # table name unknown at this level; the FOR clause locks via
+            # qualifier when it names a real table
+            if not any(q in tables for tables in self.catalog.values()):
+                continue
+            locked_any = True
+            for i, r in enumerate(c.values):
+                try:
+                    self.mgr.lock_row(q, int(r), self._txn)
+                except TxnConflict:
+                    if not skip:
+                        raise
+                    keep[i] = False
+        if of is not None and not locked_any:
+            raise SqlError(
+                f"FOR {clause.mode.upper()} OF: no lockable table named "
+                f"{', '.join(sorted(of))} in the result"
+            )
+        if skip and not keep.all():
+            return batch.take(np.flatnonzero(keep))
         return batch
 
     # ------------------------------------------------------------------

@@ -74,6 +74,7 @@ class Like(Expr):
     negated: bool = False
     case_insensitive: bool = False   # ILIKE
     escape: Optional[Expr] = None    # ESCAPE 'c'
+    similar: bool = False            # SIMILAR TO (SQL regex subset)
 
 
 @dataclass
@@ -128,6 +129,8 @@ class FuncCall(Expr):
     star: bool = False            # COUNT(*)
     filter: Optional[Expr] = None  # FILTER (WHERE ...)
     over: Optional["WindowSpec"] = None
+    order_by: list = field(default_factory=list)  # agg(x ORDER BY ..)
+    within_group: bool = False    # fn(..) WITHIN GROUP (ORDER BY ..)
 
 
 @dataclass
@@ -228,16 +231,41 @@ class Select:
     from_: Any = None                                # TableRef|SubqueryRef|Join|None
     where: Optional[Expr] = None
     group_by: list = field(default_factory=list)
+    grouping_sets: Optional[list] = None   # ROLLUP/CUBE/GROUPING SETS
     having: Optional[Expr] = None
     order_by: list = field(default_factory=list)     # [OrderItem]
     limit: Optional[Expr] = None
     offset: Optional[Expr] = None
     distinct: bool = False
+    distinct_on: Optional[list] = None   # DISTINCT ON (exprs)
     ctes: list = field(default_factory=list)         # [CTE]
     set_op: Optional[tuple] = None   # ('UNION'|'INTERSECT'|'EXCEPT', all, Select)
-    # False = absent; 'wait' | 'nowait' | 'skip locked' (reference
-    # ast.rs WaitPolicy). Truthy test = "is FOR UPDATE" stays valid.
+    # False = absent, else a LockClause (reference ast.rs ForClause).
+    # Truthy test = "has a FOR locking clause" stays valid.
     for_update: Any = False
+
+
+@dataclass
+class TableFunc:
+    """Table function in FROM: UNNEST(arrays..) [WITH ORDINALITY]
+    [AS alias [(col_aliases..)]] (reference lexes UNNEST/ORDINALITY,
+    never parses them; PostgreSQL 7.2.1.4 semantics)."""
+    name: str
+    args: list = field(default_factory=list)
+    ordinality: bool = False
+    alias: Optional[str] = None
+    col_aliases: Optional[list] = None
+
+
+@dataclass
+class LockClause:
+    """FOR {UPDATE | NO KEY UPDATE | SHARE | KEY SHARE} [OF tables]
+    [NOWAIT | SKIP LOCKED] (reference ast.rs:132-157 ForClause). All
+    modes take the same exclusive row locks here (single-writer MVCC
+    has no shared locks; exclusive is the conservative superset)."""
+    mode: str = "update"      # update | no key update | share | key share
+    tables: Optional[list] = None    # OF t1, t2 (restricts lock targets)
+    policy: str = "wait"             # wait | nowait | skip locked
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +544,17 @@ def render_expr(e) -> str:
         return f"({render_expr(e.operand)} IS {'NOT ' if e.negated else ''}NULL)"
     if isinstance(e, FuncCall):
         inner = "*" if e.star else ", ".join(render_expr(a) for a in e.args)
+        ob_txt = ""
+        if e.order_by:
+            ob_txt = "ORDER BY " + ", ".join(
+                render_expr(ob.expr) + (" DESC" if ob.desc else "")
+                for ob in e.order_by
+            )
+        if ob_txt and not e.within_group:
+            inner += " " + ob_txt
         out = f"{e.name}({'DISTINCT ' if e.distinct else ''}{inner})"
+        if e.within_group:
+            out += f" WITHIN GROUP ({ob_txt})"
         # FILTER is part of the aggregate's identity: the engine dedups
         # aggregates by rendered text, so count(*) FILTER (WHERE p) must
         # not collapse into a bare count(*) (differential-fuzz-found)

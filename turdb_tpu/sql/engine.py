@@ -82,6 +82,8 @@ class QueryEngine:
 
         if sel.order_by:
             out = self._order(out, sel.order_by, ctx, sel)
+        if sel.distinct_on:
+            out = self._distinct_on(out, sel, ctx)
         out = self._limit(out, sel, ctx)
         return out
 
@@ -225,7 +227,10 @@ class QueryEngine:
         )
 
         if has_agg:
-            out = self._aggregate(sel, src, ctx)
+            if sel.grouping_sets is not None:
+                out = self._grouping_sets_agg(sel, src, ctx)
+            else:
+                out = self._aggregate(sel, src, ctx)
         else:
             out = self._project(sel, src, ctx)
             if having_filter:
@@ -273,7 +278,51 @@ class QueryEngine:
             return out
         if isinstance(node, A.Join):
             return self._join(node, ctx)
+        if isinstance(node, A.TableFunc):
+            return self._table_func(node, ctx)
         raise SqlError(f"bad FROM node {type(node).__name__}")
+
+    def _table_func(self, node: A.TableFunc, ctx: EvalContext) -> Batch:
+        """UNNEST(a1, a2, ..) [WITH ORDINALITY]: each array becomes a
+        column; rows run to the longest array, shorter ones NULL-pad
+        (PostgreSQL multi-argument unnest semantics)."""
+        if node.name != "unnest":
+            raise SqlError(f"unknown table function {node.name}()")
+        lists = []
+        for a in node.args:
+            c = eval_expr(a, Batch(1), ctx)
+            if c.nulls[0]:
+                lists.append([])
+                continue
+            v = c.values[0]
+            if not isinstance(v, (list, tuple, np.ndarray)):
+                raise SqlError("unnest() argument must be an array")
+            lists.append([_py(x) for x in np.asarray(v).tolist()]
+                         if isinstance(v, np.ndarray) else list(v))
+        n = max((len(x) for x in lists), default=0)
+        q = node.alias or "unnest"
+        names = node.col_aliases
+        if names is not None:
+            want = len(lists) + (1 if node.ordinality else 0)
+            if len(names) != want:
+                raise SqlError(
+                    f"unnest alias has {len(names)} columns, needs {want}"
+                )
+        out = Batch(n)
+        for j, xs in enumerate(lists):
+            vals = np.empty(n, object)
+            nulls = np.ones(n, bool)
+            for i, x in enumerate(xs):
+                if x is not None:
+                    vals[i] = x
+                    nulls[i] = False
+            nm = (names[j] if names is not None
+                  else ("unnest" if len(lists) == 1 else f"unnest_{j + 1}"))
+            out.add(q, nm, _densify(Col(vals, nulls)))
+        if node.ordinality:
+            nm = names[-1] if names is not None else "ordinality"
+            out.add(q, nm, Col(np.arange(1, n + 1, dtype=np.int64)))
+        return out
 
     def _expand_view(self, vd, node: A.TableRef, ctx: EvalContext) -> Batch:
         """Run a view body as a subquery (reference parses views,
@@ -612,9 +661,13 @@ class QueryEngine:
             else:
                 col = eval_expr(expr, src, ctx)
             out.add(None, it.alias or _output_name(expr), col)
-        # keep hidden rowid for FOR UPDATE / DML RETURNING chains
+        # keep hidden rowids for FOR UPDATE / DML RETURNING chains — one
+        # per qualifier, so a FOR clause can lock EVERY joined table
+        # (reference ForClause locks all tables unless OF restricts)
         for (q, nm), c in zip(src.names, src.cols):
-            if nm == ROWID and all(n != ROWID for _, n in out.names):
+            if nm == ROWID and all(
+                not (qq == q and n == ROWID) for qq, n in out.names
+            ):
                 out.add(q, nm, c)
         return out
 
@@ -626,6 +679,41 @@ class QueryEngine:
     # ------------------------------------------------------------------
     # aggregation
     # ------------------------------------------------------------------
+
+    def _grouping_sets_agg(self, sel: A.Select, src: Batch,
+                           ctx: EvalContext) -> Batch:
+        """ROLLUP / CUBE / GROUPING SETS: run the grouped aggregation
+        once per expanded set and concatenate. Per set, the select list
+        and HAVING are rewritten — grouping(e..) folds to its bitmask
+        literal, key exprs NOT in the set fold to NULL (outside
+        aggregate calls) — so _aggregate itself stays unchanged."""
+        import dataclasses as dc
+
+        render = A.render_expr
+        all_keys = {render(e) for e in sel.group_by}
+        batches = []
+        for gs in sel.grouping_sets:
+            excluded = all_keys - {render(e) for e in gs}
+            items = []
+            for it in sel.items:
+                if isinstance(it, A.Star):
+                    raise SqlError("SELECT * with GROUP BY is not supported")
+                ne = _rewrite_gs(it.expr, excluded)
+                items.append(
+                    A.SelectItem(ne, it.alias or _output_name(it.expr))
+                )
+            sub = dc.replace(
+                sel, items=items, group_by=list(gs),
+                having=(_rewrite_gs(sel.having, excluded)
+                        if sel.having is not None else None),
+                order_by=[], limit=None, offset=None,
+                grouping_sets=None, set_op=None, ctes=[],
+            )
+            batches.append(self._aggregate(sub, src, ctx))
+        out = batches[0]
+        for b in batches[1:]:
+            out = out.concat(b)
+        return out
 
     def _aggregate(self, sel: A.Select, src: Batch, ctx: EvalContext) -> Batch:
         from turdb_tpu.sql.factorize import renumber_first_occurrence, row_codes
@@ -738,42 +826,66 @@ class QueryEngine:
     # ORDER BY / LIMIT
     # ------------------------------------------------------------------
 
+    def _resolve_order_col(self, out: Batch, e, ctx: EvalContext) -> Col:
+        """Resolve an ORDER BY / DISTINCT ON expression against the
+        output batch: position, output alias, post-agg batch, then the
+        pre-projection source."""
+        # positional: ORDER BY 2
+        if isinstance(e, A.Literal) and isinstance(e.value, int):
+            pos = e.value - 1
+            if not (0 <= pos < len(out.cols)):
+                raise SqlError(f"ORDER BY position {e.value} out of range")
+            return out.cols[pos]
+        # output alias / name
+        if isinstance(e, A.ColumnRef) and e.table is None:
+            for (q, nm), c in zip(out.names, out.cols):
+                if nm == e.name:
+                    return c
+        post = getattr(out, "_postagg", None)
+        if post is not None:
+            return _eval_postagg(e, post, ctx, getattr(out, "_group_by", []))
+        try:
+            return eval_expr(e, out, ctx)
+        except SqlError:
+            src = getattr(out, "_source", None)
+            if src is None:
+                raise SqlError(
+                    "cannot resolve ORDER BY expression "
+                    f"{A.render_expr(e)}"
+                )
+            return eval_expr(e, src, ctx)
+
     def _order(self, out: Batch, order_by, ctx: EvalContext, sel) -> Batch:
-        keys = []
-        for ob in order_by:
-            e = ob.expr
-            col = None
-            # positional: ORDER BY 2
-            if isinstance(e, A.Literal) and isinstance(e.value, int):
-                pos = e.value - 1
-                if not (0 <= pos < len(out.cols)):
-                    raise SqlError(f"ORDER BY position {e.value} out of range")
-                col = out.cols[pos]
-            # output alias / name
-            if col is None and isinstance(e, A.ColumnRef) and e.table is None:
-                for (q, nm), c in zip(out.names, out.cols):
-                    if nm == e.name:
-                        col = c
-                        break
-            if col is None:
-                post = getattr(out, "_postagg", None)
-                if post is not None:
-                    col = _eval_postagg(e, post, ctx, getattr(out, "_group_by", []))
-                else:
-                    try:
-                        col = eval_expr(e, out, ctx)
-                    except SqlError:
-                        src = getattr(out, "_source", None)
-                        if src is None:
-                            raise SqlError(
-                                "cannot resolve ORDER BY expression "
-                                f"{A.render_expr(e)}"
-                            )
-                        col = eval_expr(e, src, ctx)
-            keys.append((col, ob.desc, ob.nulls_last))
+        keys = [
+            (self._resolve_order_col(out, ob.expr, ctx),
+             ob.desc, ob.nulls_last)
+            for ob in order_by
+        ]
         idx = _sort_indices(keys, out.n)
         res = out.take(idx)
+        # propagate resolution context (same row permutation) so a later
+        # DISTINCT ON can resolve source/post-agg expressions
+        src = getattr(out, "_source", None)
+        if src is not None and src.n == out.n:
+            res._source = src.take(idx)
+        post = getattr(out, "_postagg", None)
+        if post is not None and post.n == out.n:
+            res._postagg = post.take(idx)
+            res._group_by = getattr(out, "_group_by", [])
         return res
+
+    def _distinct_on(self, out: Batch, sel: A.Select,
+                     ctx: EvalContext) -> Batch:
+        """SELECT DISTINCT ON (exprs): keep the FIRST row per key in the
+        post-ORDER BY order (PostgreSQL semantics; reference AST carries
+        Distinct::DistinctOn, ast.rs:157, parser never emits it)."""
+        from turdb_tpu.sql.factorize import factorize_col, combine_codes
+
+        cols = [self._resolve_order_col(out, e, ctx)
+                for e in sel.distinct_on]
+        codes = combine_codes([factorize_col(c) for c in cols])
+        _, first = np.unique(codes, return_index=True)
+        return out.take(np.sort(first))
 
     def _limit(self, out: Batch, sel: A.Select, ctx: EvalContext) -> Batch:
         off = int(_eval_scalar(sel.offset, ctx)) if sel.offset is not None else 0
@@ -1325,16 +1437,63 @@ _VECTOR_AGGS = frozenset([
 ])
 
 
+def _rewrite_gs(e, excluded: set):
+    """Grouping-sets per-set AST rewrite: `grouping(a, b)` folds to its
+    bitmask literal (1-bit per argument NOT in the current set, leftmost
+    arg = most significant — PostgreSQL GROUPING()); any expression that
+    renders equal to an EXCLUDED key folds to NULL. Aggregate-call
+    bodies are left intact (sum(b) still sees real b)."""
+    import dataclasses as dc
+
+    if not dc.is_dataclass(e) or isinstance(e, type):
+        return e
+    if isinstance(e, A.Expr) and A.render_expr(e) in excluded:
+        return A.Literal(None)
+    if isinstance(e, A.FuncCall):
+        if e.name == "grouping":
+            mask = 0
+            for a in e.args:
+                mask = (mask << 1) | (1 if A.render_expr(a) in excluded
+                                      else 0)
+            return A.Literal(mask)
+        if e.name in AGGREGATES and e.over is None:
+            return e
+    changes = {}
+    for f in dc.fields(e):
+        v = getattr(e, f.name)
+        if dc.is_dataclass(v) and not isinstance(v, type):
+            nv = _rewrite_gs(v, excluded)
+            if nv is not v:
+                changes[f.name] = nv
+        elif isinstance(v, list):
+            nl = [_rewrite_gs(x, excluded) if dc.is_dataclass(x) else x
+                  for x in v]
+            if any(a is not b for a, b in zip(nl, v)):
+                changes[f.name] = nl
+    return dc.replace(e, **changes) if changes else e
+
+
 def _eval_aggregate(node: A.FuncCall, src: Batch, ctx, group_of, ngroups) -> Col:
     """Segment aggregation over group codes — whole-column C kernels
     (bincount / add.at / minimum.at) instead of the reference's per-row
     accumulator pulls (executor.rs:1373)."""
     name = node.name
+    if node.order_by and not node.within_group and name not in (
+        "string_agg", "group_concat", "array_agg"
+    ):
+        raise SqlError(
+            f"ORDER BY inside {name}() is only supported for "
+            "string_agg / group_concat / array_agg"
+        )
     n = src.n
     mask = np.ones(n, bool)
     if node.filter is not None:
         c = eval_expr(node.filter, src, ctx)
         mask = c.values.astype(bool) & ~c.nulls
+
+    if name in ("percentile_cont", "percentile_disc", "mode"):
+        return _agg_ordered_set(node, name, src, ctx, mask, group_of,
+                                ngroups)
 
     if node.star:
         cnt = np.bincount(group_of[mask], minlength=ngroups)
@@ -1415,11 +1574,89 @@ def _agg_numeric(name, vals, valid, group_of, ngroups) -> Col:
     return Col(out, under)
 
 
+def _agg_ordered_set(node, name, src, ctx, mask, group_of, ngroups) -> Col:
+    """Ordered-set aggregates: percentile_cont / percentile_disc / mode
+    WITHIN GROUP (ORDER BY measure) — PostgreSQL 9.21.4 semantics."""
+    if not node.within_group or not node.order_by:
+        raise SqlError(f"{name}() requires WITHIN GROUP (ORDER BY ..)")
+    if len(node.order_by) != 1:
+        raise SqlError(f"{name}() takes exactly one ORDER BY expression")
+    if name == "mode":
+        if node.args:
+            raise SqlError("mode() takes no direct arguments")
+        frac = None
+    else:
+        if len(node.args) != 1:
+            raise SqlError(f"{name}(fraction) takes exactly one argument")
+        fc = eval_expr(node.args[0], Batch(1), ctx)
+        if fc.nulls[0]:
+            return Col(np.full(ngroups, None, object), np.ones(ngroups, bool))
+        frac = float(fc.values[0])
+        if not 0.0 <= frac <= 1.0:
+            raise SqlError(f"{name}() fraction must be in [0, 1]")
+    ob = node.order_by[0]
+    measure = eval_expr(ob.expr, src, ctx)
+    valid = mask & ~measure.nulls
+    keys = [(measure, ob.desc, ob.nulls_last)]
+    by_key = _sort_indices(keys, src.n)
+    by_key = by_key[valid[by_key]]
+    order = by_key[np.argsort(group_of[by_key], kind="stable")]
+    og = group_of[order]
+    bounds = np.flatnonzero(np.diff(og)) + 1
+    slices = np.split(order, bounds)
+    gids = og[np.concatenate([[0], bounds])] if len(order) else []
+    out_v = np.empty(ngroups, object)
+    out_n = np.ones(ngroups, bool)
+    vals_all = measure.values
+    for gid, sl in zip(gids, slices):
+        xs = vals_all[sl]
+        m = len(xs)
+        if m == 0:
+            continue
+        g = int(gid)
+        out_n[g] = False
+        if name == "mode":
+            # most frequent; ties break to the first in sort order
+            best, best_c, cur, cur_c = xs[0], 0, xs[0], 0
+            for x in xs:
+                if x == cur:
+                    cur_c += 1
+                else:
+                    cur, cur_c = x, 1
+                if cur_c > best_c:
+                    best, best_c = cur, cur_c
+            out_v[g] = _py(best)
+        elif name == "percentile_disc":
+            # first value whose cumulative fraction >= frac
+            idx = min(m - 1, max(0, int(np.ceil(frac * m)) - 1))
+            out_v[g] = _py(xs[idx])
+        else:   # percentile_cont: linear interpolation at frac*(m-1)
+            pos = frac * (m - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, m - 1)
+            w = pos - lo
+            out_v[g] = float(xs[lo]) * (1 - w) + float(xs[hi]) * w
+    return _densify(Col(out_v, out_n))
+
+
 def _agg_pergroup(node, name, arg: Col, valid, group_of, ngroups, src, ctx) -> Col:
     """Aggregates over object columns / list-building aggregates: one
     Python step per GROUP (sorted-slice lists), never per row."""
-    vi = np.flatnonzero(valid)
-    order = vi[np.argsort(group_of[vi], kind="stable")]
+    if node.order_by:
+        # agg(x ORDER BY keys): rows enter each group's list in key
+        # order (stable group-sort of an already key-sorted permutation);
+        # _eval_aggregate restricts this to order-sensitive aggregates
+        keys = [
+            (eval_expr(ob.expr, src, ctx), ob.desc, ob.nulls_last)
+            for ob in node.order_by
+        ]
+        by_key = _sort_indices(keys, src.n)
+        by_key = by_key[valid[by_key]]
+        order = by_key[np.argsort(group_of[by_key], kind="stable")]
+        vi = np.flatnonzero(valid)
+    else:
+        vi = np.flatnonzero(valid)
+        order = vi[np.argsort(group_of[vi], kind="stable")]
     og = group_of[order]
     bounds = np.flatnonzero(np.diff(og)) + 1
     slices = np.split(order, bounds)

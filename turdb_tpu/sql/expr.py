@@ -365,6 +365,45 @@ def _like_to_regex(pattern: str, esc: str | None = None) -> "re.Pattern":
     return re.compile("^" + "".join(out) + "$", re.DOTALL)
 
 
+def _similar_to_regex(pattern: str, esc: str | None = None) -> "re.Pattern":
+    """SQL SIMILAR TO → anchored Python regex. % and _ keep their LIKE
+    meaning; the SQL-regex metacharacters | * + ? ( ) [ ] { } pass
+    through; everything else matches literally (PostgreSQL 9.7.2)."""
+    import re
+
+    out = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if esc is not None and c == esc and i + 1 < n:
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "[":
+            # bracket expression passes through verbatim to its ]
+            j = pattern.find("]", i + 1 if pattern[i + 1 : i + 2] != "^"
+                             else i + 2)
+            if j < 0:
+                raise SqlError("unterminated [ in SIMILAR TO pattern")
+            out.append(pattern[i : j + 1])
+            i = j + 1
+            continue
+        elif c in "|*+?(){},0123456789":
+            out.append(c)    # SQL-regex metachars (and {m,n} digits)
+        else:
+            out.append(re.escape(c))
+        i += 1
+    try:
+        return re.compile("^(?:" + "".join(out) + ")$", re.DOTALL)
+    except re.error as e:
+        raise SqlError(f"invalid SIMILAR TO pattern: {e}")
+
+
 def _kleene_and(a: Col, b: Col) -> Col:
     av = a.values.astype(bool) & ~a.nulls
     bv = b.values.astype(bool) & ~b.nulls
@@ -493,7 +532,8 @@ def eval_expr(e, batch: Batch, ctx: EvalContext) -> Col:
             key = (ptxt, e.case_insensitive)
             rex = pat_cache.get(key)
             if rex is None:
-                rex = _like_to_regex(
+                to_rex = _similar_to_regex if e.similar else _like_to_regex
+                rex = to_rex(
                     ptxt.lower() if e.case_insensitive else ptxt, esc
                 )
                 pat_cache[key] = rex

@@ -32,6 +32,8 @@ AGGREGATES = {
     "count", "sum", "avg", "min", "max", "stddev", "stddev_samp", "variance",
     "var_samp", "string_agg", "group_concat", "array_agg", "bool_and",
     "bool_or", "total",
+    # ordered-set aggregates: fn(frac) WITHIN GROUP (ORDER BY x)
+    "percentile_cont", "percentile_disc", "mode",
 }
 
 WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "ntile", "lag", "lead",

@@ -61,6 +61,15 @@ class Parser:
         if not self.accept_kw(*names):
             self.error(f"expected {'/'.join(names)}")
 
+    def _accept_word(self, *names) -> bool:
+        """Accept a contextual (non-reserved) word: matches a KEYWORD or
+        an IDENT whose uppercase form is in `names`."""
+        t = self.peek()
+        if t.type in (T.KEYWORD, T.IDENT) and t.value.upper() in names:
+            self.next()
+            return True
+        return False
+
     def accept(self, ttype: T, value: str | None = None) -> bool:
         t = self.peek()
         if t.type is ttype and (value is None or t.value == value):
@@ -567,22 +576,69 @@ class Parser:
                 sel.limit = self._expr()
         if self.accept_kw("OFFSET"):
             sel.offset = self._expr()
+            self._accept_word("ROW", "ROWS")   # standard OFFSET n ROWS
+        self._fetch_clause(sel)
         if self.accept_kw("FOR"):
-            self.expect_kw("UPDATE")
-            sel.for_update = "wait"
-            # wait policy (reference parser.rs:549-554 WaitPolicy)
-            t = self.peek()
-            if t.type is T.IDENT and t.value.upper() == "NOWAIT":
-                self.next()
-                sel.for_update = "nowait"
-            elif t.type is T.IDENT and t.value.upper() == "SKIP":
-                self.next()
-                t2 = self.peek()
-                if not (t2.type is T.IDENT and t2.value.upper() == "LOCKED"):
-                    self.error("expected LOCKED after SKIP")
-                self.next()
-                sel.for_update = "skip locked"
+            sel.for_update = self._lock_clause()
         return sel
+
+    def _fetch_clause(self, sel):
+        """SQL-standard FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY."""
+        if not self._accept_word("FETCH"):
+            return
+        if not self._accept_word("FIRST", "NEXT"):
+            self.error("expected FIRST or NEXT after FETCH")
+        t = self.peek()
+        if t.type in (T.NUMBER, T.PARAM):
+            sel.limit = self._expr()
+        else:
+            sel.limit = A.Literal(1)     # FETCH FIRST ROW ONLY
+        if not self._accept_word("ROW", "ROWS"):
+            self.error("expected ROW or ROWS in FETCH clause")
+        if not self._accept_word("ONLY"):
+            self.error("expected ONLY in FETCH clause (WITH TIES "
+                       "is not supported)")
+
+    def _lock_clause(self) -> A.LockClause:
+        """FOR {UPDATE | NO KEY UPDATE | SHARE | KEY SHARE} [OF t, ..]
+        [NOWAIT | SKIP LOCKED] (reference parser.rs:505-560)."""
+
+        def word(*names):
+            t = self.peek()
+            if (t.type is T.IDENT and t.value.upper() in names) or (
+                t.type is T.KEYWORD and t.value in names
+            ):
+                self.next()
+                return True
+            return False
+
+        lc = A.LockClause()
+        if word("UPDATE"):
+            lc.mode = "update"
+        elif word("SHARE"):
+            lc.mode = "share"
+        elif word("NO"):
+            if not (word("KEY") and word("UPDATE")):
+                self.error("expected KEY UPDATE after FOR NO")
+            lc.mode = "no key update"
+        elif word("KEY"):
+            if not word("SHARE"):
+                self.error("expected SHARE after FOR KEY")
+            lc.mode = "key share"
+        else:
+            self.error("expected UPDATE, SHARE, NO KEY UPDATE, "
+                       "or KEY SHARE after FOR")
+        if word("OF"):
+            lc.tables = [self.expect(T.IDENT).value]
+            while self.accept(T.COMMA):
+                lc.tables.append(self.expect(T.IDENT).value)
+        if word("NOWAIT"):
+            lc.policy = "nowait"
+        elif word("SKIP"):
+            if not word("LOCKED"):
+                self.error("expected LOCKED after SKIP")
+            lc.policy = "skip locked"
+        return lc
 
     def _wrap_setop(self, lhs, op, all_, rhs):
         # chain onto lhs: (lhs op rhs); nesting left-assoc
@@ -610,7 +666,16 @@ class Parser:
         self.expect_kw("SELECT")
         sel = A.Select()
         if self.accept_kw("DISTINCT"):
-            sel.distinct = True
+            if self.accept_kw("ON"):
+                # DISTINCT ON (exprs): first row per key in ORDER BY
+                # order (reference ast.rs:157 Distinct::DistinctOn)
+                self.expect(T.LPAREN)
+                sel.distinct_on = [self._expr()]
+                while self.accept(T.COMMA):
+                    sel.distinct_on.append(self._expr())
+                self.expect(T.RPAREN)
+            else:
+                sel.distinct = True
         else:
             self.accept_kw("ALL")
         sel.items = [self._select_item()]
@@ -622,9 +687,7 @@ class Parser:
             sel.where = self._expr()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            sel.group_by = [self._expr()]
-            while self.accept(T.COMMA):
-                sel.group_by.append(self._expr())
+            self._group_by_list(sel)
         if self.accept_kw("HAVING"):
             sel.having = self._expr()
         windows = None
@@ -657,11 +720,97 @@ class Parser:
                 sel.limit = self._expr()
         if self.accept_kw("OFFSET"):
             sel.offset = self._expr()
+            self._accept_word("ROW", "ROWS")   # standard OFFSET n ROWS
+        self._fetch_clause(sel)
         if windows is not None or getattr(self, "_over_names", False):
             # the reflective AST walk only runs when a WINDOW clause or
             # an `OVER name` reference actually appeared
             _resolve_named_windows(sel, windows)
         return sel
+
+    def _group_by_list(self, sel):
+        """GROUP BY items: plain exprs mixed with ROLLUP(..) / CUBE(..) /
+        GROUPING SETS((..), ..) (reference lexes these keywords,
+        lexer.rs:421-476, but never parses them; PostgreSQL 7.2.4
+        semantics). Constructs compose by cross product; the expansion
+        is stored as sel.grouping_sets with sel.group_by = full key
+        list."""
+        import itertools
+
+        def gb_item():
+            t = self.peek()
+            if (t.type is T.IDENT and t.value.upper() in ("ROLLUP", "CUBE")
+                    and self.peek(1).type is T.LPAREN):
+                kind = t.value.upper()
+                self.next()
+                self.next()
+                exprs = [self._expr()]
+                while self.accept(T.COMMA):
+                    exprs.append(self._expr())
+                self.expect(T.RPAREN)
+                if kind == "ROLLUP":
+                    sets = [exprs[:k] for k in range(len(exprs), -1, -1)]
+                else:   # CUBE: every subset, larger first
+                    sets = [
+                        [e for j, e in enumerate(exprs) if m & (1 << j)]
+                        for m in sorted(
+                            range(1 << len(exprs)),
+                            key=lambda m: -bin(m).count("1"),
+                        )
+                    ]
+                return ("sets", sets)
+            if (t.type is T.IDENT and t.value.upper() == "GROUPING"
+                    and self.peek(1).type is T.IDENT
+                    and self.peek(1).value.upper() == "SETS"):
+                self.next()
+                self.next()
+                self.expect(T.LPAREN)
+                sets = []
+                while True:
+                    if self.accept(T.LPAREN):
+                        s = []
+                        if self.peek().type is not T.RPAREN:
+                            s = [self._expr()]
+                            while self.accept(T.COMMA):
+                                s.append(self._expr())
+                        self.expect(T.RPAREN)
+                    else:
+                        s = [self._expr()]
+                    sets.append(s)
+                    if not self.accept(T.COMMA):
+                        break
+                self.expect(T.RPAREN)
+                return ("sets", sets)
+            return ("expr", self._expr())
+
+        items = [gb_item()]
+        while self.accept(T.COMMA):
+            items.append(gb_item())
+        plain = [v for k, v in items if k == "expr"]
+        constructs = [v for k, v in items if k == "sets"]
+        if not constructs:
+            sel.group_by = plain
+            return
+        full, seen = list(plain), {A.render_expr(e) for e in plain}
+        for c in constructs:
+            for s in c:
+                for e in s:
+                    r = A.render_expr(e)
+                    if r not in seen:
+                        seen.add(r)
+                        full.append(e)
+        sets = []
+        for combo in itertools.product(*constructs):
+            s, sr = list(plain), {A.render_expr(e) for e in plain}
+            for part in combo:
+                for e in part:
+                    r = A.render_expr(e)
+                    if r not in sr:
+                        sr.add(r)
+                        s.append(e)
+            sets.append(s)
+        sel.group_by = full
+        sel.grouping_sets = sets
 
     def _order_by(self):
         self.expect_kw("ORDER")
@@ -804,6 +953,30 @@ class Parser:
             inner = self._table_expr()
             self.expect(T.RPAREN)
             return inner
+        t = self.peek()
+        if (t.type is T.IDENT and t.value.upper() == "UNNEST"
+                and self.peek(1).type is T.LPAREN):
+            self.next()
+            self.next()
+            args = [self._expr()]
+            while self.accept(T.COMMA):
+                args.append(self._expr())
+            self.expect(T.RPAREN)
+            tf = A.TableFunc("unnest", args)
+            if self.accept_kw("WITH"):
+                if self.ident().upper() != "ORDINALITY":
+                    self.error("expected ORDINALITY after WITH")
+                tf.ordinality = True
+            if self.accept_kw("AS"):
+                tf.alias = self.ident_any()
+            elif self.peek().type is T.IDENT and not self._at_window_clause():
+                tf.alias = self.ident()
+            if tf.alias is not None and self.accept(T.LPAREN):
+                tf.col_aliases = [self.ident()]
+                while self.accept(T.COMMA):
+                    tf.col_aliases.append(self.ident())
+                self.expect(T.RPAREN)
+            return tf
         return self._table_ref(allow_alias=True)
 
     def _table_ref(self, allow_alias: bool = False) -> A.TableRef:
@@ -1372,12 +1545,28 @@ class Parser:
                     self.error("expected NULL/TRUE/FALSE/DISTINCT after IS")
                 continue
             negated = False
-            if t.is_kw("NOT") and self.peek(1).is_kw("LIKE", "ILIKE", "IN", "BETWEEN"):
+            if t.is_kw("NOT") and (
+                self.peek(1).is_kw("LIKE", "ILIKE", "IN", "BETWEEN")
+                or (self.peek(1).type is T.IDENT
+                    and self.peek(1).value.upper() == "SIMILAR")
+            ):
                 if _BP["="] < min_bp:
                     break
                 self.next()
                 negated = True
                 t = self.peek()
+            if t.type is T.IDENT and t.value.upper() == "SIMILAR" and \
+                    self.peek(1).is_kw("TO"):
+                if _BP["="] < min_bp:
+                    break
+                self.next()
+                self.next()                      # TO
+                pat = self._expr(_BP["="] + 1)
+                esc = None
+                if self.accept_kw("ESCAPE"):
+                    esc = self._expr(_BP["="] + 1)
+                lhs = A.Like(lhs, pat, negated, False, esc, similar=True)
+                continue
             if t.is_kw("LIKE", "ILIKE"):
                 if _BP["="] < min_bp:
                     break
@@ -1579,7 +1768,20 @@ class Parser:
                 fc.args = [self._expr()]
             while self.accept(T.COMMA):
                 fc.args.append(self._expr())
+        if self.peek().is_kw("ORDER"):
+            # aggregate ORDER BY: string_agg(x, ',' ORDER BY y) — only
+            # order-sensitive aggregates honor it (engine enforces)
+            fc.order_by = self._order_by()
         self.expect(T.RPAREN)
+        if (self.peek().type is T.IDENT
+                and self.peek().value.upper() == "WITHIN"):
+            # ordered-set aggregate: fn(..) WITHIN GROUP (ORDER BY x)
+            self.next()
+            self.expect_kw("GROUP")
+            self.expect(T.LPAREN)
+            fc.order_by = self._order_by()
+            self.expect(T.RPAREN)
+            fc.within_group = True
         if self.accept_kw("FILTER"):
             self.expect(T.LPAREN)
             self.expect_kw("WHERE")
