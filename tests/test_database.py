@@ -1847,3 +1847,31 @@ def test_distinct_on(db):
         "SELECT DISTINCT ON (uid % 2) uid, amt FROM don "
         "ORDER BY uid % 2, amt DESC"
     ) == [(2, 7), (1, 9)]
+
+
+def test_tablesample(db):
+    """TABLESAMPLE {BERNOULLI|SYSTEM} (pct) [REPEATABLE (seed)]
+    (reference lexes TABLESAMPLE/REPEATABLE, never parses them)."""
+    import numpy as np
+
+    db.execute("CREATE TABLE ts (a INT)")
+    db.bulk_insert("ts", {"a": np.arange(10000)})
+    r1 = db.query(
+        "SELECT count(*) FROM ts TABLESAMPLE BERNOULLI (10) REPEATABLE (42)"
+    )
+    assert r1 == db.query(
+        "SELECT count(*) FROM ts TABLESAMPLE BERNOULLI (10) REPEATABLE (42)"
+    )
+    assert 700 <= r1[0][0] <= 1300        # ~10% of 10k
+    (n_sys,) = db.query(
+        "SELECT count(*) FROM ts TABLESAMPLE SYSTEM (50) REPEATABLE (7)"
+    )[0]
+    assert n_sys % 1024 in (0, 10000 % 1024)   # whole blocks (or the tail)
+    assert db.query("SELECT count(*) FROM ts TABLESAMPLE BERNOULLI (0)") \
+        == [(0,)]
+    assert db.query("SELECT count(*) FROM ts TABLESAMPLE BERNOULLI (100)") \
+        == [(10000,)]
+    # works with an alias before the clause
+    assert len(db.query(
+        "SELECT x.a FROM ts x TABLESAMPLE BERNOULLI (1) REPEATABLE (1)"
+    )) > 0

@@ -197,6 +197,7 @@ class TableRef:
     name: str
     schema: Optional[str] = None
     alias: Optional[str] = None
+    sample: Optional["TableSample"] = None   # TABLESAMPLE clause
 
 
 @dataclass
@@ -243,6 +244,17 @@ class Select:
     # False = absent, else a LockClause (reference ast.rs ForClause).
     # Truthy test = "has a FOR locking clause" stays valid.
     for_update: Any = False
+
+
+@dataclass
+class TableSample:
+    """TABLESAMPLE {BERNOULLI|SYSTEM} (pct) [REPEATABLE (seed)] on a
+    table reference (reference lexes TABLESAMPLE/REPEATABLE, never
+    parses them; PostgreSQL 7.2.1.1 semantics — SYSTEM samples
+    contiguous blocks, BERNOULLI samples rows)."""
+    method: str                  # 'bernoulli' | 'system'
+    percent: float
+    seed: Optional[int] = None   # REPEATABLE (seed)
 
 
 @dataclass

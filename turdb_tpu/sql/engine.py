@@ -263,13 +263,17 @@ class QueryEngine:
                 out = Batch(b.n)
                 for (_, nm), c in zip(b.names, b.cols):
                     out.add(q, nm, c)
-                return out
-            vd = getattr(self.db, "views", {}).get(
-                node.schema or "main", {}
-            ).get(node.name)
-            if vd is not None:
-                return self._expand_view(vd, node, ctx)
-            return self.db._scan_batch(node, ctx)
+            else:
+                vd = getattr(self.db, "views", {}).get(
+                    node.schema or "main", {}
+                ).get(node.name)
+                if vd is not None:
+                    out = self._expand_view(vd, node, ctx)
+                else:
+                    out = self.db._scan_batch(node, ctx)
+            if node.sample is not None:
+                out = _tablesample(out, node.sample)
+            return out
         if isinstance(node, A.SubqueryRef):
             b = self.run_select(node.subquery, ctx)
             out = Batch(b.n)
@@ -1435,6 +1439,24 @@ _VECTOR_AGGS = frozenset([
     "stddev", "stddev_samp", "variance", "var_samp",
     "bool_and", "bool_or",
 ])
+
+
+def _tablesample(b: Batch, s) -> Batch:
+    """TABLESAMPLE: BERNOULLI keeps each row with probability pct/100;
+    SYSTEM keeps contiguous 1024-row blocks with that probability.
+    REPEATABLE(seed) makes the draw deterministic."""
+    rng = np.random.default_rng(s.seed)
+    f = s.percent / 100.0
+    if s.method == "bernoulli":
+        keep = np.flatnonzero(rng.random(b.n) < f)
+    else:
+        blk = 1024
+        nblk = -(-b.n // blk)
+        hit = np.flatnonzero(rng.random(nblk) < f)
+        keep = (np.concatenate([
+            np.arange(i * blk, min((i + 1) * blk, b.n)) for i in hit
+        ]) if len(hit) else np.empty(0, np.int64))
+    return b.take(keep)
 
 
 def _rewrite_gs(e, excluded: set):

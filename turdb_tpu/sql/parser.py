@@ -985,13 +985,34 @@ class Parser:
         if self.accept(T.DOT):
             schema, name = name, self.ident()
         alias = None
+        sample = None
         if allow_alias:
             if self.accept_kw("AS"):
                 alias = self.ident_any()
-            elif self.peek().type is T.IDENT \
-                    and not self._at_window_clause():
+            elif (self.peek().type is T.IDENT
+                  and self.peek().value.upper() != "TABLESAMPLE"
+                  and not self._at_window_clause()):
                 alias = self.ident()
-        return A.TableRef(name, schema, alias)
+        if (self.peek().type is T.IDENT
+                and self.peek().value.upper() == "TABLESAMPLE"):
+            self.next()
+            m = self.ident().upper()
+            if m not in ("BERNOULLI", "SYSTEM"):
+                self.error("expected BERNOULLI or SYSTEM after TABLESAMPLE")
+            self.expect(T.LPAREN)
+            pct = float(self.expect(T.NUMBER).value)
+            self.expect(T.RPAREN)
+            seed = None
+            if (self.peek().type is T.IDENT
+                    and self.peek().value.upper() == "REPEATABLE"):
+                self.next()
+                self.expect(T.LPAREN)
+                seed = int(float(self.expect(T.NUMBER).value))
+                self.expect(T.RPAREN)
+            if not 0.0 <= pct <= 100.0:
+                self.error("TABLESAMPLE percentage must be in [0, 100]")
+            sample = A.TableSample(m.lower(), pct, seed)
+        return A.TableRef(name, schema, alias, sample)
 
     def _at_window_clause(self) -> bool:
         """True at the start of `WINDOW w AS (...)` — implicit-alias
