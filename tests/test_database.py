@@ -1820,6 +1820,11 @@ def test_grouping_sets_rollup_cube(db):
         "SELECT a, sum(c) FROM gsr GROUP BY ROLLUP (a) "
         "HAVING grouping(a) = 1"
     ) == [(None, 31)]
+    # excluded keys fold to NULL even inside CASE arms (tuple fields)
+    assert db.query(
+        "SELECT CASE WHEN b = 'p' THEN 'P' ELSE coalesce(b, '-') END, "
+        "sum(c) FROM gsr GROUP BY ROLLUP (b) ORDER BY 2"
+    )[-1] == ('-', 31)
     # empty input: only the () set emits its global row
     db.execute("CREATE TABLE gse (a TEXT, c INT)")
     assert db.query(

@@ -1480,19 +1480,23 @@ def _rewrite_gs(e, excluded: set):
             return A.Literal(mask)
         if e.name in AGGREGATES and e.over is None:
             return e
-    changes = {}
-    for f in dc.fields(e):
-        v = getattr(e, f.name)
+    changed = False
+
+    def walk(v):
+        nonlocal changed
         if dc.is_dataclass(v) and not isinstance(v, type):
             nv = _rewrite_gs(v, excluded)
             if nv is not v:
-                changes[f.name] = nv
-        elif isinstance(v, list):
-            nl = [_rewrite_gs(x, excluded) if dc.is_dataclass(x) else x
-                  for x in v]
-            if any(a is not b for a, b in zip(nl, v)):
-                changes[f.name] = nl
-    return dc.replace(e, **changes) if changes else e
+                changed = True
+            return nv
+        if isinstance(v, list):
+            return [walk(x) for x in v]
+        if isinstance(v, tuple):      # e.g. Case.whens (cond, result)
+            return tuple(walk(x) for x in v)
+        return v
+
+    new_vals = {f.name: walk(getattr(e, f.name)) for f in dc.fields(e)}
+    return dc.replace(e, **new_vals) if changed else e
 
 
 def _eval_aggregate(node: A.FuncCall, src: Batch, ctx, group_of, ngroups) -> Col:
