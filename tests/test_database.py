@@ -1880,3 +1880,44 @@ def test_tablesample(db):
     assert len(db.query(
         "SELECT x.a FROM ts x TABLESAMPLE BERNOULLI (1) REPEATABLE (1)"
     )) > 0
+
+
+def test_threaded_handles(tmp_path):
+    """Concurrent handles on threads: one shared statement-level RLock
+    serializes engine state mutation (reference SharedDatabase uses
+    page/table locks; before this lock, 4 threads lost ~25% of inserts
+    and produced corrupted rows)."""
+    import threading
+
+    db = Database.create(str(tmp_path / "thr"))
+    db.execute("CREATE TABLE t (id INT PRIMARY KEY, tid INT, v INT)")
+    nt, per = 4, 500
+    errors = []
+
+    def worker(tid):
+        try:
+            h = db.handle()
+            st = h.prepare("INSERT INTO t VALUES ($1, $2, $3)")
+            for i in range(per):
+                st.execute([tid * per + i, tid, i])
+            h.execute("BEGIN")
+            h.execute(f"UPDATE t SET v = v + 1 WHERE tid = {tid} "
+                      f"AND id % 7 = 0")
+            h.execute("COMMIT")
+            q = h.prepare("SELECT v FROM t WHERE id = $1")
+            for i in range(0, per, 10):
+                assert len(q.query([tid * per + i])) == 1
+        except Exception as e:                 # pragma: no cover
+            errors.append((tid, repr(e)[:200]))
+
+    ts = [threading.Thread(target=worker, args=(k,)) for k in range(nt)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == []
+    assert db.query("SELECT count(*) FROM t") == [(nt * per,)]
+    assert db.query(
+        "SELECT tid, count(*) FROM t GROUP BY tid ORDER BY tid"
+    ) == [(k, per) for k in range(nt)]
+    db.close()

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 
 import numpy as np
 
@@ -200,6 +201,12 @@ class Database:
         self.grants = []                   # GRANT records (not enforced)
         self.last_insert_id = 0            # LAST_INSERT_ID()
         self._replaying = False
+        # statement-level lock shared by all handles (reference
+        # SharedDatabase synchronizes with page/table locks; columnar
+        # state here has no finer-grained unit — one reentrant lock per
+        # statement costs ~100ns uncontended and makes concurrent
+        # handles safe; MVCC still provides the isolation semantics)
+        self._stmt_lock = threading.RLock()
 
         exists = os.path.exists(self.fm.meta_path())
         if not exists and not create:
@@ -259,12 +266,13 @@ class Database:
 
     def close(self):
         """Checkpoint + close (reference lifecycle.rs)."""
-        if self._txn is not None:
-            self.mgr.abort(self._txn)
-            self._txn = None
-        if self.mode == "rw":
-            self.checkpoint()
-        self.wal.close()
+        with self._stmt_lock:
+            if self._txn is not None:
+                self.mgr.abort(self._txn)
+                self._txn = None
+            if self.mode == "rw":
+                self.checkpoint()
+            self.wal.close()
 
     def __enter__(self):
         return self
@@ -675,7 +683,7 @@ class Database:
 
         with timed("parse"):
             stmt = _parse_stmt(sql)
-        with timed("execute"):
+        with timed("execute"), self._stmt_lock:
             return self._dispatch(stmt, list(params or []), sql)
 
     def query(self, sql: str, params=None) -> list[tuple]:
@@ -686,17 +694,18 @@ class Database:
 
         with timed("parse"):
             stmt = _parse_stmt(sql)
-        if isinstance(stmt, A.Explain):
-            return self._explain(stmt, list(params or []))
-        if not isinstance(stmt, A.Select):
-            res = self._dispatch(stmt, list(params or []), sql)
-            return (res.columns or [], res.rows or [])
-        ctx = self._ctx(list(params or []))
-        with timed("query"):
-            batch = self.engine.run_select(stmt, ctx)
-        if stmt.for_update and self._txn is not None:
-            batch = self._lock_batch_rows(batch, stmt.for_update)
-        return _batch_to_rows(batch)
+        with self._stmt_lock:
+            if isinstance(stmt, A.Explain):
+                return self._explain(stmt, list(params or []))
+            if not isinstance(stmt, A.Select):
+                res = self._dispatch(stmt, list(params or []), sql)
+                return (res.columns or [], res.rows or [])
+            ctx = self._ctx(list(params or []))
+            with timed("query"):
+                batch = self.engine.run_select(stmt, ctx)
+            if stmt.for_update and self._txn is not None:
+                batch = self._lock_batch_rows(batch, stmt.for_update)
+            return _batch_to_rows(batch)
 
     def prepare(self, sql: str) -> "PreparedStatement":
         return PreparedStatement(self, sql)
@@ -711,21 +720,22 @@ class Database:
         from turdb_tpu.database import dml
 
         self._check_writable()
-        txn, own = self._begin_write()
-        try:
-            ref = A.TableRef(table, schema if schema != "main" else None)
-            info = self.resolve_table(ref)
-            if isinstance(rows, dict):
-                res = dml.bulk_insert_columns(self, info, rows, txn)
-            else:
-                res = dml.bulk_insert_rows(self, info, rows, txn)
-            if own:
-                self._commit(txn)
-            return res
-        except Exception:
-            if own:
-                self.mgr.abort(txn)
-            raise
+        with self._stmt_lock:
+            txn, own = self._begin_write()
+            try:
+                ref = A.TableRef(table, schema if schema != "main" else None)
+                info = self.resolve_table(ref)
+                if isinstance(rows, dict):
+                    res = dml.bulk_insert_columns(self, info, rows, txn)
+                else:
+                    res = dml.bulk_insert_rows(self, info, rows, txn)
+                if own:
+                    self._commit(txn)
+                return res
+            except Exception:
+                if own:
+                    self.mgr.abort(txn)
+                raise
 
     def bulk_insert(self, table: str, rows,
                     schema: str = "main") -> ExecuteResult:
@@ -1933,14 +1943,16 @@ class PreparedStatement:
 
     def execute(self, params=None) -> ExecuteResult:
         params = list(params or [])
-        if self._plan is not False and isinstance(self.stmt, A.Insert):
-            if self._plan is None:
-                self._plan = (
-                    CachedInsertPlan.try_build(self.db, self.stmt) or False
-                )
-            if self._plan:
-                return self._plan.execute(params)
-        return self.db._dispatch(self.stmt, params, self.sql)
+        with self.db._stmt_lock:
+            if self._plan is not False and isinstance(self.stmt, A.Insert):
+                if self._plan is None:
+                    self._plan = (
+                        CachedInsertPlan.try_build(self.db, self.stmt)
+                        or False
+                    )
+                if self._plan:
+                    return self._plan.execute(params)
+            return self.db._dispatch(self.stmt, params, self.sql)
 
     def _build_point_select(self):
         """Point-read fast lane (reference design target <50µs disk /
@@ -2088,12 +2100,15 @@ class PreparedStatement:
     def query(self, params=None) -> list[tuple]:
         if isinstance(self.stmt, A.Select):
             params = list(params or [])
-            if self._psel is not None:
-                rows = self._point_select(params)
-                if rows is not None:
-                    return rows
-            ctx = self.db._ctx(params)
-            return _batch_to_rows(self.db.engine.run_select(self.stmt, ctx))[1]
+            with self.db._stmt_lock:
+                if self._psel is not None:
+                    rows = self._point_select(params)
+                    if rows is not None:
+                        return rows
+                ctx = self.db._ctx(params)
+                return _batch_to_rows(
+                    self.db.engine.run_select(self.stmt, ctx)
+                )[1]
         return self.execute(params).rows or []
 
 
