@@ -264,12 +264,21 @@ def test_crash_recovery_equivalence(tmp_path, seed):
     both("CREATE TRIGGER iv INSTEAD OF UPDATE ON tv "
          "BEGIN UPDATE t SET v = NEW.v WHERE id = OLD.id; END")
     both(f"GRANT SELECT, INSERT ON t TO user{seed}")
+    # TEMP-table traffic interleaves with everything: none of its DDL or
+    # DML frames may reach the WAL (replay would reference a table that
+    # no longer exists), and neighbors' frames must replay unaffected
+    both("CREATE TEMP TABLE scratch (k INT, w INT)")
     next_tbl = 0
     for _ in range(12):
         kind = rng.random()
         if kind < 0.15:
             both(f"UPDATE tv SET v = v + 100 WHERE id % 3 = {seed % 3}")
             continue
+        if rng.random() < 0.4:
+            both(f"INSERT INTO scratch VALUES ({rng.randint(0, 9)}, "
+                 f"{rng.randint(0, 99)})")
+        if rng.random() < 0.15:
+            both("UPDATE scratch SET w = w + 1 WHERE k % 2 = 0")
         if kind < 0.55:
             # committed txn with optional savepoint rollback
             stmts = []

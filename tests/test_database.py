@@ -1921,3 +1921,49 @@ def test_threaded_handles(tmp_path):
         "SELECT tid, count(*) FROM t GROUP BY tid ORDER BY tid"
     ) == [(k, per) for k in range(nt)]
     db.close()
+
+
+def test_temp_tables(tmp_path):
+    """CREATE [TEMP|TEMPORARY] TABLE (reference AST carries the flag,
+    ast.rs:330; parser never sets it): fully queryable/joinable in the
+    process, never persisted — absent after BOTH a crash-reopen (WAL
+    replay) and a clean close (checkpoint)."""
+    p = str(tmp_path / "tmp")
+    db = Database.create(p)
+    db.execute("CREATE TABLE perm (a INT)")
+    db.execute("INSERT INTO perm VALUES (1)")
+    db.execute("CREATE TEMP TABLE scratch (a INT PRIMARY KEY, b TEXT)")
+    st = db.prepare("INSERT INTO scratch VALUES ($1, $2)")
+    for i in range(50):
+        st.execute([i, f"v{i}"])           # prepared lane must bail to
+    db.execute("UPDATE scratch SET b = 'y' WHERE a = 7")
+    db.execute("CREATE INDEX si ON scratch (b)")
+    db.execute("DELETE FROM scratch WHERE a >= 40")
+    assert db.query("SELECT count(*) FROM scratch") == [(40,)]
+    assert db.query(
+        "SELECT perm.a, scratch.b FROM perm JOIN scratch ON scratch.a = 7"
+    ) == [(1, 'y')]
+    db.wal.flush()
+    db.wal.close()                          # crash
+    db2 = Database.open(p)
+    assert db2.query("SELECT * FROM perm") == [(1,)]
+    with pytest.raises(SqlError):
+        db2.query("SELECT * FROM scratch")
+    db2.execute("CREATE TEMPORARY TABLE s2 (z INT)")
+    db2.execute("INSERT INTO s2 VALUES (5)")
+    db2.close()                             # clean close (checkpoint)
+    db3 = Database.open(p)
+    with pytest.raises(SqlError):
+        db3.query("SELECT * FROM s2")
+    db3.close()
+
+
+def test_trim_standard_syntax(db):
+    """TRIM([LEADING|TRAILING|BOTH] [chars] FROM s) (SQL standard; the
+    reference supports only trim(s[, chars]))."""
+    assert db.query(
+        "SELECT trim(LEADING 'x' FROM 'xxhixx'), "
+        "trim(TRAILING 'x' FROM 'xxhixx'), "
+        "trim(BOTH 'x' FROM 'xxhixx'), "
+        "trim('x' FROM 'xxhixx'), trim('  a  '), trim('xxaxx', 'x')"
+    ) == [('hixx', 'xxhi', 'hi', 'hi', 'a', 'a')]

@@ -133,6 +133,7 @@ class TableInfo:
         self.check_names: list = []     # parallel names (ADD/DROP CONSTRAINT)
         self.fks: list = []             # (cols, ref_table, ref_cols, on_delete, on_update)
         self.fk_names: list = []        # parallel names (None = unnamed)
+        self.temporary = False          # CREATE TEMP TABLE: never persisted
 
     @property
     def columns(self) -> list[ColumnDef]:
@@ -290,6 +291,8 @@ class Database:
         for schema, tables in self.catalog.items():
             ts = []
             for name, info in tables.items():
+                if info.temporary:
+                    continue    # temp tables die with the process
                 ts.append(
                     {
                         "name": name,
@@ -428,6 +431,8 @@ class Database:
         self.wal.flush()
         for schema, tables in self.catalog.items():
             for info in tables.values():
+                if info.temporary:
+                    continue
                 t = info.table
                 # compact dead versions, then normalize surviving stamps to
                 # the committed-bootstrap form (txn 0): snapshot stamps must
@@ -461,6 +466,8 @@ class Database:
         read_ts = self.mgr.snapshot_ts()
         for schema, tables in self.catalog.items():
             for info in tables.values():
+                if info.temporary:
+                    continue
                 t = info.table
                 vis = t.visible_indices(self.mgr, read_ts, own_txn=0)
                 self.fm.write_table_snapshot(schema, t, indices=vis)
@@ -810,8 +817,12 @@ class Database:
                              A.CreateView, A.CreateType, A.CreateFunction,
                              A.CreateTrigger, A.CreateProcedure,
                              A.Drop, A.AlterTable, A.Grant)):
+            # DDL touching TEMP tables must not reach the WAL: replay
+            # after reopen would reference a table that no longer exists
+            # (temp tables die with the process, reference ast.rs:330)
+            temp = self._ddl_touches_temp(stmt)
             res = ddl.execute_ddl(self, stmt, txn)
-            if sql is not None:
+            if sql is not None and not temp:
                 self._log_ddl(sql, txn)
             return res
         if isinstance(stmt, A.Select):
@@ -919,8 +930,22 @@ class Database:
     # WAL logging helpers (called by dml.py)
     # ------------------------------------------------------------------
 
+    def _ddl_touches_temp(self, stmt) -> bool:
+        if isinstance(stmt, A.CreateTable):
+            return stmt.temporary
+        ref = getattr(stmt, "table", None)
+        if isinstance(ref, A.TableRef):
+            info = self.catalog.get(ref.schema or "main", {}).get(ref.name)
+            return bool(info is not None
+                        and getattr(info, "temporary", False))
+        if isinstance(stmt, A.Drop) and stmt.kind == "TABLE":
+            info = self.catalog.get(stmt.schema or "main", {}).get(stmt.name)
+            return bool(info is not None
+                        and getattr(info, "temporary", False))
+        return False
+
     def _log_insert(self, info: TableInfo, rowid: int, row: dict, txn):
-        if not self.wal_enabled or self._replaying:
+        if not self.wal_enabled or self._replaying or info.temporary:
             return
         rec = pack_record(
             info.record_schema(), [row.get(c.name) for c in info.columns]
@@ -933,7 +958,7 @@ class Database:
         )
 
     def _log_update(self, info: TableInfo, rowid: int, row: dict, txn):
-        if not self.wal_enabled or self._replaying:
+        if not self.wal_enabled or self._replaying or info.temporary:
             return
         rec = pack_record(
             info.record_schema(), [row.get(c.name) for c in info.columns]
@@ -946,7 +971,7 @@ class Database:
         )
 
     def _log_delete(self, info: TableInfo, rowid: int, txn):
-        if not self.wal_enabled or self._replaying:
+        if not self.wal_enabled or self._replaying or info.temporary:
             return
         self.wal.append(
             FrameType.DELETE,
@@ -957,7 +982,7 @@ class Database:
 
     def _log_bulk_insert(self, info: TableInfo, rowids, prepared: dict, txn):
         """ONE columnar frame for a whole bulk load (vs n row frames)."""
-        if not self.wal_enabled or self._replaying:
+        if not self.wal_enabled or self._replaying or info.temporary:
             return
         import io
 
@@ -977,7 +1002,7 @@ class Database:
     def _log_toast(self, info: TableInfo, pointer: bytes, raw: bytes, ctx):
         """Chunk bytes must reach the WAL once so replay can rebuild the
         store (reference logs hidden _toast-table inserts the same way)."""
-        if not self.wal_enabled or self._replaying:
+        if not self.wal_enabled or self._replaying or info.temporary:
             return
         self.wal.append(
             FrameType.TOAST,
@@ -1589,7 +1614,8 @@ class CachedInsertPlan:
             return None
         if info.fks or info.checks or info.hnsw or info.btree_exprs:
             return None
-        if info.table.toast_cols:
+        if info.table.toast_cols or info.temporary:
+            # temp tables must not reach the C WAL-frame fast lane
             return None
         ok_sc = (
             StorageClass.INT, StorageClass.FLOAT, StorageClass.FLOAT32,

@@ -241,6 +241,7 @@ def execute_ddl(db, stmt, txn):
         table = ColumnarTable(stmt.table.name, cols, table_id=db._next_table_id)
         db._next_table_id += 1
         info = TableInfo(schema, table)
+        info.temporary = stmt.temporary
         # table-level constraints
         pk_cols = [c.name for c in cols if c.primary_key]
         for tc in stmt.constraints:

@@ -344,6 +344,7 @@ class CreateTable:
     columns: list = field(default_factory=list)       # [ColumnSpec]
     constraints: list = field(default_factory=list)   # [TableConstraint]
     if_not_exists: bool = False
+    temporary: bool = False      # CREATE TEMP TABLE (reference ast.rs:330)
 
 
 @dataclass

@@ -1181,6 +1181,11 @@ class Parser:
                     break
             self.expect(T.RPAREN)
             return A.CreateType(name, schema, "composite", fields)
+        temporary = False
+        if (self.peek().type is T.IDENT
+                and self.peek().value.upper() in ("TEMP", "TEMPORARY")):
+            self.next()
+            temporary = True
         unique = self.accept_kw("UNIQUE")
         if self.accept_kw("INDEX"):
             ine = self._if_not_exists()
@@ -1235,7 +1240,7 @@ class Parser:
             if not self.accept(T.COMMA):
                 break
         self.expect(T.RPAREN)
-        return A.CreateTable(table, columns, constraints, ine)
+        return A.CreateTable(table, columns, constraints, ine, temporary)
 
     def _create_view(self, or_replace: bool) -> A.CreateView:
         """CREATE [OR REPLACE] [MATERIALIZED] VIEW name [(cols)] AS select
@@ -1777,7 +1782,28 @@ class Parser:
         elif self.peek().type is not T.RPAREN:
             if self.accept_kw("DISTINCT"):
                 fc.distinct = True
-            if fc.name == "position":
+            if fc.name == "trim" and (
+                self.peek().type is T.IDENT
+                and self.peek().value.upper() in ("LEADING", "TRAILING",
+                                                  "BOTH")
+            ):
+                # SQL-standard TRIM([LEADING|TRAILING|BOTH] [ch] FROM s)
+                mode = self.next().value.upper()
+                chars = None
+                if not self.peek().is_kw("FROM"):
+                    chars = self._expr()
+                self.expect_kw("FROM")
+                s = self._expr()
+                name2 = {"LEADING": "ltrim", "TRAILING": "rtrim",
+                         "BOTH": "trim"}[mode]
+                fc = A.FuncCall(name2, [s] + ([chars] if chars else []))
+            elif fc.name == "trim":
+                first = self._expr()
+                if self.accept_kw("FROM"):   # modeless TRIM(ch FROM s)
+                    fc.args = [self._expr(), first]
+                else:
+                    fc.args = [first]
+            elif fc.name == "position":
                 # POSITION(substr IN str) = LOCATE(substr, str): parse the
                 # first operand ABOVE comparison bp so IN stays a keyword
                 first = self._expr(_BP["="] + 1)
