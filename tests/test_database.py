@@ -1967,3 +1967,23 @@ def test_trim_standard_syntax(db):
         "trim(BOTH 'x' FROM 'xxhixx'), "
         "trim('x' FROM 'xxhixx'), trim('  a  '), trim('xxaxx', 'x')"
     ) == [('hixx', 'xxhi', 'hi', 'hi', 'a', 'a')]
+
+
+def test_on_conflict_on_constraint_and_show_all(db):
+    """ON CONFLICT ON CONSTRAINT name (reference OnConflictTarget::
+    Constraint), DROP COLUMN .. CASCADE/RESTRICT, SHOW ALL."""
+    db.execute("CREATE TABLE oc (id INT PRIMARY KEY, v INT)")
+    db.execute("INSERT INTO oc VALUES (1, 5)")
+    db.execute("INSERT INTO oc VALUES (1, 9) ON CONFLICT ON CONSTRAINT "
+               "__pk_oc_id DO UPDATE SET v = excluded.v")
+    assert db.query("SELECT v FROM oc") == [(9,)]
+    db.execute("INSERT INTO oc VALUES (1, 2) ON CONFLICT ON CONSTRAINT "
+               "oc_pkey DO NOTHING")       # pg-style pkey alias
+    assert db.query("SELECT v FROM oc") == [(9,)]
+    with pytest.raises(SqlError):
+        db.execute("INSERT INTO oc VALUES (1, 2) ON CONFLICT "
+                   "ON CONSTRAINT nope DO NOTHING")
+    db.execute("ALTER TABLE oc ADD COLUMN w INT")
+    db.execute("ALTER TABLE oc DROP COLUMN w CASCADE")
+    rows = dict(db.query("SHOW ALL"))
+    assert rows["wal"] == "True" and "synchronous" in rows

@@ -39,6 +39,18 @@ def execute_insert(db, stmt: A.Insert, params, txn):
         return _instead_of_insert(db, stmt, params, txn, *iv)
     info = db.resolve_table(stmt.table)
     ctx = db._ctx(params, txn)
+    if (stmt.on_conflict is not None
+            and isinstance(stmt.on_conflict[0], tuple)
+            and stmt.on_conflict[0][:1] == ("constraint",)):
+        # ON CONFLICT ON CONSTRAINT name (reference OnConflictTarget::
+        # Constraint): the named unique index/PK must exist; the action
+        # then applies to any unique conflict (same as the column form)
+        cname = stmt.on_conflict[0][1]
+        known = set(info.index_defs) | {f"{info.table.name}_pkey"}
+        if cname not in known:
+            raise SqlError(
+                f"no such constraint on {info.table.name}: {cname}"
+            )
     fire_statement_triggers(db, info, "INSERT", "BEFORE", ctx, txn)
     colnames = [c.name for c in info.columns]
 

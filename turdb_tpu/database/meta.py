@@ -190,6 +190,26 @@ def execute_pragma(db, p: A.Pragma):
     def show(value):
         return ExecuteResult(rows=[(value,)], columns=[name])
 
+    if name == "__show_all":
+        # SHOW ALL (reference ShowStmt.all): every scalar setting
+        settings = [
+            ("wal", db.wal_enabled),
+            ("wal_autoflush", db.wal_autoflush),
+            ("synchronous", db.sync_mode.value),
+            ("wal_checkpoint_threshold", db.checkpoint_threshold),
+            ("database_mode", db.mode),
+            ("ann", db.ann_enabled),
+            ("ann_overfetch", db.ann_overfetch),
+            ("memory_budget", db.budget.total),
+            ("join_memory_budget", db.join_budget_override),
+            ("timing", db.timing_enabled
+             if hasattr(db, "timing_enabled") else False),
+        ]
+        return ExecuteResult(
+            rows=[(k, str(val)) for k, val in settings],
+            columns=["name", "setting"],
+        )
+
     if name == "wal":
         if v is None:
             return show(db.wal_enabled)

@@ -263,6 +263,8 @@ class Parser:
             return A.Pragma(name, self._pragma_value())
         if t.is_kw("SHOW"):
             self.next()
+            if self.accept_kw("ALL"):     # SHOW ALL: every setting
+                return A.Pragma("__show_all", None)
             return A.Pragma(self.ident(), None)
         if t.type is T.IDENT and t.value.upper() == "MERGE":
             return self._merge()
@@ -1063,6 +1065,12 @@ class Parser:
                 while self.accept(T.COMMA):
                     conflict_cols.append(self.ident())
                 self.expect(T.RPAREN)
+            elif self.accept_kw("ON"):
+                # ON CONFLICT ON CONSTRAINT name (reference
+                # OnConflictTarget::Constraint): resolved to the named
+                # unique index/constraint's columns at execution
+                self.expect_kw("CONSTRAINT")
+                conflict_cols = ("constraint", self.ident())
             self.expect_kw("DO")
             if self.accept_kw("NOTHING"):
                 on_conflict = (conflict_cols, "NOTHING")
@@ -1530,7 +1538,9 @@ class Parser:
                 a.col_action = "IF_EXISTS" if if_exists else None
                 return a
             self.accept_kw("COLUMN")
-            return A.AlterTable(table, "DROP_COLUMN", name=self.ident())
+            a = A.AlterTable(table, "DROP_COLUMN", name=self.ident())
+            self.accept_kw("CASCADE") or self.accept_kw("RESTRICT")
+            return a
         if self.accept_kw("RENAME"):
             if self.accept_kw("TO"):
                 return A.AlterTable(table, "RENAME_TABLE", new_name=self.ident())
