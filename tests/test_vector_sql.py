@@ -259,3 +259,67 @@ def test_pragma_ann_pack_serving_path(tmp_path):
     res = db.query(f"SELECT id FROM docs ORDER BY v <-> '{qs}' LIMIT 2")
     assert set(r[0] for r in res) == {37, 600}
     db.close()
+
+
+class TestGraphVacuum:
+    def test_vacuum_compacts_graph(self, tmp_path):
+        """VACUUM compacts HNSW graphs to the table's live rows
+        (reference VacuumQueue, hnsw/mod.rs:726-765): DML keeps the
+        graph append-only; before this, delete-heavy workloads decayed
+        survivor recall (0.919 measured at 85% dead, ef=64) and slots
+        leaked forever — and every VACUUM duplicated the live graph
+        (reindex re-inserted mapped rows)."""
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "gv"))
+        n, dim = 900, 16
+        db.execute(
+            f"CREATE TABLE it (id BIGINT PRIMARY KEY, emb VECTOR({dim}))"
+        )
+        vecs = np.random.default_rng(5).standard_normal(
+            (n, dim)).astype(np.float32)
+        st = db.prepare("INSERT INTO it VALUES ($1, $2)")
+        for i in range(n):
+            st.execute([i, vec_lit(vecs[i]).strip("'")])
+        db.execute("CREATE INDEX ie ON it USING HNSW (emb)")
+        db.execute("DELETE FROM it WHERE id % 10 < 8")
+        h = next(iter(db.catalog["main"]["it"].hnsw.values()))
+        assert h.index.size == n
+        db.execute("VACUUM")
+        assert h.index.size == n // 10 * 2          # compacted to live
+        db.execute("VACUUM")
+        assert h.index.size == n // 10 * 2          # idempotent, no bloat
+        q = vecs[8]
+        rows = db.query(
+            f"SELECT id FROM it ORDER BY emb <-> {vec_lit(q)} LIMIT 10"
+        )
+        alive = np.array([i for i in range(n) if i % 10 >= 8])
+        d = ((vecs[alive] - q) ** 2).sum(1)
+        expect = set(alive[np.argsort(d)[:10]].tolist())
+        assert len(set(r[0] for r in rows) & expect) >= 9
+        db.close()
+        db2 = Database.open(str(tmp_path / "gv"))
+        rows2 = db2.query(
+            f"SELECT id FROM it ORDER BY emb <-> {vec_lit(q)} LIMIT 10"
+        )
+        assert len(set(r[0] for r in rows2) & expect) >= 9
+        db2.close()
+
+    def test_vacuum_threshold_noop(self, tmp_path):
+        """Below the dead-fraction threshold the graph is untouched."""
+        from turdb_tpu.database.api import Database
+
+        db = Database.create(str(tmp_path / "gt"))
+        db.execute("CREATE TABLE it (id BIGINT PRIMARY KEY, "
+                   "emb VECTOR(8))")
+        vecs = np.random.default_rng(1).standard_normal(
+            (300, 8)).astype(np.float32)
+        st = db.prepare("INSERT INTO it VALUES ($1, $2)")
+        for i in range(300):
+            st.execute([i, vec_lit(vecs[i]).strip("'")])
+        db.execute("CREATE INDEX ie ON it USING HNSW (emb)")
+        db.execute("DELETE FROM it WHERE id < 30")   # 10% dead
+        h = next(iter(db.catalog["main"]["it"].hnsw.values()))
+        db.execute("VACUUM")
+        assert h.index.size == 300                   # below threshold
+        db.close()

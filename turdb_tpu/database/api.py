@@ -662,15 +662,17 @@ class Database:
                 rowid = int(info.table.rowids[i])
                 if info.table.nulls[col][i]:
                     continue
-                if snapshot_loaded:
-                    # incremental: only WAL-touched or unseen rows re-insert
-                    # (reference rebuilds row_id_map on open, mod.rs:767-859;
-                    # here the map is persisted with the graph)
-                    if (
-                        rowid in h.rowid_to_slot
-                        and (info.table.table_id, rowid) not in touched
-                    ):
-                        continue
+                # incremental: already-mapped rows stay (a mapped slot
+                # always holds the rowid's CURRENT vector — insert/update
+                # maintain it); re-inserting them here made every VACUUM
+                # duplicate the whole live graph. After a snapshot load,
+                # WAL-touched rows DO re-insert (reference rebuilds
+                # row_id_map on open, mod.rs:767-859)
+                if rowid in h.rowid_to_slot and (
+                    not snapshot_loaded
+                    or (info.table.table_id, rowid) not in touched
+                ):
+                    continue
                 h.insert(rowid, info.table.cols[col][int(i)], defer=True)
             h.flush_pending()
 
@@ -780,6 +782,18 @@ class Database:
                     if stmt.table and info.table.name != stmt.table:
                         continue
                     n += info.table.vacuum(self.mgr)
+                    # graph compaction (reference VacuumQueue): the live
+                    # set comes from the TABLE (DML leaves the graph
+                    # append-only); _reindex then re-inserts any rows
+                    # the compacted graph is missing
+                    if info.hnsw:
+                        vis = info.table.visible_indices(
+                            self.mgr, self.mgr.snapshot_ts(), 0
+                        )
+                        live = info.table.rowids[vis]
+                        for h in info.hnsw.values():
+                            if hasattr(h, "vacuum"):
+                                h.vacuum(live_rowids=live)
                     self._reindex(info)
             return ExecuteResult(rows_affected=n)
         self._check_writable()

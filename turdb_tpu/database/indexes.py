@@ -445,6 +445,42 @@ class HnswTableIndex(_SlotMap):
         if slot is not None:
             self.index.delete([slot])
 
+    def vacuum(self, live_rowids=None, min_dead_frac: float = 0.25) -> bool:
+        """Compact the graph to live rows (reference VacuumQueue,
+        hnsw/mod.rs:726-765). DML keeps the graph APPEND-ONLY (deleted
+        rowids are masked by visibility at search time, dml.py
+        _index_delete); compaction happens here: slots whose rowid is
+        not in `live_rowids` (the table's visible set) — plus UPDATE
+        remap leftovers — stop acting as stepping stones and their slots
+        are reclaimed. No-op until the dead fraction clears
+        `min_dead_frac` (a rebuild is the columnar analog of the
+        reference's deferred batch unlink — don't pay it for a few
+        tombstones). Returns True when a compaction ran."""
+        self.flush_pending()
+        n = self.index.size
+        if n == 0:
+            return False
+        self._slots_ensure(n)
+        cur = self._slot_current[:n].copy()
+        if live_rowids is not None:
+            cur &= np.isin(self._slot_rowids[:n],
+                           np.asarray(live_rowids, np.int64))
+        dead = n - int(cur.sum())
+        if dead / n < min_dead_frac:
+            return False
+        self.index._alive[:n] = cur
+        old_rowids = self._slot_rowids[:n].copy()
+        mapping = self.index.vacuum(
+            row_ids=np.where(old_rowids >= 0, old_rowids, 0).astype(np.uint64)
+        )
+        self._init_slots()
+        for old_slot in np.flatnonzero(mapping >= 0):
+            self._slot_assign(int(old_rowids[old_slot]),
+                              int(mapping[old_slot]))
+        if self.sq8:
+            self.index._quantize(self.qbits)
+        return True
+
     def pack(self) -> None:
         """Build the serving pack (PRAGMA ann_pack; models/hnsw_serve.py).
         Queries then take the packed two-stage fast path until the next

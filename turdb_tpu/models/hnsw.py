@@ -1593,6 +1593,39 @@ class HnswIndex:
         (reference VacuumQueue design, mod.rs:726-765)."""
         self._alive[np.asarray(slots)] = False
 
+    def vacuum(self, row_ids=None) -> np.ndarray:
+        """Compact the graph to its alive nodes. The reference's
+        VacuumQueue (mod.rs:726-765) unlinks deleted nodes in place
+        inside slotted pages; columnar state compacts by REBUILDING over
+        the survivors — dead stepping stones stop inflating the search
+        and their slots are reclaimed (without this, a delete-heavy
+        workload grows the arrays without bound and survivor recall
+        decays: measured 0.919 after 85% deletes at ef=64).
+
+        Returns int32[old_size] old-slot → new-slot (-1 = dead).
+        `row_ids` (per OLD slot) keeps level selection deterministic
+        across the rebuild; defaults to the old slot ids."""
+        if isinstance(self.state.vectors, Sq8Rows):
+            self.dequantize()
+        old_size = self.size
+        alive = np.flatnonzero(self._alive[:old_size])
+        mapping = np.full(old_size, -1, np.int32)
+        vecs = np.asarray(self.state.vectors)[alive]
+        rids = (np.asarray(row_ids, np.uint64)[alive]
+                if row_ids is not None else alive.astype(np.uint64))
+        # fresh state, same config; rebuild through the normal add path
+        # (bulk pipeline when the survivor count warrants it)
+        self.capacity = _pow2(max(len(alive), 1024))
+        self.state = init_state(self.cfg, self.capacity)
+        self.size = 0
+        self._alive = np.zeros(self.capacity, bool)
+        self._descent_ef = 1
+        self.serve = None
+        if len(alive):
+            new_slots = self.add(vecs, row_ids=rids)
+            mapping[alive] = new_slots
+        return mapping
+
     # -- serving pack (two-stage int8 beam + exact rerank) ----------------
 
     def pack_serving(self, n_centroids: int | None = None) -> None:
