@@ -53,3 +53,34 @@ def test_ivf_sql_path(tmp_path):
     rows = db.query(f"SELECT id FROM docs ORDER BY emb <-> {vec_lit(q)} LIMIT 1")
     assert rows[0][0] != 9
     db.close()
+
+
+def test_ivf_vacuum_rebuild(tmp_path):
+    """VACUUM rebuilds an IVF index when most slots are dead (IVF blocks
+    are append-only; the fresh index repopulates from the table's
+    visible rows and auto-trains)."""
+    import numpy as np
+
+    from turdb_tpu.database.api import Database
+
+    db = Database.create(str(tmp_path / "ivv"))
+    n, dim = 1200, 16
+    db.execute(f"CREATE TABLE it (id BIGINT PRIMARY KEY, emb VECTOR({dim}))")
+    vecs = np.random.default_rng(7).standard_normal((n, dim)).astype(np.float32)
+    st = db.prepare("INSERT INTO it VALUES ($1, $2)")
+    for i in range(n):
+        st.execute([i, "[" + ",".join(f"{v:.5f}" for v in vecs[i]) + "]"])
+    db.execute("CREATE INDEX ie ON it USING IVF (emb)")
+    db.execute("DELETE FROM it WHERE id % 5 > 0")
+    assert db.catalog["main"]["it"].hnsw["ie"].index.size == n
+    db.execute("VACUUM")
+    h = db.catalog["main"]["it"].hnsw["ie"]
+    assert h.index.size == n // 5
+    q = vecs[5]
+    qlit = "'[" + ",".join(f"{v:.5f}" for v in q) + "]'"
+    rows = db.query(f"SELECT id FROM it ORDER BY emb <-> {qlit} LIMIT 10")
+    alive = np.arange(0, n, 5)
+    d = ((vecs[alive] - q) ** 2).sum(1)
+    expect = set(alive[np.argsort(d)[:10]].tolist())
+    assert len(set(r[0] for r in rows) & expect) >= 9
+    db.close()

@@ -791,9 +791,16 @@ class Database:
                             self.mgr, self.mgr.snapshot_ts(), 0
                         )
                         live = info.table.rowids[vis]
-                        for h in info.hnsw.values():
+                        for iname, h in list(info.hnsw.items()):
                             if hasattr(h, "vacuum"):
                                 h.vacuum(live_rowids=live)
+                            elif h.dead_fraction(live) >= 0.25:
+                                # IVF blocks are append-only: rebuild
+                                # fresh; _reindex repopulates from the
+                                # table and the engine auto-trains
+                                self._instantiate_index(
+                                    info, info.index_defs[iname]
+                                )
                     self._reindex(info)
             return ExecuteResult(rows_affected=n)
         self._check_writable()

@@ -352,6 +352,19 @@ class IvfTableIndex(_SlotMap):
         if slot is not None:
             self.index.delete([slot])
 
+    def dead_fraction(self, live_rowids) -> float:
+        """Fraction of occupied slots whose rowid is not live (DELETE
+        tombstones + UPDATE remap leftovers) — the VACUUM rebuild gate."""
+        self.flush_pending()
+        n = self.index.size
+        if n == 0:
+            return 0.0
+        self._slots_ensure(n)
+        cur = self._slot_current[:n] & np.isin(
+            self._slot_rowids[:n], np.asarray(live_rowids, np.int64)
+        )
+        return 1.0 - int(cur.sum()) / n
+
     def search(self, query: np.ndarray, k: int, ef: int | None = None,
                allowed_rowids=None):
         """(dists, rowids); `ef` maps to nprobe scaling for API parity."""
