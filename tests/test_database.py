@@ -1987,3 +1987,20 @@ def test_on_conflict_on_constraint_and_show_all(db):
     db.execute("ALTER TABLE oc DROP COLUMN w CASCADE")
     rows = dict(db.query("SHOW ALL"))
     assert rows["wal"] == "True" and "synchronous" in rows
+
+
+def test_analyze_statistics(db):
+    """ANALYZE [table] collects row counts + per-column n_distinct /
+    null_frac into turdb_catalog.statistics (reference lexes ANALYZE
+    without implementing it; pg_stats-shaped, reduced)."""
+    db.execute("CREATE TABLE an (a INT, b TEXT)")
+    for i in range(100):
+        v = "NULL" if i % 4 == 0 else repr(chr(97 + i % 3))
+        db.execute(f"INSERT INTO an VALUES ({i % 7}, {v})")
+    assert db.execute("ANALYZE an").rows_affected == 1
+    rows = {r[2]: r for r in db.query(
+        "SELECT * FROM turdb_catalog.statistics") if r[1] == 'an'}
+    assert rows["a"][3] == 100 and rows["a"][4] == 7
+    assert rows["b"][4] == 3 and abs(rows["b"][5] - 0.25) < 1e-9
+    db.execute("VACUUM ANALYZE")                 # pg spelling accepted
+    db.execute("ANALYZE")                        # all tables

@@ -803,6 +803,8 @@ class Database:
                                 )
                     self._reindex(info)
             return ExecuteResult(rows_affected=n)
+        if isinstance(stmt, A.Analyze):
+            return self._analyze(stmt.table)
         self._check_writable()
         if self._txn is not None and getattr(self._txn, "read_only", False):
             raise DatabaseError(
@@ -950,6 +952,50 @@ class Database:
     # ------------------------------------------------------------------
     # WAL logging helpers (called by dml.py)
     # ------------------------------------------------------------------
+
+    def _analyze(self, table: str | None) -> ExecuteResult:
+        """ANALYZE [table]: row counts + per-column distinct / null-frac
+        estimates (sampled at 100k rows), queryable via
+        turdb_catalog.statistics. The executor's greedy join order uses
+        ACTUAL materialized counts, so these stats are observational —
+        the reference lexes ANALYZE without implementing it at all."""
+        import datetime
+
+        if not hasattr(self, "stats"):
+            self.stats = {}
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds")
+        read_ts = self.mgr.snapshot_ts()
+        n_analyzed = 0
+        for schema, tables in self.catalog.items():
+            for tname, info in tables.items():
+                if table and tname != table:
+                    continue
+                vis = info.table.visible_indices(self.mgr, read_ts)
+                if len(vis) > 100_000:
+                    rng = np.random.default_rng(0)
+                    sample = vis[rng.choice(len(vis), 100_000,
+                                            replace=False)]
+                else:
+                    sample = vis
+                cols = {}
+                for cd in info.columns:
+                    vals = info.table.cols[cd.name][sample]
+                    nulls = info.table.nulls[cd.name][sample]
+                    nn = vals[~nulls]
+                    try:
+                        nd = len(np.unique(nn))
+                    except TypeError:       # unhashable/unsortable cells
+                        nd = len(set(map(str, nn)))
+                    frac = float(nulls.mean()) if len(sample) else 0.0
+                    cols[cd.name] = {"n_distinct": int(nd),
+                                     "null_frac": frac}
+                self.stats[(schema, tname)] = {
+                    "rows": int(len(vis)), "columns": cols,
+                    "analyzed_at": now,
+                }
+                n_analyzed += 1
+        return ExecuteResult(rows_affected=n_analyzed)
 
     def _ddl_touches_temp(self, stmt) -> bool:
         if isinstance(stmt, A.CreateTable):

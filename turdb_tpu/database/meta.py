@@ -84,6 +84,20 @@ def system_table_batch(db, ref: A.TableRef) -> Batch:
             ["schema", "name", "kind", "table_id", "row_count",
              "version_count"], rows
         )
+    if name == "statistics":
+        # ANALYZE output (reference lexes ANALYZE; PostgreSQL pg_stats
+        # shape, reduced): one row per analyzed column
+        rows = []
+        for (schema, tname), st in sorted(getattr(db, "stats", {}).items()):
+            for col, cs in st["columns"].items():
+                rows.append((
+                    schema, tname, col, st["rows"], cs["n_distinct"],
+                    round(cs["null_frac"], 4), st["analyzed_at"],
+                ))
+        return build(
+            ["schema", "table", "column", "row_count", "n_distinct",
+             "null_frac", "analyzed_at"], rows
+        )
     if name == "views":
         rows = [
             (schema, v.name, v.sql)

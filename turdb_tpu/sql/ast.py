@@ -531,6 +531,13 @@ class Vacuum:
     table: Optional[str] = None
 
 
+@dataclass
+class Analyze:
+    """ANALYZE [table]: collect planner statistics (row counts,
+    per-column distinct estimates) into turdb_catalog.statistics."""
+    table: Optional[str] = None
+
+
 # ---------------------------------------------------------------------------
 # rendering (for EXPLAIN/errors; not a full SQL serializer)
 # ---------------------------------------------------------------------------

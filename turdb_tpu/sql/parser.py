@@ -242,10 +242,17 @@ class Parser:
             return A.Pragma(name, value)
         if t.is_kw("VACUUM"):
             self.next()
+            self.accept_kw("ANALYZE")   # VACUUM ANALYZE = VACUUM here
             name = None
             if self.peek().type is T.IDENT:
                 name = self.ident()
             return A.Vacuum(name)
+        if t.is_kw("ANALYZE"):
+            self.next()
+            name = None
+            if self.peek().type is T.IDENT:
+                name = self.ident()
+            return A.Analyze(name)
         if t.is_kw("SET"):
             # SET name { = | TO } value — executes via the PRAGMA
             # machinery (reference database.rs execute_set)
