@@ -162,3 +162,48 @@ def test_point_read_toasted_key(tmp_path):
     assert q.query([big]) == [(42,)]
     assert q.query([big + "y"]) == []
     db.close()
+
+
+def test_c_store_lane_semantics(tmp_path):
+    """Round-3 C store lane (oltp.c store_row + autocommit stamps +
+    fused WAL frame pair): interleave with explicit txns/rollbacks,
+    coercion, and crash-replay durability must match the generic path."""
+    path = str(tmp_path / "cstore")
+    db = Database.create(path)
+    db.execute("CREATE TABLE t(id INT PRIMARY KEY, a INT, c DOUBLE, "
+               "d BOOL, b TEXT)")
+    stmt = db.prepare("INSERT INTO t VALUES ($1, $2, $3, $4, $5)")
+    stmt.execute([1, 10, 1.5, True, "x"])
+    db.execute("BEGIN")
+    db.execute("INSERT INTO t VALUES (2, 20, 2.5, false, 'y')")
+    db.execute("ROLLBACK")
+    stmt.execute([3, 30, 3, False, None])     # int->float coercion
+    db.execute("BEGIN")
+    stmt.execute([4, 40, 4.5, None, "w"])     # in-txn: generic path
+    db.execute("ROLLBACK")
+    stmt.execute([5, None, None, None, None])
+    assert db.query("SELECT id, a, c, d FROM t ORDER BY id") == [
+        (1, 10, 1.5, True), (3, 30, 3.0, False), (5, None, None, None),
+    ]
+    db.wal.flush()
+    del db, stmt                               # crash: no checkpoint
+    db2 = Database.open(path)
+    assert db2.query("SELECT id, a, c, d FROM t ORDER BY id") == [
+        (1, 10, 1.5, True), (3, 30, 3.0, False), (5, None, None, None),
+    ]
+    assert db2.query("SELECT b FROM t WHERE id = 1") == [("x",)]
+    db2.close()
+
+
+def test_wal_frame_pair_bytes():
+    """wal_frame_pair must be byte-identical to two wal_frame calls
+    (replay sees the same stream either way)."""
+    from turdb_tpu.native.build import oltp
+
+    nat = oltp()
+    if nat is None or not hasattr(nat, "wal_frame_pair"):
+        pytest.skip("no native toolchain")
+    payload = b"\x07\x00rec" * 33
+    assert nat.wal_frame_pair(3, 9, 77, 5, payload, 4) == (
+        nat.wal_frame(3, 9, 77, 5, payload) + nat.wal_frame(4, 0, 78, 5, b"")
+    )

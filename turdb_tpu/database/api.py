@@ -1681,6 +1681,8 @@ class CachedInsertPlan:
             return None
         if info.fks or info.checks or info.hnsw or info.btree_exprs:
             return None
+        if len(info.columns) > 64:
+            return None   # store_row's stack scratch is 64 columns
         if info.table.toast_cols or info.temporary:
             # temp tables must not reach the C WAL-frame fast lane
             return None
@@ -1748,12 +1750,36 @@ class CachedInsertPlan:
         (return None -> generic path) are identical."""
         info = self.info
         t = info.table
+        nat = F["nat"]
+        if not hasattr(nat, "store_row"):
+            raise _NotCacheable()   # stale cached .so: interpreted lane
         consts: list = []
         L: list[str] = []
         names = [cd.name for cd, _, _, _ in F["cols"]]
         n_auto = 0
         emit = L.append
+        # per-column (sc_code, nullable, len_cap) for the C row descriptor;
+        # type/null validation and the column+MVCC stamp writes all happen
+        # inside ONE store_row call (oltp.c) — the python version of this
+        # lane spent ~1/3 of its time in numpy scalar __setitem__ dispatch
+        sc_code = {
+            StorageClass.INT: 0, StorageClass.FLOAT: 1,
+            StorageClass.FLOAT32: 2, StorageClass.BOOL: 3,
+            StorageClass.TEXT: 4, StorageClass.BYTES: 5,
+        }
+        spec = []
         for i, (cd, src, sc, name) in enumerate(F["cols"]):
+            if sc not in sc_code:
+                raise _NotCacheable()
+            if sc is StorageClass.TEXT:
+                lim = F["toast"] // 4
+                if cd.max_len is not None:
+                    lim = min(lim, cd.max_len)
+            elif sc is StorageClass.BYTES:
+                lim = F["toast"] // 4
+            else:
+                lim = -1
+            spec.append((sc_code[sc], bool(cd.nullable), lim))
             if src is None:
                 if cd.auto_increment:
                     emit(f"    v{i} = t.auto_increment + {n_auto}")
@@ -1765,76 +1791,52 @@ class CachedInsertPlan:
             else:
                 consts.append(src[1])
                 emit(f"    v{i} = CONSTS[{len(consts) - 1}]")
-            null_action = (
-                "raise cv('NOT NULL constraint violated: "
-                f"{t.name}.{name}')"
-                if not cd.nullable else "pass"
-            )
-            emit(f"    if v{i} is None:")
-            emit(f"        {null_action}")
-            if sc is StorageClass.INT:
-                emit(f"    elif type(v{i}) is not int:")
-                emit("        return None")
-            elif sc in (StorageClass.FLOAT, StorageClass.FLOAT32):
-                emit(f"    elif type(v{i}) is int:")
-                emit(f"        v{i} = float(v{i})")
-                emit(f"    elif type(v{i}) is not float:")
-                emit("        return None")
-            elif sc is StorageClass.TEXT:
-                lim = F["toast"] // 4
-                if cd.max_len is not None:
-                    lim = min(lim, cd.max_len)
-                emit(f"    elif type(v{i}) is not str or len(v{i}) > {lim}:")
-                emit("        return None")
-            elif sc is StorageClass.BYTES:
-                emit(f"    elif type(v{i}) is not bytes or "
-                     f"len(v{i}) > {F['toast'] // 4}:")
-                emit("        return None")
-            elif sc is StorageClass.BOOL:
-                emit(f"    elif type(v{i}) is not bool:")
-                emit("        return None")
-            else:
-                raise _NotCacheable()
-        # index keys + unique probes (shared bytes for probe and insert)
-        name_pos = {nm: j for j, nm in enumerate(names)}
+        # index keys + unique probes (shared bytes for probe and insert).
+        # A TypeError here (unencodable param, e.g. Decimal) means the
+        # generic path must handle the row — bail, don't propagate.
+        emit("    try:")
         for j, (idx, pos) in enumerate(F["sec"]):
             kv = ", ".join(f"v{p}" for p in pos)
-            emit(f"    k{j} = encode_key(({kv},))")
+            emit(f"        k{j} = encode_key(({kv},))")
+        if not F["sec"]:
+            emit("        pass")
+        emit("    except TypeError:")
+        emit("        return None")
+        for j, (idx, pos) in enumerate(F["sec"]):
             if idx.unique:
                 notnull = " and ".join(f"v{p} is not None" for p in pos)
                 emit(f"    if ({notnull}) and SEC[{j}].probe_hit(k{j}):")
                 emit("        return None")
-        emit("    txn = mgr.begin()")
-        emit("    try:")
-        emit("        vi = t.nversions")
-        emit("        if vi + 1 > t.capacity:")
-        emit("            t._ensure(vi + 1)")
-        emit("        arrs = F.get('arrs')")
-        emit(f"        if arrs is None or arrs[0][0] is not t.cols[{names[0]!r}]:")
-        emit("            arrs = F['arrs'] = "
-             "[(t.cols[n], t.nulls[n]) for n in NAMES]")
-        emit("        rid = t.next_rowid")
-        emit("        t.next_rowid = rid + 1")
+        vals_t = ", ".join(f"v{i}" for i in range(len(names)))
+        emit("    vi = t.nversions")
+        emit("    if vi + 1 > t.capacity:")
+        emit("        t._ensure(vi + 1)")
+        emit("    D = F.get('rd')")
+        emit(f"    if D is None or F['rd_ref'][0] is not t.cols[{names[0]!r}]:")
+        emit("        D = _mkdesc()")
+        # single-statement autocommit: no Transaction object / undo list.
+        # store_row validates BEFORE writing, so rc != 0 leaves no trace;
+        # a failure after the row lands (index/WAL) aborts the stamp,
+        # leaving the version invisible forever (vacuum reclaims the slot)
+        # and any index entries pointing at it re-verified by probes.
+        emit("    tid = mgr.autocommit_begin()")
+        emit("    rid = t.next_rowid")
+        emit(f"    rc = store_row(D, vi, rid, tid, ({vals_t},))")
+        emit("    if rc != 0:")
+        emit("        mgr.autocommit_abort(tid)")
+        emit("        if rc < 0:")
+        emit(f"            raise cv('NOT NULL constraint violated: "
+             f"{t.name}.' + NAMES[-rc - 1])")
+        emit("        return None")
+        emit("    t.next_rowid = rid + 1")
         if n_auto:
-            emit(f"        db.last_insert_id = t.auto_increment + {n_auto - 1}")
-            emit(f"        t.auto_increment += {n_auto}")
-        for i, nm in enumerate(names):
-            emit(f"        a{i}, nl{i} = arrs[{i}]")
-            emit(f"        if v{i} is None:")
-            emit(f"            nl{i}[vi] = True")
-            emit("        else:")
-            emit(f"            nl{i}[vi] = False")
-            emit(f"            a{i}[vi] = v{i}")
-        emit("        t.xmin[vi] = txn.txn_id")
-        emit("        t.xmax[vi] = 0")
-        emit("        t.rowids[vi] = rid")
-        emit("        t.prev[vi] = -1")
-        emit("        t.latest[rid] = vi")
-        emit("        txn.undo.append((t, 'insert', vi, None))")
-        emit("        t.nversions = vi + 1")
+            emit(f"    db.last_insert_id = t.auto_increment + {n_auto - 1}")
+            emit(f"    t.auto_increment += {n_auto}")
+        emit("    t.latest[rid] = vi")
+        emit("    t.nversions = vi + 1")
+        emit("    try:")
         for j in range(len(F["sec"])):
             emit(f"        SEC[{j}].insert(k{j}, rid)")
-        vals_t = ", ".join(f"v{i}" for i in range(len(names)))
         emit("        if db.wal_enabled and not db._replaying:")
         emit(f"            rec = nat.pack_record(blob, ({vals_t},))")
         emit("            if rec is None:")
@@ -1842,32 +1844,48 @@ class CachedInsertPlan:
              f"[{vals_t}])")
         emit("            w = db.wal")
         emit("            lsn = w.next_lsn")
-        emit("            w._buffer.append(nat.wal_frame(")
-        emit("                FT_I, t.table_id, lsn, txn.txn_id,")
-        emit("                rid.to_bytes(8, 'little') + rec,")
-        emit("            ))")
-        emit("            w._buffer.append(nat.wal_frame(")
-        emit("                FT_C, 0, lsn + 1, txn.txn_id, b'',")
+        emit("            w._buffer.append(wal_frame_pair(")
+        emit("                FT_I, t.table_id, lsn, tid,")
+        emit("                rid.to_bytes(8, 'little') + rec, FT_C,")
         emit("            ))")
         emit("            w.next_lsn = lsn + 2")
         emit("            w.frame_count += 2")
         emit("            if db.wal_autoflush:")
         emit("                w.flush()")
-        emit("        mgr.commit(txn)")
         emit("    except Exception:")
-        emit("        mgr.abort(txn)")
+        emit("        mgr.autocommit_abort(tid)")
         emit("        raise")
+        emit("    mgr.autocommit_commit(tid)")
         emit("    if db.wal_enabled and db.wal.frame_count >= CKPT:")
         emit("        db.checkpoint()")
         emit("    return ER(rows_affected=1, last_rowid=rid)")
         from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
 
+        def _mkdesc():
+            refs = [t.cols[n] for n in names]
+            nrefs = [t.nulls[n] for n in names]
+            cspec = tuple(
+                (code, c.ctypes.data, nl.ctypes.data, int(nullable), lim)
+                for (code, nullable, lim), c, nl in zip(spec, refs, nrefs)
+            )
+            D = nat.make_row_desc(
+                cspec, t.xmin.ctypes.data, t.xmax.ctypes.data,
+                t.rowids.ctypes.data, t.prev.ctypes.data,
+            )
+            # the capsule holds RAW pointers: keep the arrays alive and
+            # use refs[0] identity to invalidate after growth/vacuum
+            F["rd"] = D
+            F["rd_ref"] = refs + nrefs + [t.xmin, t.xmax, t.rowids, t.prev]
+            return D
+
         src = "def _fi(params):\n" + "\n".join(L) + "\n"
         ns = {
             "t": t, "db": self.db, "info": info, "F": F,
             "mgr": self.db.mgr, "cv": ConstraintViolation,
-            "ER": ExecuteResult, "nat": F["nat"],
-            "encode_key": F["nat"].encode_key, "blob": F["blob"],
+            "ER": ExecuteResult, "nat": nat,
+            "encode_key": nat.encode_key, "blob": F["blob"],
+            "store_row": nat.store_row, "_mkdesc": _mkdesc,
+            "wal_frame_pair": nat.wal_frame_pair,
             "pack_record": pack_record,
             "SEC": [idx for idx, _ in F["sec"]],
             "NAMES": names, "CONSTS": consts,
@@ -1993,7 +2011,8 @@ class CachedInsertPlan:
 
     def execute(self, params) -> ExecuteResult:
         db = self.db
-        db._check_writable()
+        if db.mode != "rw":
+            db._check_writable()
         live = db.catalog.get(self.schema, {}).get(self.tname)
         if live is not self.info:     # DDL since prepare: re-resolve
             self._bind()
@@ -2037,14 +2056,16 @@ class PreparedStatement:
     def execute(self, params=None) -> ExecuteResult:
         params = list(params or [])
         with self.db._stmt_lock:
-            if self._plan is not False and isinstance(self.stmt, A.Insert):
-                if self._plan is None:
-                    self._plan = (
-                        CachedInsertPlan.try_build(self.db, self.stmt)
-                        or False
-                    )
-                if self._plan:
-                    return self._plan.execute(params)
+            plan = self._plan
+            if plan:
+                return plan.execute(params)
+            if plan is None and isinstance(self.stmt, A.Insert):
+                self._plan = plan = (
+                    CachedInsertPlan.try_build(self.db, self.stmt)
+                    or False
+                )
+                if plan:
+                    return plan.execute(params)
             return self.db._dispatch(self.stmt, params, self.sql)
 
     def _build_point_select(self):

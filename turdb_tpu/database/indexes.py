@@ -63,13 +63,24 @@ class SortedKeyIndex:
             self._count = {}
 
     def insert(self, key: bytes, rowid: int):
-        self._deleted.discard((key, rowid))
-        self._delta.append((key, rowid))
-        self._delta_by_key.setdefault(key, []).append(rowid)
+        if self._deleted:
+            self._deleted.discard((key, rowid))
+        delta = self._delta
+        delta.append((key, rowid))
+        # int-or-list delta map: the common case (fresh key) stores the
+        # bare rowid — no per-key list allocation on the insert hot lane
+        dbk = self._delta_by_key
+        cur = dbk.get(key)
+        if cur is None:
+            dbk[key] = rowid
+        elif type(cur) is int:
+            dbk[key] = [cur, rowid]
+        else:
+            cur.append(rowid)
         c = self._count
         if c is not None:
             c[key] = c.get(key, 0) + 1
-        if len(self._delta) >= _MERGE_THRESHOLD:
+        if len(delta) >= _MERGE_THRESHOLD:
             self._flush()
 
     def delete(self, key: bytes, rowid: int):
@@ -152,9 +163,11 @@ class SortedKeyIndex:
                 if e not in self._deleted:
                     out.append(e[1])
                 lo += 1
-        for r in self._delta_by_key.get(key, ()):
-            if (key, r) not in self._deleted:
-                out.append(r)
+        cur = self._delta_by_key.get(key)
+        if cur is not None:
+            for r in (cur,) if type(cur) is int else cur:
+                if (key, r) not in self._deleted:
+                    out.append(r)
         if len(out) < 2:
             return out          # point-read hot path: nothing to dedup
         return list(dict.fromkeys(out))

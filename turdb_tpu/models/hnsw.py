@@ -885,7 +885,17 @@ def _bulk_reverse_lists(sub_slots, adj, seld, rcap: int):
     """Host-side reverse-edge lists: for each node, the up-to-rcap NEAREST
     nodes that selected it as a forward edge (the batched analog of the
     reference's bidirectional edge write, mod.rs:1067-1077)."""
+    from turdb_tpu.native.build import reverse_topk
+
     ns, deg = adj.shape
+    sub_slots = np.ascontiguousarray(sub_slots, np.int64)
+    pos_arr = np.full(int(sub_slots.max()) + 1, -1, np.int64)
+    pos_arr[sub_slots] = np.arange(ns)
+    # C single pass (hnsw_host.cpp): bounded insertion per target, no
+    # 32M-element temps — ~10x the numpy radix path at the 1M build
+    nat = reverse_topk(sub_slots, adj, seld, pos_arr, rcap)
+    if nat is not None:
+        return nat
     src = np.repeat(sub_slots, deg)
     tgt = adj.reshape(-1)
     dist = seld.reshape(-1)
@@ -894,11 +904,9 @@ def _bulk_reverse_lists(sub_slots, adj, seld, rcap: int):
     rev = np.full((ns, rcap), -1, np.int32)
     if len(tgt) == 0:
         return rev
-    pos_arr = np.full(int(sub_slots.max()) + 1, -1, np.int64)
-    pos_arr[sub_slots] = np.arange(ns)
-    # (tgt, dist) two-key sort as ONE radix argsort over a packed uint64
-    # (slot << 32 | order-preserving f32 bits): 2.5x lexsort at the 1M
-    # build's 32M entries (7.9s vs 19.8s measured)
+    # numpy fallback: (tgt, dist) two-key sort as ONE radix argsort over
+    # a packed uint64 (slot << 32 | order-preserving f32 bits): 2.5x
+    # lexsort at the 1M build's 32M entries (7.9s vs 19.8s measured)
     u = np.ascontiguousarray(dist, np.float32).view(np.uint32)
     flip = np.where(
         (u >> 31) != 0, np.uint32(0xFFFFFFFF), np.uint32(0x80000000)

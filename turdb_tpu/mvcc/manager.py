@@ -94,6 +94,27 @@ class TransactionManager:
         self.active[txn_id] = txn
         return txn
 
+    def autocommit_begin(self) -> int:
+        """Lightweight txn id for a single-statement autocommit write
+        (the prepared-insert fast lane): fresh commit-log slots are
+        already IN_PROGRESS, ids are never reused, and the statement
+        lock serializes statements, so no Transaction object, undo list,
+        active-set entry, or lock bookkeeping is needed. The caller
+        stamps the outcome with autocommit_commit/autocommit_abort."""
+        tid = self._next_txn
+        self._next_txn = tid + 1
+        if tid >= len(self._commit_ts):
+            self._ensure(tid)
+        return tid
+
+    def autocommit_commit(self, tid: int) -> int:
+        self._next_ts += 1
+        self._commit_ts[tid] = self._next_ts
+        return self._next_ts
+
+    def autocommit_abort(self, tid: int):
+        self._commit_ts[tid] = ABORTED
+
     def commit(self, txn: Transaction) -> int:
         assert txn.active
         self._next_ts += 1

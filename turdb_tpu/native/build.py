@@ -22,17 +22,20 @@ POLY = 0xC96C5795D7870F42
 
 
 def _build_lib() -> str | None:
-    src = os.path.join(_HERE, "crc64.cpp")
+    srcs = [os.path.join(_HERE, "crc64.cpp"),
+            os.path.join(_HERE, "hnsw_host.cpp")]
     cache = os.environ.get(
         "TURDB_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "turdb_native")
     )
     os.makedirs(cache, exist_ok=True)
     so = os.path.join(cache, "libturdb_native.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+    if os.path.exists(so) and os.path.getmtime(so) >= max(
+        os.path.getmtime(s) for s in srcs
+    ):
         return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", src],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", *srcs],
             check=True,
             capture_output=True,
             timeout=120,
@@ -57,6 +60,13 @@ def _get_lib():
                     ctypes.c_char_p,
                     ctypes.c_size_t,
                     ctypes.c_uint64,
+                ]
+                lib.turdb_reverse_topk.restype = None
+                lib.turdb_reverse_topk.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_int32,
                 ]
                 _LIB = lib
             except OSError:
@@ -101,6 +111,28 @@ def crc64(data: bytes, seed: int = 0) -> int:
 
 def crc64_available_native() -> bool:
     return bool(_get_lib())
+
+
+def reverse_topk(slots, adj, dist, pos_arr, rcap: int):
+    """C reverse-edge lists (hnsw_host.cpp): per target, the up-to-rcap
+    nearest sources by (order-flipped f32 bits, edge enumeration order) —
+    the exact order the numpy packed-key stable argsort produces. Returns
+    the filled rev [ns, rcap] array, or None when no native lib."""
+    lib = _get_lib()
+    if not lib:
+        return None
+    ns, deg = adj.shape
+    slots = np.ascontiguousarray(slots, np.int64)
+    adj = np.ascontiguousarray(adj, np.int32)
+    dist = np.ascontiguousarray(dist, np.float32)
+    pos_arr = np.ascontiguousarray(pos_arr, np.int64)
+    rev = np.full((ns, rcap), -1, np.int32)
+    lib.turdb_reverse_topk(
+        slots.ctypes.data, adj.ctypes.data, dist.ctypes.data,
+        ns, deg, pos_arr.ctypes.data, len(pos_arr),
+        rev.ctypes.data, rcap,
+    )
+    return rev
 
 
 # ---------------------------------------------------------------------------
