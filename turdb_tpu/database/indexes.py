@@ -52,6 +52,12 @@ class SortedKeyIndex:
         # by construction — any hit bails to the generic path, which
         # re-verifies against MVCC visibility.
         self._count: dict[bytes, int] | None = {} if unique else None
+        # clean-single map: key -> rowid while exactly ONE live entry
+        # carries the key (the common state of a PK/unique index). Point
+        # reads become one dict get, independent of run count; any
+        # ambiguity (dup versions, delete of a multi) drops the key and
+        # find() falls back to the full probe.
+        self._single: dict[bytes, int] | None = {} if unique else None
 
     def make_key(self, values) -> bytes:
         return encode_key(list(values))
@@ -61,6 +67,7 @@ class SortedKeyIndex:
         self._delta_by_key = {}
         if self._count is not None:
             self._count = {}
+            self._single = {}
 
     def insert(self, key: bytes, rowid: int):
         if self._deleted:
@@ -79,7 +86,12 @@ class SortedKeyIndex:
             cur.append(rowid)
         c = self._count
         if c is not None:
-            c[key] = c.get(key, 0) + 1
+            n = c.get(key, 0) + 1
+            c[key] = n
+            if n == 1:
+                self._single[key] = rowid
+            elif n == 2:
+                self._single.pop(key, None)
         if len(delta) >= _MERGE_THRESHOLD:
             self._flush()
 
@@ -92,6 +104,9 @@ class SortedKeyIndex:
                     c[key] = left
                 else:
                     c.pop(key, None)
+                # a delete leaves the remaining rowid (if any) unknown:
+                # drop the clean-single entry; find() falls back to scan
+                self._single.pop(key, None)
         self._deleted.add((key, rowid))
 
     def probe_hit(self, key: bytes) -> bool:
@@ -155,6 +170,11 @@ class SortedKeyIndex:
 
     def find(self, key: bytes) -> list[int]:
         """All rowids with exactly this key (deduplicated across runs)."""
+        s = self._single
+        if s is not None:
+            r = s.get(key)
+            if r is not None:
+                return [r]   # clean-single: delete/dup always evicts
         out = []
         for run in self._runs:
             lo = bisect.bisect_left(run, (key, -(2**62)))
@@ -184,6 +204,9 @@ class SortedKeyIndex:
             for k in keys:
                 c[k] = c.get(k, 0) + 1
             self._count = c
+            self._single = {
+                k: r for k, r in self._runs[0] if c[k] == 1
+            }
 
     def key_set(self) -> set:
         """All live key byte-strings (bulk unique probes: one O(K) set
