@@ -616,6 +616,808 @@ static PyObject *py_wal_frame_pair(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* ---- consolidated prepared-insert lane ------------------------------ *
+ *
+ * One C call per row replacing the GENERATED Python lane entirely
+ * (reference prepared.rs:106-158 economics: the Rust insert_cached row
+ * costs 1,185 ns; the generated-Python lane still spent ~70% of its
+ * time in bytecode dispatch around the C helpers). exec_insert drives
+ * the SAME Python-visible structures (column arrays via RowDesc, the
+ * SortedKeyIndex delta list/dicts, the WAL buffer list, the MVCC
+ * commit-log array) through the C API, so every other path observes
+ * identical state. Bail-to-generic semantics mirror the generated lane:
+ * any unusual row returns None and the caller re-validates from
+ * scratch; maintenance conditions return small negative codes so the
+ * caller can grow arrays / flush deltas and retry.
+ */
+
+#define ICTX_MAXCOLS 64
+#define ICTX_MAXSEC 8
+#define ICTX_MAXPOS 8
+#define LSM_MERGE_THRESHOLD 2048
+#define TS_IN_PROGRESS ((int64_t)1 << 62)
+#define TS_ABORTED (((int64_t)1 << 62) + 1)
+
+/* interned attribute names (module init) */
+static PyObject *S_delta, *S_dbk, *S_count, *S_single, *S_deleted;
+static PyObject *S_nversions, *S_capacity, *S_next_rowid, *S_auto_increment;
+static PyObject *S_next_txn, *S_next_ts, *S_commit_ts;
+static PyObject *S_wal_enabled, *S_replaying, *S_wal_autoflush, *S_wal;
+static PyObject *S_buffer, *S_next_lsn, *S_frame_count;
+static PyObject *S_last_insert_id, *S_checkpoint, *S_flush, *S_latest;
+static PyObject *S_mode, *S_txn, *S_trigger_tables, *S_catalog;
+
+typedef struct {
+    int kind;          /* 0=const 1=param 2=auto 3=none */
+    int payload;       /* param index / auto offset */
+    PyObject *konst;   /* owned; kind 0 only */
+} Bind;
+
+typedef struct {
+    int npos;
+    int pos[ICTX_MAXPOS];
+    int unique;
+    PyObject *idx;     /* SortedKeyIndex, owned */
+} SecD;
+
+typedef struct {
+    PyObject *rowdesc;       /* RowDesc capsule, owned */
+    PyObject *table, *mgr, *db;
+    PyObject *colsdict, *name0, *col0;   /* staleness probe */
+    PyObject *ct_obj;        /* mgr._commit_ts ndarray */
+    int64_t *ct_ptr;
+    Py_ssize_t ct_len;
+    PyObject *latest;        /* UNUSED slot: table.latest is fetched per
+                                call (vacuum REBINDS the dict in place of
+                                compacting it; a cached ref would go
+                                stale silently) */
+    int ncols;
+    Bind binds[ICTX_MAXCOLS];
+    PyObject *blob;          /* record schema blob bytes */
+    PyObject *pack_fb;       /* python fallback: callable(vals_tuple)->bytes */
+    int nsec;
+    SecD sec[ICTX_MAXSEC];
+    long table_id;
+    long ckpt;
+    PyObject *cv_exc;        /* ConstraintViolation class */
+    PyObject *nn_prefix;     /* "NOT NULL constraint violated: t." */
+    PyObject *colnames;      /* tuple of str */
+    int n_auto;              /* number of auto-increment binds */
+    long ft_insert, ft_commit;   /* FrameType codes (wal.py enum) */
+    /* self-check extras (may be NULL for legacy 22-item specs): the
+       caller-side guards (mode=="rw", no open txn, no triggers, catalog
+       unchanged) run in C so the Python wrapper is just the call */
+    PyObject *info, *schema, *tname;
+} ICtx;
+
+static void ictx_free(PyObject *cap) {
+    ICtx *c = (ICtx *)PyCapsule_GetPointer(cap, "turdb.InsertCtx");
+    if (!c) return;
+    Py_XDECREF(c->rowdesc);
+    Py_XDECREF(c->table); Py_XDECREF(c->mgr); Py_XDECREF(c->db);
+    Py_XDECREF(c->colsdict); Py_XDECREF(c->name0); Py_XDECREF(c->col0);
+    Py_XDECREF(c->ct_obj); Py_XDECREF(c->latest);
+    for (int i = 0; i < c->ncols; i++) Py_XDECREF(c->binds[i].konst);
+    Py_XDECREF(c->blob); Py_XDECREF(c->pack_fb);
+    for (int j = 0; j < c->nsec; j++) Py_XDECREF(c->sec[j].idx);
+    Py_XDECREF(c->cv_exc); Py_XDECREF(c->nn_prefix); Py_XDECREF(c->colnames);
+    Py_XDECREF(c->info); Py_XDECREF(c->schema); Py_XDECREF(c->tname);
+    PyMem_Free(c);
+}
+
+/* make_insert_ctx(spec_tuple) — spec layout (all positional):
+   (rowdesc, table, mgr, db, colsdict, name0, ct_obj, ct_addr, ct_len,
+    latest, binds, blob, pack_fb, sec, table_id, ckpt, cv_exc, nn_prefix,
+    colnames, n_auto, ft_insert, ft_commit)
+   binds: tuple of (kind, payload, const_or_None)
+   sec:   tuple of (index_obj, pos_tuple, unique_int) */
+static PyObject *py_make_insert_ctx(PyObject *self, PyObject *args) {
+    PyObject *spec;
+    if (!PyArg_ParseTuple(args, "O", &spec)) return NULL;
+    if (!PyTuple_Check(spec) || PyTuple_GET_SIZE(spec) != 25) {
+        PyErr_SetString(PyExc_ValueError, "bad ctx spec");
+        return NULL;
+    }
+    ICtx *c = (ICtx *)PyMem_Calloc(1, sizeof(ICtx));
+    if (!c) return PyErr_NoMemory();
+#define TAKE(field, i) do { c->field = PyTuple_GET_ITEM(spec, i); \
+        Py_INCREF(c->field); } while (0)
+    TAKE(rowdesc, 0); TAKE(table, 1); TAKE(mgr, 2); TAKE(db, 3);
+    TAKE(colsdict, 4); TAKE(name0, 5); TAKE(ct_obj, 6);
+    c->col0 = PyDict_GetItem(c->colsdict, c->name0);   /* pin: staleness
+        probe compares against the column array CURRENT at build time */
+    if (!c->col0) goto bad;
+    Py_INCREF(c->col0);
+    c->ct_ptr = (int64_t *)(uintptr_t)PyLong_AsUnsignedLongLong(
+        PyTuple_GET_ITEM(spec, 7));
+    c->ct_len = PyLong_AsSsize_t(PyTuple_GET_ITEM(spec, 8));
+    TAKE(latest, 9);
+    PyObject *binds = PyTuple_GET_ITEM(spec, 10);
+    Py_ssize_t nb = PyTuple_GET_SIZE(binds);
+    if (nb > ICTX_MAXCOLS) goto bad;
+    c->ncols = (int)nb;
+    for (Py_ssize_t i = 0; i < nb; i++) {
+        PyObject *b = PyTuple_GET_ITEM(binds, i);
+        c->binds[i].kind = (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 0));
+        c->binds[i].payload = (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 1));
+        c->binds[i].konst = PyTuple_GET_ITEM(b, 2);
+        Py_INCREF(c->binds[i].konst);
+    }
+    TAKE(blob, 11); TAKE(pack_fb, 12);
+    {
+        PyObject *sec = PyTuple_GET_ITEM(spec, 13);
+        Py_ssize_t ns = PyTuple_GET_SIZE(sec);
+        if (ns > ICTX_MAXSEC) goto bad;
+        c->nsec = (int)ns;
+        for (Py_ssize_t j = 0; j < ns; j++) {
+            PyObject *s = PyTuple_GET_ITEM(sec, j);
+            c->sec[j].idx = PyTuple_GET_ITEM(s, 0);
+            Py_INCREF(c->sec[j].idx);
+            PyObject *pos = PyTuple_GET_ITEM(s, 1);
+            Py_ssize_t np = PyTuple_GET_SIZE(pos);
+            if (np > ICTX_MAXPOS) goto bad;
+            c->sec[j].npos = (int)np;
+            for (Py_ssize_t p = 0; p < np; p++)
+                c->sec[j].pos[p] =
+                    (int)PyLong_AsLong(PyTuple_GET_ITEM(pos, p));
+            c->sec[j].unique =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(s, 2));
+        }
+    }
+    c->table_id = PyLong_AsLong(PyTuple_GET_ITEM(spec, 14));
+    c->ckpt = PyLong_AsLong(PyTuple_GET_ITEM(spec, 15));
+    TAKE(cv_exc, 16); TAKE(nn_prefix, 17); TAKE(colnames, 18);
+    c->n_auto = (int)PyLong_AsLong(PyTuple_GET_ITEM(spec, 19));
+    c->ft_insert = PyLong_AsLong(PyTuple_GET_ITEM(spec, 20));
+    c->ft_commit = PyLong_AsLong(PyTuple_GET_ITEM(spec, 21));
+    TAKE(info, 22); TAKE(schema, 23); TAKE(tname, 24);
+#undef TAKE
+    if (PyErr_Occurred()) goto bad;
+    return PyCapsule_New(c, "turdb.InsertCtx", ictx_free);
+bad:
+    {
+        PyObject *cap = PyCapsule_New(c, "turdb.InsertCtx", ictx_free);
+        Py_XDECREF(cap);
+    }
+    if (!PyErr_Occurred())
+        PyErr_SetString(PyExc_ValueError, "bad ctx spec");
+    return NULL;
+}
+
+static int64_t attr_ll(PyObject *o, PyObject *name, int *err) {
+    PyObject *v = PyObject_GetAttr(o, name);
+    if (!v) { *err = 1; return 0; }
+    int64_t r = PyLong_AsLongLong(v);
+    Py_DECREF(v);
+    if (r == -1 && PyErr_Occurred()) { *err = 1; return 0; }
+    return r;
+}
+
+static int attr_set_ll(PyObject *o, PyObject *name, int64_t v) {
+    PyObject *pv = PyLong_FromLongLong(v);
+    if (!pv) return -1;
+    int rc = PyObject_SetAttr(o, name, pv);
+    Py_DECREF(pv);
+    return rc;
+}
+
+static int attr_truthy(PyObject *o, PyObject *name, int *err) {
+    PyObject *v = PyObject_GetAttr(o, name);
+    if (!v) { *err = 1; return 0; }
+    int r = PyObject_IsTrue(v);
+    Py_DECREF(v);
+    if (r < 0) { *err = 1; return 0; }
+    return r;
+}
+
+/* validate values against the descriptor; 0 ok, >0 type-bail col,
+   <0 NOT NULL violation col (1-based), writes coerced scalars to tmp */
+typedef union { int64_t i; double f; } ValTmp;
+
+static int validate_vals(RowDesc *d, PyObject *const *vals, ValTmp *tmp) {
+    for (int i = 0; i < d->n; i++) {
+        PyObject *v = vals[i];
+        ColD *c = &d->cols[i];
+        if (v == Py_None) {
+            if (!c->nullable) return -(i + 1);
+            continue;
+        }
+        switch (c->sc) {
+        case 0: {
+            if (!PyLong_CheckExact(v)) return i + 1;
+            int ovf = 0;
+            tmp[i].i = PyLong_AsLongLongAndOverflow(v, &ovf);
+            if (ovf) return i + 1;
+            break;
+        }
+        case 1:
+        case 2: {
+            if (PyFloat_CheckExact(v)) tmp[i].f = PyFloat_AS_DOUBLE(v);
+            else if (PyLong_CheckExact(v)) {
+                int ovf = 0;
+                int64_t iv = PyLong_AsLongLongAndOverflow(v, &ovf);
+                if (ovf) return i + 1;
+                tmp[i].f = (double)iv;
+            } else return i + 1;
+            break;
+        }
+        case 3:
+            if (!PyBool_Check(v)) return i + 1;
+            break;
+        case 4:
+            if (!PyUnicode_CheckExact(v)) return i + 1;
+            if (c->max_len >= 0 && PyUnicode_GET_LENGTH(v) > c->max_len)
+                return i + 1;
+            break;
+        case 5:
+            if (!PyBytes_CheckExact(v)) return i + 1;
+            if (c->max_len >= 0 && PyBytes_GET_SIZE(v) > c->max_len)
+                return i + 1;
+            break;
+        default:
+            return i + 1;
+        }
+    }
+    return 0;
+}
+
+static void write_vals(RowDesc *d, int64_t vi, int64_t rid, int64_t tid,
+                       PyObject *const *vals, const ValTmp *tmp) {
+    for (int i = 0; i < d->n; i++) {
+        PyObject *v = vals[i];
+        ColD *c = &d->cols[i];
+        if (v == Py_None) { c->null[vi] = 1; continue; }
+        c->null[vi] = 0;
+        switch (c->sc) {
+        case 0: ((int64_t *)c->col)[vi] = tmp[i].i; break;
+        case 1: ((double *)c->col)[vi] = tmp[i].f; break;
+        case 2: ((float *)c->col)[vi] = (float)tmp[i].f; break;
+        case 3: ((uint8_t *)c->col)[vi] = (v == Py_True); break;
+        case 4:
+        case 5: {
+            PyObject **slot = ((PyObject **)c->col) + vi;
+            PyObject *old = *slot;
+            Py_INCREF(v);
+            *slot = v;
+            Py_XDECREF(old);
+            break;
+        }
+        }
+    }
+    d->xmin[vi] = tid;
+    d->xmax[vi] = 0;
+    d->rowids[vi] = rid;
+    d->prev[vi] = -1;
+}
+
+/* pack a record from a raw values array; returns new PyBytes, Py_None
+   (python fallback needed), or NULL on error */
+static PyObject *pack_record_from(const uint8_t *schema, Py_ssize_t slen,
+                                  PyObject *const *vals, Py_ssize_t nvals) {
+    if (slen < 10) { Py_RETURN_NONE; }
+    uint16_t n, bitmap_len, nvar;
+    uint32_t fixed_len;
+    memcpy(&n, schema, 2);
+    memcpy(&bitmap_len, schema + 2, 2);
+    memcpy(&fixed_len, schema + 4, 4);
+    memcpy(&nvar, schema + 8, 2);
+    const uint8_t *cols = schema + 10;
+    if (slen != 10 + 5 * (Py_ssize_t)n || nvals != n) Py_RETURN_NONE;
+    Py_ssize_t var_total = 0;
+    for (uint16_t i = 0; i < n; i++) {
+        PyObject *v = vals[i];
+        uint8_t sc = cols[5 * i];
+        if (v == Py_None) continue;
+        if (sc == 255) Py_RETURN_NONE;
+        if (sc == 4) {
+            if (!PyUnicode_Check(v)) Py_RETURN_NONE;
+            Py_ssize_t l;
+            if (!PyUnicode_AsUTF8AndSize(v, &l)) return NULL;
+            var_total += l;
+        } else if (sc == 5) {
+            if (!PyBytes_Check(v)) Py_RETURN_NONE;
+            var_total += PyBytes_GET_SIZE(v);
+        } else if (sc <= 3) {
+            if (!(PyLong_Check(v) || PyFloat_Check(v) || PyBool_Check(v)))
+                Py_RETURN_NONE;
+        } else Py_RETURN_NONE;
+    }
+    Py_ssize_t total = 2 + bitmap_len + fixed_len + 4 * (nvar + 1) + var_total;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, total);
+    if (!out) return NULL;
+    uint8_t *p = (uint8_t *)PyBytes_AS_STRING(out);
+    memset(p, 0, total - var_total);
+    p[0] = (uint8_t)(n & 0xFF);
+    p[1] = (uint8_t)(n >> 8);
+    uint8_t *bitmap = p + 2;
+    uint8_t *fixed = p + 2 + bitmap_len;
+    uint8_t *offtab = fixed + fixed_len;
+    uint8_t *payload = offtab + 4 * (nvar + 1);
+    uint32_t pos = 0;
+    for (uint16_t i = 0; i < n; i++) {
+        PyObject *v = vals[i];
+        uint8_t sc = cols[5 * i];
+        uint16_t foff;
+        int16_t vidx;
+        memcpy(&foff, cols + 5 * i + 1, 2);
+        memcpy(&vidx, cols + 5 * i + 3, 2);
+        if (v == Py_None) {
+            bitmap[i / 8] |= (uint8_t)(1 << (i % 8));
+            if (vidx >= 0) memcpy(offtab + 4 * vidx, &pos, 4);
+            continue;
+        }
+        switch (sc) {
+        case 0: {
+            int64_t iv;
+            if (PyBool_Check(v)) iv = (v == Py_True);
+            else if (PyLong_Check(v)) {
+                int ovf = 0;
+                iv = PyLong_AsLongLongAndOverflow(v, &ovf);
+                if (ovf) { Py_DECREF(out);
+                    PyErr_SetString(PyExc_OverflowError, "int too big");
+                    return NULL; }
+            } else iv = (int64_t)PyFloat_AS_DOUBLE(v);
+            memcpy(fixed + foff, &iv, 8);
+            break;
+        }
+        case 1: {
+            double dd = PyFloat_Check(v) ? PyFloat_AS_DOUBLE(v)
+                                         : (double)PyLong_AsLongLong(v);
+            memcpy(fixed + foff, &dd, 8);
+            break;
+        }
+        case 2: {
+            float dd = PyFloat_Check(v) ? (float)PyFloat_AS_DOUBLE(v)
+                                        : (float)PyLong_AsLongLong(v);
+            memcpy(fixed + foff, &dd, 4);
+            break;
+        }
+        case 3:
+            fixed[foff] = PyObject_IsTrue(v) ? 1 : 0;
+            break;
+        case 4: {
+            Py_ssize_t l;
+            const char *s = PyUnicode_AsUTF8AndSize(v, &l);
+            memcpy(payload + pos, s, l);
+            pos += (uint32_t)l;
+            break;
+        }
+        case 5:
+            memcpy(payload + pos, PyBytes_AS_STRING(v),
+                   PyBytes_GET_SIZE(v));
+            pos += (uint32_t)PyBytes_GET_SIZE(v);
+            break;
+        }
+    }
+    {
+        uint32_t p2 = 0;
+        for (uint16_t i = 0; i < n; i++) {
+            uint8_t sc = cols[5 * i];
+            int16_t vidx;
+            memcpy(&vidx, cols + 5 * i + 3, 2);
+            if (vidx < 0) continue;
+            PyObject *v = vals[i];
+            memcpy(offtab + 4 * vidx, &p2, 4);
+            if (v == Py_None) continue;
+            if (sc == 4) {
+                Py_ssize_t l;
+                PyUnicode_AsUTF8AndSize(v, &l);
+                p2 += (uint32_t)l;
+            } else if (sc == 5) {
+                p2 += (uint32_t)PyBytes_GET_SIZE(v);
+            }
+        }
+        memcpy(offtab + 4 * nvar, &p2, 4);
+    }
+    return out;
+}
+
+/* per-index fetched containers (fetched fresh per call: _flush and
+   bulk_load REBIND the attribute objects, so cached refs would go
+   stale) */
+typedef struct {
+    PyObject *delta, *dbk, *count, *single, *deleted;
+} SecLive;
+
+static void sec_live_clear(SecLive *s, int n) {
+    for (int j = 0; j < n; j++) {
+        Py_XDECREF(s[j].delta); Py_XDECREF(s[j].dbk);
+        Py_XDECREF(s[j].count); Py_XDECREF(s[j].single);
+        Py_XDECREF(s[j].deleted);
+    }
+}
+
+/* exec_insert(ctx, params) ->
+     rowid int >= 0   success
+     None             bail to the generic path
+     -1               table capacity: caller _ensure()s then rebuilds ctx
+     -2               commit-log capacity: caller _ensure()s + rebuilds
+     -3               stale arrays: caller rebuilds ctx
+   raises ConstraintViolation on NOT NULL; propagates WAL errors after
+   marking the txn aborted. */
+static PyObject *py_exec_insert(PyObject *self, PyObject *const *args,
+                                Py_ssize_t nargs) {
+    if (nargs != 2) {
+        PyErr_SetString(PyExc_TypeError, "exec_insert(ctx, params)");
+        return NULL;
+    }
+    ICtx *c = (ICtx *)PyCapsule_GetPointer(args[0], "turdb.InsertCtx");
+    if (!c) return NULL;
+    PyObject *params = args[1];
+    if (!PyList_CheckExact(params)) Py_RETURN_NONE;
+    Py_ssize_t nparams = PyList_GET_SIZE(params);
+
+    /* caller-side guards (mode, open txn, triggers, catalog identity) —
+       run here so the Python wrapper is just this one call */
+    if (c->info) {
+        PyObject *mode = PyObject_GetAttr(c->db, S_mode);
+        if (!mode) return NULL;
+        int ok = PyUnicode_Check(mode) &&
+                 PyUnicode_CompareWithASCIIString(mode, "rw") == 0;
+        Py_DECREF(mode);
+        if (!ok) Py_RETURN_NONE;
+        PyObject *txn = PyObject_GetAttr(c->db, S_txn);
+        if (!txn) return NULL;
+        int has_txn = (txn != Py_None);
+        Py_DECREF(txn);
+        if (has_txn) Py_RETURN_NONE;
+        PyObject *tt = PyObject_GetAttr(c->db, S_trigger_tables);
+        if (!tt) return NULL;
+        int trig = PySequence_Contains(tt, c->tname);
+        Py_DECREF(tt);
+        if (trig < 0) return NULL;
+        if (trig) Py_RETURN_NONE;
+        PyObject *cat = PyObject_GetAttr(c->db, S_catalog);
+        if (!cat) return NULL;
+        PyObject *sch = PyDict_Check(cat)
+            ? PyDict_GetItem(cat, c->schema) : NULL;
+        PyObject *liv = (sch && PyDict_Check(sch))
+            ? PyDict_GetItem(sch, c->tname) : NULL;
+        Py_DECREF(cat);
+        if (liv != c->info) Py_RETURN_NONE;   /* DDL since prepare */
+    }
+
+    /* staleness probes */
+    {
+        PyObject *cur0 = PyDict_GetItem(c->colsdict, c->name0);
+        if (cur0 != c->col0) return PyLong_FromLong(-3);
+        PyObject *cta = PyObject_GetAttr(c->mgr, S_commit_ts);
+        if (!cta) return NULL;
+        int stale = (cta != c->ct_obj);
+        Py_DECREF(cta);
+        if (stale) return PyLong_FromLong(-3);
+    }
+
+    /* bind values */
+    PyObject *vals[ICTX_MAXCOLS];
+    PyObject *owned[ICTX_MAXCOLS];
+    int nowned = 0;
+    int64_t auto_base = 0;
+    int auto_read = 0, err = 0;
+    PyObject *keys[ICTX_MAXSEC];
+    SecLive live[ICTX_MAXSEC];
+    int nkeys = 0, nlive = 0;
+    PyObject *rid_long = NULL;
+
+    for (int i = 0; i < c->ncols; i++) {
+        Bind *b = &c->binds[i];
+        switch (b->kind) {
+        case 0: vals[i] = b->konst; break;
+        case 1:
+            if (b->payload >= nparams) goto bail;
+            vals[i] = PyList_GET_ITEM(params, b->payload);
+            break;
+        case 2: {
+            if (!auto_read) {
+                auto_base = attr_ll(c->table, S_auto_increment, &err);
+                if (err) goto error;
+                auto_read = 1;
+            }
+            PyObject *nv = PyLong_FromLongLong(auto_base + b->payload);
+            if (!nv) goto error;
+            owned[nowned++] = nv;
+            vals[i] = nv;
+            break;
+        }
+        default: vals[i] = Py_None; break;
+        }
+    }
+
+    /* index deltas near flush threshold? generic path flushes */
+    for (int j = 0; j < c->nsec; j++) {
+        memset(&live[j], 0, sizeof(SecLive));
+        live[j].delta = PyObject_GetAttr(c->sec[j].idx, S_delta);
+        if (!live[j].delta) { nlive = j + 1; goto error; }
+        live[j].dbk = PyObject_GetAttr(c->sec[j].idx, S_dbk);
+        live[j].count = PyObject_GetAttr(c->sec[j].idx, S_count);
+        live[j].single = PyObject_GetAttr(c->sec[j].idx, S_single);
+        live[j].deleted = PyObject_GetAttr(c->sec[j].idx, S_deleted);
+        nlive = j + 1;
+        if (!live[j].dbk || !live[j].count || !live[j].single ||
+            !live[j].deleted)
+            goto error;
+        if (!PyList_CheckExact(live[j].delta) ||
+            PyList_GET_SIZE(live[j].delta) >= LSM_MERGE_THRESHOLD)
+            goto bail;
+    }
+
+    /* encode keys + unique probes */
+    for (int j = 0; j < c->nsec; j++) {
+        SecD *s = &c->sec[j];
+        Buf b = {(uint8_t *)PyMem_Malloc(64), 0, 64};
+        if (!b.buf) { PyErr_NoMemory(); goto error; }
+        for (int p = 0; p < s->npos; p++) {
+            if (encode_one(&b, vals[s->pos[p]], 0)) {
+                PyMem_Free(b.buf);
+                if (PyErr_ExceptionMatches(PyExc_TypeError)) {
+                    PyErr_Clear();
+                    goto bail;
+                }
+                goto error;
+            }
+        }
+        keys[j] = PyBytes_FromStringAndSize((char *)b.buf, b.len);
+        PyMem_Free(b.buf);
+        if (!keys[j]) goto error;
+        nkeys = j + 1;
+        if (s->unique && live[j].count != Py_None) {
+            int all_nn = 1;
+            for (int p = 0; p < s->npos; p++)
+                if (vals[s->pos[p]] == Py_None) { all_nn = 0; break; }
+            if (all_nn) {
+                int hit = PyDict_Contains(live[j].count, keys[j]);
+                if (hit < 0) goto error;
+                if (hit) goto bail;
+            }
+        }
+    }
+
+    /* capacity + validation (NO mutation before this point) */
+    {
+        int64_t nversions = attr_ll(c->table, S_nversions, &err);
+        if (err) goto error;
+        int64_t capacity = attr_ll(c->table, S_capacity, &err);
+        if (err) goto error;
+        if (nversions + 1 > capacity) {
+            sec_live_clear(live, nlive);
+            for (int j = 0; j < nkeys; j++) Py_DECREF(keys[j]);
+            for (int i = 0; i < nowned; i++) Py_DECREF(owned[i]);
+            return PyLong_FromLong(-1);
+        }
+        RowDesc *d =
+            (RowDesc *)PyCapsule_GetPointer(c->rowdesc, "turdb.RowDesc");
+        if (!d) goto error;
+        if (d->n != c->ncols) goto bail;
+        ValTmp tmp[ICTX_MAXCOLS];
+        int rc = validate_vals(d, vals, tmp);
+        if (rc > 0) goto bail;
+        if (rc < 0) {
+            PyObject *cn = PyTuple_GET_ITEM(c->colnames, -rc - 1);
+            PyObject *msg = PyUnicode_Concat(c->nn_prefix, cn);
+            if (msg) {
+                PyErr_SetObject(c->cv_exc, msg);
+                Py_DECREF(msg);
+            }
+            goto error;
+        }
+
+        /* txn begin */
+        int64_t tid = attr_ll(c->mgr, S_next_txn, &err);
+        if (err) goto error;
+        if (tid >= c->ct_len) {
+            sec_live_clear(live, nlive);
+            for (int j = 0; j < nkeys; j++) Py_DECREF(keys[j]);
+            for (int i = 0; i < nowned; i++) Py_DECREF(owned[i]);
+            return PyLong_FromLong(-2);
+        }
+        if (attr_set_ll(c->mgr, S_next_txn, tid + 1)) goto error;
+        int64_t rid = attr_ll(c->table, S_next_rowid, &err);
+        if (err) goto error;
+
+        /* ---- point of no return: mutations begin ---- */
+        write_vals(d, nversions, rid, tid, vals, tmp);
+        if (attr_set_ll(c->table, S_next_rowid, rid + 1)) goto abort_err;
+        if (auto_read) {
+            if (attr_set_ll(c->db, S_last_insert_id,
+                            auto_base + c->n_auto - 1) ||
+                attr_set_ll(c->table, S_auto_increment,
+                            auto_base + c->n_auto))
+                goto abort_err;
+        }
+        rid_long = PyLong_FromLongLong(rid);
+        if (!rid_long) goto abort_err;
+        {
+            PyObject *latest = PyObject_GetAttr(c->table, S_latest);
+            if (!latest) goto abort_err;
+            PyObject *vi_long = PyLong_FromLongLong(nversions);
+            if (!vi_long) { Py_DECREF(latest); goto abort_err; }
+            int src = PyDict_SetItem(latest, rid_long, vi_long);
+            Py_DECREF(vi_long);
+            Py_DECREF(latest);
+            if (src) goto abort_err;
+        }
+        if (attr_set_ll(c->table, S_nversions, nversions + 1))
+            goto abort_err;
+
+        /* index inserts (mirrors SortedKeyIndex.insert) */
+        for (int j = 0; j < c->nsec; j++) {
+            SecLive *lv = &live[j];
+            if (PySet_GET_SIZE(lv->deleted)) {
+                PyObject *tp = PyTuple_Pack(2, keys[j], rid_long);
+                if (!tp) goto abort_err;
+                PySet_Discard(lv->deleted, tp);
+                Py_DECREF(tp);
+                PyErr_Clear();
+            }
+            {
+                PyObject *tp = PyTuple_Pack(2, keys[j], rid_long);
+                if (!tp) goto abort_err;
+                int arc = PyList_Append(lv->delta, tp);
+                Py_DECREF(tp);
+                if (arc) goto abort_err;
+            }
+            {
+                PyObject *cur = PyDict_GetItemWithError(lv->dbk, keys[j]);
+                if (!cur && PyErr_Occurred()) goto abort_err;
+                if (!cur) {
+                    if (PyDict_SetItem(lv->dbk, keys[j], rid_long))
+                        goto abort_err;
+                } else if (PyLong_CheckExact(cur)) {
+                    PyObject *nl = PyList_New(2);
+                    if (!nl) goto abort_err;
+                    Py_INCREF(cur);
+                    PyList_SET_ITEM(nl, 0, cur);
+                    Py_INCREF(rid_long);
+                    PyList_SET_ITEM(nl, 1, rid_long);
+                    int src = PyDict_SetItem(lv->dbk, keys[j], nl);
+                    Py_DECREF(nl);
+                    if (src) goto abort_err;
+                } else {
+                    if (PyList_Append(cur, rid_long)) goto abort_err;
+                }
+            }
+            if (lv->count != Py_None) {
+                PyObject *cv = PyDict_GetItemWithError(lv->count, keys[j]);
+                if (!cv && PyErr_Occurred()) goto abort_err;
+                long n = cv ? PyLong_AsLong(cv) + 1 : 1;
+                PyObject *nv = PyLong_FromLong(n);
+                if (!nv) goto abort_err;
+                int src = PyDict_SetItem(lv->count, keys[j], nv);
+                Py_DECREF(nv);
+                if (src) goto abort_err;
+                if (n == 1) {
+                    if (PyDict_SetItem(lv->single, keys[j], rid_long))
+                        goto abort_err;
+                } else if (n == 2) {
+                    if (PyDict_GetItem(lv->single, keys[j]) &&
+                        PyDict_DelItem(lv->single, keys[j]))
+                        goto abort_err;
+                }
+            }
+        }
+
+        /* WAL */
+        int wal_on = attr_truthy(c->db, S_wal_enabled, &err);
+        if (err) goto abort_err;
+        int64_t fc = 0;
+        if (wal_on) {
+            int repl = attr_truthy(c->db, S_replaying, &err);
+            if (err) goto abort_err;
+            wal_on = !repl;
+        }
+        if (wal_on) {
+            PyObject *rec = pack_record_from(
+                (const uint8_t *)PyBytes_AS_STRING(c->blob),
+                PyBytes_GET_SIZE(c->blob), vals, c->ncols);
+            if (!rec) goto abort_err;
+            if (rec == Py_None) {
+                Py_DECREF(rec);
+                PyObject *vt = PyTuple_New(c->ncols);
+                if (!vt) goto abort_err;
+                for (int i = 0; i < c->ncols; i++) {
+                    Py_INCREF(vals[i]);
+                    PyTuple_SET_ITEM(vt, i, vals[i]);
+                }
+                rec = PyObject_CallOneArg(c->pack_fb, vt);
+                Py_DECREF(vt);
+                if (!rec) goto abort_err;
+                if (!PyBytes_CheckExact(rec)) {
+                    Py_DECREF(rec);
+                    PyErr_SetString(PyExc_TypeError, "pack fallback");
+                    goto abort_err;
+                }
+            }
+            Py_ssize_t rl = PyBytes_GET_SIZE(rec);
+            Py_ssize_t plen = 8 + rl;
+            PyObject *frames = PyBytes_FromStringAndSize(NULL,
+                                                         32 + plen + 32);
+            if (!frames) { Py_DECREF(rec); goto abort_err; }
+            uint8_t *pb = (uint8_t *)PyBytes_AS_STRING(frames);
+            uint8_t sbuf[4096];
+            uint8_t *payload = plen <= (Py_ssize_t)sizeof(sbuf)
+                ? sbuf : (uint8_t *)PyMem_Malloc(plen);
+            if (!payload) {
+                Py_DECREF(rec); Py_DECREF(frames);
+                PyErr_NoMemory(); goto abort_err;
+            }
+            uint64_t rid_le = (uint64_t)rid;
+            memcpy(payload, &rid_le, 8);
+            memcpy(payload + 8, PyBytes_AS_STRING(rec), rl);
+            Py_DECREF(rec);
+            PyObject *w = PyObject_GetAttr(c->db, S_wal);
+            if (!w || w == Py_None) {
+                Py_XDECREF(w); Py_DECREF(frames);
+                if (payload != sbuf) PyMem_Free(payload);
+                if (!PyErr_Occurred())
+                    PyErr_SetString(PyExc_RuntimeError, "wal missing");
+                goto abort_err;
+            }
+            int64_t lsn = attr_ll(w, S_next_lsn, &err);
+            if (err) {
+                Py_DECREF(w); Py_DECREF(frames);
+                if (payload != sbuf) PyMem_Free(payload);
+                goto abort_err;
+            }
+            fill_frame(pb, (unsigned)c->ft_insert, (unsigned)c->table_id,
+                       (uint64_t)lsn, (uint64_t)tid, payload, plen);
+            fill_frame(pb + 32 + plen, (unsigned)c->ft_commit, 0,
+                       (uint64_t)lsn + 1, (uint64_t)tid, NULL, 0);
+            if (payload != sbuf) PyMem_Free(payload);
+            PyObject *buffer = PyObject_GetAttr(w, S_buffer);
+            int brc = buffer ? PyList_Append(buffer, frames) : -1;
+            Py_XDECREF(buffer);
+            Py_DECREF(frames);
+            if (brc) { Py_DECREF(w); goto abort_err; }
+            fc = attr_ll(w, S_frame_count, &err) + 2;
+            if (err || attr_set_ll(w, S_next_lsn, lsn + 2) ||
+                attr_set_ll(w, S_frame_count, fc)) {
+                Py_DECREF(w);
+                goto abort_err;
+            }
+            int af = attr_truthy(c->db, S_wal_autoflush, &err);
+            if (err) { Py_DECREF(w); goto abort_err; }
+            if (af) {
+                PyObject *fr = PyObject_CallMethodNoArgs(w, S_flush);
+                if (!fr) { Py_DECREF(w); goto abort_err; }
+                Py_DECREF(fr);
+            }
+            Py_DECREF(w);
+        }
+
+        /* commit */
+        int64_t nts = attr_ll(c->mgr, S_next_ts, &err) + 1;
+        if (err) goto abort_err;
+        c->ct_ptr[tid] = nts;
+        if (attr_set_ll(c->mgr, S_next_ts, nts)) goto error;
+        if (wal_on && fc >= c->ckpt) {
+            PyObject *cr = PyObject_CallMethodNoArgs(c->db, S_checkpoint);
+            if (!cr) goto error;   /* committed; propagate like python */
+            Py_DECREF(cr);
+        }
+        sec_live_clear(live, nlive);
+        for (int j = 0; j < nkeys; j++) Py_DECREF(keys[j]);
+        for (int i = 0; i < nowned; i++) Py_DECREF(owned[i]);
+        return rid_long;
+
+    abort_err:
+        c->ct_ptr[tid] = TS_ABORTED;
+        goto error;
+    }
+
+bail:
+    sec_live_clear(live, nlive);
+    for (int j = 0; j < nkeys; j++) Py_DECREF(keys[j]);
+    for (int i = 0; i < nowned; i++) Py_DECREF(owned[i]);
+    Py_XDECREF(rid_long);
+    Py_RETURN_NONE;
+error:
+    sec_live_clear(live, nlive);
+    for (int j = 0; j < nkeys; j++) Py_DECREF(keys[j]);
+    for (int i = 0; i < nowned; i++) Py_DECREF(owned[i]);
+    Py_XDECREF(rid_long);
+    return NULL;
+}
+
 static PyMethodDef Methods[] = {
     {"encode_key", py_encode_key, METH_VARARGS,
      "order-preserving composite key bytes"},
@@ -630,6 +1432,11 @@ static PyMethodDef Methods[] = {
      "<0 NOT NULL violation (1-based column)"},
     {"wal_frame_pair", py_wal_frame_pair, METH_VARARGS,
      "INSERT frame + empty follow-up frame (lsn+1) as one bytes"},
+    {"make_insert_ctx", py_make_insert_ctx, METH_VARARGS,
+     "capsule binding one prepared INSERT's whole row path"},
+    {"exec_insert", (PyCFunction)(void (*)(void))py_exec_insert,
+     METH_FASTCALL,
+     "one prepared single-row autocommit insert, fully in C"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {
@@ -637,5 +1444,32 @@ static struct PyModuleDef moduledef = {
 };
 
 PyMODINIT_FUNC PyInit__turdb_oltp(void) {
+    S_delta = PyUnicode_InternFromString("_delta");
+    S_dbk = PyUnicode_InternFromString("_delta_by_key");
+    S_count = PyUnicode_InternFromString("_count");
+    S_single = PyUnicode_InternFromString("_single");
+    S_deleted = PyUnicode_InternFromString("_deleted");
+    S_nversions = PyUnicode_InternFromString("nversions");
+    S_capacity = PyUnicode_InternFromString("capacity");
+    S_next_rowid = PyUnicode_InternFromString("next_rowid");
+    S_auto_increment = PyUnicode_InternFromString("auto_increment");
+    S_next_txn = PyUnicode_InternFromString("_next_txn");
+    S_next_ts = PyUnicode_InternFromString("_next_ts");
+    S_commit_ts = PyUnicode_InternFromString("_commit_ts");
+    S_wal_enabled = PyUnicode_InternFromString("wal_enabled");
+    S_replaying = PyUnicode_InternFromString("_replaying");
+    S_wal_autoflush = PyUnicode_InternFromString("wal_autoflush");
+    S_wal = PyUnicode_InternFromString("wal");
+    S_buffer = PyUnicode_InternFromString("_buffer");
+    S_next_lsn = PyUnicode_InternFromString("next_lsn");
+    S_frame_count = PyUnicode_InternFromString("frame_count");
+    S_last_insert_id = PyUnicode_InternFromString("last_insert_id");
+    S_checkpoint = PyUnicode_InternFromString("checkpoint");
+    S_flush = PyUnicode_InternFromString("flush");
+    S_latest = PyUnicode_InternFromString("latest");
+    S_mode = PyUnicode_InternFromString("mode");
+    S_txn = PyUnicode_InternFromString("_txn");
+    S_trigger_tables = PyUnicode_InternFromString("_trigger_tables");
+    S_catalog = PyUnicode_InternFromString("catalog");
     return PyModule_Create(&moduledef);
 }
