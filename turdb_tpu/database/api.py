@@ -2278,6 +2278,7 @@ class PreparedStatement:
                     binders.append((False, b.value))
             bound = (info, match[0], match[1], out_cols, nat, binders)
             P["bound"] = bound
+            self._build_point_c(P, bound)
         info, idx, keycols, out_cols, nat, binders = bound
         t = info.table
         vals = []
@@ -2331,11 +2332,82 @@ class PreparedStatement:
             out.append(tuple(row))
         return out
 
+    def _build_point_c(self, P, bound):
+        """Attach the all-C point-read lane (native/oltp.c exec_point:
+        key encode, clean-single probe, scalar MVCC walk, direct column
+        reads in ONE call — the reference's <1µs cached point-read
+        design target, lib.rs:64). Bails back to the Python lane for
+        anything unusual; a catalog/array change invalidates the ctx and
+        the next call rebuilds from scratch."""
+        info, idx, keycols, out_cols, nat, binders = bound
+        if not hasattr(nat, "exec_point"):
+            return
+        t = info.table
+        if t.toast_cols or len(info.columns) > 64:
+            return
+        sc_code = {
+            StorageClass.INT: 0, StorageClass.FLOAT: 1,
+            StorageClass.FLOAT32: 2, StorageClass.BOOL: 3,
+            StorageClass.TEXT: 4, StorageClass.BYTES: 5,
+        }
+        cols = info.columns
+        for cd in cols:
+            if cd.dtype.storage_class not in sc_code:
+                return
+        try:
+            db = self.db
+            names = [cd.name for cd in cols]
+            name_pos = {n: j for j, n in enumerate(names)}
+            refs = [t.cols[n] for n in names]
+            nrefs = [t.nulls[n] for n in names]
+            cspec = tuple(
+                (sc_code[cd.dtype.storage_class], c.ctypes.data,
+                 nl.ctypes.data, 1, -1)
+                for cd, c, nl in zip(cols, refs, nrefs)
+            )
+            desc = nat.make_row_desc(
+                cspec, t.xmin.ctypes.data, t.xmax.ctypes.data,
+                t.rowids.ctypes.data, t.prev.ctypes.data,
+            )
+            ct = db.mgr._commit_ts
+            kb = tuple(
+                (1, b[1], None) if b[0] else (0, 0, b[1]) for b in binders
+            )
+            ctx = nat.make_point_ctx((
+                db, db.mgr, t, info,
+                self.stmt.from_.schema or "main", self.stmt.from_.name,
+                t.cols, names[0], ct, ct.ctypes.data, len(ct), desc, idx,
+                tuple(name_pos[c] for c in keycols), kb,
+                tuple(name_pos[c] for c in out_cols),
+            ))
+        except Exception:
+            return
+        # the ctx holds RAW pointers: pin the arrays it dereferences
+        P["ckeep"] = refs + nrefs + [t.xmin, t.xmax, t.rowids, t.prev,
+                                     ct, desc]
+        EXECP = nat.exec_point
+
+        def cfn(params):
+            r = EXECP(ctx, params)
+            if type(r) is int:          # catalog/arrays changed
+                P["cfn"] = None
+                P["bound"] = None       # python lane re-resolves + re-attaches
+                return None
+            return r                    # rows list, or None = bail
+
+        P["cfn"] = cfn
+
     def query(self, params=None) -> list[tuple]:
         if isinstance(self.stmt, A.Select):
             params = list(params or [])
             with self.db._stmt_lock:
-                if self._psel is not None:
+                P = self._psel
+                if P is not None:
+                    cfn = P.get("cfn")
+                    if cfn is not None:
+                        rows = cfn(params)
+                        if rows is not None:
+                            return rows
                     rows = self._point_select(params)
                     if rows is not None:
                         return rows

@@ -1418,6 +1418,330 @@ error:
     return NULL;
 }
 
+/* ---- consolidated point-read lane ----------------------------------- *
+ *
+ * exec_point(ctx, params): the unique-key SELECT fast lane fully in C
+ * (reference lib.rs:64 design target <1 us cached point reads). One
+ * dict probe on the index's clean-single map, a scalar MVCC version
+ * walk over the raw stamp arrays, key re-verification, and direct
+ * column reads. Returns a list of row tuples, None to bail to the
+ * Python lane, or -3 (catalog/arrays changed: caller rebuilds ctx). */
+
+typedef struct {
+    PyObject *db, *mgr, *table, *info, *schema, *tname;
+    PyObject *colsdict, *name0, *col0;
+    PyObject *ct_obj;
+    int64_t *ct_ptr;
+    Py_ssize_t ct_len;
+    PyObject *rowdesc;       /* RowDesc over ALL table columns */
+    PyObject *idx;           /* SortedKeyIndex (unique cover) */
+    int nkey;
+    int key_pos[ICTX_MAXPOS];
+    Bind key_binds[ICTX_MAXPOS];
+    int nout;
+    int out_pos[ICTX_MAXCOLS];
+} PCtx;
+
+static void pctx_free(PyObject *cap) {
+    PCtx *c = (PCtx *)PyCapsule_GetPointer(cap, "turdb.PointCtx");
+    if (!c) return;
+    Py_XDECREF(c->db); Py_XDECREF(c->mgr); Py_XDECREF(c->table);
+    Py_XDECREF(c->info); Py_XDECREF(c->schema); Py_XDECREF(c->tname);
+    Py_XDECREF(c->colsdict); Py_XDECREF(c->name0); Py_XDECREF(c->col0);
+    Py_XDECREF(c->ct_obj); Py_XDECREF(c->rowdesc); Py_XDECREF(c->idx);
+    for (int i = 0; i < c->nkey; i++) Py_XDECREF(c->key_binds[i].konst);
+    PyMem_Free(c);
+}
+
+/* make_point_ctx((db, mgr, table, info, schema, tname, colsdict, name0,
+                   ct_obj, ct_addr, ct_len, rowdesc, idx,
+                   key_pos_tuple, key_binds_tuple, out_pos_tuple)) */
+static PyObject *py_make_point_ctx(PyObject *self, PyObject *args) {
+    PyObject *spec;
+    if (!PyArg_ParseTuple(args, "O", &spec)) return NULL;
+    if (!PyTuple_Check(spec) || PyTuple_GET_SIZE(spec) != 16) {
+        PyErr_SetString(PyExc_ValueError, "bad point ctx spec");
+        return NULL;
+    }
+    PCtx *c = (PCtx *)PyMem_Calloc(1, sizeof(PCtx));
+    if (!c) return PyErr_NoMemory();
+#define TAKE(field, i) do { c->field = PyTuple_GET_ITEM(spec, i); \
+        Py_INCREF(c->field); } while (0)
+    TAKE(db, 0); TAKE(mgr, 1); TAKE(table, 2); TAKE(info, 3);
+    TAKE(schema, 4); TAKE(tname, 5); TAKE(colsdict, 6); TAKE(name0, 7);
+    TAKE(ct_obj, 8);
+    c->ct_ptr = (int64_t *)(uintptr_t)PyLong_AsUnsignedLongLong(
+        PyTuple_GET_ITEM(spec, 9));
+    c->ct_len = PyLong_AsSsize_t(PyTuple_GET_ITEM(spec, 10));
+    TAKE(rowdesc, 11); TAKE(idx, 12);
+    c->col0 = PyDict_GetItem(c->colsdict, c->name0);
+    if (!c->col0) goto bad;
+    Py_INCREF(c->col0);
+    {
+        PyObject *kp = PyTuple_GET_ITEM(spec, 13);
+        PyObject *kb = PyTuple_GET_ITEM(spec, 14);
+        Py_ssize_t nk = PyTuple_GET_SIZE(kp);
+        if (nk > ICTX_MAXPOS || nk != PyTuple_GET_SIZE(kb)) goto bad;
+        c->nkey = (int)nk;
+        for (Py_ssize_t i = 0; i < nk; i++) {
+            c->key_pos[i] = (int)PyLong_AsLong(PyTuple_GET_ITEM(kp, i));
+            PyObject *b = PyTuple_GET_ITEM(kb, i);
+            c->key_binds[i].kind =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 0));
+            c->key_binds[i].payload =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 1));
+            c->key_binds[i].konst = PyTuple_GET_ITEM(b, 2);
+            Py_INCREF(c->key_binds[i].konst);
+        }
+        PyObject *op = PyTuple_GET_ITEM(spec, 15);
+        Py_ssize_t no = PyTuple_GET_SIZE(op);
+        if (no > ICTX_MAXCOLS) goto bad;
+        c->nout = (int)no;
+        for (Py_ssize_t i = 0; i < no; i++)
+            c->out_pos[i] = (int)PyLong_AsLong(PyTuple_GET_ITEM(op, i));
+    }
+#undef TAKE
+    if (PyErr_Occurred()) goto bad;
+    return PyCapsule_New(c, "turdb.PointCtx", pctx_free);
+bad:
+    {
+        PyObject *cap = PyCapsule_New(c, "turdb.PointCtx", pctx_free);
+        Py_XDECREF(cap);
+    }
+    if (!PyErr_Occurred())
+        PyErr_SetString(PyExc_ValueError, "bad point ctx spec");
+    return NULL;
+}
+
+static PyObject *py_exec_point(PyObject *self, PyObject *const *args,
+                               Py_ssize_t nargs) {
+    if (nargs != 2) {
+        PyErr_SetString(PyExc_TypeError, "exec_point(ctx, params)");
+        return NULL;
+    }
+    PCtx *c = (PCtx *)PyCapsule_GetPointer(args[0], "turdb.PointCtx");
+    if (!c) return NULL;
+    PyObject *params = args[1];
+    if (!PyList_CheckExact(params)) Py_RETURN_NONE;
+    Py_ssize_t nparams = PyList_GET_SIZE(params);
+
+    /* guards: open txn -> python lane (its read_ts); catalog identity */
+    {
+        PyObject *txn = PyObject_GetAttr(c->db, S_txn);
+        if (!txn) return NULL;
+        int has_txn = (txn != Py_None);
+        Py_DECREF(txn);
+        if (has_txn) Py_RETURN_NONE;
+        PyObject *cat = PyObject_GetAttr(c->db, S_catalog);
+        if (!cat) return NULL;
+        PyObject *sch = PyDict_Check(cat)
+            ? PyDict_GetItem(cat, c->schema) : NULL;
+        PyObject *liv = (sch && PyDict_Check(sch))
+            ? PyDict_GetItem(sch, c->tname) : NULL;
+        Py_DECREF(cat);
+        if (liv != c->info) return PyLong_FromLong(-3);
+        PyObject *cur0 = PyDict_GetItem(c->colsdict, c->name0);
+        if (cur0 != c->col0) return PyLong_FromLong(-3);
+        PyObject *cta = PyObject_GetAttr(c->mgr, S_commit_ts);
+        if (!cta) return NULL;
+        int stale = (cta != c->ct_obj);
+        Py_DECREF(cta);
+        if (stale) return PyLong_FromLong(-3);
+    }
+
+    /* bind + encode the key */
+    PyObject *kvals[ICTX_MAXPOS];
+    for (int i = 0; i < c->nkey; i++) {
+        Bind *b = &c->key_binds[i];
+        PyObject *v;
+        if (b->kind == 1) {
+            if (b->payload >= nparams) Py_RETURN_NONE;
+            v = PyList_GET_ITEM(params, b->payload);
+        } else {
+            v = b->konst;
+        }
+        if (v == Py_None) return PyList_New(0);   /* NULL never matches */
+        kvals[i] = v;
+    }
+    PyObject *key;
+    {
+        Buf b = {(uint8_t *)PyMem_Malloc(64), 0, 64};
+        if (!b.buf) return PyErr_NoMemory();
+        for (int i = 0; i < c->nkey; i++) {
+            if (encode_one(&b, kvals[i], 0)) {
+                PyMem_Free(b.buf);
+                if (PyErr_ExceptionMatches(PyExc_TypeError)) {
+                    PyErr_Clear();
+                    Py_RETURN_NONE;
+                }
+                return NULL;
+            }
+        }
+        key = PyBytes_FromStringAndSize((char *)b.buf, b.len);
+        PyMem_Free(b.buf);
+        if (!key) return NULL;
+    }
+
+    /* clean-single probe; absent-from-count = no entries at all */
+    int64_t rid;
+    {
+        PyObject *single = PyObject_GetAttr(c->idx, S_single);
+        if (!single) { Py_DECREF(key); return NULL; }
+        PyObject *r = (single != Py_None)
+            ? PyDict_GetItem(single, key) : NULL;
+        Py_DECREF(single);
+        if (r) {
+            rid = PyLong_AsLongLong(r);
+            if (rid == -1 && PyErr_Occurred()) {
+                Py_DECREF(key);
+                return NULL;
+            }
+        } else {
+            PyObject *count = PyObject_GetAttr(c->idx, S_count);
+            if (!count) { Py_DECREF(key); return NULL; }
+            int any = (count != Py_None)
+                ? PyDict_Contains(count, key) : -1;
+            Py_DECREF(count);
+            Py_DECREF(key);
+            if (any < 0) {
+                PyErr_Clear();
+                Py_RETURN_NONE;
+            }
+            if (any == 0) return PyList_New(0);
+            Py_RETURN_NONE;      /* ambiguous: python full probe */
+        }
+        Py_DECREF(key);
+    }
+
+    /* MVCC version walk (mirror of visible_version + visible_one) */
+    RowDesc *d = (RowDesc *)PyCapsule_GetPointer(c->rowdesc, "turdb.RowDesc");
+    if (!d) return NULL;
+    int err = 0;
+    int64_t read_ts = attr_ll(c->mgr, S_next_ts, &err);
+    if (err) return NULL;
+    int64_t vi = -1;
+    {
+        PyObject *latest = PyObject_GetAttr(c->table, S_latest);
+        if (!latest) return NULL;
+        PyObject *rk = PyLong_FromLongLong(rid);
+        if (!rk) { Py_DECREF(latest); return NULL; }
+        PyObject *vv = PyDict_GetItem(latest, rk);
+        Py_DECREF(rk);
+        Py_DECREF(latest);
+        if (!vv) return PyList_New(0);
+        vi = PyLong_AsLongLong(vv);
+        if (vi == -1 && PyErr_Occurred()) return NULL;
+    }
+    while (vi >= 0) {
+        int64_t xmin = d->xmin[vi], xmax = d->xmax[vi];
+        if (xmin < 0 || xmin >= c->ct_len ||
+            (xmax > 0 && xmax >= c->ct_len))
+            Py_RETURN_NONE;      /* out-of-range stamp: python lane */
+        int visible = (c->ct_ptr[xmin] <= read_ts) &&
+                      !(xmax > 0 && c->ct_ptr[xmax] <= read_ts);
+        if (visible) break;
+        vi = d->prev[vi];
+    }
+    if (vi < 0) return PyList_New(0);
+
+    /* index entries persist until vacuum: re-verify the key columns */
+    for (int i = 0; i < c->nkey; i++) {
+        int p = c->key_pos[i];
+        ColD *cd = &d->cols[p];
+        if (cd->null[vi]) return PyList_New(0);
+        PyObject *want = kvals[i];
+        int ok = 0;
+        switch (cd->sc) {
+        case 0: {
+            if (!PyLong_CheckExact(want)) Py_RETURN_NONE;
+            int ovf = 0;
+            int64_t w = PyLong_AsLongLongAndOverflow(want, &ovf);
+            if (ovf) Py_RETURN_NONE;
+            ok = (((int64_t *)cd->col)[vi] == w);
+            break;
+        }
+        case 1:
+        case 2: {
+            double w;
+            if (PyFloat_CheckExact(want)) w = PyFloat_AS_DOUBLE(want);
+            else if (PyLong_CheckExact(want))
+                w = (double)PyLong_AsLongLong(want);
+            else Py_RETURN_NONE;
+            double got = cd->sc == 1 ? ((double *)cd->col)[vi]
+                                     : (double)((float *)cd->col)[vi];
+            ok = (got == w);
+            break;
+        }
+        case 3:
+            if (!PyBool_Check(want)) Py_RETURN_NONE;
+            ok = (((uint8_t *)cd->col)[vi] != 0) == (want == Py_True);
+            break;
+        case 4:
+        case 5: {
+            PyObject *got = ((PyObject **)cd->col)[vi];
+            if (!got) Py_RETURN_NONE;
+            int r = PyObject_RichCompareBool(got, want, Py_EQ);
+            if (r < 0) return NULL;
+            ok = r;
+            break;
+        }
+        default:
+            Py_RETURN_NONE;
+        }
+        if (!ok) return PyList_New(0);
+    }
+
+    /* build the row */
+    PyObject *row = PyTuple_New(c->nout);
+    if (!row) return NULL;
+    for (int i = 0; i < c->nout; i++) {
+        int p = c->out_pos[i];
+        ColD *cd = &d->cols[p];
+        PyObject *v;
+        if (cd->null[vi]) {
+            v = Py_None;
+            Py_INCREF(v);
+        } else {
+            switch (cd->sc) {
+            case 0:
+                v = PyLong_FromLongLong(((int64_t *)cd->col)[vi]);
+                break;
+            case 1:
+                v = PyFloat_FromDouble(((double *)cd->col)[vi]);
+                break;
+            case 2:
+                v = PyFloat_FromDouble((double)((float *)cd->col)[vi]);
+                break;
+            case 3:
+                v = PyBool_FromLong(((uint8_t *)cd->col)[vi]);
+                break;
+            case 4:
+            case 5: {
+                PyObject *got = ((PyObject **)cd->col)[vi];
+                if (!got ||
+                    !(PyUnicode_CheckExact(got) ||
+                      PyBytes_CheckExact(got))) {
+                    Py_DECREF(row);
+                    Py_RETURN_NONE;   /* odd object: python _py path */
+                }
+                v = got;
+                Py_INCREF(v);
+                break;
+            }
+            default:
+                Py_DECREF(row);
+                Py_RETURN_NONE;
+            }
+            if (!v) { Py_DECREF(row); return NULL; }
+        }
+        PyTuple_SET_ITEM(row, i, v);
+    }
+    PyObject *out = PyList_New(1);
+    if (!out) { Py_DECREF(row); return NULL; }
+    PyList_SET_ITEM(out, 0, row);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
     {"encode_key", py_encode_key, METH_VARARGS,
      "order-preserving composite key bytes"},
@@ -1437,6 +1761,11 @@ static PyMethodDef Methods[] = {
     {"exec_insert", (PyCFunction)(void (*)(void))py_exec_insert,
      METH_FASTCALL,
      "one prepared single-row autocommit insert, fully in C"},
+    {"make_point_ctx", py_make_point_ctx, METH_VARARGS,
+     "capsule binding one prepared unique-key SELECT's row path"},
+    {"exec_point", (PyCFunction)(void (*)(void))py_exec_point,
+     METH_FASTCALL,
+     "one unique-key point read, fully in C"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {
