@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import threading
+from functools import partial as _partial
 
 import numpy as np
 
@@ -1834,6 +1835,7 @@ class CachedInsertPlan:
             return ctx
 
         box[0] = _make()
+        F["box"] = box   # shared with exec_insert_stmt (same live ctx)
         EXEC = nat.exec_insert
         ER = ExecuteResult
 
@@ -2177,16 +2179,43 @@ class PreparedStatement:
         params = list(params or [])
         with self.db._stmt_lock:
             plan = self._plan
-            if plan:
-                return plan.execute(params)
             if plan is None and isinstance(self.stmt, A.Insert):
                 self._plan = plan = (
                     CachedInsertPlan.try_build(self.db, self.stmt)
                     or False
                 )
-                if plan:
-                    return plan.execute(params)
+            if plan:
+                res = plan.execute(params)
+                self._attach_cstmt(plan)
+                return res
             return self.db._dispatch(self.stmt, params, self.sql)
+
+    def _attach_cstmt(self, plan):
+        """SHADOW self.execute (instance attribute) with the C
+        whole-statement entry point when the plan carries the C row
+        path, so subsequent execute() calls enter C with zero Python
+        frames (each frame costs ~1-3us on a small VM). F['box'] shares
+        the live ctx with the plan's retry closure, so a ctx rebuild
+        there is visible here; every bail inside C falls back to THIS
+        class-bound method, which re-runs the general path and
+        re-attaches a fresh shadow."""
+        F = plan._fast
+        if not F or not F.get("self_check"):
+            self.__dict__.pop("execute", None)
+            return
+        box = F.get("box")
+        nat = F.get("nat")
+        if box is None or not hasattr(nat, "exec_insert_stmt"):
+            self.__dict__.pop("execute", None)
+            return
+        cur = self.__dict__.get("execute")
+        if cur is not None and cur.args[0][0] is box:
+            return   # shadow already bound to the live ctx box
+        lock = self.db._stmt_lock
+        state = (box, lock.acquire, lock.release,
+                 ExecuteResult.__new__, ExecuteResult,
+                 PreparedStatement.execute.__get__(self))
+        self.execute = _partial(nat.exec_insert_stmt, state)
 
     def _build_point_select(self):
         """Point-read fast lane (reference design target <50µs disk /
@@ -2396,6 +2425,16 @@ class PreparedStatement:
             return r                    # rows list, or None = bail
 
         P["cfn"] = cfn
+        if hasattr(nat, "exec_point_stmt"):
+            # SHADOW self.query (instance attribute) with the C
+            # whole-statement entry: lock + point read in ONE C call,
+            # zero Python frames. Staleness falls back to THIS
+            # class-bound method; its cfn wrapper clears + re-resolves,
+            # and the rebuilt ctx re-attaches a fresh shadow here.
+            lock = db._stmt_lock
+            state = ([ctx], lock.acquire, lock.release,
+                     PreparedStatement.query.__get__(self))
+            self.query = _partial(nat.exec_point_stmt, state)
 
     def query(self, params=None) -> list[tuple]:
         if isinstance(self.stmt, A.Select):

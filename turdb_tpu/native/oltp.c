@@ -1742,6 +1742,191 @@ static PyObject *py_exec_point(PyObject *self, PyObject *const *args,
     return out;
 }
 
+/* ---- whole-statement entry points ------------------------------------ *
+ *
+ * exec_insert_stmt / exec_point_stmt ARE the public PreparedStatement
+ * execute()/query() once the fast lane attaches: api.py shadows the
+ * method with functools.partial(<this>, state) on the instance, so a
+ * user call lands here with ZERO Python frames. On a 1-vCPU box a
+ * Python frame costs ~1-3 us; the prepared-insert chain was 3 frames +
+ * a dataclass __init__ around a ~0.9 us C core. The statement lock is
+ * acquired with cached bound acquire/release methods (C methods of
+ * _thread.RLock — no bytecode), held exactly around the core, and
+ * released even when the core raises. Every bail (None), maintenance
+ * code (negative int), or staleness goes to the in-state fallback — the
+ * CLASS-bound execute/query, which re-runs the general path and
+ * re-attaches a fresh shadow. Reference economics: prepared.rs:106-158
+ * (1,185 ns/row), lib.rs:64 (<1 us cached reads). */
+
+static PyObject *Long_1;   /* cached int 1 (module init) */
+static PyObject *S_rows_affected, *S_last_rowid, *S_rows, *S_columns;
+
+/* normalize a call's params into an exact list matching the Python
+   paths' `list(params or [])`. Returns a NEW reference, or NULL with
+   *use_fallback set when only the generic Python path can decide. */
+static PyObject *stmt_params(PyObject *const *args, Py_ssize_t nargs,
+                             int *use_fallback) {
+    *use_fallback = 0;
+    if (nargs < 2 || args[1] == Py_None) return PyList_New(0);
+    PyObject *p = args[1];
+    if (PyList_CheckExact(p)) {
+        Py_INCREF(p);
+        return p;
+    }
+    if (PyTuple_CheckExact(p)) return PySequence_List(p);
+    *use_fallback = 1;   /* exotic params: let the Python path handle */
+    return NULL;
+}
+
+/* state: (box_list, acquire, release, er_new, er_cls, fallback);
+   box_list[0] is the live InsertCtx capsule, SHARED with the _fi retry
+   closure so a ctx rebuild there is visible here. fallback is the
+   class-bound PreparedStatement.execute. */
+static PyObject *py_exec_insert_stmt(PyObject *self, PyObject *const *args,
+                                     Py_ssize_t nargs) {
+    if (nargs < 1 || nargs > 2) {
+        PyErr_SetString(PyExc_TypeError, "exec_insert_stmt(state[, params])");
+        return NULL;
+    }
+    PyObject *st = args[0];
+    if (!PyTuple_CheckExact(st) || PyTuple_GET_SIZE(st) != 6) {
+        PyErr_SetString(PyExc_TypeError, "bad stmt state");
+        return NULL;
+    }
+    PyObject *box = PyTuple_GET_ITEM(st, 0);
+    if (!PyList_CheckExact(box) || PyList_GET_SIZE(box) < 1) {
+        PyErr_SetString(PyExc_TypeError, "bad stmt box");
+        return NULL;
+    }
+    int use_fb = 0;
+    PyObject *params = stmt_params(args, nargs, &use_fb);
+    if (!params) {
+        if (!use_fb) return NULL;
+        return PyObject_CallOneArg(PyTuple_GET_ITEM(st, 5),
+                                   nargs >= 2 ? args[1] : Py_None);
+    }
+    PyObject *ar = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 1));
+    if (!ar) { Py_DECREF(params); return NULL; }
+    Py_DECREF(ar);
+    PyObject *cargs[2] = {PyList_GET_ITEM(box, 0), params};
+    PyObject *r = py_exec_insert(NULL, cargs, 2);
+    if (!r) {
+        PyObject *t, *v, *tb;
+        PyErr_Fetch(&t, &v, &tb);
+        PyObject *rr = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 2));
+        Py_XDECREF(rr);
+        PyErr_Restore(t, v, tb);
+        Py_DECREF(params);
+        return NULL;
+    }
+    {
+        PyObject *rr = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 2));
+        if (!rr) { Py_DECREF(r); Py_DECREF(params); return NULL; }
+        Py_DECREF(rr);
+    }
+    if (PyLong_CheckExact(r)) {
+        int ovf = 0;
+        int64_t rid = PyLong_AsLongLongAndOverflow(r, &ovf);
+        if (!ovf && rid >= 0) {
+            /* ExecuteResult via __new__ + attr stores: the dataclass
+               __init__ is Python bytecode (~1 us here); this is the
+               same end state without entering the interpreter */
+            Py_DECREF(params);
+            PyObject *inst = PyObject_CallOneArg(
+                PyTuple_GET_ITEM(st, 3), PyTuple_GET_ITEM(st, 4));
+            if (!inst) { Py_DECREF(r); return NULL; }
+            /* write the four fields straight into the instance dict —
+               PyObject_SetAttr would do a data-descriptor MRO scan per
+               attribute (~0.15us each here); ExecuteResult is a plain
+               dataclass so the end state is identical */
+            PyObject **dp = _PyObject_GetDictPtr(inst);
+            if (dp) {
+                if (!*dp) *dp = PyDict_New();
+                if (!*dp ||
+                    PyDict_SetItem(*dp, S_rows_affected, Long_1) ||
+                    PyDict_SetItem(*dp, S_last_rowid, r) ||
+                    PyDict_SetItem(*dp, S_rows, Py_None) ||
+                    PyDict_SetItem(*dp, S_columns, Py_None)) {
+                    Py_DECREF(inst);
+                    Py_DECREF(r);
+                    return NULL;
+                }
+            } else if (PyObject_SetAttr(inst, S_rows_affected, Long_1) ||
+                       PyObject_SetAttr(inst, S_last_rowid, r) ||
+                       PyObject_SetAttr(inst, S_rows, Py_None) ||
+                       PyObject_SetAttr(inst, S_columns, Py_None)) {
+                Py_DECREF(inst);
+                Py_DECREF(r);
+                return NULL;
+            }
+            Py_DECREF(r);
+            return inst;
+        }
+    }
+    /* None (bail) or maintenance code: the general path handles it
+       (plan.execute grows/re-pins via the shared box) and re-attaches */
+    Py_DECREF(r);
+    PyObject *res = PyObject_CallOneArg(PyTuple_GET_ITEM(st, 5), params);
+    Py_DECREF(params);
+    return res;
+}
+
+/* state: (holder_list, acquire, release, fallback); holder_list[0] =
+   PointCtx. fallback is the class-bound PreparedStatement.query (its
+   cfn wrapper clears + re-resolves on staleness, then re-attaches). */
+static PyObject *py_exec_point_stmt(PyObject *self, PyObject *const *args,
+                                    Py_ssize_t nargs) {
+    if (nargs < 1 || nargs > 2) {
+        PyErr_SetString(PyExc_TypeError, "exec_point_stmt(state[, params])");
+        return NULL;
+    }
+    PyObject *st = args[0];
+    if (!PyTuple_CheckExact(st) || PyTuple_GET_SIZE(st) != 4) {
+        PyErr_SetString(PyExc_TypeError, "bad point state");
+        return NULL;
+    }
+    PyObject *holder = PyTuple_GET_ITEM(st, 0);
+    if (!PyList_CheckExact(holder) || PyList_GET_SIZE(holder) < 1) {
+        PyErr_SetString(PyExc_TypeError, "bad point holder");
+        return NULL;
+    }
+    int use_fb = 0;
+    PyObject *params = stmt_params(args, nargs, &use_fb);
+    if (!params) {
+        if (!use_fb) return NULL;
+        return PyObject_CallOneArg(PyTuple_GET_ITEM(st, 3),
+                                   nargs >= 2 ? args[1] : Py_None);
+    }
+    PyObject *ar = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 1));
+    if (!ar) { Py_DECREF(params); return NULL; }
+    Py_DECREF(ar);
+    PyObject *cargs[2] = {PyList_GET_ITEM(holder, 0), params};
+    PyObject *r = py_exec_point(NULL, cargs, 2);
+    if (!r) {
+        PyObject *t, *v, *tb;
+        PyErr_Fetch(&t, &v, &tb);
+        PyObject *rr = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 2));
+        Py_XDECREF(rr);
+        PyErr_Restore(t, v, tb);
+        Py_DECREF(params);
+        return NULL;
+    }
+    {
+        PyObject *rr = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 2));
+        if (!rr) { Py_DECREF(r); Py_DECREF(params); return NULL; }
+        Py_DECREF(rr);
+    }
+    if (PyList_CheckExact(r)) {
+        Py_DECREF(params);
+        return r;
+    }
+    /* None (bail) or -3 (rebuild): the general query path re-resolves */
+    Py_DECREF(r);
+    PyObject *res = PyObject_CallOneArg(PyTuple_GET_ITEM(st, 3), params);
+    Py_DECREF(params);
+    return res;
+}
+
 static PyMethodDef Methods[] = {
     {"encode_key", py_encode_key, METH_VARARGS,
      "order-preserving composite key bytes"},
@@ -1766,6 +1951,12 @@ static PyMethodDef Methods[] = {
     {"exec_point", (PyCFunction)(void (*)(void))py_exec_point,
      METH_FASTCALL,
      "one unique-key point read, fully in C"},
+    {"exec_insert_stmt",
+     (PyCFunction)(void (*)(void))py_exec_insert_stmt, METH_FASTCALL,
+     "exec_insert + statement lock + ExecuteResult, one C call"},
+    {"exec_point_stmt",
+     (PyCFunction)(void (*)(void))py_exec_point_stmt, METH_FASTCALL,
+     "exec_point + statement lock, one C call"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {
@@ -1800,5 +1991,10 @@ PyMODINIT_FUNC PyInit__turdb_oltp(void) {
     S_txn = PyUnicode_InternFromString("_txn");
     S_trigger_tables = PyUnicode_InternFromString("_trigger_tables");
     S_catalog = PyUnicode_InternFromString("catalog");
+    S_rows_affected = PyUnicode_InternFromString("rows_affected");
+    S_last_rowid = PyUnicode_InternFromString("last_rowid");
+    S_rows = PyUnicode_InternFromString("rows");
+    S_columns = PyUnicode_InternFromString("columns");
+    Long_1 = PyLong_FromLong(1);
     return PyModule_Create(&moduledef);
 }
