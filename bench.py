@@ -39,6 +39,21 @@ N_EMB = int(os.environ.get("TURDB_BENCH_N_EMB", min(N, 500_000)))
 
 EXTRA: dict = {}
 
+_ANSI = None
+
+
+def sanitize(msg, limit=200):
+    """Machine-readable artifact hygiene: strip ANSI escapes and
+    newlines from error strings (BENCH_r03's ivf_hard error embedded
+    raw escape sequences, flagged by the round-3 advisor)."""
+    global _ANSI
+    if _ANSI is None:
+        import re
+
+        _ANSI = re.compile(r"\x1b\[[0-9;]*[A-Za-z]|\x1b\].*?(\x07|\x1b\\)")
+    s = _ANSI.sub("", str(msg)).replace("\n", " ").replace("\r", "")
+    return " ".join(s.split())[:limit]
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -74,15 +89,21 @@ def qps_device_slope(scan_fn, queries, batch=1024, m_lo=4, m_hi=16):
 
     def timed(m):
         qs = jnp.asarray(queries[: m * batch].reshape(m, batch, -1))
-        for attempt in (0, 1):
+        # the relay drops for minutes at a time; ONE transient HTTP 500
+        # cost round 3 its ivf_hard QPS row. Backoff + backend re-probe
+        # before giving a row up (round-3 verdict item #2).
+        delays = (5, 15, 45, 90, 180)
+        for attempt in range(len(delays) + 1):
             try:
                 np.asarray(scan_fn(qs))  # warm/compile (host copy = real wait)
                 break
             except Exception as e:
-                if attempt:
+                if attempt >= len(delays):
                     raise
-                log(f"  transient compile error, retrying: {str(e)[:80]}")
-                time.sleep(5)
+                log(f"  transient compile error (attempt {attempt + 1}), "
+                    f"retrying in {delays[attempt]}s: {sanitize(e, 100)}")
+                time.sleep(delays[attempt])
+                wait_for_backend(budget_s=600.0)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -144,6 +165,13 @@ def bench_ivf(tag, x, queries, truth, metric="l2", probes=(2, 4, 8, 16, 32, 64),
             log(f"  {tag}: gate not reached")
             return None
         nprobe, r = star
+        # the gate is MET at this point: record it before attempting the
+        # QPS measurement, so a relay failure can't erase the row's
+        # partial result (round-3 lost ivf_hard's whole row this way)
+        EXTRA[tag] = {
+            "recall": round(r, 4), "build_vps": round(rate),
+            "nprobe": nprobe, "gate": True,
+        }
         cfg, state = idx.cfg, idx.state
 
         @_jax.jit
@@ -158,14 +186,11 @@ def bench_ivf(tag, x, queries, truth, metric="l2", probes=(2, 4, 8, 16, 32, 64),
         qps = qps_device_slope(lambda qs: _scan(state, qs), queries)
         log(f"  {tag}: QPS={qps:,.0f} (device-slope) @ nprobe={nprobe} "
             f"recall={r:.4f}")
-        EXTRA[tag] = {
-            "qps": round(qps), "recall": round(r, 4),
-            "build_vps": round(rate), "nprobe": nprobe, "gate": True,
-        }
+        EXTRA[tag]["qps"] = round(qps)
         return qps, r, rate
     except Exception as e:
-        log(f"  {tag}: FAILED ({str(e)[:160]})")
-        EXTRA[tag] = {"error": str(e)[:120]}
+        log(f"  {tag}: FAILED ({sanitize(e, 160)})")
+        EXTRA.setdefault(tag, {})["error"] = sanitize(e)
         return None
 
 
@@ -203,6 +228,10 @@ def bench_hnsw(tag, x, queries, truth):
             EXTRA[tag] = {"recall": r, "build_vps": round(rate), "gate": False}
             return None
         ef, iters, r = star
+        EXTRA[tag] = {   # gate met: record before the fragile QPS step
+            "recall": round(r, 4), "build_vps": round(rate),
+            "ef": ef, "gate": True,
+        }
         sv = idx.serve
         metric = idx.cfg.metric
 
@@ -218,14 +247,11 @@ def bench_hnsw(tag, x, queries, truth):
 
         qps = qps_device_slope(lambda qs: _scan(sv, qs), queries)
         log(f"  {tag}: QPS={qps:,.0f} (device-slope) @ ef={ef} recall={r:.4f}")
-        EXTRA[tag] = {
-            "qps": round(qps), "recall": round(r, 4),
-            "build_vps": round(rate), "ef": ef, "gate": True,
-        }
+        EXTRA[tag]["qps"] = round(qps)
         return qps, r, rate
     except Exception as e:
-        log(f"  {tag}: FAILED ({str(e)[:160]})")
-        EXTRA[tag] = {"error": str(e)[:120]}
+        log(f"  {tag}: FAILED ({sanitize(e, 160)})")
+        EXTRA.setdefault(tag, {})["error"] = sanitize(e)
         return None
 
 
@@ -253,37 +279,49 @@ def bench_oltp():
                          (i, i * 2, f"name{i}", i * 0.5))
         out["sqlite_insert_rps"] = round(n / (time.perf_counter() - t0))
         lite.close()
-        for wal in (False, True):
-            db = Database.create(tempfile.mkdtemp() + f"/oltp{wal}")
-            if not wal:
-                db.execute("PRAGMA wal = off")
-            db.execute(
-                "CREATE TABLE t(id INT PRIMARY KEY, a INT, b TEXT, c DOUBLE)"
-            )
-            stmt = db.prepare("INSERT INTO t VALUES ($1, $2, $3, $4)")
-            for i in range(2000):
-                stmt.execute([i, i * 2, f"name{i}", i * 0.5])
-            n = 30000
-            t0 = time.perf_counter()
-            for i in range(2000, 2000 + n):
-                stmt.execute([i, i * 2, f"name{i}", i * 0.5])
-            rate = n / (time.perf_counter() - t0)
-            out[f"insert_wal_{'on' if wal else 'off'}_rps"] = round(rate)
-            if not wal:
-                q = db.prepare("SELECT b FROM t WHERE id = $1")
-                for i in range(100):
-                    q.query([i])
-                t0 = time.perf_counter()
-                for i in range(5000):
-                    q.query([i * 3 % n])
-                out["point_read_us"] = round(
-                    (time.perf_counter() - t0) / 5000 * 1e6, 1
+
+        # INTERLEAVED repeat-and-best: BENCH_r03 recorded WAL-on faster
+        # than WAL-off (physically backwards) because VM noise between
+        # the two single-shot loops exceeded the WAL cost. Alternate the
+        # modes 3x on fresh databases and keep each mode's best, the
+        # same noise treatment qps_device_slope applies to device rows.
+        n = 30000
+        best = {False: 0.0, True: 0.0}
+        best_read = float("inf")
+        for rep in range(3):
+            for wal in (False, True):
+                db = Database.create(
+                    tempfile.mkdtemp() + f"/oltp{wal}{rep}"
                 )
-            db.close()
+                if not wal:
+                    db.execute("PRAGMA wal = off")
+                db.execute("CREATE TABLE t(id INT PRIMARY KEY, a INT, "
+                           "b TEXT, c DOUBLE)")
+                stmt = db.prepare("INSERT INTO t VALUES ($1, $2, $3, $4)")
+                for i in range(2000):
+                    stmt.execute([i, i * 2, f"name{i}", i * 0.5])
+                t0 = time.perf_counter()
+                for i in range(2000, 2000 + n):
+                    stmt.execute([i, i * 2, f"name{i}", i * 0.5])
+                best[wal] = max(best[wal], n / (time.perf_counter() - t0))
+                if not wal:
+                    q = db.prepare("SELECT b FROM t WHERE id = $1")
+                    for i in range(100):
+                        q.query([i])
+                    t0 = time.perf_counter()
+                    for i in range(5000):
+                        q.query([i * 3 % n])
+                    best_read = min(
+                        best_read, (time.perf_counter() - t0) / 5000 * 1e6
+                    )
+                db.close()
+        out["insert_wal_off_rps"] = round(best[False])
+        out["insert_wal_on_rps"] = round(best[True])
+        out["point_read_us"] = round(best_read, 2)
         log(f"oltp: {out}")
         EXTRA["oltp"] = out
     except Exception as e:
-        log(f"oltp FAILED: {str(e)[:120]}")
+        log(f"oltp FAILED: {sanitize(e)}")
     _bench_analytic()
 
 
@@ -333,7 +371,7 @@ def _bench_analytic(n=1_000_000):
         log(f"analytic: {out}")
         EXTRA["analytic_1m"] = out
     except Exception as e:
-        log(f"analytic FAILED: {str(e)[:120]}")
+        log(f"analytic FAILED: {sanitize(e)}")
 
 
 def wait_for_backend(

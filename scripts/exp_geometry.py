@@ -31,16 +31,23 @@ BATCH = 1024
 
 
 def synth_state(c, l, dim=DIM, seed=0):
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((c, dim)).astype(np.float32) * 4.0
-    pvecs = rng.standard_normal((c, l, dim)).astype(np.float32)
-    members = np.arange(c * l, dtype=np.int32).reshape(c, l)
+    """All tensors are created ON DEVICE (jax.random / iota): probe QPS
+    is data-independent once shapes are fixed, and materializing the
+    (C, L, dim) pool host-side shipped ~1GB through the relay tunnel per
+    point (>10 min each). This version costs one tiny compile."""
+    import jax.random as jr
+
+    key = jr.PRNGKey(seed)
+    kc, kp = jr.split(key)
+    cents = jr.normal(kc, (c, dim), jnp.float32) * 4.0
+    pvecs = jr.normal(kp, (c, l, dim), jnp.float32)
+    members = jnp.arange(c * l, dtype=jnp.int32).reshape(c, l)
     return IvfState(
-        centroids=jnp.asarray(cents),
-        cnorms=jnp.sum(jnp.asarray(cents) ** 2, -1),
-        members=jnp.asarray(members),
-        pvecs=jnp.asarray(pvecs),
-        pnorms=jnp.sum(jnp.asarray(pvecs) ** 2, -1),
+        centroids=cents,
+        cnorms=jnp.sum(cents ** 2, -1),
+        members=members,
+        pvecs=pvecs,
+        pnorms=jnp.sum(pvecs ** 2, -1),
         alive=jnp.ones((c, l), bool),
         codes=jnp.zeros((1, 1, 1), jnp.uint8),
         mins=jnp.zeros((1, 1)),

@@ -429,7 +429,7 @@ class Database:
         if self.mgr.active:
             return self._checkpoint_with_active()
         frames = self.wal.frame_count
-        self.wal.flush()
+        self.wal.flush(force=True)
         for schema, tables in self.catalog.items():
             for info in tables.values():
                 if info.temporary:
@@ -463,7 +463,7 @@ class Database:
         their eventual COMMIT replays them on top of the snapshot, their
         ABORT (or a crash) discards them."""
         frames = self.wal.frame_count
-        self.wal.flush()
+        self.wal.flush(force=True)
         read_ts = self.mgr.snapshot_ts()
         for schema, tables in self.catalog.items():
             for info in tables.values():
@@ -493,7 +493,7 @@ class Database:
         self.wal.truncate()
         for ftype, payload, txn_id, table_id in keep:
             self.wal.append(ftype, payload, txn_id=txn_id, table_id=table_id)
-        self.wal.flush()
+        self.wal.flush(force=True)
         self.last_checkpoint_frames = frames - len(keep)
         return CheckpointInfo(
             frames_checkpointed=frames - len(keep), wal_truncated=not keep
