@@ -209,6 +209,12 @@ class Database:
         # statement costs ~100ns uncontended and makes concurrent
         # handles safe; MVCC still provides the isolation semantics)
         self._stmt_lock = threading.RLock()
+        # group-commit hook cell: [wal.commit_durable] when (wal on AND
+        # synchronous=FULL) else [None]. Entry points call it AFTER
+        # releasing the statement lock so concurrent committers share
+        # one fsync (reference group_commit.rs); a cell (not an attr
+        # check) keeps the sync!=FULL hot path to one pointer load.
+        self._durable_hook: list = [None]
 
         exists = os.path.exists(self.fm.meta_path())
         if not exists and not create:
@@ -217,6 +223,7 @@ class Database:
         if not exists:
             self.fm.write_meta({"version": 1, "next_table_id": 1})
         self.wal = Wal(self.fm.wal_dir(), self.sync_mode)
+        self._refresh_durable_hook()
         if exists:
             self._open_existing()
 
@@ -694,7 +701,11 @@ class Database:
         with timed("parse"):
             stmt = _parse_stmt(sql)
         with timed("execute"), self._stmt_lock:
-            return self._dispatch(stmt, list(params or []), sql)
+            res = self._dispatch(stmt, list(params or []), sql)
+        h = self._durable_hook[0]
+        if h is not None:
+            h()   # group-commit fsync OUTSIDE the statement lock
+        return res
 
     def query(self, sql: str, params=None) -> list[tuple]:
         return self.query_with_columns(sql, params)[1]
@@ -709,13 +720,18 @@ class Database:
                 return self._explain(stmt, list(params or []))
             if not isinstance(stmt, A.Select):
                 res = self._dispatch(stmt, list(params or []), sql)
-                return (res.columns or [], res.rows or [])
-            ctx = self._ctx(list(params or []))
-            with timed("query"):
-                batch = self.engine.run_select(stmt, ctx)
-            if stmt.for_update and self._txn is not None:
-                batch = self._lock_batch_rows(batch, stmt.for_update)
-            return _batch_to_rows(batch)
+                out = (res.columns or [], res.rows or [])
+            else:
+                ctx = self._ctx(list(params or []))
+                with timed("query"):
+                    batch = self.engine.run_select(stmt, ctx)
+                if stmt.for_update and self._txn is not None:
+                    batch = self._lock_batch_rows(batch, stmt.for_update)
+                return _batch_to_rows(batch)
+        h = self._durable_hook[0]
+        if h is not None:
+            h()   # group-commit fsync OUTSIDE the statement lock
+        return out
 
     def prepare(self, sql: str) -> "PreparedStatement":
         return PreparedStatement(self, sql)
@@ -741,11 +757,14 @@ class Database:
                     res = dml.bulk_insert_rows(self, info, rows, txn)
                 if own:
                     self._commit(txn)
-                return res
             except Exception:
                 if own:
                     self.mgr.abort(txn)
                 raise
+        h = self._durable_hook[0]
+        if h is not None:
+            h()   # group-commit fsync OUTSIDE the statement lock
+        return res
 
     def bulk_insert(self, table: str, rows,
                     schema: str = "main") -> ExecuteResult:
@@ -759,6 +778,9 @@ class Database:
             self.wal_autoflush = prev
             if prev:
                 self.wal.flush()
+                h = self._durable_hook[0]
+                if h is not None:
+                    h()   # batch frames were deferred past the hook
         return res
 
     # ------------------------------------------------------------------
@@ -943,6 +965,12 @@ class Database:
     def _flush_wal(self):
         if self.wal_autoflush:
             self.wal.flush()
+
+    def _refresh_durable_hook(self):
+        """Re-derive the post-statement group-commit hook; called at
+        open and whenever PRAGMA wal / synchronous changes."""
+        full = self.wal_enabled and self.sync_mode is SyncMode.FULL
+        self._durable_hook[0] = self.wal.commit_durable if full else None
 
     def _check_writable(self):
         if self.mode != "rw":
@@ -2177,7 +2205,8 @@ class PreparedStatement:
 
     def execute(self, params=None) -> ExecuteResult:
         params = list(params or [])
-        with self.db._stmt_lock:
+        db = self.db
+        with db._stmt_lock:
             plan = self._plan
             if plan is None and isinstance(self.stmt, A.Insert):
                 self._plan = plan = (
@@ -2187,8 +2216,12 @@ class PreparedStatement:
             if plan:
                 res = plan.execute(params)
                 self._attach_cstmt(plan)
-                return res
-            return self.db._dispatch(self.stmt, params, self.sql)
+            else:
+                res = db._dispatch(self.stmt, params, self.sql)
+        h = db._durable_hook[0]
+        if h is not None:
+            h()   # group-commit fsync OUTSIDE the statement lock
+        return res
 
     def _attach_cstmt(self, plan):
         """SHADOW self.execute (instance attribute) with the C
@@ -2214,7 +2247,8 @@ class PreparedStatement:
         lock = self.db._stmt_lock
         state = (box, lock.acquire, lock.release,
                  ExecuteResult.__new__, ExecuteResult,
-                 PreparedStatement.execute.__get__(self))
+                 PreparedStatement.execute.__get__(self),
+                 self.db._durable_hook)
         self.execute = _partial(nat.exec_insert_stmt, state)
 
     def _build_point_select(self):

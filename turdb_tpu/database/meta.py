@@ -228,6 +228,7 @@ def execute_pragma(db, p: A.Pragma):
         if v is None:
             return show(db.wal_enabled)
         db.wal_enabled = _as_bool(v)
+        db._refresh_durable_hook()
         return show(db.wal_enabled)
     if name == "wal_autoflush":
         if v is None:
@@ -239,6 +240,7 @@ def execute_pragma(db, p: A.Pragma):
             return show(db.sync_mode.value)
         db.sync_mode = SyncMode(str(v).lower())
         db.wal.sync_mode = db.sync_mode
+        db._refresh_durable_hook()
         return show(db.sync_mode.value)
     if name == "wal_checkpoint_threshold":
         # get/set the auto-checkpoint frame threshold (reference
@@ -305,12 +307,17 @@ def execute_pragma(db, p: A.Pragma):
         if name == "__reset_all":
             for attr, dv in defaults.values():
                 setattr(db, attr, dv)
+            db.wal.sync_mode = db.sync_mode
+            db._refresh_durable_hook()
             return show("ok")
         knob = str(v)
         if knob not in defaults:
             raise SqlError(f"unknown setting: {knob}")
         attr, dv = defaults[knob]
         setattr(db, attr, dv)
+        if knob == "synchronous":
+            db.wal.sync_mode = db.sync_mode
+            db._refresh_durable_hook()
         return show("ok")
     if name == "memory_budget":
         return show(db.budget.total)

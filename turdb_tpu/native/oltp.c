@@ -1789,7 +1789,8 @@ static PyObject *py_exec_insert_stmt(PyObject *self, PyObject *const *args,
         return NULL;
     }
     PyObject *st = args[0];
-    if (!PyTuple_CheckExact(st) || PyTuple_GET_SIZE(st) != 6) {
+    Py_ssize_t stn = PyTuple_CheckExact(st) ? PyTuple_GET_SIZE(st) : 0;
+    if (stn != 6 && stn != 7) {
         PyErr_SetString(PyExc_TypeError, "bad stmt state");
         return NULL;
     }
@@ -1827,6 +1828,20 @@ static PyObject *py_exec_insert_stmt(PyObject *self, PyObject *const *args,
     if (PyLong_CheckExact(r)) {
         int ovf = 0;
         int64_t rid = PyLong_AsLongLongAndOverflow(r, &ovf);
+        if (!ovf && rid >= 0 && stn == 7) {
+            /* group-commit hook cell ([None] unless wal on AND
+               synchronous=FULL): fsync OUTSIDE the statement lock so
+               concurrent committers share one fsync */
+            PyObject *cell = PyTuple_GET_ITEM(st, 6);
+            if (PyList_CheckExact(cell) && PyList_GET_SIZE(cell) >= 1) {
+                PyObject *hook = PyList_GET_ITEM(cell, 0);
+                if (hook != Py_None) {
+                    PyObject *hr = PyObject_CallNoArgs(hook);
+                    if (!hr) { Py_DECREF(r); Py_DECREF(params); return NULL; }
+                    Py_DECREF(hr);
+                }
+            }
+        }
         if (!ovf && rid >= 0) {
             /* ExecuteResult via __new__ + attr stores: the dataclass
                __init__ is Python bytecode (~1 us here); this is the

@@ -21,6 +21,7 @@ from __future__ import annotations
 import enum
 import os
 import struct
+import threading
 
 from turdb_tpu.config import (
     FILE_HEADER_SIZE,
@@ -79,6 +80,15 @@ class Wal:
         os.makedirs(wal_dir, exist_ok=True)
         self._buffer: list[bytes] = []
         self._buffered = 0   # bytes pending in _buffer
+        # group commit (reference group_commit.rs:8-30): concurrent
+        # committers at synchronous=FULL share one fsync. written_upto /
+        # durable_upto are LSN watermarks: frames below written_upto are
+        # in the OS (write() issued), below durable_upto are fsynced.
+        self.written_upto = 0
+        self.durable_upto = 0
+        self._gc_cond = threading.Condition()
+        self._gc_leaders = 0
+        self._gc_maxreq = 0   # highest watermark any committer asked for
         self._fh = None
         self._segment_no = 0
         self._segment_size = 0
@@ -131,6 +141,11 @@ class Wal:
 
     def _open_segment(self, no: int):
         if self._fh:
+            if self.sync_mode is SyncMode.FULL:
+                # a group-commit leader may hold this fd: make the old
+                # segment durable before closing so its fsync-retry on
+                # the fresh fd can't leave old frames un-synced
+                os.fsync(self._fh.fileno())
             self._fh.close()
         self._segment_no = no
         path = self._seg_path(no)
@@ -193,7 +208,14 @@ class Wal:
         to the OS (sync OFF promises no crash durability, so deferring
         the syscall loses nothing — it was ~40% of the prepared-insert
         hot path). force=True (checkpoint/close — anything that reads
-        segments back or ends the process) always writes."""
+        segments back or ends the process) always writes.
+
+        At synchronous=FULL the statement-path flush (force=False) is
+        WRITE-ONLY: the fsync is deferred to commit_durable(), which the
+        statement entry points call AFTER releasing the statement lock,
+        so concurrent committers share one fsync (group commit,
+        reference group_commit.rs:8-30). force=True keeps the inline
+        fsync — checkpoint/close must be durable before returning."""
         if not self._buffer:
             return
         if (not force and self.sync_mode is SyncMode.OFF
@@ -207,8 +229,55 @@ class Wal:
         self._fh.write(blob)
         self._fh.flush()
         self._segment_size += len(blob)
-        if self.sync_mode is SyncMode.FULL:
+        self.written_upto = self.next_lsn - 1
+        if force and self.sync_mode is SyncMode.FULL:
             os.fsync(self._fh.fileno())
+            self.durable_upto = self.written_upto
+
+    def commit_durable(self, upto: int | None = None):
+        """Group commit (reference group_commit.rs): block until every
+        frame written so far (default) or up to `upto` is fsync-durable.
+        Called OUTSIDE the statement lock after flush() wrote the
+        caller's frames; one leader fsyncs for every waiter that arrived
+        while the fsync was in flight."""
+        if upto is None:
+            upto = self.written_upto
+        cv = self._gc_cond
+        cv.acquire()
+        try:
+            while self.durable_upto < upto:
+                if self._gc_leaders:
+                    cv.wait(1.0)
+                    continue
+                self._gc_leaders = 1
+                target = self.written_upto
+                fh = self._fh
+                cv.release()
+                err = None
+                try:
+                    try:
+                        if fh is not None:
+                            os.fsync(fh.fileno())
+                    except (OSError, ValueError):
+                        # segment rotated/closed under us: rotation
+                        # fsyncs the old segment at FULL before closing;
+                        # sync the live fd for anything newer
+                        fh2 = self._fh
+                        if fh2 is not None and fh2 is not fh:
+                            os.fsync(fh2.fileno())
+                        elif fh2 is not None:
+                            raise
+                except BaseException as e:
+                    err = e
+                cv.acquire()
+                self._gc_leaders = 0
+                if err is None and target > self.durable_upto:
+                    self.durable_upto = target
+                cv.notify_all()
+                if err is not None:
+                    raise err
+        finally:
+            cv.release()
 
     # -- replay ------------------------------------------------------------
 
