@@ -13,6 +13,7 @@ leaking ValueError.
 """
 
 import glob
+import os
 import re
 
 from turdb_tpu.database.api import Database, DatabaseError
@@ -52,10 +53,16 @@ def _file_statements(path):
     return out
 
 
+ALLOWLIST = os.path.join(
+    os.path.dirname(__file__), "data", "reference_replay_allowlist.txt"
+)
+
+
 def test_reference_integration_sql_replay(tmp_path):
     files = sorted(glob.glob("/root/reference/tests/*.rs"))
     assert files, "reference tests missing"
     gaps = []
+    explained = []   # context-tolerated statements (the tracked allowlist)
     ran = 0
     for fi, f in enumerate(files):
         stmts = _file_statements(f)
@@ -77,7 +84,30 @@ def test_reference_integration_sql_replay(tmp_path):
                         gaps.append(
                             f"{f.rsplit('/', 1)[1]}: {s[:110]} -> {e}"
                         )
+                    else:
+                        explained.append(
+                            f"{f.rsplit('/', 1)[1]}: {s[:110]}".strip()
+                        )
         finally:
             db.close()
     assert ran >= 800, f"extraction regressed: only {ran} statements ran"
     assert not gaps, "\n".join(gaps[:10])
+
+    # round-4 verdict item #10: the context-tolerated set is pinned in a
+    # TRACKED file so it can only shrink — a new tolerated failure (a
+    # statement that used to run and now hides behind a context error)
+    # fails here instead of disappearing silently. Trim the file when
+    # entries stop failing; regenerate with TURDB_REPLAY_WRITE=1.
+    if os.environ.get("TURDB_REPLAY_WRITE") == "1":
+        with open(ALLOWLIST, "w") as fh:
+            fh.write("\n".join(sorted(set(explained))) + "\n")
+    allow = set()
+    if os.path.exists(ALLOWLIST):
+        allow = {
+            ln.strip() for ln in open(ALLOWLIST) if ln.strip()
+        }
+    new = sorted(set(explained) - allow)
+    assert not new, (
+        f"{len(new)} statements newly tolerated as context errors "
+        f"(allowlist only shrinks):\n" + "\n".join(new[:10])
+    )

@@ -125,6 +125,76 @@ def hard_pool(rng, n, dim, n_queries=16384, n_clusters=512):
     return draw(n), draw(n_queries)
 
 
+def pix_pool(n=1_000_000, n_queries=16384, path=None):
+    """Natural-image patch vectors from a fixed EXTERNAL image — data
+    the builder did NOT generate (the round-3 verdict's top validation
+    gap: every recall/QPS number had been measured on builder-authored
+    synthetics; the reference validates on external data,
+    tests/hnsw_qdrant_comparison.rs:63-115).
+
+    Source: $TURDB_PIX_PATH or the reference repo's 4096x4096 photo
+    (reference assets/mascot.jpeg, read-only). Vectors are the
+    SIFT-class workload — descriptors of image patches:
+      dims 0-63   = 8x8 grayscale patch, mean-centered
+      dims 64-127 = 8x8 patch of the 2x-downscaled image at the same
+                    center (multi-scale context), mean-centered
+    Near-constant patches (std < 1.0 gray level over the native-scale
+    dims) are dropped, the standard patch-dataset treatment — measured
+    on this image, a 0.5 threshold leaves 34% of queries with a
+    k10->k11 relative distance gap under 1e-4 (JPEG-noise near-ties
+    that make recall@k ill-defined), while 1.0 leaves 2%. At stride 2
+    that yields ~250k usable patches on the 4096x4096 reference image,
+    so callers should size n accordingly (n is capped to the usable
+    count rather than raising). Base patches come from the even-even
+    stride-2 grid; queries from odd-odd grid points (offset (1,1),
+    stride 4) — positionally disjoint, same distribution.
+    Deterministic: no RNG anywhere. Returns (base, queries) or None
+    when PIL or the image is unavailable."""
+    if path is None:
+        path = os.environ.get(
+            "TURDB_PIX_PATH", "/root/reference/assets/mascot.jpeg"
+        )
+    if not os.path.exists(path):
+        return None
+    try:
+        from PIL import Image
+    except Exception:
+        return None
+    im = Image.open(path).convert("L")
+    g = np.asarray(im, np.float32)
+    h, w = g.shape
+    # 2x-downscaled copy, upsampled back by pixel repeat so "the same
+    # center" indexes both scales identically
+    g2 = g[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2)
+    g2 = g2.mean(axis=(1, 3)).repeat(2, 0).repeat(2, 1)
+
+    def extract(offy, offx, stride, m):
+        win = np.lib.stride_tricks.sliding_window_view(g, (8, 8))
+        win2 = np.lib.stride_tricks.sliding_window_view(g2[: h, : w], (8, 8))
+        ys = np.arange(offy, win.shape[0], stride)
+        xs = np.arange(offx, win.shape[1], stride)
+        p1 = win[ys][:, xs].reshape(-1, 64)
+        p2 = win2[ys][:, xs].reshape(-1, 64)
+        # mean-center each scale on its own: the native patch's mean is
+        # already subtracted, so the context dims carry only structure
+        p1 = p1 - p1.mean(axis=1, keepdims=True)
+        keep = p1.std(axis=1) >= 1.0   # drop flat/JPEG-noise patches
+        p2 = p2 - p2.mean(axis=1, keepdims=True)
+        x = np.concatenate([p1[keep], p2[keep]], axis=1).astype(np.float32)
+        if len(x) < 1024:
+            raise ValueError(
+                f"pix_pool: only {len(x)} usable patches"
+            )
+        m = min(m, len(x))
+        # deterministic decimation spreads kept rows across the image
+        sel = np.linspace(0, len(x) - 1, m).astype(np.int64)
+        return np.ascontiguousarray(x[sel])
+
+    base = extract(0, 0, 2, n)
+    queries = extract(1, 1, 4, n_queries)
+    return base, queries
+
+
 def emb_pool(rng, n, n_queries=16384, dim=384, n_topics=64):
     """Normalized 384-d embedding-like vectors (low-rank topic mixture +
     heavy-tailed norms before normalization), cosine-ready. Queries are
