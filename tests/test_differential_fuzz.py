@@ -15,6 +15,13 @@ ASCII-case-insensitive) -> all text data/patterns are lowercase; `%` of
 negative operands differs (C vs Python semantics) -> operands kept
 non-negative; ORDER BY NULL placement differs -> explicit NULLS FIRST
 is emitted on both sides.
+
+The seeds pinned below are CI's regression subset. The wide sweep is a
+recorded artifact: `scripts/soak_run.py` re-runs this generator across
+220 seeds plus the checkpoint/reopen/crash soak (scripts/soak_sql.py)
+and writes SOAK_rNN.json (statement counts, seeds, failures) at the
+repo root — the durable evidence behind the "N-hundred-k statements
+across N-hundred seeds" claims.
 """
 
 import math
