@@ -1636,10 +1636,14 @@ class HnswIndex:
 
     # -- serving pack (two-stage int8 beam + exact rerank) ----------------
 
-    def pack_serving(self, n_centroids: int | None = None) -> None:
+    def pack_serving(self, n_centroids: int | None = None,
+                     pack_m: int | None = None) -> None:
         """Build the packed-neighbor-block serving layout (see
         models/hnsw_serve.py). Derived state: call again after mutations
-        (graph writes invalidate it — `add`/`delete` clear `self.serve`)."""
+        (graph writes invalidate it — `add`/`delete` clear `self.serve`).
+        `pack_m` packs only each node's first pack_m (diversity-first)
+        L0 neighbors — the HBM/recall knob (pack_m=16 halves the pack;
+        a few extra ef points of beam buys the recall back)."""
         from turdb_tpu.models.hnsw_serve import pack_serving
 
         if self.size == 0:
@@ -1649,6 +1653,7 @@ class HnswIndex:
         self.serve = pack_serving(
             self.state.vectors, self.state.norms, self.state.adj0,
             self.size, self.cfg.metric, n_centroids=n_centroids,
+            pack_m=pack_m,
         )
 
     def search_serve(

@@ -381,6 +381,7 @@ def pack_serving(
     n_centroids: int | None = None,
     chunk: int = 1 << 16,
     lane_cap: int | None = None,
+    pack_m: int | None = None,
 ) -> HnswServeState:
     """Build the serving pack from a built graph's L0 + vector store.
 
@@ -388,10 +389,21 @@ def pack_serving(
     rerank f32 512MB — ~5.2GB HBM, vs 0.64GB for the unpacked graph.
     The pack trades HBM for block-contiguity; at 10M+ scale use the mesh
     (parallel/sharded.py) or the unpacked path.
+
+    `pack_m` (round-4 verdict item #7, the memory knob): pack only each
+    node's first `pack_m` L0 neighbors. Adjacency lists are emitted
+    diversity-selected-first in ascending distance (hnsw.py
+    _diversity_select), so truncation keeps the neighbors the reference
+    heuristic ranked best; the beam re-reaches dropped neighbors through
+    the remaining edges at slightly higher ef. pack_m=16 halves
+    nbr_codes/nbr_meta (5.2GB -> 2.8GB at 1M x 128d), pushing the
+    single-chip pack ceiling from ~2M to ~4M vectors.
     """
     from turdb_tpu.models.ivf import _assign_all, _kmeans, _pad_rows_dev, _KM_CHUNK
 
     cap, d = vectors.shape
+    if pack_m is not None and pack_m < adj0.shape[-1]:
+        adj0 = adj0[:, :pack_m]
     m0 = adj0.shape[-1]
     codes, base, scale = _sq8_centered(vectors)
 
