@@ -88,8 +88,9 @@ def main():
                 # fixed pseudo-random cells per query (cheap hash) so the
                 # gather pattern matches a real probe without the top_k
                 h = (
-                    jnp.abs(q[:, :NPROBE]).astype(jnp.int32) * 2654435761
-                ) % c
+                    jnp.abs(q[:, :NPROBE]).astype(jnp.uint32)
+                    * jnp.uint32(2654435761)
+                ).astype(jnp.int32) % c
                 blocks = pvecs[h]                  # [B, P, L, d]
                 dots = jnp.einsum(
                     "bd,bpld->bpl", q, blocks,
@@ -105,7 +106,22 @@ def main():
                 return 0, topk_smallest(dist, ids, K)[1]
             return jax.lax.scan(step, 0, qs)[1]
 
+        from turdb_tpu.ops.topk import topk_smallest_wide
+
+        @jax.jit
+        def stage_a_wide(qs, cents=cents, cn=cn):
+            def step(_, q):
+                qn = jnp.sum(q * q, -1)
+                d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
+                    q, cents, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                _, top = topk_smallest_wide(d2c, NPROBE)
+                return 0, top
+            return jax.lax.scan(step, 0, qs)[1]
+
         for name, fn in (("A matmul+topk", stage_a),
+                         ("A'' matmul+widetopk", stage_a_wide),
                          ("A' matmul+argmin", stage_a_argmin),
                          ("B gather+dist+topk", stage_b)):
             q = slope(fn, qs_all)

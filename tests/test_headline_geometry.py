@@ -68,17 +68,56 @@ def _probe_hlo(c, l, nprobe=8, dim=8):
     ).lower(state, q).as_text()
 
 
-def test_headline_probe_is_exact_topk():
-    """At the 1M headline geometry the cell probe must lower to the
-    exact top-k, NOT approx_max_k (ApproxTopK custom-call): fusing the
-    approximate sort at C=16384 was measured at 109-114k QPS vs 238k
-    exact on-chip."""
-    hlo = _probe_hlo(16384, 8)
-    assert "ApproxTopK" not in hlo and "approx_max_k" not in hlo
+def test_probe_never_lowers_approx_topk():
+    """The cell probe must stay EXACT at every C: fusing approx_max_k
+    at C=16384 was the r3 regression (109-114k QPS vs 238k exact), and
+    the two-level exact selection (ops/topk.py topk_smallest_wide) now
+    replaces the full-row sort everywhere — ApproxTopK must not lower
+    at the 1M headline geometry NOR at the 10M-class one."""
+    for c in (16384, 32768):
+        hlo = _probe_hlo(c, 8)
+        assert "ApproxTopK" not in hlo and "approx_max_k" not in hlo, c
 
 
-def test_10m_class_probe_keeps_approx():
-    """At 10M-class cell counts (C>=32768) the approx probe is the
-    measured win (2.7x the exact sort in isolation) and must stay."""
-    hlo = _probe_hlo(32768, 8)
-    assert "ApproxTopK" in hlo or "approx_max_k" in hlo
+def test_wide_cell_selection_matches_full_sort():
+    """The two-level cell selection picks the SAME cells as the full
+    lax.top_k sort (exactness of the probe's first stage, end to end
+    through ivf_search_impl): same state, same queries, identical
+    result ids at both the headline and 10M-class cell counts."""
+    rng = np.random.default_rng(3)
+    dim, l = 16, 8
+    for c in (2048, 4096):
+        # c <= 1024 takes the lax.top_k branch; larger takes two-level.
+        # Compare the large-C two-level probe against a REFERENCE probe
+        # built by brute force over all cells.
+        cents = rng.standard_normal((c, dim)).astype(np.float32)
+        pv = rng.standard_normal((c, l, dim)).astype(np.float32)
+        state = IvfState(
+            centroids=jnp.asarray(cents),
+            cnorms=jnp.sum(jnp.asarray(cents) ** 2, -1),
+            members=jnp.arange(c * l, dtype=jnp.int32).reshape(c, l),
+            pvecs=jnp.asarray(pv),
+            pnorms=jnp.sum(jnp.asarray(pv) ** 2, -1),
+            alive=jnp.ones((c, l), bool),
+            codes=jnp.zeros((1, 1, 1), jnp.uint8),
+            mins=jnp.zeros((1, 1)),
+            scales=jnp.zeros((1, 1)),
+        )
+        cfg = IvfConfig(dim=dim, n_clusters=c, cluster_cap=l,
+                        metric=Metric.L2)
+        q = rng.standard_normal((32, dim)).astype(np.float32)
+        _, ids = ivf_search_impl(state, jnp.asarray(q), None, cfg=cfg,
+                                 k=5, nprobe=4)
+        ours = np.asarray(ids)
+        # oracle: the 4 nearest cells by centroid distance, then the 5
+        # nearest rows within those cells (random f32 data -> no ties)
+        d2c = ((q[:, None, :] - cents[None]) ** 2).sum(-1)
+        ref_cells = np.argsort(d2c, axis=-1)[:, :4]
+        flat = pv.reshape(-1, dim)
+        for b in range(len(q)):
+            rows = np.concatenate(
+                [np.arange(cc * l, (cc + 1) * l) for cc in ref_cells[b]]
+            )
+            d = ((q[b][None] - flat[rows]) ** 2).sum(-1)
+            ref_ids = rows[np.argsort(d)[:5]]
+            assert list(ours[b]) == list(ref_ids), (c, b)

@@ -94,3 +94,25 @@ def test_member_mask():
     table = jnp.asarray([[2, 7, -1]], dtype=jnp.int32)
     m = np.asarray(member_mask(ids, table))
     assert m.tolist() == [[False, True, False, False]]
+
+
+def test_topk_smallest_wide_exact():
+    """Two-level wide top-k is EXACT (values AND index consistency) vs
+    the full sort, across shapes incl. ties, +inf rows, and non-pow2
+    widths — it replaces lax.top_k in the IVF cell probe where the full
+    sort was ~44% of the probe cost (scripts/exp_probe_parts.py)."""
+    import numpy as np
+
+    from turdb_tpu.ops.topk import topk_smallest_wide
+
+    rng = np.random.default_rng(0)
+    for n, k in ((16384, 8), (32768, 8), (1000, 10), (7, 3), (513, 5)):
+        d = rng.standard_normal((17, n)).astype(np.float32)
+        d[0, :5] = d[0, 5]          # ties
+        d[1] = np.inf               # fully invalid row
+        d[2, ::3] = np.inf          # sparse invalids
+        v, i = topk_smallest_wide(jnp.asarray(d), k)
+        ref = np.sort(d, axis=-1)[:, :k]
+        assert np.allclose(np.asarray(v), ref, equal_nan=True)
+        gat = np.take_along_axis(d, np.asarray(i), -1)
+        assert np.allclose(gat, np.asarray(v), equal_nan=True)

@@ -35,7 +35,11 @@ import numpy as np
 
 from turdb_tpu.ops.distance import PRECISE, Metric, normalize_rows, prep_norms
 from turdb_tpu.ops.quantize import sq8_encode
-from turdb_tpu.ops.topk import mask_duplicates, topk_smallest
+from turdb_tpu.ops.topk import (
+    mask_duplicates,
+    topk_smallest,
+    topk_smallest_wide,
+)
 
 # plain Python scalars: jnp scalars at module scope would initialize
 # the device backend at import time (importing the package must not
@@ -220,17 +224,15 @@ def ivf_search_impl(
         q, state.centroids, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if d2c.shape[-1] >= 32768:
-        # TPU-native approximate top-k for the cell probe at 10M-class
-        # cell counts: 2.7x the exact sort at C=32k in isolation
-        # (measured), and cell selection is already the approximate
-        # stage of IVF — boundary replicas + nprobe slack absorb a
-        # 0.999-recall bin partition. Kept EXACT below 32k cells: with
-        # approx in the fused probe at C=16k (the 1M default) the
-        # end-to-end QPS regressed 188k -> 114k between the r2 and r3
-        # bench runs, so approx applies only where the sort itself
-        # dominates and its win was actually measured.
-        _, top = jax.lax.approx_max_k(-d2c, nprobe, recall_target=0.999)
+    if d2c.shape[-1] > 1024:
+        # two-level EXACT top-k (ops/topk.py topk_smallest_wide): the
+        # full-row lax.top_k sort was ~44% of the whole 1M-headline
+        # probe (matmul+top_k 518k QPS vs matmul+argmin 9.4M at
+        # C=16384, scripts/exp_probe_parts.py); bucket-min + re-scan of
+        # the winning buckets selects the same cells in ~one pass. This
+        # also retires the approx_max_k gate: fused approx regressed the
+        # r3 headline 188k -> 114k, and two-level is exact AND faster.
+        _, top = topk_smallest_wide(d2c, nprobe)
     else:
         _, top = jax.lax.top_k(-d2c, nprobe)        # [B, P]
 

@@ -29,6 +29,49 @@ def topk_smallest(dists: jax.Array, ids: jax.Array, k: int):
     return -neg_d, sel
 
 
+def topk_smallest_wide(dists: jax.Array, k: int, n_buckets: int | None = None):
+    """EXACT k-smallest over a LARGE last axis, two-level.
+
+    `lax.top_k` sorts the full row: at the IVF cell probe's widths it is
+    the dominant probe cost (measured on v5e: matmul+top_k 518k QPS vs
+    matmul+argmin 9.4M QPS at C=16384 — the sort is ~44% of the whole
+    1M-headline probe; scripts/exp_probe_parts.py). Two-level selection
+    does one bucket-min pass + a top-k over bucket mins + a re-scan of
+    only the winning buckets:
+
+      level 1: reshape [..., n] -> [..., G, S], min over S (one pass);
+      level 2: top-k over the G bucket mins -> k bucket ids; gather those
+               buckets' S-slices; top-k over the [..., k*S] candidates.
+
+    EXACT, not approximate: if the true k smallest entries occupy j <= k
+    distinct buckets, each such bucket's min is <= its smallest member,
+    so all j buckets rank within the k smallest bucket-mins and every
+    true winner is in the re-scanned slices. (This differs from
+    approx_max_k's bin partition, which keeps only ONE entry per bin.)
+
+    Returns ([..., k] vals ascending, [..., k] int32 indices into the
+    last axis). G defaults to the cost-balancing pow2 near sqrt(k*n).
+    """
+    n = dists.shape[-1]
+    g = n_buckets or max(1, 1 << (int(k * n).bit_length() // 2))
+    g = min(g, n)
+    s = -(-n // g)
+    if g * s != n:
+        pad = jnp.full((*dists.shape[:-1], g * s - n), INF, dists.dtype)
+        dists = jnp.concatenate([dists, pad], axis=-1)
+    d3 = dists.reshape(*dists.shape[:-1], g, s)
+    bmin = jnp.min(d3, axis=-1)                          # [..., G]
+    _, bidx = jax.lax.top_k(-bmin, k)                    # [..., k]
+    cand = jnp.take_along_axis(
+        d3, bidx[..., None].astype(jnp.int32), axis=-2
+    ).reshape(*dists.shape[:-1], k * s)                  # [..., k*S]
+    neg, pos = jax.lax.top_k(-cand, k)
+    which = pos // s                                     # index into bidx
+    off = pos % s
+    base = jnp.take_along_axis(bidx, which, axis=-1).astype(jnp.int32)
+    return -neg, base * s + off.astype(jnp.int32)
+
+
 def merge_topk(d_a, i_a, d_b, i_b, k: int):
     """Merge two top-k buffers into one, keeping the k smallest."""
     d = jnp.concatenate([d_a, d_b], axis=-1)
