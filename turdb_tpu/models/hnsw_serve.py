@@ -58,6 +58,7 @@ from turdb_tpu.ops.topk import (
     member_mask,
     merge_topk,
     topk_smallest,
+    topk_smallest_wide,
 )
 
 # plain Python scalars: jnp scalars at module scope would initialize
@@ -180,7 +181,13 @@ def serve_search_impl(
         preferred_element_type=jnp.float32,
     )
     p = min(nprobe, state.centroids.shape[0])
-    _, top = jax.lax.top_k(-d2c, p)                    # [B, P]
+    if d2c.shape[-1] > 1024:
+        # two-level exact selection (ops/topk.py): the full-row sort is
+        # the probe's dominant scaling term at large C (measured in the
+        # IVF probe, scripts/exp_probe_parts.py)
+        _, top = topk_smallest_wide(d2c, p)
+    else:
+        _, top = jax.lax.top_k(-d2c, p)                # [B, P]
     cb, cs, cn_, pids = _meta_fields(state.cell_meta[top])  # [B, P, L]
     doti = jnp.einsum(
         "bd,bpld->bpl", qc, state.cell_codes[top],
