@@ -220,6 +220,10 @@ def ivf_search_impl(
     q = queries.astype(jnp.float32)
     b = q.shape[0]
     qn = prep_norms(q)
+    # cell scoring stays f32: bf16 operands (the k-means-assignment
+    # treatment) were MEASURED SLOWER end-to-end at the 1M headline
+    # (137.5k vs 153.6k QPS — the cast breaks the matmul/bucket-min
+    # fusion; 2026-08-19 on-chip), besides costing exactness
     d2c = qn[:, None] + state.cnorms[None, :] - 2.0 * jax.lax.dot_general(
         q, state.centroids, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
