@@ -135,8 +135,8 @@ def truth_for(x, sample, k=K, metric="l2"):
     return truth
 
 
-def bench_ivf(tag, x, queries, truth, metric="l2", probes=(2, 4, 8, 16, 32, 64),
-              **kw):
+def bench_ivf(tag, x, queries, truth, metric="l2",
+              probes=(2, 4, 5, 6, 8, 16, 32, 64), **kw):
     """Build + recall sweep + device-slope QPS for one IVF config.
     Returns (qps, recall, build_rate) or None if the gate wasn't met."""
     import jax as _jax

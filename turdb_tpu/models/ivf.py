@@ -445,10 +445,16 @@ class IvfIndex:
         n = x.shape[0]
         if n == 0:
             return
-        # sizing: ~64 vectors/cluster keeps probe blocks small (the probe
-        # cost is nprobe * cluster_cap rows); imbalance spills to the
-        # next-nearest cluster rather than inflating the cap
-        c = self._n_clusters or max(8, n // 64)
+        # sizing: the probe is HBM-gather-bound at headline scale and
+        # FEWER, BIGGER contiguous blocks win — the round-4 on-chip
+        # study (docs/PERF.md) measured n//128 target cells (-> cap 256
+        # via the 2n/c rule) at 176.5k QPS vs 153.6k for n//64 on
+        # 1M x 128d at the same recall gate (nprobe 5 vs 8). The f32
+        # row-store engine takes the bigger blocks at >=500k rows; the
+        # sq8/compact store keeps the denser n//64 layout (its probe
+        # moves 4x fewer bytes, and doubling L doubles 10M-scale HBM).
+        divisor = 128 if (n >= 500_000 and not self.sq8) else 64
+        c = self._n_clusters or max(8, n // divisor)
         c = min(c, max(8, n // 4))
         # pad the WORKING centroid count to the shape bucket up front:
         # round-2 padded only the final packed state, so _kmeans and
