@@ -78,6 +78,26 @@ def recall_of(ids, truth):
     )
 
 
+def with_retries(fn, what="compile"):
+    """Run fn() with backoff + backend re-probe on transient relay
+    failures. The relay drops for minutes at a time; ONE transient HTTP
+    500 cost round 3 its ivf_hard QPS row, and the round-4 preview run
+    lost the same row AGAIN to an outage landing in the (unprotected)
+    recall sweep — so every device call on a row's critical path goes
+    through this ladder (verdict item #2)."""
+    delays = (5, 15, 45, 90, 180, 300)
+    for attempt in range(len(delays) + 1):
+        try:
+            return fn()
+        except Exception as e:
+            if attempt >= len(delays):
+                raise
+            log(f"  transient {what} error (attempt {attempt + 1}), "
+                f"retrying in {delays[attempt]}s: {sanitize(e, 100)}")
+            time.sleep(delays[attempt])
+            wait_for_backend(budget_s=600.0)
+
+
 def qps_device_slope(scan_fn, queries, batch=1024, m_lo=4, m_hi=16):
     """Honest device throughput: the batch loop runs INSIDE one jitted
     program (lax.scan over [M, B, d]) for two M values; the slope
@@ -92,21 +112,7 @@ def qps_device_slope(scan_fn, queries, batch=1024, m_lo=4, m_hi=16):
 
     def timed(m):
         qs = jnp.asarray(queries[: m * batch].reshape(m, batch, -1))
-        # the relay drops for minutes at a time; ONE transient HTTP 500
-        # cost round 3 its ivf_hard QPS row. Backoff + backend re-probe
-        # before giving a row up (round-3 verdict item #2).
-        delays = (5, 15, 45, 90, 180)
-        for attempt in range(len(delays) + 1):
-            try:
-                np.asarray(scan_fn(qs))  # warm/compile (host copy = real wait)
-                break
-            except Exception as e:
-                if attempt >= len(delays):
-                    raise
-                log(f"  transient compile error (attempt {attempt + 1}), "
-                    f"retrying in {delays[attempt]}s: {sanitize(e, 100)}")
-                time.sleep(delays[attempt])
-                wait_for_backend(budget_s=600.0)
+        with_retries(lambda: np.asarray(scan_fn(qs)))  # warm/compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -149,32 +155,39 @@ def bench_ivf(tag, x, queries, truth, metric="l2",
     try:
         idx = IvfIndex(dim=x.shape[1], metric=Metric.from_name(metric), **kw)
         t0 = time.perf_counter()
-        idx.add(x)
-        idx.train()
+        idx.add(x)           # host-only staging; retry-safe to keep outside
+        with_retries(idx.train, what="build")
         build_s = time.perf_counter() - t0
         rate = len(x) / build_s
         log(f"{tag}: build {len(x)} in {build_s:.1f}s = {rate:,.0f} vec/s "
             f"(C={idx.cfg.n_clusters}, L={idx.cfg.cluster_cap})")
         star = None
+        sweep = EXTRA.setdefault(tag, {})
+        sweep["build_vps"] = round(rate)
         for nprobe in probes:
-            _, ids = idx.search(sample, k=K, nprobe=nprobe)
+            _, ids = with_retries(
+                lambda p=nprobe: idx.search(sample, k=K, nprobe=p),
+                what="sweep",
+            )
             r = recall_of(ids, truth)
             log(f"  nprobe={nprobe}: recall@{K}={r:.4f}")
+            # record the sweep AS IT RUNS: a relay outage mid-row must
+            # not erase recalls already measured (round-3 advisor)
+            sweep.setdefault("sweep", {})[str(nprobe)] = round(r, 4)
             if r >= RECALL_GATE:
                 star = (nprobe, r)
                 break
         if star is None:
-            EXTRA[tag] = {"recall": r, "build_vps": round(rate), "gate": False}
+            EXTRA[tag].update({"recall": r, "gate": False})
             log(f"  {tag}: gate not reached")
             return None
         nprobe, r = star
         # the gate is MET at this point: record it before attempting the
         # QPS measurement, so a relay failure can't erase the row's
         # partial result (round-3 lost ivf_hard's whole row this way)
-        EXTRA[tag] = {
-            "recall": round(r, 4), "build_vps": round(rate),
-            "nprobe": nprobe, "gate": True,
-        }
+        EXTRA[tag].update({
+            "recall": round(r, 4), "nprobe": nprobe, "gate": True,
+        })
         cfg, state = idx.cfg, idx.state
 
         @_jax.jit
@@ -220,21 +233,27 @@ def bench_hnsw(tag, x, queries, truth):
         log(f"{tag}: build {len(x)} in {build_s:.1f}s + pack {pack_s:.1f}s "
             f"= {rate:,.0f} vec/s")
         star = None
+        sweep = EXTRA.setdefault(tag, {})
+        sweep["build_vps"] = round(rate)
         for ef, iters in ((32, 24), (48, 32), (64, 48), (96, 96)):
-            _, ids = idx.search_serve(sample, k=K, ef=ef, iters=iters)
+            _, ids = with_retries(
+                lambda e=ef, i=iters: idx.search_serve(sample, k=K, ef=e,
+                                                       iters=i),
+                what="sweep",
+            )
             r = recall_of(ids, truth)
             log(f"  serve ef={ef} iters={iters}: recall@{K}={r:.4f}")
+            sweep.setdefault("sweep", {})[str(ef)] = round(r, 4)
             if r >= RECALL_GATE:
                 star = (ef, iters, r)
                 break
         if star is None:
-            EXTRA[tag] = {"recall": r, "build_vps": round(rate), "gate": False}
+            EXTRA[tag].update({"recall": r, "gate": False})
             return None
         ef, iters, r = star
-        EXTRA[tag] = {   # gate met: record before the fragile QPS step
-            "recall": round(r, 4), "build_vps": round(rate),
-            "ef": ef, "gate": True,
-        }
+        EXTRA[tag].update({  # gate met: record before the fragile QPS step
+            "recall": round(r, 4), "ef": ef, "gate": True,
+        })
         sv = idx.serve
         metric = idx.cfg.metric
 
@@ -490,7 +509,7 @@ def main():
         te = truth_for(xe, qe[:256], metric="cosine")
         log("emb_pool truth ready")
         r = bench_ivf("ivf_emb384", xe, qe, te, metric="cosine",
-                      probes=(4, 8, 16, 32, 64))
+                      probes=(4, 6, 8, 12, 16, 24, 32, 64))
         if r:
             results.append(("ivf_emb384", *r))
         del xe, qe, te

@@ -13,12 +13,13 @@ exp_geometry.py, 2026-08-19) measured the probe program at:
 These tests pin (a) the default geometry the bench build picks at 1M
 and (b) the probe program shape — two-level EXACT cell selection
 (ops/topk.py topk_smallest_wide), never ApproxTopK — so the headline
-can't silently halve again via either path. (The real 1M build lands
-on C=32768 via the split cascade, scripts/exp_real_gap.py; with the
-two-level selection + bf16 cell scoring the measured headline moved
-116k -> 154k+ on-chip.) QPS itself is asserted by the bench artifact;
-what's CPU-checkable is that the program and geometry stay the ones
-that were measured.
+can't silently halve again via either path. (The real 1M build grows C
+via the split cascade, scripts/exp_real_gap.py; with the two-level
+selection the measured headline moved 116k -> 153.6k, and the
+big-block n//128 sizing took it to 181.8k @ recall 0.9703 — full
+progression in docs/PERF.md.) QPS itself is asserted by the bench
+artifact; what's CPU-checkable is that the program and geometry stay
+the ones that were measured.
 """
 
 import jax
@@ -36,11 +37,11 @@ from turdb_tpu.models.ivf import (
 from turdb_tpu.ops.distance import Metric
 
 
-def headline_geometry(n=1_000_000, sq8=False):
+def headline_geometry(n=1_000_000, sq8=False, dim=128):
     """The pre-split (C_work, L) the default sizing picks at n rows —
     mirrors IvfIndex.train's sizing block (models/ivf.py). The split
     cascade then grows C data-dependently (1M make_pool: -> 24576)."""
-    divisor = 128 if (n >= 500_000 and not sq8) else 64
+    divisor = 128 if (n >= 500_000 and not sq8 and dim <= 256) else 64
     c = max(8, n // divisor)
     c = min(c, max(8, n // 4))
     c_work = _cpad(c)
@@ -53,6 +54,7 @@ def test_default_1m_geometry_pinned():
     at nprobe=5 vs 153.6k at the n//64 sizing), dense blocks for sq8."""
     assert headline_geometry(1_000_000) == (8192, 256)
     assert headline_geometry(1_000_000, sq8=True) == (16384, 128)
+    assert headline_geometry(500_000, dim=384) == (8192, 128)
     assert headline_geometry(100_000) == (2048, 128)
 
 

@@ -450,11 +450,14 @@ class IvfIndex:
         # study (docs/PERF.md) measured n//128 target cells (-> cap 256
         # via the 2n/c rule) at 176.5k QPS vs 153.6k for n//64 on
         # 1M x 128d at the same recall gate (nprobe 5 vs 8). The f32
-        # row-store engine takes the bigger blocks at >=500k rows; the
-        # sq8/compact store keeps the denser n//64 layout (its probe
-        # moves 4x fewer bytes, and doubling L doubles 10M-scale HBM).
-        divisor = 128 if (n >= 500_000 and not self.sq8) else 64
-        c = self._n_clusters or max(8, n // divisor)
+        # row-store engine takes the bigger blocks at >=500k rows AND
+        # dim <= 256 (block bytes scale with L*dim: at 384d the L=128
+        # blocks are already 192KB and doubling them halved the emb
+        # row's QPS, 56.8k -> 33.6k measured); the sq8/compact store
+        # keeps the denser n//64 layout (its probe moves 4x fewer
+        # bytes, and doubling L doubles 10M-scale HBM).
+        big_blocks = n >= 500_000 and not self.sq8 and self.dim <= 256
+        c = self._n_clusters or max(8, n // (128 if big_blocks else 64))
         c = min(c, max(8, n // 4))
         # pad the WORKING centroid count to the shape bucket up front:
         # round-2 padded only the final packed state, so _kmeans and
