@@ -59,18 +59,32 @@ class IvfConfig:
     sq8: bool = False
     rerank: int = 0          # exact-rerank candidate count (0 = off)
     replicated: bool = False  # boundary replicas present -> dedup at top-k
+    dense: bool = False      # cells bin-packed into dense physical blocks
 
 
 class IvfState(NamedTuple):
+    """Packed device state. Cells are LOGICAL (centroid-scored); storage
+    rows live in physical blocks. Without dense packing block == cell and
+    the storage arrays are [C, L, ...]; with `IvfConfig.dense` whole cells
+    are bin-packed into [NB, L, ...] blocks at ~full occupancy (the
+    split-cascade cells average well under half of `cluster_cap`, so the
+    per-cell layout wastes most of every probe's HBM gather on dead lanes
+    — measured ~70% at the 1M headline geometry) and `cell_block` maps the
+    probed cell to its block. A gathered block is scored WHOLE: rows of
+    co-resident cells are legitimate extra candidates (locality-ordered
+    packing makes them near-duplicates of SOAR replicas), and duplicate
+    ids from shared blocks dedup at top-k exactly like replicas."""
+
     centroids: jax.Array   # [C, d]
     cnorms: jax.Array      # [C]
-    members: jax.Array     # [C, L] int32
-    pvecs: jax.Array       # [C, L, d] f32 (zeros when sq8-only)
-    pnorms: jax.Array      # [C, L]
-    alive: jax.Array       # [C, L] bool
-    codes: jax.Array       # [C, L, d] u8 (zeros when not sq8)
-    mins: jax.Array        # [C, L]
-    scales: jax.Array      # [C, L]
+    members: jax.Array     # [NB, L] int32
+    pvecs: jax.Array       # [NB, L, d] f32 (zeros when sq8-only)
+    pnorms: jax.Array      # [NB, L]
+    alive: jax.Array       # [NB, L] bool
+    codes: jax.Array       # [NB, L, d] u8 (zeros when not sq8)
+    mins: jax.Array        # [NB, L]
+    scales: jax.Array      # [NB, L]
+    cell_block: jax.Array | None = None  # [C] int32 (dense only)
 
 
 # ---------------------------------------------------------------------------
@@ -204,15 +218,31 @@ def _assign_top2_all(x: jax.Array, centroids: jax.Array,
 # search
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "k", "nprobe"))
+def _first_unique(blk: jax.Array, u: int) -> jax.Array:
+    """[B, P] -> [B, u]: the first `u` DISTINCT values per row, in first-
+    occurrence order (later duplicates sink; if fewer than `u` distinct
+    values exist the tail repeats duplicates — a wasted but harmless
+    re-gather). Used by the dense probe: top-P cells often share physical
+    blocks, so the gather list compacts to far fewer unique blocks."""
+    p = blk.shape[-1]
+    eq = blk[:, :, None] == blk[:, None, :]
+    earlier = jnp.tril(jnp.ones((p, p), bool), k=-1)
+    dup = jnp.any(eq & earlier, axis=-1)
+    key = jnp.where(dup, p + 1, jnp.arange(p, dtype=jnp.int32))
+    order = jnp.argsort(key, axis=-1)[:, :u]
+    return jnp.take_along_axis(blk, order, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "nprobe", "nblocks"))
 def ivf_search_impl(
     state: IvfState,
     queries: jax.Array,     # [B, d]
-    allowed,                # [C, L] bool or None (visibility mask)
+    allowed,                # [NB, L] bool or None (visibility mask)
     *,
     cfg: IvfConfig,
     k: int,
     nprobe: int,
+    nblocks: int | None = None,
 ):
     """Fused probe: centroid matmul -> top-P clusters -> contiguous block
     gather -> distance matmul -> masked top-k (-> optional exact rerank).
@@ -240,10 +270,19 @@ def ivf_search_impl(
     else:
         _, top = jax.lax.top_k(-d2c, nprobe)        # [B, P]
 
-    mem = state.members[top]                        # [B, P, L]
-    live = (mem >= 0) & state.alive[top]
+    if cfg.dense:
+        # logical cells -> physical blocks; co-blocked cells collapse to
+        # one gather, so `nblocks` unique blocks can cover `nprobe` cells
+        src = state.cell_block[top]                 # [B, P]
+        if nblocks is not None and nblocks < nprobe:
+            src = _first_unique(src, nblocks)
+    else:
+        src = top
+
+    mem = state.members[src]                        # [B, P', L]
+    live = (mem >= 0) & state.alive[src]
     if allowed is not None:
-        live = live & allowed[top]
+        live = live & allowed[src]
 
     if cfg.sq8:
         # int8 MXU path: codes are CENTERED (c = u - 128, int8) and the
@@ -251,7 +290,7 @@ def ivf_search_impl(
         # s8 x s8 -> s32 on the MXU and the probe moves 4x fewer bytes.
         #   x̂_d = m' + scale*c_d   with m' = min + 128*scale (stored in
         #   state.mins), so  q·x̂ = m'*Σq + scale*qs*(qc·c)
-        codes = state.codes[top]                    # [B, P, L, d] int8
+        codes = state.codes[src]                    # [B, P, L, d] int8
         qmax = jnp.max(jnp.abs(q), axis=-1)
         qs = jnp.maximum(qmax, 1e-30) / 127.0
         qc = jnp.clip(
@@ -262,14 +301,14 @@ def ivf_search_impl(
         )
         q_sum = jnp.sum(q, axis=-1)
         q_dot_x = (
-            state.mins[top] * q_sum[:, None, None]
-            + state.scales[top] * (qs[:, None, None] * doti.astype(jnp.float32))
+            state.mins[src] * q_sum[:, None, None]
+            + state.scales[src] * (qs[:, None, None] * doti.astype(jnp.float32))
         )
         # pnorms holds the exact ‖x‖²; quantization error lands in the
         # cross term only and the exact rerank pass absorbs it
-        dist = qn[:, None, None] - 2.0 * q_dot_x + state.pnorms[top]
+        dist = qn[:, None, None] - 2.0 * q_dot_x + state.pnorms[src]
     else:
-        blocks = state.pvecs[top]                   # [B, P, L, d]
+        blocks = state.pvecs[src]                   # [B, P, L, d]
         # PRECISE: the probe is HBM-bound (2 flops/byte), the full-f32
         # passes are free; bf16-default silently capped recall (distance.py)
         dots = jnp.einsum(
@@ -277,13 +316,13 @@ def ivf_search_impl(
             preferred_element_type=jnp.float32, precision=PRECISE,
         )
         if cfg.metric is Metric.L2:
-            dist = qn[:, None, None] + state.pnorms[top] - 2.0 * dots
+            dist = qn[:, None, None] + state.pnorms[src] - 2.0 * dots
         elif cfg.metric is Metric.COSINE:
             dist = 1.0 - dots
         else:
             dist = -dots
 
-    pl_ = nprobe * state.members.shape[1]
+    pl_ = src.shape[1] * state.members.shape[1]
     dist = jnp.where(live, dist, INF).reshape(b, pl_)
     ids = mem.reshape(b, pl_)
 
@@ -296,7 +335,7 @@ def ivf_search_impl(
         ci = jnp.take_along_axis(ids, pos, axis=-1)
         lcap = state.members.shape[1]
         cl = jnp.take_along_axis(
-            jnp.repeat(top[:, :, None], lcap, 2).reshape(b, pl_), pos, axis=-1
+            jnp.repeat(src[:, :, None], lcap, 2).reshape(b, pl_), pos, axis=-1
         )
         ln = jnp.take_along_axis(
             jnp.broadcast_to(
@@ -326,12 +365,13 @@ def ivf_search_impl(
         )
         exact = qn[:, None] + fnorm[flat_pos] - 2.0 * dots
         exact = jnp.where(jnp.isinf(cd), INF, exact)
-        if cfg.replicated:
+        if cfg.replicated or cfg.dense:
             ci, exact = mask_duplicates(ci, exact)
         return topk_smallest(exact, ci, k)
-    if cfg.replicated:
-        # boundary replicas mean a slot can appear in two probed clusters
-        # with the SAME distance; narrow to 2k candidates (enough unique
+    if cfg.replicated or cfg.dense:
+        # boundary replicas (and, under dense packing, shared blocks)
+        # mean a slot can appear twice in the probed lanes with the SAME
+        # distance; narrow to 2k candidates (enough unique
         # survivors when each slot has at most one replica), drop the
         # later copies, re-select k
         m = min(2 * k, pl_)
@@ -361,9 +401,26 @@ class IvfIndex:
         rerank: int | None = None,
         replicate: bool = True,
         keep_f32: bool = True,
+        dense_pack: bool = False,
+        nblocks: int | None = None,
+        fast_build: bool = False,
     ):
         self.dim = dim
         self.metric = metric
+        # dense_pack: bin-pack whole cells into ~full physical blocks at
+        # train() (IvfState.cell_block); nblocks caps how many UNIQUE
+        # blocks each query gathers out of its top-nprobe cells (None =
+        # gather one block per probed cell)
+        self.dense_pack = dense_pack
+        self.nblocks = nblocks
+        # fast_build: candidate-generator profile (the HNSW bulk build's
+        # throwaway self-probe index): fewer Lloyd's iterations on a
+        # capped sample, NO split cascade (cap overflow spills to the
+        # runner-up cell instead — tolerable there because every row
+        # routes its OWN query and reverse edges re-connect it), fewer
+        # rebalance rounds. Measured 1M x 128d: the full-quality train
+        # was 80.8s of the 167.9s cold bulk build.
+        self.fast_build = fast_build
         self._n_clusters = n_clusters
         self._cluster_cap = cluster_cap
         self.nprobe = nprobe
@@ -395,6 +452,7 @@ class IvfIndex:
         self._slot_cluster2 = np.zeros(0, np.int32)
         self._slot_lane2 = np.zeros(0, np.int32)
         self._occupancy: np.ndarray | None = None
+        self._cell_block_host: np.ndarray | None = None
 
     def __len__(self):
         return self.size
@@ -419,7 +477,7 @@ class IvfIndex:
             self.size += n
         return slots
 
-    def train(self, iters: int = 8, _pre=None):
+    def train(self, iters: int | None = None, _pre=None):
         """K-means + packed layout build over all staged vectors.
 
         `_pre` (mesh-parallel builds, parallel/sharded_ivf.py): a
@@ -475,6 +533,14 @@ class IvfIndex:
         # ~4 TFLOP/iter at 1M x 15.6k x 128 — cheap on the MXU). The 4M
         # ceiling keeps 10M-scale trains at >=25 pts/centroid.
         n_train = min(n, max(c * 64, 100_000), 4_194_304)
+        if iters is None:
+            iters = 4 if self.fast_build else 8
+        if self.fast_build:
+            # candidate-generator profile: a 256k sample keeps centroids
+            # good enough for top-r candidate membership at 1/4 the
+            # Lloyd's cost (the diversity-selection pass re-scores every
+            # candidate exactly downstream)
+            n_train = min(n_train, 262_144)
         tr_idx = (
             rng.choice(n, size=n_train, replace=False) if n_train < n
             else np.arange(n)
@@ -521,7 +587,7 @@ class IvfIndex:
         # cell count ~2.5x into 15-25-row cells, wasting ~85% of every
         # probe's bandwidth on padding) as perturbed copies of oversized
         # donors, then re-run a couple of device Lloyd iterations.
-        for rnd in range(6):
+        for rnd in range(2 if self.fast_build else 6):
             counts = np.bincount(assign, minlength=c)
             over = np.flatnonzero(counts > cap)
             if len(over) == 0:
@@ -548,9 +614,16 @@ class IvfIndex:
         # (measured: spill victims' clusters rank ~78-255th for their
         # queries, capping recall at ~0.946 however many probes)
         c0 = c
-        cents_np, assign = _split_oversized(
-            np.asarray(cents)[:c], assign, x, cap, xpj=xpj
-        )
+        if self.fast_build:
+            # no split cascade: overflow rows spill to their runner-up
+            # cell in _place_spill below. A spilled row is invisible to
+            # probes of its TRUE cell, but in the self-probe build it
+            # still issues its own query and reverse edges re-connect it
+            cents_np = np.asarray(cents)[:c]
+        else:
+            cents_np, assign = _split_oversized(
+                np.asarray(cents)[:c], assign, x, cap, xpj=xpj
+            )
         c = cents_np.shape[0]
         # re-pad the working set after the split changed C
         c_work = _cpad(c)
@@ -603,6 +676,12 @@ class IvfIndex:
                 x, cents_np, members, occupancy, cap, xpj=xpj
             )
         mark("replicas")
+        cell_block_np = None
+        if self.dense_pack:
+            members, occupancy, cell_block_np = self._dense_remap(
+                cents_np[:c], members[:c], occupancy[:c], cap,
+            )
+            mark(f"dense({c}->{members.shape[0]})")
         # pad the cluster count to a power of two: C is a STATIC shape in
         # every packed-state and search program, and the split outcome
         # varies per dataset — padding buckets the shapes so the scatter/
@@ -620,18 +699,27 @@ class IvfIndex:
             cents_np = np.array(cents_np[:cpad])
             cents_np[c:] = 0.0
             cents = jnp.asarray(cents_np)
-            members = np.concatenate([
-                members, np.full((cpad - c, cap), -1, np.int64)
-            ])
-            occupancy = np.concatenate([
-                occupancy, np.full(cpad - c, cap, np.int64)
-            ])
-            self._occupancy = occupancy
+            if cell_block_np is None:
+                members = np.concatenate([
+                    members, np.full((cpad - c, cap), -1, np.int64)
+                ])
+                occupancy = np.concatenate([
+                    occupancy, np.full(cpad - c, cap, np.int64)
+                ])
+                self._occupancy = occupancy
+            else:
+                # pad cells map to block 0: cnorms=+inf keeps them out of
+                # every top-nprobe, and a stray gather of a real block
+                # only adds real rows as candidates (correct either way)
+                cell_block_np = np.concatenate([
+                    cell_block_np, np.zeros(cpad - c, np.int32)
+                ])
             c = cpad
         self.cfg = IvfConfig(
             dim=self.dim, n_clusters=c, cluster_cap=cap, metric=self.metric,
             nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
-            replicated=replicated,
+            replicated=replicated or self.dense_pack,
+            dense=self.dense_pack,
         )
         mc, ml = np.nonzero(members >= 0)       # now includes replicas
         mslots = members[mc, ml]
@@ -661,16 +749,17 @@ class IvfIndex:
         # 128d, packing + materializing the uint16 store was ~25s of a
         # 126s train.
         probe_only = self.sq8 and not self.keep_f32 and not self.rerank
+        nstore = members.shape[0]       # physical blocks (== c unless dense)
         if probe_only:
             jp = jnp.zeros((1, 1, 1), jnp.uint16)
         elif self.keep_f32:
-            jp = jnp.zeros((c, cap, self.dim), jnp.float32)
+            jp = jnp.zeros((nstore, cap, self.dim), jnp.float32)
         else:
-            jp = jnp.zeros((c, cap, self.dim), jnp.uint16)
+            jp = jnp.zeros((nstore, cap, self.dim), jnp.uint16)
         if self.sq8:
-            codes = jnp.zeros((c, cap, self.dim), jnp.int8)
-            mins = jnp.zeros((c, cap), jnp.float32)
-            scales = jnp.zeros((c, cap), jnp.float32)
+            codes = jnp.zeros((nstore, cap, self.dim), jnp.int8)
+            mins = jnp.zeros((nstore, cap), jnp.float32)
+            scales = jnp.zeros((nstore, cap), jnp.float32)
         else:
             # placeholders: cfg.sq8 is STATIC, so the search trace never
             # touches these — full-shape zeros would waste ~C*L*d bytes of
@@ -678,7 +767,7 @@ class IvfIndex:
             codes = jnp.zeros((1, 1, 1), jnp.int8)
             mins = jnp.zeros((1, 1), jnp.float32)
             scales = jnp.zeros((1, 1), jnp.float32)
-        pnorms = jnp.full((c, cap), INF, jnp.float32)
+        pnorms = jnp.full((nstore, cap), INF, jnp.float32)
         ch = 1 << 20
         if stream:
             for s in range(0, nm, ch):
@@ -698,7 +787,7 @@ class IvfIndex:
                     sq8=self.sq8, keep_f32=self.keep_f32,
                     probe_only=probe_only, ch=ch_eff,
                 )
-        alive = np.zeros((c, cap), bool)
+        alive = np.zeros((nstore, cap), bool)
         alive[mc, ml] = self._alive_host[mslots]
         cn_full = prep_norms(jnp.asarray(cents))
         if c_real != c:
@@ -714,6 +803,9 @@ class IvfIndex:
             codes=codes,
             mins=mins,
             scales=scales,
+            cell_block=(
+                None if cell_block_np is None else jnp.asarray(cell_block_np)
+            ),
         )
         self._vectors_host = []
         if dbg:
@@ -728,6 +820,67 @@ class IvfIndex:
             )
             print(f"[ivf.train n={n} C={c} L={cap} {total:.1f}s: {parts}]",
                   file=sys.stderr, flush=True)
+
+    def _dense_remap(self, cents_np, members, occupancy, cap):
+        """Bin-pack whole cells into dense physical blocks (cfg.dense).
+
+        Cells stay the probe-SELECTION unit — fine centroids keep recall
+        per scanned row (docs/PERF.md hard-distribution study: at equal
+        scanned rows finer partitions win) — while storage blocks become
+        the GATHER unit at ~full occupancy. Packing order is locality-
+        aware (cells grouped by one nearest-center assignment pass over
+        the centroids, first-fit-decreasing within a group), so a probed
+        cell's block carries its spatial neighborhood: co-blocked rows
+        act like SOAR replicas, and nearby cells collapse onto shared
+        blocks, which is what lets `nblocks` unique gathers cover
+        `nprobe` logical cells (ivf_search_impl / _first_unique).
+
+        Remaps members [c, cap] -> [NBpad, cap], per-cell occupancy ->
+        per-block fill, and the slot->(cluster, lane) bookkeeping to
+        block coordinates. Returns (members, fill, cell_block)."""
+        c = len(occupancy)
+        occ = np.asarray(occupancy, np.int64)
+        total = int(occ.sum())
+        ng = _pow2_at_least(max(1, total // (8 * cap)), floor=1)
+        if ng > 1 and c > ng:
+            rngp = np.random.default_rng(11)
+            pick = rngp.choice(c, size=ng, replace=False)
+            gc = jnp.asarray(np.asarray(cents_np[pick], np.float32))
+            xp = jnp.asarray(_pad_rows(np.asarray(cents_np, np.float32),
+                                       _KM_CHUNK))
+            ga = np.asarray(_assign_all(xp, gc, prep_norms(gc)))[:c]
+        else:
+            ga = np.zeros(c, np.int64)
+        order = np.lexsort((-occ, ga))   # group asc, occupancy desc
+        blk = np.zeros(c, np.int32)
+        off = np.zeros(c, np.int64)
+        cur, fill = 0, 0
+        fills = [0]
+        for cell in order:
+            o = int(occ[cell])
+            if fill + o > cap:
+                cur += 1
+                fill = 0
+                fills.append(0)
+            blk[cell] = cur
+            off[cell] = fill
+            fill += o
+            fills[cur] = fill
+        nb = cur + 1
+        nbp = _cpad(nb)
+        bm = np.full((nbp, cap), -1, np.int64)
+        mc0, ml0 = np.nonzero(members >= 0)   # lanes contiguous per cell
+        bm[blk[mc0], off[mc0] + ml0] = members[mc0, ml0]
+        bfill = np.full(nbp, cap, np.int64)   # pad blocks: full
+        bfill[:nb] = np.asarray(fills, np.int64)
+        for sc, sl in ((self._slot_cluster, self._slot_lane),
+                       (self._slot_cluster2, self._slot_lane2)):
+            mk = sc >= 0
+            sl[mk] = (off[sc[mk]] + sl[mk]).astype(np.int32)
+            sc[mk] = blk[sc[mk]]
+        self._occupancy = bfill
+        self._cell_block_host = blk
+        return bm, bfill, blk
 
     @staticmethod
     def _place_spill(spill, x, cents_np, members, occupancy, cap):
@@ -851,10 +1004,18 @@ class IvfIndex:
             - 2.0 * jnp.asarray(vecs) @ st.centroids.T
         )
         order = np.argsort(d2c, axis=1)
+        cb = self._cell_block_host if cfg.dense else None
         cs, lanes = [], []
         for j in range(len(vecs)):
             placed = False
             for a in order[j]:
+                # dense: a row "appends to cell a" by landing in ANY free
+                # lane of a's physical block (blocks are gathered whole,
+                # so lane position within the block is immaterial)
+                if cb is not None:
+                    if a >= len(cb):
+                        continue        # pad cell (cnorms +inf)
+                    a = int(cb[a])
                 if self._occupancy[a] < cfg.cluster_cap:
                     cs.append(int(a))
                     lanes.append(int(self._occupancy[a]))
@@ -958,10 +1119,14 @@ class IvfIndex:
         if self.metric is Metric.COSINE:
             q = normalize_rows(q)
         p = min(nprobe or self.nprobe, self.cfg.n_clusters)
+        nb_arg = self.nblocks if self.cfg.dense else None
         amask = None
         if allowed is not None:
             allowed = np.asarray(allowed, bool)
-            am = np.zeros((self.cfg.n_clusters, self.cfg.cluster_cap), bool)
+            # mask in PHYSICAL block coordinates (== cells unless dense)
+            am = np.zeros(
+                (self.state.members.shape[0], self.cfg.cluster_cap), bool
+            )
             m = min(len(allowed), len(self._slot_cluster))
             sel = np.flatnonzero(allowed[:m] & (self._slot_cluster[:m] >= 0))
             am[self._slot_cluster[sel], self._slot_lane[sel]] = True
@@ -974,14 +1139,15 @@ class IvfIndex:
         # path's s32 widening) stays <=~512MB of program temp: at the
         # 10M-on-one-chip geometry the state is ~13.8GB of HBM and a
         # B=1024 probe program fails to compile
+        p_eff = min(p, nb_arg) if nb_arg else p
         bmax = max(
-            64, (1 << 27) // (p * self.cfg.cluster_cap * self.dim)
+            64, (1 << 27) // (p_eff * self.cfg.cluster_cap * self.dim)
         )
         if q.shape[0] > bmax:
             parts = [
                 ivf_search_impl(
                     self.state, q[s : s + bmax], amask,
-                    cfg=self.cfg, k=k, nprobe=p,
+                    cfg=self.cfg, k=k, nprobe=p, nblocks=nb_arg,
                 )
                 for s in range(0, q.shape[0] - bmax + 1, bmax)
             ]
@@ -993,14 +1159,16 @@ class IvfIndex:
                                           q.dtype)]
                 )
                 td, ti = ivf_search_impl(
-                    self.state, qt, amask, cfg=self.cfg, k=k, nprobe=p
+                    self.state, qt, amask, cfg=self.cfg, k=k, nprobe=p,
+                    nblocks=nb_arg,
                 )
                 parts.append((td[:tail], ti[:tail]))
             d = jnp.concatenate([pd for pd, _ in parts])
             ids = jnp.concatenate([pi for _, pi in parts])
         else:
             d, ids = ivf_search_impl(
-                self.state, q, amask, cfg=self.cfg, k=k, nprobe=p
+                self.state, q, amask, cfg=self.cfg, k=k, nprobe=p,
+                nblocks=nb_arg,
             )
         if out == "jax":
             return d, ids
