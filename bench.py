@@ -270,6 +270,51 @@ def bench_hnsw(tag, x, queries, truth):
         qps = qps_device_slope(lambda qs: _scan(sv, qs), queries)
         log(f"  {tag}: QPS={qps:,.0f} (device-slope) @ ef={ef} recall={r:.4f}")
         EXTRA[tag]["qps"] = round(qps)
+
+        def _pack_gb(s):
+            return round(sum(
+                a.size * a.dtype.itemsize for a in s if a is not None
+            ) / 2**30, 2)
+
+        EXTRA[tag]["pack_gb"] = _pack_gb(sv)
+        try:
+            # memory-knob sub-row (verdict r3 #7): pack only the first 16
+            # diversity-ranked L0 neighbors per node — halves the
+            # adjacency-side pack — and record the recall/QPS it serves at
+            idx.pack_serving(pack_m=16)
+            svm = idx.serve
+            row = {"pack_gb": _pack_gb(svm)}
+            for efm, itm in ((ef, iters), (ef + 16, iters + 16),
+                             (ef + 32, iters + 32), (96, 96)):
+                _, ids = with_retries(
+                    lambda e=efm, i=itm: idx.search_serve(
+                        sample, k=K, ef=e, iters=i),
+                    what="pack_m sweep",
+                )
+                rm = recall_of(ids, truth)
+                row.setdefault("sweep", {})[str(efm)] = round(rm, 4)
+                if rm >= RECALL_GATE:
+                    row.update({"recall": round(rm, 4), "ef": efm,
+                                "gate": True})
+
+                    @_jax.jit
+                    def _scan_m(st, qs):
+                        def step(_, qb):
+                            _, i = serve_search_impl(
+                                st, qb, None, metric=metric, k=K, ef=efm,
+                                iters=itm,
+                            )
+                            return 0, i
+                        _, o = _jax.lax.scan(step, 0, qs)
+                        return o
+
+                    row["qps"] = round(qps_device_slope(
+                        lambda qs: _scan_m(svm, qs), queries))
+                    break
+            EXTRA[tag]["pack_m16"] = row
+            log(f"  {tag}: pack_m=16 {row}")
+        except Exception as e:  # the knob row must not cost the main row
+            EXTRA[tag]["pack_m16"] = {"error": sanitize(e)}
         return qps, r, rate
     except Exception as e:
         log(f"  {tag}: FAILED ({sanitize(e, 160)})")
