@@ -23,7 +23,8 @@ POLY = 0xC96C5795D7870F42
 
 def _build_lib() -> str | None:
     srcs = [os.path.join(_HERE, "crc64.cpp"),
-            os.path.join(_HERE, "hnsw_host.cpp")]
+            os.path.join(_HERE, "hnsw_host.cpp"),
+            os.path.join(_HERE, "hnsw_cpu_baseline.cpp")]
     cache = os.environ.get(
         "TURDB_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "turdb_native")
     )
@@ -35,7 +36,11 @@ def _build_lib() -> str | None:
         return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", *srcs],
+            # -march=native: the cached .so never leaves this host, and
+            # the CPU-baseline distance loop needs the host's widest
+            # vector ISA to be an honest (fast) baseline
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", so + ".tmp", *srcs],
             check=True,
             capture_output=True,
             timeout=120,
@@ -67,6 +72,13 @@ def _get_lib():
                     ctypes.c_int64, ctypes.c_int32,
                     ctypes.c_void_p, ctypes.c_int64,
                     ctypes.c_void_p, ctypes.c_int32,
+                ]
+                lib.turdb_hnsw_cpu_build_search.restype = ctypes.c_double
+                lib.turdb_hnsw_cpu_build_search.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_void_p,
                 ]
                 _LIB = lib
             except OSError:
@@ -133,6 +145,47 @@ def reverse_topk(slots, adj, dist, pos_arr, rcap: int):
         rev.ctypes.data, rcap,
     )
     return rev
+
+
+def hnsw_cpu_build(x, m: int = 16, ef_construction: int = 100,
+                   queries=None, k: int = 10, ef_search: int = 64,
+                   seed: int = 1):
+    """Single-threaded CPU HNSW build (hnsw_cpu_baseline.cpp) — the
+    measured baseline for BASELINE.json's ">=10x the CPU reference's
+    vectors/sec" gate. Returns {"seconds", "vps", "recall"} (recall@k of
+    the built graph vs numpy brute force over `queries`, proving the
+    baseline is a real index), or None when no native lib."""
+    lib = _get_lib()
+    if not lib:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    n, dim = x.shape
+    if queries is None:
+        queries = x[: min(256, n)]
+    q = np.ascontiguousarray(queries, np.float32)
+    nq = len(q)
+    out = np.full((nq, k), -1, np.int32)
+    secs = lib.turdb_hnsw_cpu_build_search(
+        x.ctypes.data, n, dim, m, ef_construction, seed,
+        q.ctypes.data, nq, k, ef_search, out.ctypes.data,
+    )
+    if secs < 0:
+        return None
+    # brute-force truth in chunks (one matmul per chunk keeps the
+    # [nq, n] distance matrix bounded)
+    xn = (x * x).sum(1)
+    recalls = []
+    for s in range(0, nq, 64):
+        qc = q[s : s + 64]
+        d = xn[None, :] - 2.0 * (qc @ x.T)
+        truth = np.argpartition(d, k, axis=1)[:, :k]
+        for row_p, row_t in zip(out[s : s + 64], truth):
+            recalls.append(len(set(row_p.tolist()) & set(row_t.tolist())) / k)
+    return {
+        "seconds": float(secs),
+        "vps": n / float(secs) if secs > 0 else float("inf"),
+        "recall": float(np.mean(recalls)),
+    }
 
 
 # ---------------------------------------------------------------------------
