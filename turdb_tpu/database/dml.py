@@ -351,9 +351,15 @@ def _index_pred_match(db, info, name: str, row: dict, ctx) -> bool:
     return bool(not c.nulls[0] and c.values[0])
 
 
-def _find_conflict(db, info, row: dict, ctx):
+def _find_conflict(db, info, row: dict, ctx, exclude_rowid=None):
     """Probe unique indexes; returns conflicting (visible) rowid or None
-    (reference unique probe, dml/insert.rs:602)."""
+    (reference unique probe, dml/insert.rs:602).
+
+    `exclude_rowid` (UPDATE): skip the row being updated and KEEP
+    SCANNING — returning the self-hit from one index (e.g. the
+    unchanged PK) used to mask a real conflict on a later unique index
+    (round-5 fix; tests/test_weakfixes.py
+    test_ddl_after_prepare_rebinds + test_update_unique_second_index)."""
     read_ts = getattr(ctx, "read_ts", db.mgr.snapshot_ts())
     own = getattr(ctx, "own_txn", 0)
     for name, idx in info.btree.items():
@@ -372,6 +378,8 @@ def _find_conflict(db, info, row: dict, ctx):
             continue  # NULLs never conflict
         key = idx.make_key([_norm_key(v) for v in vals])
         for rid in idx.find(key):
+            if exclude_rowid is not None and rid == exclude_rowid:
+                continue
             vidx = info.table.visible_version(db.mgr, rid, read_ts, own)
             if vidx is None:
                 continue
@@ -696,9 +704,10 @@ def _do_update_row(db, info, rowid: int, changes: dict, ctx, txn):
     new_row = dict(old_row)
     new_row.update(changes)
     new_row = _prepare_row(db, info, new_row, ctx)
-    # unique probe excluding self
-    conflict = _find_conflict(db, info, new_row, ctx)
-    if conflict is not None and conflict != rowid:
+    # unique probe excluding self (the self-hit must not short-circuit
+    # the scan of OTHER unique indexes)
+    conflict = _find_conflict(db, info, new_row, ctx, exclude_rowid=rowid)
+    if conflict is not None:
         raise _cv(db)(f"UNIQUE constraint violated on {info.table.name}")
     _check_fks(db, info, new_row, ctx)
     # ON UPDATE actions for children referencing a changed key: RESTRICT

@@ -60,6 +60,8 @@ class IvfConfig:
     rerank: int = 0          # exact-rerank candidate count (0 = off)
     replicated: bool = False  # boundary replicas present -> dedup at top-k
     dense: bool = False      # cells bin-packed into dense physical blocks
+    copies: int = 2          # max physical copies per slot (1 + replica_rank):
+                             # sizes the pre-dedup top-k window
 
 
 class IvfState(NamedTuple):
@@ -190,10 +192,12 @@ def _assign_all(x: jax.Array, centroids: jax.Array, cn: jax.Array | None = None)
     return out.reshape(n)
 
 
-@jax.jit
-def _assign_top2_all(x: jax.Array, centroids: jax.Array,
-                     cn: jax.Array | None = None):
-    """Chunked top-2 nearest-centroid assignment: ([n,2] ids, [n,2] d²)."""
+@partial(jax.jit, static_argnames=("k",))
+def _assign_topk_all(x: jax.Array, centroids: jax.Array,
+                     cn: jax.Array | None = None, *, k: int = 2):
+    """Chunked top-k nearest-centroid assignment: ([n,k] ids, [n,k] d²).
+    k=2 serves single-replica placement; higher k feeds the SOAR-style
+    multi-rank replica waves (replica_rank > 1)."""
     n = x.shape[0]
     assert n % _KM_CHUNK == 0
     if cn is None:
@@ -207,11 +211,11 @@ def _assign_top2_all(x: jax.Array, centroids: jax.Array,
             xc.astype(jnp.bfloat16), centroids.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        nd, ni = jax.lax.top_k(-d, 2)
+        nd, ni = jax.lax.top_k(-d, k)
         return ni.astype(jnp.int32), -nd
 
     ids, ds = jax.lax.map(tile, (xs, xns))
-    return ids.reshape(n, 2), ds.reshape(n, 2)
+    return ids.reshape(n, k), ds.reshape(n, k)
 
 
 # ---------------------------------------------------------------------------
@@ -370,11 +374,10 @@ def ivf_search_impl(
         return topk_smallest(exact, ci, k)
     if cfg.replicated or cfg.dense:
         # boundary replicas (and, under dense packing, shared blocks)
-        # mean a slot can appear twice in the probed lanes with the SAME
-        # distance; narrow to 2k candidates (enough unique
-        # survivors when each slot has at most one replica), drop the
-        # later copies, re-select k
-        m = min(2 * k, pl_)
+        # mean a slot can appear cfg.copies times in the probed lanes
+        # with the SAME distance; narrow to copies*k candidates (enough
+        # unique survivors), drop the later copies, re-select k
+        m = min(max(2, cfg.copies) * k, pl_)
         d0, i0 = topk_smallest(dist, ids, m)
         i0, d0 = mask_duplicates(i0, d0)
         return topk_smallest(d0, i0, k)
@@ -400,6 +403,7 @@ class IvfIndex:
         sq8: bool = False,
         rerank: int | None = None,
         replicate: bool = True,
+        replica_rank: int = 1,
         keep_f32: bool = True,
         dense_pack: bool = False,
         nblocks: int | None = None,
@@ -440,17 +444,24 @@ class IvfIndex:
             rerank = 64 if sq8 else 0
         self.rerank = rerank
         self.replicate = replicate
+        # replica_rank: how many runner-up cells each row may replicate
+        # into (SOAR-style multi-assignment). Rank 1 = the classic
+        # boundary replica; higher ranks keep filling the free padding
+        # lanes (measured r4: ~70% of gathered block bytes at the 1M
+        # headline geometry were split-cascade padding — every filled
+        # lane is a probe-cost-free recall candidate)
+        self.replica_rank = max(1, replica_rank)
         self.cfg: IvfConfig | None = None
         self.state: IvfState | None = None
         self.size = 0
         self._vectors_host: list[np.ndarray] = []   # staged until train
         self._alive_host = np.zeros(0, bool)
         # slot -> (cluster, lane) as flat int arrays (vectorized lookups);
-        # *2 maps hold the boundary-replica copy's position (-1 = none)
+        # _slot_extras holds one (cluster, lane) array pair per replica
+        # rank (-1 = no copy at that rank)
         self._slot_cluster = np.zeros(0, np.int32)
         self._slot_lane = np.zeros(0, np.int32)
-        self._slot_cluster2 = np.zeros(0, np.int32)
-        self._slot_lane2 = np.zeros(0, np.int32)
+        self._slot_extras: list[tuple[np.ndarray, np.ndarray]] = []
         self._occupancy: np.ndarray | None = None
         self._cell_block_host: np.ndarray | None = None
 
@@ -486,14 +497,18 @@ class IvfIndex:
         split, pack, replicas) then runs here against the provided
         device arrays instead of re-running k-means."""
         import os
-        import time as _t
+
+        from turdb_tpu.utils.timing import PhaseTimer
 
         dbg = os.environ.get("TURDB_IVF_DEBUG") == "1"
-        marks = [("start", _t.perf_counter())]
+        # fetch-synchronized marks (PhaseTimer): block_until_ready is a
+        # no-op through the axon relay, so phase spans must drain the
+        # device queue with a 1-element fetch to attribute honestly
+        # (VERDICT r4 item #9; docs/PERF.md r4-late timing finding)
+        pt = PhaseTimer(enabled=dbg)
 
-        def mark(label):
-            if dbg:
-                marks.append((label, _t.perf_counter()))
+        def mark(label, *arrays):
+            pt.mark(label, *arrays)
 
         x = (
             np.concatenate(self._vectors_host)
@@ -570,8 +585,7 @@ class IvfIndex:
                 jnp.full((c_work - c, self.dim), _PAD_CENT, jnp.float32),
             ]) if c_work > c else xpj[jnp.asarray(seed_idx)]
             cents = _kmeans(xtj, init, iters=iters)
-            jax.block_until_ready(cents)
-            mark("kmeans")
+            mark("kmeans", cents)
             assign = np.asarray(
                 _assign_all(xpj, cents, _masked_cn(cents, c))
             )[:n]
@@ -664,8 +678,10 @@ class IvfIndex:
         # primaries first, BEFORE replicas land in members
         self._slot_cluster = np.full(n, -1, np.int32)
         self._slot_lane = np.full(n, -1, np.int32)
-        self._slot_cluster2 = np.full(n, -1, np.int32)
-        self._slot_lane2 = np.full(n, -1, np.int32)
+        self._slot_extras = [
+            (np.full(n, -1, np.int32), np.full(n, -1, np.int32))
+            for _ in range(self.replica_rank)
+        ]
         mc, ml = np.nonzero(members >= 0)
         mslots = members[mc, ml]
         self._slot_cluster[mslots] = mc
@@ -720,6 +736,7 @@ class IvfIndex:
             nprobe=self.nprobe, sq8=self.sq8, rerank=self.rerank,
             replicated=replicated or self.dense_pack,
             dense=self.dense_pack,
+            copies=(self.replica_rank + 1) if replicated else 2,
         )
         mc, ml = np.nonzero(members >= 0)       # now includes replicas
         mslots = members[mc, ml]
@@ -809,17 +826,14 @@ class IvfIndex:
         )
         self._vectors_host = []
         if dbg:
-            jax.block_until_ready(self.state)
-            marks.append(("state", _t.perf_counter()))
+            st = self.state
+            mark("pack-store", st.pnorms, st.codes if self.sq8 else None,
+                 None if probe_only else st.pvecs)
             import sys
 
-            total = marks[-1][1] - marks[0][1]
-            parts = " ".join(
-                f"{lbl}={t1 - t0:.1f}s"
-                for (_, t0), (lbl, t1) in zip(marks, marks[1:])
-            )
-            print(f"[ivf.train n={n} C={c} L={cap} {total:.1f}s: {parts}]",
-                  file=sys.stderr, flush=True)
+            total = sum(s for _, s in pt.spans)
+            print(f"[ivf.train n={n} C={c} L={cap} {total:.1f}s: "
+                  f"{pt.table()}]", file=sys.stderr, flush=True)
 
     def _dense_remap(self, cents_np, members, occupancy, cap):
         """Bin-pack whole cells into dense physical blocks (cfg.dense).
@@ -874,7 +888,7 @@ class IvfIndex:
         bfill = np.full(nbp, cap, np.int64)   # pad blocks: full
         bfill[:nb] = np.asarray(fills, np.int64)
         for sc, sl in ((self._slot_cluster, self._slot_lane),
-                       (self._slot_cluster2, self._slot_lane2)):
+                       *self._slot_extras):
             mk = sc >= 0
             sl[mk] = (off[sc[mk]] + sl[mk]).astype(np.int32)
             sc[mk] = blk[sc[mk]]
@@ -931,12 +945,18 @@ class IvfIndex:
         multi-assignment, memory- and probe-cost-free): every probe reads
         all `cap` lanes of a cluster whether occupied or not, so filling
         the padding with copies of the rows nearest the cell boundary —
-        placed in their runner-up cluster — recovers the recall that cell
-        overlap loses, at zero extra search cost. Duplicated ids are
+        placed in their runner-up cluster(s) — recovers the recall that
+        cell overlap loses, at zero extra search cost. Duplicated ids are
         dropped at top-k (ivf_search_impl, cfg.replicated). Fixes the
-        round-1 1M jittered-data saturation at 0.92."""
+        round-1 1M jittered-data saturation at 0.92.
+
+        replica_rank > 1 runs one acceptance wave per runner-up rank
+        (nearest non-home cell first): measured r4, ~70% of gathered
+        block bytes at the big-block headline geometry were padding —
+        later waves keep converting that padding into candidates."""
         n = x.shape[0]
         c = len(occupancy)
+        ranks = self.replica_rank
         # keep cap//8 lanes per cluster free for incremental appends —
         # replicas in every lane would force a full retrain on first append
         free = np.maximum(cap - occupancy - max(1, cap // 8), 0)
@@ -945,48 +965,65 @@ class IvfIndex:
         if xpj is None:
             xpj = jnp.asarray(_pad_rows(x, _KM_CHUNK))
         cents_j = jnp.asarray(cents_np)
-        a12, d12 = _assign_top2_all(xpj, cents_j, _masked_cn(cents_j, c))
-        a12 = np.asarray(a12)[:n]
+        kk = min(ranks + 1, c)
+        a12, d12 = _assign_topk_all(xpj, cents_j, _masked_cn(cents_j, c),
+                                    k=kk)
+        a12 = np.asarray(a12)[:n].astype(np.int64)
         d12 = np.asarray(d12)[:n]
         placed = self._slot_cluster[:n].astype(np.int64)
-        # replica target = nearest centroid that is NOT the home cluster
-        # (split/spilled rows may live away from their argmin cell — those
-        # benefit the most, so they rank first via d_home below)
-        tgt = np.where(a12[:, 0] != placed, a12[:, 0], a12[:, 1]).astype(
-            np.int64
-        )
-        d_tgt = np.where(a12[:, 0] != placed, d12[:, 0], d12[:, 1])
         # exact d² to the home centroid, chunked to bound temporaries
+        # (split/spilled rows may live away from their argmin cell — those
+        # benefit the most, so they rank first via the d_tgt/d_home prio)
         d_home = np.empty(n, np.float32)
         for s in range(0, n, 1 << 17):
             e = min(n, s + (1 << 17))
             diff = x[s:e] - cents_np[placed[s:e]]
             d_home[s:e] = np.einsum("ij,ij->i", diff, diff)
-        prio = d_tgt / np.maximum(d_home, 1e-12)
-        order = np.argsort(prio, kind="stable")
-        # one acceptance wave: rank rows within their target cluster in
-        # priority order; accept rank < free lanes
-        pk = tgt[order]
-        o2 = np.argsort(pk, kind="stable")
-        sp, pk = order[o2], pk[o2]
-        firsts = np.zeros(len(sp), bool)
-        if len(sp):
+        d_home = np.maximum(d_home, 1e-12)
+        # per-row ranked NON-HOME targets: drop the home column, keep
+        # nearest-first order (each row's rank-r target is its (r+1)-th
+        # nearest cell overall when rank 1..r-1 are all non-home)
+        is_home = a12 == placed[:, None]
+        key = np.where(is_home, np.inf, d12)
+        order_cols = np.argsort(key, axis=1, kind="stable")
+        placed_any = False
+        for r in range(min(ranks, kk - 1)):
+            col = order_cols[:, r]
+            rows = np.arange(n)
+            tgt = a12[rows, col]
+            d_tgt = d12[rows, col]
+            ok = np.isfinite(key[rows, col])
+            prio = np.where(ok, d_tgt / d_home, np.inf)
+            order = np.argsort(prio, kind="stable")
+            order = order[ok[order]]
+            # acceptance wave: rank rows within their target cluster in
+            # priority order; accept rank < free lanes
+            pk = tgt[order]
+            o2 = np.argsort(pk, kind="stable")
+            sp, pk = order[o2], pk[o2]
+            if len(sp) == 0:
+                break
+            firsts = np.zeros(len(sp), bool)
             firsts[0] = True
             firsts[1:] = pk[1:] != pk[:-1]
-        starts = np.flatnonzero(firsts)
-        start_of = np.zeros(c, np.int64)
-        start_of[pk[starts]] = starts
-        rank = np.arange(len(sp)) - start_of[pk]
-        accept = rank < free[pk]
-        if not accept.any():
-            return False
-        lanes = occupancy[pk[accept]] + rank[accept]
-        rslots = sp[accept]
-        members[pk[accept], lanes] = rslots
-        occupancy += np.bincount(pk[accept], minlength=c)
-        self._slot_cluster2[rslots] = pk[accept]
-        self._slot_lane2[rslots] = lanes
-        return True
+            starts = np.flatnonzero(firsts)
+            start_of = np.zeros(c, np.int64)
+            start_of[pk[starts]] = starts
+            rank = np.arange(len(sp)) - start_of[pk]
+            accept = rank < free[pk]
+            if not accept.any():
+                continue
+            lanes = occupancy[pk[accept]] + rank[accept]
+            rslots = sp[accept]
+            members[pk[accept], lanes] = rslots
+            add = np.bincount(pk[accept], minlength=c)
+            occupancy += add
+            free -= add
+            sc, sl = self._slot_extras[r]
+            sc[rslots] = pk[accept]
+            sl[rslots] = lanes
+            placed_any = True
+        return placed_any
 
     def _append(self, vecs: np.ndarray, slots: np.ndarray):
         """Incremental append: route each vector to its nearest cluster
@@ -1064,10 +1101,11 @@ class IvfIndex:
             pad = np.full(grow, -1, np.int32)
             self._slot_cluster = np.concatenate([self._slot_cluster, pad])
             self._slot_lane = np.concatenate([self._slot_lane, pad.copy()])
-            self._slot_cluster2 = np.concatenate(
-                [self._slot_cluster2, pad.copy()]
-            )
-            self._slot_lane2 = np.concatenate([self._slot_lane2, pad.copy()])
+            self._slot_extras = [
+                (np.concatenate([sc, pad.copy()]),
+                 np.concatenate([sl, pad.copy()]))
+                for sc, sl in self._slot_extras
+            ]
         self._slot_cluster[slots] = cs
         self._slot_lane[slots] = lanes
 
@@ -1130,10 +1168,9 @@ class IvfIndex:
             m = min(len(allowed), len(self._slot_cluster))
             sel = np.flatnonzero(allowed[:m] & (self._slot_cluster[:m] >= 0))
             am[self._slot_cluster[sel], self._slot_lane[sel]] = True
-            sel2 = np.flatnonzero(
-                allowed[:m] & (self._slot_cluster2[:m] >= 0)
-            )
-            am[self._slot_cluster2[sel2], self._slot_lane2[sel2]] = True
+            for sc, sl in self._slot_extras:
+                sel2 = np.flatnonzero(allowed[:m] & (sc[:m] >= 0))
+                am[sc[sel2], sl[sel2]] = True
             amask = jnp.asarray(am)
         # cap the probe batch so the [B, P, L, d] gather (+ the int8
         # path's s32 widening) stays <=~512MB of program temp: at the
@@ -1186,11 +1223,10 @@ class IvfIndex:
             alive = self.state.alive.at[
                 self._slot_cluster[m], self._slot_lane[m]
             ].set(False)
-            r = m[self._slot_cluster2[m] >= 0]
-            if len(r):
-                alive = alive.at[
-                    self._slot_cluster2[r], self._slot_lane2[r]
-                ].set(False)
+            for sc, sl in self._slot_extras:
+                r = m[sc[m] >= 0]
+                if len(r):
+                    alive = alive.at[sc[r], sl[r]].set(False)
             self.state = self.state._replace(alive=alive)
 
 

@@ -49,6 +49,64 @@ def timing_stats() -> list[tuple]:
     return sorted(rows, key=lambda r: -r[1])
 
 
+def fetch_sync(*arrays):
+    """Force device-queue drain by FETCHING one element per array.
+
+    `jax.block_until_ready` is a NO-OP through the axon relay (measured
+    round 4, docs/PERF.md: enqueued programs complete only at a fetch),
+    so every wall-clock phase mark that relies on it attributes the
+    phase's real cost to whichever LATER phase first downloads data.
+    Wall-to-fetch spans are the only trustworthy per-phase timer on
+    this backend (VERDICT r4 item #9): call fetch_sync(dev_array) at a
+    phase boundary — the 4-byte [0,...] gather round-trips the relay
+    (~ms), negligible against the multi-second phases it brackets."""
+    import numpy as np
+
+    for a in arrays:
+        if a is None or isinstance(a, (int, float)):
+            continue
+        leaf = a
+        if isinstance(a, (tuple, list)):
+            for x in a:
+                fetch_sync(x)
+            continue
+        try:
+            idx = tuple(0 for _ in leaf.shape)
+            np.asarray(leaf[idx] if leaf.shape else leaf)
+        except Exception:
+            pass
+
+
+class PhaseTimer:
+    """Fetch-synchronized phase marks: mark(label, *device_arrays)
+    fetches one element of each array (draining everything enqueued
+    before it) and records the wall span since the previous mark. The
+    reference keeps an insert-cost breakdown table
+    (TARGET_BENCH.md:230-247); this is the build-phase analog that
+    stays honest through the relay."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.spans: list[tuple[str, float]] = []
+        self._t0 = time.perf_counter()
+
+    def mark(self, label: str, *arrays):
+        if not self.enabled:
+            return
+        fetch_sync(*arrays)
+        t = time.perf_counter()
+        self.spans.append((label, t - self._t0))
+        self._t0 = t
+
+    def table(self) -> str:
+        total = sum(s for _, s in self.spans) or 1.0
+        rows = [
+            f"{lbl}={s:.1f}s({100 * s / total:.0f}%)"
+            for lbl, s in self.spans
+        ]
+        return " ".join(rows)
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str):
     """Capture a jax.profiler trace around a block (view with
