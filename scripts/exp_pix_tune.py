@@ -95,6 +95,21 @@ def main():
         "soar2": {"replica_rank": 2},
         "bigblock_soar2": {"n_clusters": max(8, n // 128),
                            "replica_rank": 2},
+        # int8 probe + exact rerank: 4x fewer gather bytes at matched
+        # recall (the hard row's lever) — the f32 probe at nprobe=64
+        # moves 64x64KB per query and measured 39.5k QPS
+        "sq8": {"sq8": True, "rerank": 40},
+        "sq8_r100": {"sq8": True, "rerank": 100},
+        # over-provisioned caps: at L=128 the cells are ~46% full and the
+        # rank-1 replica wave consumes every free lane (rank 2 placed
+        # NOTHING — measured, sweep identical to control). L=256 leaves
+        # ~165 free lanes/cell so boundary replication actually lands;
+        # per-block bytes double but the probe is block-LATENCY-bound at
+        # these sizes (sq8 64x16KB measured the same QPS as f32 64x64KB),
+        # so halving the probes needed at the gate should ~halve the cost
+        "sq8_cap256": {"sq8": True, "rerank": 40, "cluster_cap": 256},
+        "sq8_cap256_r3": {"sq8": True, "rerank": 40, "cluster_cap": 256,
+                          "replica_rank": 3},
     }
     names = sys.argv[1:] or list(variants)
     out = {}

@@ -334,8 +334,14 @@ def ivf_search_impl(
         # exact rerank: ONE ordering drives both the candidate ids and the
         # packed positions (a tie-inconsistent second sort would mismatch)
         r = min(cfg.rerank, pl_)
-        neg, pos = jax.lax.top_k(-dist, r)            # [B, r] positions
-        cd = -neg
+        if pl_ > 2048 and 8 * r <= pl_:
+            # wide candidate rows: the full-row sort is the probe's
+            # throughput ceiling at nprobe*L = 8k-32k lanes (pix/hard);
+            # two-level exact selection replaces it (ops/topk.py)
+            cd, pos = topk_smallest_wide(dist, r)     # [B, r] positions
+        else:
+            neg, pos = jax.lax.top_k(-dist, r)
+            cd = -neg
         ci = jnp.take_along_axis(ids, pos, axis=-1)
         lcap = state.members.shape[1]
         cl = jnp.take_along_axis(

@@ -23,7 +23,20 @@ def topk_smallest(dists: jax.Array, ids: jax.Array, k: int):
 
     dists: [..., n] f32 (inf = invalid), ids: [..., n] int32.
     Returns ([..., k] dists, [..., k] ids), ascending.
+
+    Wide rows route through the two-level exact selector: lax.top_k
+    sorts the whole row, and at the probe's candidate widths (nprobe x
+    cluster_cap = 8k-32k lanes on the pix/hard rows) that sort IS the
+    throughput ceiling — the same 44%-of-probe finding that moved the
+    cell selection to topk_smallest_wide in round 4
+    (scripts/exp_probe_parts.py). The 2048 threshold leaves the
+    known-good headline path (1,280 lanes) on the fused single top_k.
     """
+    n = dists.shape[-1]
+    if n > 2048 and 8 * k <= n:
+        vals, pos = topk_smallest_wide(dists, k)
+        sel = jnp.take_along_axis(ids, pos, axis=-1)
+        return vals, sel
     neg_d, idx = jax.lax.top_k(-dists, k)
     sel = jnp.take_along_axis(ids, idx, axis=-1)
     return -neg_d, sel
