@@ -785,6 +785,20 @@ def main():
 
         section("ivf_pix", 200, _pix)
 
+    # ---- HNSW (reference-parity algorithm) at full size ------------------
+    # ranked ABOVE the emb384 row: under a tight budget the
+    # reference-parity engine's row must land (the emb384 build alone
+    # measured 262s in round 3 and can eat the whole remainder)
+    if not SKIP_HNSW:
+        def _hnsw():
+            t50 = truth_for(x, queries[:256], k=50)
+            r = bench_hnsw("hnsw", x, queries, truth, truth50=t50)
+            if r:
+                RESULTS.append(("hnsw", *r))
+
+        section("hnsw", 420, _hnsw)
+
+    if not SKIP_HARD:
         # ---- 384-d embedding workload (cosine) --------------------------
         def _emb():
             xe, qe = emb_pool(rng, N_EMB, n_queries=N_QUERIES)
@@ -798,16 +812,6 @@ def main():
                 RESULTS.append(("ivf_emb384", *r))
 
         section("ivf_emb384", 240, _emb)
-
-    # ---- HNSW (reference-parity algorithm) at full size ------------------
-    if not SKIP_HNSW:
-        def _hnsw():
-            t50 = truth_for(x, queries[:256], k=50)
-            r = bench_hnsw("hnsw", x, queries, truth, truth50=t50)
-            if r:
-                RESULTS.append(("hnsw", *r))
-
-        section("hnsw", 420, _hnsw)
 
     # ---- real SIFT-1M when provided -------------------------------------
     def _sift():

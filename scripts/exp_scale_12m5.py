@@ -66,15 +66,46 @@ def main():
     x, queries = pool[:N], pool[N:]
     log(f"pool ready {time.perf_counter() - t0:.0f}s")
 
-    # exact oracle FIRST (flat f32 store ~8.6GB padded; freed before the
-    # IVF build so the two never co-reside in HBM)
-    from turdb_tpu.models.flat import FlatIndex
+    # exact oracle FIRST, segment-streamed: a 12.5M FlatIndex OOMs the
+    # chip (the functional .at[].set copy doubles the ~8.6GB store), so
+    # scan 1M-row segments through one jitted exact top-k and merge on
+    # host — peak device memory ~1.5GB and nothing persists before the
+    # IVF build
+    import jax.numpy as jnp
 
     t0 = time.perf_counter()
-    flat = FlatIndex(dim=DIM, capacity=N, metric=Metric.L2)
-    flat.add(x)
-    _, truth = flat.search(queries[:256], k=K)
-    del flat
+    qj = jnp.asarray(queries[:256])
+    qn = (queries[:256] ** 2).sum(-1).astype(np.float32)
+
+    @jax.jit
+    def seg_topk(xseg, q):
+        xn = (xseg * xseg).sum(-1)
+        d = (q * q).sum(-1)[:, None] + xn[None, :] - 2.0 * jax.lax.dot_general(
+            q, xseg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        neg, idx = jax.lax.top_k(-d, K)
+        return -neg, idx
+
+    seg = 1 << 20
+    best_d = np.full((256, K), np.inf, np.float32)
+    best_i = np.full((256, K), -1, np.int64)
+    for s in range(0, N, seg):
+        e = min(N, s + seg)
+        xs = x[s:e]
+        if len(xs) < seg:   # pad to the compiled shape
+            xs = np.concatenate([
+                xs, np.full((seg - len(xs), DIM), 1e15, np.float32)
+            ])
+        d, i = seg_topk(jnp.asarray(xs), qj)
+        d, i = np.asarray(d), np.asarray(i).astype(np.int64) + s
+        i[d >= 1e29] = -1
+        cd = np.concatenate([best_d, d], axis=1)
+        ci = np.concatenate([best_i, i], axis=1)
+        ord_ = np.argsort(cd, axis=1, kind="stable")[:, :K]
+        best_d = np.take_along_axis(cd, ord_, axis=1)
+        best_i = np.take_along_axis(ci, ord_, axis=1)
+    truth = best_i
     log(f"oracle ready {time.perf_counter() - t0:.0f}s")
     out["oracle_queries"] = 256
 
