@@ -182,11 +182,21 @@ def qps_device_slope(scan_fn, queries, batch=1024, m_lo=4, m_hi=16):
 
     def timed(m):
         qs = jnp.asarray(queries[: m * batch].reshape(m, batch, -1))
-        with_retries(lambda: np.asarray(scan_fn(qs)))  # warm/compile
+        # digest instead of downloading [m, B, k] ids through the relay:
+        # the result download scales with m so the slope does NOT cancel
+        # it, and the tunnel's bandwidth swings ~10x between windows (the
+        # same headline program measured 135k in-bench vs 249k idle,
+        # 2026-08-21). jnp.sum runs OUTSIDE the jitted scan, so the scan
+        # still materializes every id on device (no DCE across the
+        # dispatch boundary); only 8 bytes cross the tunnel per rep.
+        def run():
+            return np.asarray(jnp.sum(scan_fn(qs)))
+
+        with_retries(run)                              # warm/compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(scan_fn(qs))
+            run()
             best = min(best, time.perf_counter() - t0)
         return best
 
