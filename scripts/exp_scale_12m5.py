@@ -50,6 +50,14 @@ def make_pool(rng, n, dim, n_clusters=4096):
     return out
 
 
+def _write(out):
+    """Incremental artifact: the 2026-08-21 run lost everything to a
+    timeout during the build (tunnel-throttled uploads) because the one
+    json.dump sat at the end — write after every milestone instead."""
+    with open("/root/repo/SCALE_12M5.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main():
     import jax
 
@@ -108,6 +116,7 @@ def main():
     truth = best_i
     log(f"oracle ready {time.perf_counter() - t0:.0f}s")
     out["oracle_queries"] = 256
+    _write(out)
 
     idx = IvfIndex(dim=DIM, metric=Metric.L2, sq8=True, keep_f32=False,
                    rerank=4 * K)
@@ -126,6 +135,7 @@ def main():
     out["state_hbm_gb"] = round(hbm_gb, 2)
     log(f"build {build_s:.0f}s, state {hbm_gb:.2f} GB "
         f"(C={idx.cfg.n_clusters}, L={idx.cfg.cluster_cap})")
+    _write(out)
 
     star = None
     sweep = {}
@@ -138,6 +148,7 @@ def main():
             star = (nprobe, r)
             break
     out["sweep"] = sweep
+    _write(out)          # sweep recorded even if the QPS step dies
     if star:
         nprobe, r = star
         out.update({"recall": round(r, 4), "nprobe": nprobe, "gate": True})
@@ -159,8 +170,7 @@ def main():
         log(f"QPS={qps:,.0f} @ nprobe={nprobe} recall={r:.4f}")
     else:
         out["gate"] = False
-    with open("/root/repo/SCALE_12M5.json", "w") as f:
-        json.dump(out, f, indent=1)
+    _write(out)
     print(json.dumps(out))
 
 
